@@ -1,13 +1,672 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.codec.Codecs
+import graft.codec.Codecs._
+import graft.functions.{Dedup, Similarity, TextFunctions}
+import graft.model._
+import graft.operators.{Exporter, Importer, Planner}
+import graft.plans.VectorFunctions
+
+/**
+ * Driver contract — one `queries` entry per implemented operator from
+ * SURVEY.md §2 plus the training-data extensions, each with a DuckDB oracle
+ * where SQL can express it. Operator queries run the REAL library code
+ * (graft.operators / graft.functions) over the TPC-H-ish test tables by
+ * mapping them onto the catalog entity planes (orders → tables, lineitem →
+ * partitions, nations → databases).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---------------------------------------------------------------- helpers
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    VectorFunctions.register(s)
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by default;
+    // read it as int64 nanos and do exact integer time arithmetic downstream.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Map a one-column (`name`) frame onto the GDatabase plane. */
+  private def asDbs(df: DataFrame): Dataset[GDatabase] =
+    df.select(col("name").cast("string").as("name"),
+      lit(null).cast("string").as("description"),
+      lit(null).cast("string").as("locationUri"),
+      map().cast("map<string,string>").as("parameters"),
+      lit(null).cast("bigint").as("createTimeMs")).as[GDatabase](dbEncoder)
+
+  private val sdType = Codecs.tableSchema("storageDescriptor").dataType
+  private val pkType = Codecs.tableSchema("partitionKeys").dataType
+
+  /** Map a (`name`, `databaseName`) frame onto the GTable plane. */
+  private def asTables(df: DataFrame): Dataset[GTable] =
+    df.select(col("name").cast("string").as("name"),
+      col("databaseName").cast("string").as("databaseName"),
+      lit(null).cast("string").as("owner"),
+      lit(null).cast("bigint").as("createTimeMs"),
+      lit(null).cast("bigint").as("updateTimeMs"),
+      lit(null).cast("bigint").as("lastAccessTimeMs"),
+      lit(0).as("retention"),
+      lit(null).cast(sdType).as("storageDescriptor"),
+      lit(null).cast(pkType).as("partitionKeys"),
+      lit(null).cast("string").as("tableType"),
+      lit(null).cast("string").as("viewOriginalText"),
+      lit(null).cast("string").as("viewExpandedText"),
+      map().cast("map<string,string>").as("parameters"),
+      lit(null).cast("string").as("createdBy")).as[GTable](tableEncoder)
+
+  /** Map a (`values` array<string>, `databaseName`, `tableName`) frame onto the
+    * GPartition plane. */
+  private def asParts(df: DataFrame): Dataset[GPartition] =
+    df.select(col("values").cast("array<string>").as("values"),
+      col("databaseName").cast("string").as("databaseName"),
+      col("tableName").cast("string").as("tableName"),
+      lit(null).cast("bigint").as("creationTimeMs"),
+      lit(null).cast("bigint").as("lastAccessTimeMs"),
+      lit(null).cast(sdType).as("storageDescriptor"),
+      map().cast("map<string,string>").as("parameters")).as[GPartition](partitionEncoder)
+
+  // ------------------------------------------------------------- entrypoint
+
+  /** Flagship: full catalog replication end-to-end on sf0.001 — the TPC-H
+    * metadata mapped onto a catalog (nations = databases, orders = tables,
+    * lineitems = partitions), replicated into an empty target; returns the
+    * per-entity action log. Driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    import graft.run.{ReplicationConfig, ReplicationJob}
+    import graft.sources.CatalogSnapshot
+    val dir = "/root/testdata/sf0.001"
+    val orders = t(spark, dir, "orders").orderBy(col("o_orderkey")).limit(500)
+    val li = t(spark, dir, "lineitem")
+    val dbs = asDbs(orders.select((col("o_custkey") % 25).cast("string").as("name")).distinct())
+    val tables = asTables(orders.select(col("o_orderkey").as("name"),
+      (col("o_custkey") % 25).cast("string").as("databaseName")))
+    val parts = asParts(
+      li.join(orders.select("o_orderkey", "o_custkey"), li("l_orderkey") === col("o_orderkey"))
+        .select(array(col("l_orderkey").cast("string"), col("l_linenumber").cast("string")).as("values"),
+          (col("o_custkey") % 25).cast("string").as("databaseName"),
+          col("l_orderkey").cast("string").as("tableName")))
+    val src = CatalogSnapshot("src", dbs, tables, parts)
+    val tgt = CatalogSnapshot.empty(spark, "tgt")
+    val side = java.nio.file.Files.createTempDirectory("graft-side").toString
+    val res = ReplicationJob.replicate(spark, src, tgt,
+      ReplicationConfig(runId = 42L, largeTableThreshold = 10, sideChannelDir = Some(side)))
+    res.actions
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ===== general SQL surface (TPC-H-ish) =====
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q3_shipping_priority" -> ((s, dir) => {
+      val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").where(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val l = t(s, dir, "lineitem").where(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q5_region_revenue" -> ((s, dir) => {
+      val r = t(s, dir, "region").where(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey") && c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+
+    "q10_returned_revenue" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // ===== windows / set ops (audit "latest state per id" — SURVEY §2.5) =====
+    "w_latest_order" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      o.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    }),
+
+    "w_running_qty" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").where(col("l_suppkey") % 7 === 0)
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      l.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        round(sum(col("l_quantity")).over(w), 2).as("running_qty"))
+    }),
+
+    "set_except_customers" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val h1 = o.where(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+      val h2 = o.where(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+      h1.except(h2)
+    }),
+
+    "agg_rollup_customers" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+    }),
+
+    // ===== replication-core operators (SURVEY §2) over catalog-mapped planes =====
+
+    // P1+P2: prefix-list database filter (GDCReplicationPlanner.java:124-137)
+    "p1_prefix_filter" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val prefixes = Planner.tokenizePrefixes("Customer#00000001|Customer#0000002")
+      c.where(Planner.prefixPredicate(col("c_name"), prefixes))
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // P3/P4: writable-subset projection (GlueUtil.java:175-192,406-413)
+    "p3_projection" -> ((s, dir) => {
+      t(s, dir, "part").where(col("p_size") < 10)
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+    }),
+
+    // J1: database upsert-if-absent via the real Importer.diffDatabases
+    "j1_db_upsert" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val sup = t(s, dir, "supplier")
+      val src = asDbs(n.select(col("n_name").as("name")))
+      val tgt = asDbs(sup.join(n, sup("s_nationkey") === n("n_nationkey"))
+        .select(col("n_name").as("name")).distinct())
+      Importer.diffDatabases(src, tgt).select(col("name"), col("action"))
+    }),
+
+    // J2: table create-or-update via the real Importer.diffTables
+    "j2_table_upsert" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val src = asTables(o.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("name"), lit("db0").as("databaseName")))
+      val tgt = asTables(o.where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("name"), lit("db0").as("databaseName")))
+      Importer.diffTables(src, tgt)
+        .select(col("name").cast("bigint").as("o_orderkey"), col("action"))
+    }),
+
+    // J3 (minimal-diff flag): partition reconciliation as anti-joins
+    "j3_reconcile_min" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      def plane(m: Int) = asParts(l.where(col("l_orderkey") % m === 0)
+        .select(array(col("l_orderkey").cast("string"), col("l_linenumber").cast("string")).as("values"),
+          lit("db0").as("databaseName"), col("l_orderkey").cast("string").as("tableName")))
+      Importer.reconcilePartitions(plane(2), plane(3), minimalDiff = true)
+        .select(element_at(col("values"), 1).cast("bigint").as("l_orderkey"),
+          element_at(col("values"), 2).cast("bigint").as("l_linenumber"), col("action"))
+    }),
+
+    // J3 (reference wholesale semantics): delete-all-target + create-all-export
+    // scoped to exported tables (GDCUtil.java:76-99)
+    "j3_reconcile_wholesale" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      def plane(m: Int) = asParts(l.where(col("l_orderkey") % m === 0)
+        .select(array(col("l_orderkey").cast("string"), col("l_linenumber").cast("string")).as("values"),
+          lit("db0").as("databaseName"), col("l_orderkey").cast("string").as("tableName")))
+      val src = plane(2)
+      val exported = src.select(col("databaseName"), col("tableName")).distinct()
+      Importer.reconcilePartitionsForTables(exported, src, plane(3))
+        .select(element_at(col("values"), 1).cast("bigint").as("l_orderkey"),
+          element_at(col("values"), 2).cast("bigint").as("l_linenumber"), col("action"))
+    }),
+
+    // J4: existence-gated export (left_semi re-verification)
+    "j4_semi_gate" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      o.join(broadcast(c.select(col("c_custkey"))), o("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"))
+    }),
+
+    // A1: per-table partition counts (ExportDatabaseWithTables.java:173-175)
+    "a1_partition_counts" -> ((s, dir) => {
+      asParts(t(s, dir, "lineitem")
+        .select(array(col("l_orderkey").cast("string"), col("l_linenumber").cast("string")).as("values"),
+          lit("db0").as("databaseName"), col("l_orderkey").cast("string").as("tableName")))
+        .transform(p => Exporter.partitionCounts(p))
+        .select(col("tableName").cast("bigint").as("l_orderkey"), col("numberOfPartitions"))
+    }),
+
+    // A2: export counters (databases/tables/partitions exported)
+    "a2_export_counters" -> ((s, dir) => {
+      val nDbs = t(s, dir, "nation").select(col("n_name")).distinct().count()
+      val nTables = t(s, dir, "orders").count()
+      val nParts = t(s, dir, "lineitem").count()
+      val s2 = s
+      import s2.implicits._
+      Seq((nDbs, nTables, nParts)).toDF("n_databases", "n_tables", "n_partitions")
+    }),
+
+    // A3: fixed-size chunk batching (Lists.partition 100/25 — GlueUtil.java:414-420)
+    "a3_chunking" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      l.withColumn("rn", row_number().over(w))
+        .withColumn("chunk_id", floor((col("rn") - 1) / 3).cast("bigint"))
+        .groupBy(col("l_orderkey"), col("chunk_id"))
+        .agg(count(lit(1)).as("chunk_size"))
+    }),
+
+    // S-route: large-table threshold routing (>10 partitions → side-channel)
+    "route_threshold" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_parts"))
+        .withColumn("is_large", col("n_parts") > 10)
+        .groupBy(col("is_large"))
+        .agg(count(lit(1)).as("n_tables"), sum(col("n_parts")).cast("bigint").as("n_partitions"))
+    }),
+
+    // F1-F9 scalar pack: key concat, date format, prefix match, split
+    "f_scalar_pack" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        concat_ws("|", col("o_orderkey"), col("o_custkey")).as("table_id"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"),
+        lower(col("o_orderpriority")).startsWith("1-").as("is_urgent"),
+        split(col("o_orderpriority"), "-").getItem(0).as("priority_code"))
+    }),
+
+    // F2: JSON parse of message payloads (events.props)
+    "f2_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"), get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .where(col("k") > 50)
+    }),
+
+    // ===== streaming-shaped analytics over events =====
+    "ev_tumbling_5m" -> ((s, dir) => {
+      // ts is int64 nanos (see t()); integer div keeps it exact.
+      t(s, dir, "events")
+        .withColumn("bucket_s", (expr("ts div 1000000000 div 300") * 300).cast("bigint"))
+        .groupBy(col("bucket_s"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+    }),
+
+    "ev_sessionize" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      e.withColumn("us", expr("ts div 1000"))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_us").isNull, 0).when(col("us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg((sum(col("new_session")) + 1).cast("bigint").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // ===== text analysis (documents) =====
+    "d_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+    }),
+
+    "d_quality_signals" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val toks = TextFunctions.tokens(col("text"))
+      d.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+        size(filter(toks, x => array_contains(
+          array(TextFunctions.EnglishStopwords.map(lit): _*), x))).cast("bigint").as("n_stop"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", "")))
+          .cast("bigint").as("n_punct"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("bigint").as("n_digit"))
+    }),
+
+    "d_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+    }),
+
+    "d_exact_dedup" -> ((s, dir) => {
+      Dedup.exactDedup(t(s, dir, "documents"))
+        .select(col("content_hash"), col("doc_id"), col("dup_count"))
+    }),
+
+    "d_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.contentFingerprint(col("text")).as("content_fp"),
+        TextFunctions.shingleFingerprint(col("text"), 3).as("shingle_fp"))
+    }),
+
+    "d_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(
+        t(s, dir, "documents").where(col("n_chars") < 300), n = 3, threshold = 0.2)
+    }),
+
+    // approximate — no SQL oracle; verified by planted-duplicate specs
+    "d_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashPairs(t(s, dir, "documents"), k = 64, bands = 16, threshold = 0.5)
+    }),
+
+    "d_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)
+    }),
+
+    // ===== similarity search (embeddings) =====
+    "e_knn_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(Similarity.cosine(col("embedding"), col("qv")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    "e_neardup_exact" -> ((s, dir) => {
+      Similarity.exactNearDupPairs(t(s, dir, "embeddings"), threshold = 0.5)
+    }),
+
+    // approximate — no SQL oracle
+    "e_lsh_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      Similarity.lshTopK(e.where(col("vec_id") =!= 0), q, k = 10, dim = 64,
+        nPlanes = 8, probeHamming = 2)
+    }),
+
+    "e_lsh_neardup_pairs" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.5, dim = 64)
+    })
+  )
+
+  // ----------------------------------------------------------------- oracle
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 6) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-03-15'
+           AND l_shipdate > TIMESTAMP '1998-03-15'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name""",
+
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE l_returnflag = 'R'
+         GROUP BY c_custkey, c_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+
+    "w_latest_order" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+           SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           FROM orders) WHERE rn = 1""",
+
+    "w_running_qty" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+         round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+         FROM lineitem WHERE l_suppkey % 7 = 0""",
+
+    "set_except_customers" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997""",
+
+    "agg_rollup_customers" ->
+      """SELECT r_name, n_name, count(*) AS n_cust
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)""",
+
+    "p1_prefix_filter" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE lower(c_name) LIKE 'customer#00000001%'
+            OR lower(c_name) LIKE 'customer#0000002%'""",
+
+    "p3_projection" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part WHERE p_size < 10""",
+
+    "j1_db_upsert" ->
+      """SELECT n_name AS name,
+         CASE WHEN EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+              THEN 'skip' ELSE 'create' END AS action
+         FROM nation""",
+
+    "j2_table_upsert" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'update' ELSE 'create' END AS action
+         FROM orders WHERE o_orderkey % 2 = 0""",
+
+    "j3_reconcile_min" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, 'delete' AS action
+         FROM lineitem WHERE l_orderkey % 3 = 0 AND l_orderkey % 2 <> 0
+         UNION ALL
+         SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, 'create' AS action
+         FROM lineitem WHERE l_orderkey % 2 = 0 AND l_orderkey % 3 <> 0""",
+
+    "j3_reconcile_wholesale" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, 'delete' AS action
+         FROM lineitem WHERE l_orderkey % 3 = 0 AND l_orderkey % 2 = 0
+         UNION ALL
+         SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, 'create' AS action
+         FROM lineitem WHERE l_orderkey % 2 = 0""",
+
+    "j4_semi_gate" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE EXISTS (SELECT 1 FROM customer
+           WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')""",
+
+    "a1_partition_counts" ->
+      """SELECT l_orderkey, count(*) AS numberOfPartitions
+         FROM lineitem GROUP BY l_orderkey""",
+
+    "a2_export_counters" ->
+      """SELECT (SELECT count(DISTINCT n_name) FROM nation) AS n_databases,
+                (SELECT count(*) FROM orders) AS n_tables,
+                (SELECT count(*) FROM lineitem) AS n_partitions""",
+
+    "a3_chunking" ->
+      """SELECT l_orderkey, CAST(floor((rn - 1) / 3) AS BIGINT) AS chunk_id,
+             count(*) AS chunk_size
+         FROM (SELECT l_orderkey,
+                 row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+               FROM lineitem)
+         GROUP BY l_orderkey, CAST(floor((rn - 1) / 3) AS BIGINT)""",
+
+    "route_threshold" ->
+      """SELECT n_parts > 10 AS is_large, count(*) AS n_tables,
+             CAST(sum(n_parts) AS BIGINT) AS n_partitions
+         FROM (SELECT l_orderkey, count(*) AS n_parts FROM lineitem GROUP BY l_orderkey)
+         GROUP BY n_parts > 10""",
+
+    "f_scalar_pack" ->
+      """SELECT o_orderkey,
+         concat_ws('|', o_orderkey, o_custkey) AS table_id,
+         strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+         lower(o_orderpriority) LIKE '1-%' AS is_urgent,
+         string_split(o_orderpriority, '-')[1] AS priority_code
+         FROM orders""",
+
+    "f2_json_extract" ->
+      """SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
+         FROM events WHERE CAST(props->>'k' AS BIGINT) > 50""",
+
+    "ev_tumbling_5m" ->
+      """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s, event_type,
+         count(*) AS n_events, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1, 2""",
+
+    "ev_sessionize" ->
+      """SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
+             count(*) AS n_events
+         FROM (SELECT user_id,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 0
+                      WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+                      ELSE 0 END AS new_session
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         GROUP BY user_id""",
+
+    "d_token_count" ->
+      """SELECT doc_id,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens
+         FROM documents""",
+
+    "d_quality_signals" ->
+      """SELECT doc_id,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+           x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','be','this','that','from'], x))) AS n_stop,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+         FROM documents""",
+
+    "d_lang_id" ->
+      """WITH scored AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         counts AS (
+           SELECT doc_id,
+             len(list_filter(toks, x -> list_contains(['the','and','of','to','is','with','for'], x))) AS s_en,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','mit','ein'], x))) AS s_de,
+             len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','des'], x))) AS s_fr,
+             len(list_filter(toks, x -> list_contains(['el','la','los','y','es','una','con'], x))) AS s_es,
+             len(list_filter(toks, x -> list_contains(['de','shi','le','zai','you','wo','ta'], x))) AS s_zh
+           FROM scored)
+         SELECT doc_id,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                ELSE 'zh' END AS lang_pred
+         FROM counts""",
+
+    "d_exact_dedup" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+         min(doc_id) AS doc_id, count(*) AS dup_count
+         FROM documents
+         GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))""",
+
+    "d_fingerprint" ->
+      """WITH base AS (
+           SELECT doc_id, trim(lower(text)) AS s,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         grams AS (
+           SELECT doc_id, s,
+             CASE WHEN len(toks) < 3 THEN []
+                  ELSE list_transform(generate_series(1, len(toks) - 2),
+                         i -> array_to_string(toks[i:i+2], ' ')) END AS gs
+           FROM base)
+         SELECT doc_id,
+           md5(regexp_replace(s, '\s+', ' ', 'g')) AS content_fp,
+           CASE WHEN len(gs) = 0 THEN md5(s)
+                ELSE list_min(list_transform(gs, g -> md5(g))) END AS shingle_fp
+         FROM grams""",
+
+    "d_ngram_jaccard" ->
+      """WITH g AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2),
+               i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[i:i+2], ' '))) AS grams
+           FROM documents WHERE n_chars < 300
+             AND len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 3)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+         FROM g a, g b
+         WHERE a.doc_id < b.doc_id
+           AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.2""",
+
+    "e_knn_brute" ->
+      """SELECT e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim
+         FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         WHERE e.vec_id <> 0
+         ORDER BY sim DESC, e.vec_id LIMIT 10""",
+
+    "e_neardup_exact" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+         FROM embeddings a, embeddings b
+         WHERE a.vec_id < b.vec_id
+           AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.5"""
+  )
 }

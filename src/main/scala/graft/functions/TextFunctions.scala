@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis primitives for large-scale corpus pipelines, built entirely
+ * from codegen'd Catalyst built-ins (no UDFs): tokenization, n-grams/shingles,
+ * quality scoring, language ID, fingerprinting. All are pure column
+ * expressions — they stay inside WholeStageCodegen and scale linearly with
+ * the corpus, no shuffle.
+ *
+ * These extend the engine beyond the reference's surface (reference has only
+ * the scalar functions in SURVEY §2.6); they are the training-data-pipeline
+ * additions (SURVEY §7.3 north-star extensions).
+ */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed, lowercased text. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word pieces + digits + punctuation as separate
+    * tokens, the usual pre-tokenizer regex shape. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(lower(text), "[^a-z0-9']+"), t => length(t) > 0))
+
+  /** Word n-grams (shingles) joined by single spaces: the dedup unit. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array())
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Character n-grams of the normalized text. */
+  def charNgrams(text: Column, n: Int): Column = {
+    val s = lower(trim(text))
+    when(length(s) < n, array())
+      .otherwise(transform(
+        sequence(lit(0), length(s) - lit(n)),
+        i => s.substr(i + 1, lit(n))))
+  }
+
+  /** Ratio of non-alphanumeric, non-space characters (punctuation density). */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))) /
+      greatest(length(text), lit(1))
+
+  /** Ratio of digit characters. */
+  def digitRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[0-9]", ""))) / greatest(length(text), lit(1))
+
+  /** Mean token length. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    length(regexp_replace(trim(lower(text)), "\\s+", "")) / greatest(size(toks), lit(1))
+  }
+
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that", "from")
+
+  /** Fraction of tokens that are stopwords — the classic fluency signal. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val toks = tokens(text)
+    val stops = array(stopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(stops, t))) / greatest(size(toks), lit(1))
+  }
+
+  /**
+   * Composite quality score in [0,1]: rewards stopword presence and sane mean
+   * token length, penalizes punctuation/digit noise — a C4/Gopher-style
+   * heuristic filter computed in one codegen'd projection.
+   */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text) / lit(50.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    val punctPenalty = least(punctRatio(text) * lit(5.0), lit(1.0))
+    val digitPenalty = least(digitRatio(text) * lit(5.0), lit(1.0))
+    round((lenScore + stopScore + (lit(1.0) - punctPenalty) + (lit(1.0) - digitPenalty)) / lit(4.0), 6)
+  }
+
+  /** Per-language marker words for the n-gram/stopword language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "des"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "con"),
+    "zh" -> Seq("de", "shi", "le", "zai", "you", "wo", "ta"))
+
+  /** Marker-hit count for one language. */
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val toks = tokens(text)
+    val m = array(markers.map(lit): _*)
+    size(filter(toks, t => array_contains(m, t)))
+  }
+
+  /**
+   * Heuristic language ID: argmax of marker-word hits, first-listed language
+   * wins ties, "und" (undetermined) when nothing matches. Deterministic, so it
+   * is SQL-expressible and oracle-checkable.
+   */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, markers) => lang -> langScore(text, markers) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Exact content fingerprint: md5 of whitespace-normalized lowercase text.
+    * (md5 is available and identical in DuckDB — oracle-checkable.) */
+  def contentFingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Winnowing-style shingle fingerprint: the minimum md5 over word 3-grams —
+    * a 1-value document sketch stable under small edits at either end. */
+  def shingleFingerprint(text: Column, n: Int = 3): Column = {
+    val grams = wordNgrams(text, n)
+    when(size(grams) === 0, md5(trim(lower(text))))
+      .otherwise(array_min(transform(grams, g => md5(g))))
+  }
+}

@@ -1,0 +1,119 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/**
+ * Native Catalyst expressions for the vector-similarity hot path.
+ *
+ * `functions.aggregate(zip_with(a, b, _*_), ...)` expresses a dot product but
+ * materializes an intermediate array per row and walks it through generic
+ * array lambda machinery. These expressions fuse the loop: a single pass over
+ * the two float ArrayData buffers, accumulating in double — with `doGenCode`
+ * so the loop inlines into WholeStageCodegen next to the surrounding
+ * projection (preference order (b) of the build brief: custom Expression
+ * before custom physical operator).
+ */
+abstract class BinaryFloatVectorExpression extends BinaryExpression {
+  // Inputs must be array<float>; the Column helpers below cast defensively.
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+}
+
+/** dot(a, b) over array<float>, accumulated in double. */
+case class DotProductFloat(left: Expression, right: Expression) extends BinaryFloatVectorExpression {
+  override def prettyName: String = "dot_product_f32"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0d
+    var i = 0
+    while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/**
+ * cosine(a, b) over array<float> in one fused pass (dot, |a|², |b|² in the
+ * same loop). Zero-norm inputs yield 0.0.
+ */
+case class CosineSimilarityFloat(left: Expression, right: Expression) extends BinaryFloatVectorExpression {
+  override def prettyName: String = "cosine_sim_f32"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0d; var na = 0.0d; var nb = 0.0d
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble; val yv = y.getFloat(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+    }
+    if (na == 0.0d || nb == 0.0d) 0.0d else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double xv = (double) $a.getFloat($i);
+         |  double yv = (double) $b.getFloat($i);
+         |  $dot += xv * yv; $na += xv * xv; $nb += yv * yv;
+         |}
+         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+object VectorFunctions {
+
+  /** Register the native expressions in the session's function registry —
+    * exposes them to both the Column API (via call_function) and plain SQL.
+    * Idempotent; call once per session (Graft.init does). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("dot_f32",
+      exprs => DotProductFloat(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("cosine_f32",
+      exprs => CosineSimilarityFloat(exprs(0), exprs(1)), "built-in")
+  }
+
+  /** Column API over the native expressions (requires register()). */
+  def dot_f32(a: Column, b: Column): Column =
+    call_function("dot_f32", a.cast("array<float>"), b.cast("array<float>"))
+
+  def cosine_f32(a: Column, b: Column): Column =
+    call_function("cosine_f32", a.cast("array<float>"), b.cast("array<float>"))
+}
