@@ -198,7 +198,7 @@ object SparkEntry {
     // P1+P2: prefix-list database filter (GDCReplicationPlanner.java:124-137)
     "p1_prefix_filter" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val prefixes = Planner.tokenizePrefixes("Customer#00000001|Customer#0000002")
+      val prefixes = Planner.tokenizePrefixes("customer#00000001|customer#0000002")
       c.where(Planner.prefixPredicate(col("c_name"), prefixes))
         .select(col("c_custkey"), col("c_name"))
     }),

@@ -12,11 +12,12 @@ import graft.plans.VectorFunctions.{cosine_f32, dot_f32}
  * native CosineSimilarityFloat expression (graft.plans.VectorExpressions),
  * no shuffle until the final top-k.
  *
- * Scale path: random-hyperplane LSH bucketing — vectors land in 2^nPlanes
- * buckets; queries probe only their own bucket (plus optional multi-probe
- * neighbors), cutting the scan by the bucket fan-out. Hyperplanes are
- * deterministic (seeded hash-derived pseudo-random components), so plans are
- * reproducible without driver-side RNG state.
+ * Scale path: random-hyperplane LSH bucketing. Hyperplanes are generated
+ * ONCE on the driver from a seeded splitmix64 stream and ride into the plan
+ * as literal float arrays, so (a) the per-row projection is the native
+ * codegen'd dot_f32 — not interpreted array lambdas — and (b) the query's
+ * bucket is plain driver-side arithmetic on the same plane values: no Spark
+ * job, bit-identical by construction.
  */
 object Similarity {
 
@@ -29,7 +30,7 @@ object Similarity {
    * Brute-force top-k by cosine against a single query vector. The query rides
    * as a literal array — no join, the comparison stays inside one
    * WholeStageCodegen scan; the only shuffle is the global top-k sort, which
-   * AQE executes as a partial per-partition top-k + tiny final merge
+   * executes as a partial per-partition top-k + tiny final merge
    * (TakeOrderedAndProject).
    */
   def bruteForceTopK(
@@ -46,25 +47,56 @@ object Similarity {
     filtered.orderBy(col("sim").desc, col(idCol).asc).limit(k)
   }
 
-  /**
-   * Deterministic pseudo-random hyperplane component for (plane, dim):
-   * xxhash64 → scaled to [-1, 1]. Gives seeded, reproducible LSH without
-   * shipping a matrix.
-   */
-  private def planeComponent(plane: Int, dim: Column, seed: Long): Column =
-    (xxhash64(lit(seed), lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble))
+  /** splitmix64 — the standard 64-bit mix; deterministic plane components
+    * without driver RNG state. */
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: nPlanes × dim floats in
+    * [-1, 1], derived from (seed, plane, dim) — reproducible across runs,
+    * identical on driver (query bucketing) and executors (corpus bucketing)
+    * because both read the same literals. */
+  def hyperplanes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Float]] =
+    Array.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { d =>
+        val h = splitmix64(splitmix64(seed + p) + d)
+        (h.toDouble / Long.MaxValue.toDouble).toFloat
+      }
+    }
+
+  /** Sign-projection bucket id of a plain vector against the planes —
+    * driver-side twin of `lshBucket` for query routing. */
+  def bucketOf(vec: Seq[Float], planes: Array[Array[Float]]): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      var acc = 0.0
+      var i = 0
+      val n = math.min(plane.length, vec.length)
+      while (i < n) { acc += vec(i).toDouble * plane(i).toDouble; i += 1 }
+      if (acc >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
 
   /**
    * Random-hyperplane LSH bucket id (nPlanes-bit signature) for each vector:
-   * bit p = sign(v · h_p). One pass, no shuffle.
+   * bit p = sign(v · h_p), each projection a native codegen'd dot_f32 against
+   * a literal plane. One pass, no shuffle.
    */
-  def lshBucket(vecCol: Column, dim: Int, nPlanes: Int = 8, seed: Long = 42L): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vecCol, sequence(lit(0), lit(dim - 1)),
-          (v, i) => v.cast("double") * planeComponent(p, i, seed)),
-        lit(0.0d), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+  def lshBucket(vecCol: Column, dim: Int, nPlanes: Int = 8, seed: Long = 42L): Column =
+    lshBucketForPlanes(vecCol, hyperplanes(dim, nPlanes, seed))
+
+  private def lshBucketForPlanes(vecCol: Column, planes: Array[Array[Float]]): Column = {
+    val bits = planes.zipWithIndex.map { case (plane, p) =>
+      val planeLit = array(plane.map(v => lit(v)).toSeq: _*).cast("array<float>")
+      when(dot_f32(vecCol, planeLit) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
@@ -81,6 +113,10 @@ object Similarity {
    * `probeHamming` bit flips (multi-probe), then exact cosine within the
    * candidate set. Approximate by construction — recall grows with
    * probeHamming; probeHamming = nPlanes degenerates to brute force.
+   *
+   * The query bucket and probe set are pure driver arithmetic (no Spark job);
+   * probe enumeration is combinatorial in probeHamming, not 2^nPlanes, so
+   * 20+ planes stay cheap at small probe radii.
    */
   def lshTopK(
       vectors: DataFrame,
@@ -92,27 +128,37 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       seed: Long = 42L): DataFrame = {
-    val bucketed = withLshBuckets(vectors, dim, nPlanes, vecCol, seed)
+    val planes = hyperplanes(dim, nPlanes, seed)
+    val qBucket = bucketOf(queryVec, planes)
+    val probes = probeSet(qBucket, nPlanes, probeHamming)
     val q = array(queryVec.map(v => lit(v)): _*).cast("array<float>")
-    // Query bucket computed the same way, on a 1-row frame, then broadcast
-    // as a literal set of probe buckets.
-    val qBucketRow = bucketed.sparkSession.range(1)
-      .select(lshBucket(typedLit(queryVec).cast("array<float>"), dim, nPlanes, seed).as("b"))
-      .head()
-    val qBucket = qBucketRow.getLong(0)
-    val probes: Seq[Long] = (0L until (1L << nPlanes))
-      .filter(b => java.lang.Long.bitCount(b ^ qBucket) <= probeHamming)
-    bucketed
+    vectors
+      .withColumn("bucket", lshBucketForPlanes(col(vecCol), planes))
       .where(col("bucket").isin(probes: _*))
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
   }
 
+  /** All buckets within `maxFlips` bit flips of `bucket` — enumerated by
+    * choosing flip subsets, not by scanning 2^nPlanes. */
+  def probeSet(bucket: Long, nPlanes: Int, maxFlips: Int): Seq[Long] = {
+    def choose(from: Int, left: Int, acc: Long): Seq[Long] =
+      if (left == 0) Seq(acc)
+      else (from until nPlanes).flatMap(b => choose(b + 1, left - 1, acc ^ (1L << b)))
+    (0 to math.min(maxFlips, nPlanes)).flatMap(f => choose(0, f, bucket)).distinct
+  }
+
   /**
-   * Embedding-cosine near-duplicate pairs (sim ≥ threshold) via LSH blocking:
+   * Embedding-cosine near-duplicate pairs (sim ≥ threshold) via LSH banding:
    * pairs must collide in at least one band of planes. Exact cosine verifies
-   * every candidate. One shuffle on the bucket key; no all-pairs product.
+   * every candidate. Candidates dedupe on ids only; vectors re-join for the
+   * verify. One shuffle on the bucket key; no all-pairs product.
+   *
+   * Default banding 8×2 (8 bands of 2 planes): collision probability per
+   * band at angular similarity s is ((1+s)/2 via sign agreement)^2 — at
+   * cosine 0.5 a pair collides in ≥1 of 8 bands with p ≈ 1-(1-0.44)^8 ≈ 0.99,
+   * vs ≈ 0.27 for the old 4×4 (the measured 0-recall failure).
    */
   def cosineNearDupPairs(
       vectors: DataFrame,
@@ -120,20 +166,24 @@ object Similarity {
       dim: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      bands: Int = 4,
-      planesPerBand: Int = 4,
+      bands: Int = 8,
+      planesPerBand: Int = 2,
       seed: Long = 42L): DataFrame = {
-    val withBands = vectors.select(
-      col(idCol).as("id"), col(vecCol).as("v"),
+    val banded = vectors.select(
+      col(idCol).as("id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          lshBucket(col(vecCol), dim, planesPerBand, seed + b).as("bucket"))): _*)).as("bb"))
-      .select(col("id"), col("v"), col("bb.band"), col("bb.bucket"))
-    val l = withBands.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = withBands.select(col("band"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("band", "bucket"))
+          lshBucketForPlanes(col(vecCol), hyperplanes(dim, planesPerBand, seed + b)).as("bucket"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = l.join(r, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(vectors.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), Seq("id_a"))
+      .join(vectors.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), round(cosine(col("v_a"), col("v_b")), 6).as("sim"))
       .where(col("sim") >= threshold)
   }

@@ -31,11 +31,15 @@ object Applier {
     tgt.unionByName(creates.as[GDatabase]).dropDuplicates("name").as[GDatabase]
   }
 
-  /** J2 apply: replace-or-insert every created/updated table. */
+  /** J2 apply: replace-or-insert every created/updated table. Duplicate
+    * messages for the same (databaseName, name) — the at-least-once
+    * redelivery case — collapse to one row, keeping the upsert idempotent
+    * like applyDatabases/applyPartitions. */
   def applyTables(tgt: Dataset[GTable], actions: DataFrame): Dataset[GTable] = {
     val upserts = actions
       .where(col("action").isin(Action.Create, Action.Update))
       .drop("action")
+      .dropDuplicates("databaseName", "name")
     val untouched = tgt.join(
       upserts.select(col("databaseName"), col("name")), Seq("databaseName", "name"), "left_anti")
     untouched.unionByName(upserts).as[GTable]

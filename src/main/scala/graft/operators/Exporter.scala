@@ -92,9 +92,15 @@ object Exporter {
       .withColumn("isLarge", col("numberOfPartitions") > lit(threshold.toLong))
 
     // Small branch: inline partition list, bounded by the threshold.
+    // Semi-join partitions down to small-table keys BEFORE the collect_list
+    // aggregation: a 1M-partition table must never materialize its whole
+    // partition array in an aggregation buffer just to be discarded by the
+    // isLarge filter afterwards.
+    val smallKeys = withCounts.where(!col("isLarge")).select(col("dbName"), col("tblName"))
     val partStruct = snap.partitions
       .select(col("databaseName").as("dbName"), col("tableName").as("tblName"),
         struct(snap.partitions.columns.map(snap.partitions(_)).toSeq: _*).as("p"))
+      .join(broadcast(smallKeys), Seq("dbName", "tblName"), "left_semi")
       .groupBy("dbName", "tblName")
       .agg(collect_list("p").as("partitionList"))
     val small = withCounts.where(!col("isLarge"))
@@ -110,7 +116,19 @@ object Exporter {
     // Large branch: stub message + JSON-lines side-channel per table
     // (key layout mirrors ExportLargeTable.java:96-101: one object per table
     // per run — here a dir partitioned by db/table).
+    //
+    // With no side channel configured, a table over the threshold would emit
+    // a stub whose partitions ride nowhere — the importer would then
+    // wholesale-delete the target partitions and create none (silent data
+    // loss). Fail fast instead; the check runs on the table-counts plane
+    // (one row per table, metadata scale).
     val bucket = sideChannelDir.getOrElse("")
+    if (sideChannelDir.isEmpty) {
+      val nLarge = withCounts.where(col("isLarge")).limit(1).count()
+      require(nLarge == 0L,
+        s"table(s) exceed largeTableThreshold=$threshold but no sideChannelDir is configured; " +
+          "their partitions would be lost on import — set ReplicationConfig.sideChannelDir")
+    }
     sideChannelDir.foreach { dir =>
       val largeKeys = withCounts.where(col("isLarge")).select(col("dbName"), col("tblName"))
       snap.partitions

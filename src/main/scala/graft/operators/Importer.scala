@@ -78,26 +78,30 @@ object Importer {
         .withColumn("action", lit(Action.Create))
       deletes.unionByName(creates, allowMissingColumns = true)
     } else {
-      // Wholesale: for any table present in the export message plane, all
+      // Wholesale: for any table present in the export partition plane, all
       // existing target partitions are deleted and all export partitions
-      // created. A table with an empty export partition set still triggers
-      // delete-all (case 2) — callers pass `exportedTables` context via src
-      // having zero rows for that table; the delete side therefore keys on
-      // tables present in EITHER plane, matching the reference which runs the
-      // reconcile per imported table message.
+      // created. Called directly, the delete side is scoped to tables present
+      // in src — deleting target partitions of tables the export never
+      // mentioned would wipe unrelated tables. The reference's case 2 (a
+      // table message with ZERO partitions still deletes all target
+      // partitions) needs table-message context src rows can't carry; use
+      // reconcilePartitionsForTables, which scopes on the exported-table set.
       val tblKey = Seq("databaseName", "tableName")
-      val deletes = tgt.withColumn("action", lit(Action.Delete))
+      val deletes = tgt
+        .join(src.select(tblKey.map(col): _*).distinct(), tblKey, "left_semi")
+        .withColumn("action", lit(Action.Delete))
       val creates = src.withColumn("action", lit(Action.Create))
       deletes.unionByName(creates, allowMissingColumns = true)
     }
   }
 
   /**
-   * Wholesale reconcile scoped to one run's exported tables: target partitions
-   * of tables that appear in the export are deleted, then export partitions
+   * Reconcile scoped to one run's exported tables: target partitions of
+   * tables that appear in the export are deleted, then export partitions
    * created. `exportedTables` = distinct (databaseName, tableName) the run
-   * touched (a table message with zero partitions must still delete-all —
-   * reference case 2).
+   * touched — a table message with zero partitions must still delete-all
+   * (reference case 2), which is why scoping keys on the message plane, not
+   * on src partition rows.
    */
   def reconcilePartitionsForTables(
       exportedTables: DataFrame, // columns: databaseName, tableName
@@ -106,6 +110,15 @@ object Importer {
       minimalDiff: Boolean = false): DataFrame = {
     val tblKey = Seq("databaseName", "tableName")
     val scopedTgt = tgt.join(exportedTables, tblKey, "left_semi").as(tgt.encoder)
-    reconcilePartitions(src, scopedTgt, minimalDiff)
+    if (minimalDiff) {
+      reconcilePartitions(src, scopedTgt, minimalDiff = true)
+    } else {
+      // Wholesale with message-plane scoping: delete ALL scoped target
+      // partitions (including those of zero-partition exported tables),
+      // create all export partitions.
+      val deletes = scopedTgt.withColumn("action", lit(Action.Delete))
+      val creates = src.withColumn("action", lit(Action.Create))
+      deletes.unionByName(creates, allowMissingColumns = true)
+    }
   }
 }

@@ -31,11 +31,13 @@ object Planner {
       case Some(s) => s.split(java.util.regex.Pattern.quote(separator)).map(_.trim).filter(_.nonEmpty).toSeq
     }
 
-  /** P1 predicate: lowercased `name` starts with any prefix (case-insensitive,
-    * like the reference's toLowerCase().startsWith at java:129). */
+  /** P1 predicate: lowercased `name` starts with the RAW configured prefix —
+    * exactly the reference's `name.toLowerCase().startsWith(dbPrefix)` at
+    * java:129. A prefix containing uppercase therefore never matches, same as
+    * the reference (the prefix is deliberately NOT lowercased here). */
   def prefixPredicate(nameCol: Column, prefixes: Seq[String]): Column =
     prefixes
-      .map(p => lower(nameCol).startsWith(p.toLowerCase))
+      .map(p => lower(nameCol).startsWith(p))
       .reduceOption(_ || _)
       .getOrElse(lit(true))
 

@@ -1,0 +1,208 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+
+/**
+ * Native Catalyst expressions for the dedup-sketch hot path (MinHash, SimHash).
+ *
+ * The composable form — `transform(seeds, s => array_min(transform(grams,
+ * g => xxhash64(g, s))))` — is semantically right but physically wrong at
+ * scale: higher-order array functions are interpreted (CodegenFallback), each
+ * of the k seeds re-walks (and, unmaterialized, re-computes) the gram array,
+ * and every intermediate array is allocated per row. These expressions do the
+ * same math in one fused pass with `doGenCode`, so the loop inlines into
+ * WholeStageCodegen next to the surrounding projection.
+ *
+ * Hash-family parity with the composable form is preserved exactly:
+ * Spark's `xxhash64(g, i)` chains `hashInt(i, hashUnsafeBytes(g, 42))`, so a
+ * MinHash row costs ONE string hash per gram plus k integer hashes — not k
+ * string hashes. (At larger k, the Kirsch-Mitzenmacher affine trick
+ * `h1 + i*h2` would cut the integer hashing too; not needed at k=64.)
+ */
+object SketchOps {
+
+  /** k min-hashes over the gram array: min_i over grams of
+    * hashInt(i, hashUnsafeBytes(gram, 42)) — bit-for-bit what
+    * `array_min(transform(grams, g => xxhash64(g, seed_i)))` computes. */
+  def minhashSig(grams: ArrayData, k: Int): ArrayData = {
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = grams.numElements()
+    var i = 0
+    while (i < n) {
+      val s = grams.getUTF8String(i)
+      val hg = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var seed = 0
+      while (seed < k) {
+        val h = XXH64.hashInt(seed, hg)
+        if (h < mins(seed)) mins(seed) = h
+        seed += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  /** Band bucket hashes: the k-long signature split into `bands` equal
+    * slices, each slice folded through a running xxhash64. Equal slices →
+    * equal buckets; that is all LSH banding needs. */
+  def bandHashes(sig: ArrayData, bands: Int): ArrayData = {
+    val k = sig.numElements()
+    val rows = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 42L
+      var j = b * rows
+      val end = j + rows
+      while (j < end) { acc = XXH64.hashLong(sig.getLong(j), acc); j += 1 }
+      out(b) = acc
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** 64-bit SimHash over token hashes: per bit, majority vote (+1 when
+    * hashUnsafeBytes(token, 42) has the bit set, −1 otherwise); sign → bit.
+    * Bit-for-bit the composable `aggregate(transform(tokens, xxhash64), ...)`
+    * votes, one pass, no per-row array allocation. */
+  def simhash64(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val s = tokens.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) != 0L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) fp |= (1L << bit)
+      bit += 1
+    }
+    fp
+  }
+
+  /** Fraction of positions where two equal-length long arrays agree — the
+    * banded-LSH Jaccard estimate (shared over min length defensively). */
+  def agreement(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+    eq.toDouble / n
+  }
+}
+
+/** minhash_sig(grams array<string>, k) → array<bigint> of length k. */
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, s"k must be positive, got $k")
+  override def prettyName: String = "minhash_sig"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.minhashSig(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchOps$$.MODULE$$.minhashSig($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** minhash_bands(sig array<bigint>, bands) → array<bigint> of bucket hashes. */
+case class MinHashBandHashes(child: Expression, bands: Int) extends UnaryExpression {
+  require(bands > 0, s"bands must be positive, got $bands")
+  override def prettyName: String = "minhash_bands"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.bandHashes(input.asInstanceOf[ArrayData], bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchOps$$.MODULE$$.bandHashes($c, $bands);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** simhash64(tokens array<string>) → bigint fingerprint. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchOps$$.MODULE$$.simhash64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** sig_agreement(a array<bigint>, b array<bigint>) → double in [0,1]. */
+case class SignatureAgreement(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "sig_agreement"
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchOps.agreement(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.SketchOps$$.MODULE$$.agreement($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+object SketchFunctions {
+
+  /** Register the sketch expressions (idempotent, like VectorFunctions). The
+    * k/bands parameters ride as foldable literal arguments. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("minhash_sig"))) {
+      reg.createOrReplaceTempFunction("minhash_sig",
+        exprs => MinHashSignature(exprs(0), foldableInt(exprs(1), "k")), "built-in")
+      reg.createOrReplaceTempFunction("minhash_bands",
+        exprs => MinHashBandHashes(exprs(0), foldableInt(exprs(1), "bands")), "built-in")
+      reg.createOrReplaceTempFunction("simhash64",
+        exprs => SimHash64(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction("sig_agreement",
+        exprs => SignatureAgreement(exprs(0), exprs(1)), "built-in")
+    }
+  }
+
+  private def foldableInt(e: Expression, name: String): Int = {
+    require(e.foldable, s"$name must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
+  /** Column API (requires register() on the session — the Dedup entry points
+    * handle that). */
+  def minhash_sig(grams: Column, k: Int): Column =
+    call_function("minhash_sig", grams.cast("array<string>"), lit(k))
+
+  def minhash_bands(sig: Column, bands: Int): Column =
+    call_function("minhash_bands", sig, lit(bands))
+
+  def simhash64(tokens: Column): Column =
+    call_function("simhash64", tokens.cast("array<string>"))
+
+  def sig_agreement(a: Column, b: Column): Column =
+    call_function("sig_agreement", a, b)
+}

@@ -101,13 +101,16 @@ object VectorFunctions {
 
   /** Register the native expressions in the session's function registry —
     * exposes them to both the Column API (via call_function) and plain SQL.
-    * Idempotent; call once per session (Graft.init does). */
+    * Idempotent and cheap when already registered (no re-register log spam
+    * on hot call paths). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("dot_f32",
-      exprs => DotProductFloat(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("cosine_f32",
-      exprs => CosineSimilarityFloat(exprs(0), exprs(1)), "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("dot_f32"))) {
+      reg.createOrReplaceTempFunction("dot_f32",
+        exprs => DotProductFloat(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("cosine_f32",
+        exprs => CosineSimilarityFloat(exprs(0), exprs(1)), "built-in")
+    }
   }
 
   /** Column API over the native expressions (requires register()). */

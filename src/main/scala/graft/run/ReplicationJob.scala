@@ -50,6 +50,31 @@ object ReplicationJob {
       cfg.sideChannelDir, cfg.largeTableThreshold)
   }
 
+  /** Schema of the side-channel JSON data files: partitionBy("databaseName",
+    * "tableName") moves those two columns out of the data and into the
+    * directory layout, so the on-disk lines carry the remaining fields only. */
+  private val sideChannelDataSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      Codecs.partitionSchema.filterNot(f => f.name == "databaseName" || f.name == "tableName"))
+
+  /** Read large-table partitions back from the side channel. `paths` are the
+    * per-table leaf dirs (`.../run=N/databaseName=db/tableName=t`) recorded on
+    * the stub messages; `basePath` is their common run dir, which lets Spark
+    * recover databaseName/tableName from the directory layout (they are NOT in
+    * the data files — see the writer in Exporter). Partition-dir values are
+    * cast to string explicitly: inference would happily type tableName="42"
+    * as int. */
+  private def readSideChannel(
+      spark: SparkSession, basePath: String, paths: Seq[String]): Dataset[GPartition] =
+    spark.read
+      .schema(sideChannelDataSchema)
+      .option("basePath", basePath)
+      .json(paths: _*)
+      .select(
+        col("values"), col("databaseName").cast("string"), col("tableName").cast("string"),
+        col("creationTimeMs"), col("lastAccessTimeMs"), col("storageDescriptor"), col("parameters"))
+      .as[GPartition]
+
   /** Parse the message plane back into entity planes (import-side S7/S8 + P6
     * dispatch + F2 parse). Malformed payloads → dead letters
     * (ImportDatabaseOrTable.java:117-132). */
@@ -75,14 +100,25 @@ object ReplicationJob {
     val largeTables = largeRaw.where(col("parsed.table.name").isNotNull)
       .select(col("parsed.table.*")).as[GTable]
     // Large-table partitions ride the side-channel (S6): JSON-lines files under
-    // bucket/key recorded on the message.
-    val sideChannelPaths = largeRaw
+    // bucket/key recorded on the message. The run-dir layout is deterministic
+    // (`run=$runId/databaseName=…/tableName=…`), so one metadata-only collect
+    // over the distinct run dirs (one row per run, not per table) plans the
+    // read; partition identity is recovered from the directory layout via
+    // basePath (the data files don't carry db/table — see readSideChannel).
+    val runDirs = largeRaw
       .where(col("s3BucketName").isNotNull && col("s3ObjectKey").isNotNull)
-      .select(concat_ws("/", col("s3BucketName"), col("s3ObjectKey")))
+      .select(concat_ws("/", col("s3BucketName"),
+        regexp_extract(col("s3ObjectKey"), "^(run=[^/]+)/", 1)).as("runDir"))
       .distinct().collect().map(_.getString(0))
+    // Scope to tables present in THIS message set: the run dir holds every
+    // large table of the run, but the caller may import a filtered subset.
+    val largeKeys = largeTables.select(col("databaseName"), col("name").as("tableName"))
     val largeParts: Dataset[GPartition] =
-      if (sideChannelPaths.isEmpty) spark.emptyDataset[GPartition]
-      else spark.read.schema(Codecs.partitionSchema).json(sideChannelPaths.toIndexedSeq: _*).as[GPartition]
+      if (runDirs.isEmpty) spark.emptyDataset[GPartition]
+      else runDirs.map(d => readSideChannel(spark, d, Seq(d)))
+        .reduce(_ unionByName _)
+        .join(broadcast(largeKeys), Seq("databaseName", "tableName"), "left_semi")
+        .as[GPartition]
 
     // Tables whose message arrived this run — drives J3 scoping (a table
     // message with zero partitions still wholesale-deletes target partitions).
