@@ -29,6 +29,7 @@ object Codecs {
   val databaseSchema: StructType = dbEncoder.schema
   val tableSchema: StructType = tableEncoder.schema
   val partitionSchema: StructType = partitionEncoder.schema
+  val sdColumnType: StructType = Encoders.product[SdColumn].schema
 
   /** `{table, partitionList}` envelope — the reference's wire format for small
     * tables (util/TableWithPartitions.java:10-26). */

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.plans.VectorFunctions
 import graft.plans.VectorFunctions.{cosine_f32, dot_f32}
 
 /**
@@ -40,6 +41,7 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       excludeIds: Seq[Long] = Seq.empty): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
     val q = array(queryVec.map(v => lit(v)): _*).cast("array<float>")
     val base = vectors
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("sim"))
@@ -105,8 +107,10 @@ object Similarity {
     * the bucketed layout (writer: `.write.partitionBy("bucket")`) turns each
     * query into a pruned scan of ~1/2^nPlanes of the corpus. */
   def withLshBuckets(vectors: DataFrame, dim: Int, nPlanes: Int = 8,
-      vecCol: String = "embedding", seed: Long = 42L): DataFrame =
+      vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
     vectors.withColumn("bucket", lshBucket(col(vecCol), dim, nPlanes, seed))
+  }
 
   /**
    * ANN top-k via LSH: probe the query's bucket plus all buckets within
@@ -128,6 +132,7 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       seed: Long = 42L): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
     val planes = hyperplanes(dim, nPlanes, seed)
     val qBucket = bucketOf(queryVec, planes)
     val probes = probeSet(qBucket, nPlanes, probeHamming)
@@ -169,6 +174,7 @@ object Similarity {
       bands: Int = 8,
       planesPerBand: Int = 2,
       seed: Long = 42L): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
     val banded = vectors.select(
       col(idCol).as("id"),
       explode(array((0 until bands).map(b =>
@@ -195,6 +201,7 @@ object Similarity {
       threshold: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
     val l = vectors.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val r = vectors.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     l.crossJoin(r)

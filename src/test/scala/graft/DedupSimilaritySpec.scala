@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Similarity}
+
+/**
+ * Planted-duplicate and recall specs for the approximate (no-SQL-oracle)
+ * dedup/ANN paths — the correctness net VERDICT r1 required for
+ * d_minhash_pairs / d_simhash_pairs / e_lsh_*.
+ */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base1 =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill nearby today"
+  private val base2 =
+    "a completely different report about quarterly revenue growth in the northern sales region during winter months overall"
+  private val base3 =
+    "recipe instructions for baking sourdough bread with wild yeast starter and high hydration dough technique daily"
+
+  /** 30 distinct docs + 3 planted near-dup pairs (small token edits on three
+    * mutually dissimilar bases). */
+  private lazy val docs = {
+    val distinct = (0 until 30).map(i =>
+      (i.toLong, s"document number $i talks about topic $i with unique words w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"))
+    val planted = Seq(
+      (100L, base1), (101L, base1.replace("dog", "dog quietly")),
+      (200L, base2), (201L, base2.replace("overall", "generally")),
+      (300L, base3.toUpperCase), (301L, base3.toUpperCase.replace("DAILY", "NIGHTLY")))
+    (distinct ++ planted).toDF("doc_id", "text")
+  }
+
+  private val plantedPairs = Set((100L, 101L), (200L, 201L), (300L, 301L))
+
+  test("minhashPairs finds every planted near-dup pair and no cross-topic noise") {
+    val pairs = Dedup.minhashPairs(docs, k = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(plantedPairs.subsetOf(pairs), s"missing: ${plantedPairs -- pairs}")
+    // no pair between distinct topical docs (ids < 100)
+    assert(!pairs.exists { case (a, b) => a < 100 && b < 100 })
+  }
+
+  test("minhash est_jaccard tracks exact n-gram jaccard within banding tolerance") {
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.4)
+      .select(col("id_a"), col("id_b"), col("jaccard")).as[(Long, Long, Double)]
+      .collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    val est = Dedup.minhashPairs(docs, threshold = 0.4)
+      .select(col("id_a"), col("id_b"), col("est_jaccard")).as[(Long, Long, Double)]
+      .collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    exact.keySet.intersect(est.keySet).foreach { k =>
+      assert(math.abs(exact(k) - est(k)) < 0.35, s"$k exact=${exact(k)} est=${est(k)}")
+    }
+  }
+
+  test("minhashDedup removes exactly the doomed right-hand members") {
+    val survivors = Dedup.minhashDedup(docs, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!survivors.contains(101L) && !survivors.contains(201L) && !survivors.contains(301L))
+    assert(survivors.contains(100L) && survivors.contains(200L) && survivors.contains(300L))
+    assert((0 until 30).forall(i => survivors.contains(i.toLong)))
+  }
+
+  test("simhashPairs finds planted pairs within hamming 3 via pigeonhole blocking") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // single-word edits on a 19-token doc stay within a few simhash bits
+    assert(pairs.exists { case (a, b) => plantedPairs.contains((a, b)) })
+    assert(!pairs.exists { case (a, b) => a < 100 && b < 100 })
+  }
+
+  test("bucket cap drops degenerate floods instead of going quadratic") {
+    val flood = (0 until 200).map(i => (i.toLong, "same text every time")).toDF("doc_id", "text")
+    val capped = Dedup.minhashPairs(flood, maxBucketSize = 50)
+    assert(capped.count() == 0) // every bucket over cap → dropped, no 200² blowup
+    val uncapped = Dedup.minhashPairs(flood, maxBucketSize = 100000)
+    assert(uncapped.count() == 200L * 199 / 2)
+  }
+
+  // ---- embeddings: LSH recall vs brute force ----
+
+  private def vec(seed: Int, dim: Int = 32): Seq[Float] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(dim)(r.nextFloat() * 2 - 1)
+  }
+  private def jitter(v: Seq[Float], eps: Float, seed: Int): Seq[Float] = {
+    val r = new scala.util.Random(seed)
+    v.map(x => x + (r.nextFloat() * 2 - 1) * eps)
+  }
+
+  private lazy val vectors = {
+    val distinct = (0 until 40).map(i => (i.toLong, vec(i)))
+    val planted = Seq(
+      (500L, vec(1000)), (501L, jitter(vec(1000), 0.05f, 1)),
+      (600L, vec(2000)), (601L, jitter(vec(2000), 0.05f, 2)))
+    (distinct ++ planted).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+  }
+
+  test("cosineNearDupPairs recall: finds every exact pair at threshold 0.5") {
+    val exact = Similarity.exactNearDupPairs(vectors, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineNearDupPairs(vectors, threshold = 0.5, dim = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(Set((500L, 501L), (600L, 601L)).subsetOf(exact))
+    val recall = if (exact.isEmpty) 1.0 else lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall; missed ${exact -- lsh}")
+    assert(lsh.subsetOf(exact)) // exact verify step: no false positives
+  }
+
+  test("lshTopK at full probe radius matches brute-force top-k") {
+    val q = vec(1000)
+    val brute = Similarity.bruteForceTopK(vectors, q, k = 5, excludeIds = Seq(500L))
+      .select("vec_id").as[Long].collect().toSeq
+    val lsh = Similarity.lshTopK(vectors.where(col("vec_id") =!= 500L), q, k = 5,
+      dim = 32, nPlanes = 8, probeHamming = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(lsh == brute)
+    // and the planted near-neighbor is the top hit
+    assert(brute.head == 501L)
+  }
+
+  test("lshTopK at small probe radius retrieves the planted near-neighbor") {
+    val q = vec(2000)
+    val hits = Similarity.lshTopK(vectors.where(col("vec_id") =!= 600L), q, k = 3,
+      dim = 32, nPlanes = 8, probeHamming = 1)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(hits.contains(601L))
+  }
+}

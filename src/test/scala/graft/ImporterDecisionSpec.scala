@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.codec.Codecs._
+import graft.model._
+import graft.operators.{Applier, Importer}
+
+/**
+ * Decision-table specs (SURVEY §5.2.2) — the reference's replication state
+ * machines from README.md:259-273, enumerated case by case against in-memory
+ * planes.
+ */
+class ImporterDecisionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dbs(names: String*) = spark.createDataset(names.map(n => GDatabase(n)))
+  private def tbls(keys: (String, String)*) =
+    spark.createDataset(keys.map { case (db, t) => GTable(name = t, databaseName = db) })
+  private def parts(rows: (String, String, Seq[String])*) =
+    spark.createDataset(rows.map { case (db, t, v) => GPartition(v, db, t) })
+
+  private def actionsOf(df: org.apache.spark.sql.DataFrame): Map[String, String] =
+    df.select(col("name"), col("action")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  // --- databases: exists → skip, absent → create (README.md:261-262) ---
+
+  test("database decision table: exists→skip, absent→create") {
+    val acts = actionsOf(Importer.diffDatabases(dbs("present", "absent"), dbs("present", "unrelated")))
+    assert(acts == Map("present" -> Action.Skip, "absent" -> Action.Create))
+  }
+
+  test("database decision table: empty target creates everything, empty source does nothing") {
+    assert(actionsOf(Importer.diffDatabases(dbs("a", "b"), dbs()))
+      == Map("a" -> Action.Create, "b" -> Action.Create))
+    assert(Importer.diffDatabases(dbs(), dbs("a")).count() == 0)
+  }
+
+  // --- tables: exists → update, absent → create (README.md:263-264) ---
+
+  test("table decision table: exists→update, absent→create; target-only untouched") {
+    val diff = Importer.diffTables(
+      tbls("db" -> "existing", "db" -> "new_table"),
+      tbls("db" -> "existing", "db" -> "target_only"))
+    val acts = actionsOf(diff)
+    assert(acts == Map("existing" -> Action.Update, "new_table" -> Action.Create))
+    // the reference never deletes tables — target-only rows stay after apply
+    val applied = Applier.applyTables(tbls("db" -> "existing", "db" -> "target_only"), diff)
+    assert(applied.select("name").as[String].collect().toSet
+      == Set("existing", "target_only", "new_table"))
+  }
+
+  // --- partitions: the 4-case matrix (README.md:266-273), wholesale mode ---
+
+  private def partActions(src: Seq[(String, String, Seq[String])],
+      tgt: Seq[(String, String, Seq[String])],
+      exported: Seq[(String, String)] = Seq("db" -> "t")) = {
+    val exportedDf = exported.toDF("databaseName", "tableName")
+    Importer.reconcilePartitionsForTables(exportedDf, parts(src: _*), parts(tgt: _*))
+      .select(col("action"), element_at(col("values"), 1).as("v"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+  }
+
+  test("partition case 1: export ∅, target ∅ → no action") {
+    assert(partActions(Seq(), Seq()).isEmpty)
+  }
+
+  test("partition case 2: export ∅, target has partitions → delete all target") {
+    // a table message with ZERO partitions still wholesale-deletes
+    assert(partActions(Seq(), Seq(("db", "t", Seq("p1")), ("db", "t", Seq("p2"))))
+      == Seq(("delete", "p1"), ("delete", "p2")))
+  }
+
+  test("partition case 3: export has partitions, target ∅ → create all") {
+    assert(partActions(Seq(("db", "t", Seq("p1"))), Seq())
+      == Seq(("create", "p1")))
+  }
+
+  test("partition case 4: both non-empty → delete ALL target then create ALL export (wholesale, not a diff)") {
+    assert(partActions(
+      Seq(("db", "t", Seq("p1")), ("db", "t", Seq("p2"))),
+      Seq(("db", "t", Seq("p2")), ("db", "t", Seq("p3"))))
+      == Seq(("create", "p1"), ("create", "p2"), ("delete", "p2"), ("delete", "p3")))
+  }
+
+  test("partition scoping: unexported tables in the target are untouched") {
+    val acts = partActions(
+      Seq(("db", "t", Seq("p1"))),
+      Seq(("db", "other", Seq("keep_me")), ("db", "t", Seq("old"))),
+      exported = Seq("db" -> "t"))
+    assert(acts == Seq(("create", "p1"), ("delete", "old")))
+  }
+
+  test("minimal-diff mode reaches the same end state with less churn") {
+    val src = parts(("db", "t", Seq("p1")), ("db", "t", Seq("p2")))
+    val tgt = parts(("db", "t", Seq("p2")), ("db", "t", Seq("p3")))
+    val whole = Importer.reconcilePartitions(src, tgt, minimalDiff = false)
+    val minimal = Importer.reconcilePartitions(src, tgt, minimalDiff = true)
+    assert(minimal.count() < whole.count())
+    val endWhole = Applier.applyPartitions(tgt, whole)
+      .select(element_at(col("values"), 1)).as[String].collect().toSet
+    val endMin = Applier.applyPartitions(tgt, minimal)
+      .select(element_at(col("values"), 1)).as[String].collect().toSet
+    assert(endWhole == Set("p1", "p2"))
+    assert(endMin == endWhole)
+  }
+
+  test("apply is idempotent under duplicate actions (at-least-once redelivery)") {
+    val src = tbls("db" -> "t1", "db" -> "t2")
+    val diff = Importer.diffTables(src, tbls())
+    val once = Applier.applyTables(tbls(), diff)
+    val twice = Applier.applyTables(once, Importer.diffTables(src, once))
+    assert(once.count() == 2 && twice.count() == 2)
+  }
+}
