@@ -302,6 +302,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_tables"), sum(col("n_parts")).cast("bigint").as("n_partitions"))
     }),
 
+    // DLQ: apply failures dead-letter whole messages; re-drive through the
+    // same import path converges the target (GDCUtil.java:112-116,
+    // DLQImportDatabaseOrTable.java:126-166). Odd-keyed table messages fail
+    // on first import, then re-drive; final plane must equal a clean import.
+    "dlq_redrive" -> ((s, dir) => {
+      import graft.run.{ReDriveJob, ReplicationConfig, ReplicationJob}
+      import graft.sources.CatalogSnapshot
+      val o = t(s, dir, "orders")
+      val src = CatalogSnapshot("src",
+        asDbs(o.select(lit("db0").as("name")).distinct()),
+        asTables(o.select(col("o_orderkey").as("name"), lit("db0").as("databaseName"))),
+        s.emptyDataset[GPartition])
+      val cfg = ReplicationConfig(runId = 9L, applyFailureExpr = Some(
+        "messageType = 'table' AND CAST(get_json_object(payload, '$.table.name') AS BIGINT) % 2 = 1"))
+      val r1 = ReplicationJob.replicate(s, src, CatalogSnapshot.empty(s, "tgt"), cfg)
+      val r2 = ReDriveJob.redrive(s, r1.deadLetters, r1.target, cfg.copy(applyFailureExpr = None))
+      val redriven = r1.deadLetters
+        .select(get_json_object(col("payload"), "$.table.name").cast("bigint").as("o_orderkey"))
+      r2.target.tables.select(col("name").cast("bigint").as("o_orderkey"))
+        .join(redriven.withColumn("was_redriven", lit(true)), Seq("o_orderkey"), "left_outer")
+        .select(col("o_orderkey"), coalesce(col("was_redriven"), lit(false)).as("was_redriven"))
+    }),
+
     // F1-F9 scalar pack: key concat, date format, prefix match, split
     "f_scalar_pack" -> ((s, dir) => {
       t(s, dir, "orders").select(
@@ -523,6 +546,9 @@ object SparkEntry {
          UNION ALL
          SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, 'create' AS action
          FROM lineitem WHERE l_orderkey % 2 = 0""",
+
+    "dlq_redrive" ->
+      """SELECT o_orderkey, o_orderkey % 2 = 1 AS was_redriven FROM orders""",
 
     "j4_semi_gate" ->
       """SELECT o_orderkey, o_custkey FROM orders

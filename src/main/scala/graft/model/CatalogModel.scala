@@ -126,12 +126,16 @@ final case class AuditRecord(
     s3ObjectKey: Option[String] = None,
     error: Option[String] = None)
 
-/** A message that failed to apply — the reference's DLQ queue as a dataset
-  * (GDCUtil.java:112-116; SQSUtil.java:109-134). Re-drive = re-running the
-  * import over this dataset with the same code path. */
+/** A message that failed to parse or apply — the reference's DLQ queue as a
+  * dataset (GDCUtil.java:112-116; SQSUtil.java:109-134). Carries the complete
+  * original message (including large-table side-channel coords) so
+  * ReDriveJob can reconstruct a CatalogMessage and re-run the import through
+  * the same code path (DLQImportDatabaseOrTable.java:126-166). */
 final case class DeadLetter(
     messageType: String,
     payload: String,
     exportBatchId: String,
     sourceCatalogId: String,
-    error: String)
+    error: String,
+    s3BucketName: Option[String] = None,
+    s3ObjectKey: Option[String] = None)

@@ -17,7 +17,15 @@ final case class ReplicationConfig(
     prefixes: Seq[String] = Seq.empty,
     largeTableThreshold: Int = Exporter.DefaultLargeTableThreshold,
     minimalPartitionDiff: Boolean = false,
-    sideChannelDir: Option[String] = None) {
+    sideChannelDir: Option[String] = None,
+    /** SQL boolean expression over the message plane (messageType, payload,
+      * …) marking messages that FAIL at apply time. The reference's apply
+      * failures are Glue API exceptions routed to the DLQ
+      * (GDCUtil.java:112-116); against a snapshot target the apply is pure
+      * set algebra and cannot throw, so failure injection is how specs (and
+      * chaos runs) exercise the DLQ path. A live catalog sink maps real API
+      * errors onto the same DeadLetter rows. */
+    applyFailureExpr: Option[String] = None) {
   def batchId: String = runId.toString
 }
 
@@ -133,7 +141,8 @@ object ReplicationJob {
         .otherwise(from_json(col("payload"), Codecs.largeTableSchema).getField("table").getField("name")))
       .where(col("parsed").isNull)
       .select(col("messageType"), col("payload"), col("exportBatchId"),
-        col("sourceCatalogId"), lit("malformed payload").as("error")).as[DeadLetter]
+        col("sourceCatalogId"), lit("malformed payload").as("error"),
+        col("s3BucketName"), col("s3ObjectKey")).as[DeadLetter]
 
     (dbs, smallTables.unionByName(largeTables).as[GTable],
       smallParts.unionByName(largeParts).as[GPartition], exportedTables, dead)
@@ -148,7 +157,22 @@ object ReplicationJob {
       tgt: CatalogSnapshot,
       cfg: ReplicationConfig): ReplicationResult = {
 
-    val (srcDbs, srcTables, srcParts, exportedTables, dead) = parseMessages(spark, messages)
+    // Apply-time failures (injected in fixture mode, real API errors in a live
+    // sink) dead-letter the WHOLE message — the reference's DLQ granularity —
+    // and the message is excluded from this import; re-drive converges later.
+    val (live, applyDead) = cfg.applyFailureExpr match {
+      case None => (messages, spark.emptyDataset[DeadLetter])
+      case Some(e) =>
+        val marked = messages.withColumn("_fail", coalesce(expr(e), lit(false))).cache()
+        val failed = marked.where(col("_fail"))
+          .select(col("messageType"), col("payload"), col("exportBatchId"),
+            col("sourceCatalogId"), lit("apply failure").as("error"),
+            col("s3BucketName"), col("s3ObjectKey")).as[DeadLetter]
+        (marked.where(!col("_fail")).drop("_fail").as[CatalogMessage], failed)
+    }
+
+    val (srcDbs, srcTables, srcParts, exportedTables, parseDead) = parseMessages(spark, live)
+    val dead = parseDead.unionByName(applyDead)
 
     // Tables may arrive for databases absent on the target: create those too
     // (the reference creates-then-retries on EntityNotFoundException).
@@ -205,4 +229,34 @@ object ReplicationJob {
     val messages = export(spark, src, cfg)
     importMessages(spark, messages, tgt, cfg)
   }
+}
+
+/**
+ * DLQ re-drive: re-run the import over dead-lettered messages through the
+ * SAME code path as the first attempt — the reference's
+ * DLQImportDatabaseOrTable/DLQImportLargeTable Lambdas
+ * (DLQImportDatabaseOrTable.java:126-166) poll the DLQ and call the identical
+ * per-message import logic. Dead letters carry the complete original message
+ * (payload + side-channel coords), so reconstruction is a projection; still-
+ * failing messages dead-letter again in the returned result (at-least-once,
+ * never at-most-once).
+ */
+object ReDriveJob {
+
+  /** Rebuild the message plane from dead letters. */
+  def messagesOf(deadLetters: Dataset[DeadLetter]): Dataset[CatalogMessage] =
+    deadLetters.select(
+      col("messageType"), col("sourceCatalogId"), col("exportBatchId"),
+      col("payload"), col("s3BucketName"), col("s3ObjectKey")).as[CatalogMessage]
+
+  /** Re-import dead letters into `tgt`. Pass a cfg WITHOUT the failure
+    * condition that produced them (in live mode: after the transient API
+    * fault passed); messages that fail again land in the result's
+    * deadLetters. */
+  def redrive(
+      spark: SparkSession,
+      deadLetters: Dataset[DeadLetter],
+      tgt: CatalogSnapshot,
+      cfg: ReplicationConfig): ReplicationResult =
+    ReplicationJob.importMessages(spark, messagesOf(deadLetters), tgt, cfg)
 }
