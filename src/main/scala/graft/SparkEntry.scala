@@ -363,6 +363,53 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
     }),
 
+    // ===== Structured Streaming (S7/S8, §2.7) =====
+    // Real streaming execution, drained with Trigger.AvailableNow so the
+    // result is a bounded DataFrame the oracle can check.
+
+    // S7: tumbling event-time window over a file-drop stream, complete mode.
+    "s7_stream_tumbling" -> ((s, dir) => {
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-s7")
+      java.nio.file.Files.copy(src, streamDir.resolve("events.parquet"))
+      val schema = t(s, dir, "events").schema
+      val q = s.readStream.schema(schema).parquet(streamDir.toString)
+        .withColumn("tts", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("tts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("bucket_s"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("complete")
+        .format("memory")
+        .queryName("s7_sink")
+        .start()
+      q.awaitTermination()
+      s.table("s7_sink")
+    }),
+
+    // S8: the message plane consumed as a stream — export → JSON file drop →
+    // streaming foreachBatch import with checkpoint → final target plane.
+    "s8_stream_import" -> ((s, dir) => {
+      import graft.run.{ReplicationConfig, ReplicationJob}
+      import graft.sources.CatalogSnapshot
+      import graft.streaming.MessageStream
+      val o = t(s, dir, "orders")
+      val src = CatalogSnapshot("src",
+        asDbs(o.select(lit("db0").as("name")).distinct()),
+        asTables(o.select(col("o_orderkey").as("name"), lit("db0").as("databaseName"))),
+        s.emptyDataset[GPartition])
+      val cfg = ReplicationConfig(runId = 500L)
+      val msgDir = java.nio.file.Files.createTempDirectory("graft-s8-msgs").toString
+      ReplicationJob.export(s, src, cfg).repartition(4).write.mode("overwrite").json(msgDir)
+      val tgt = MessageStream.runImport(s, msgDir,
+        java.nio.file.Files.createTempDirectory("graft-s8-state").toString,
+        java.nio.file.Files.createTempDirectory("graft-s8-ckpt").toString,
+        CatalogSnapshot.empty(s, "tgt"), cfg, maxFilesPerTrigger = Some(2))
+      tgt.tables.select(col("name").cast("bigint").as("o_orderkey"))
+    }),
+
     // ===== text analysis (documents) =====
     "d_token_count" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -605,6 +652,14 @@ object SparkEntry {
                FROM events
                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
          GROUP BY user_id""",
+
+    "s7_stream_tumbling" ->
+      """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s, event_type,
+         count(*) AS n_events, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1, 2""",
+
+    "s8_stream_import" ->
+      """SELECT o_orderkey FROM orders""",
 
     "d_token_count" ->
       """SELECT doc_id,

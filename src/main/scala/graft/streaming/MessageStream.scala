@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.codec.Codecs._
+import graft.model._
+import graft.run.{ReplicationConfig, ReplicationJob}
+import graft.sources.CatalogSnapshot
+
+/**
+ * S7/S8 — the event-driven message plane as Structured Streaming.
+ *
+ * The reference's import side is SNS→SQS→Lambda micro-batches at batch size 1
+ * (README.md:120,208; template.yaml:124 visibility-timeout redelivery;
+ * ImportDatabaseOrTable.java:43-73). The Spark-native shape is a file-drop
+ * streaming source over the exported-message dataset:
+ *
+ *  - **source**: `readStream.json` on a message directory (the SQS queue
+ *    analogue — exporters append files, the stream discovers them);
+ *  - **trigger**: `Trigger.AvailableNow` drains the current backlog then
+ *    stops — the reference's cron-kicked daily run; a `ProcessingTime`
+ *    trigger gives the long-lived tail-the-queue mode;
+ *  - **sink**: `foreachBatch` folds each micro-batch through the SAME
+ *    batch-mode `ReplicationJob.importMessages` (one code path, two drivers);
+ *  - **state**: versioned target snapshots under `stateDir/v<batchId>` —
+ *    batch N reads the newest version `< N` and (over)writes `v<N>`, so a
+ *    batch replayed after a crash rewrites its own version from the same
+ *    input: exactly-once state from an at-least-once source, the
+ *    checkpoint's stable batch ids standing in for the reference's
+ *    idempotent-upsert-under-redelivery;
+ *  - **DLQ**: each batch's dead letters append under `stateDir/dead` for
+ *    ReDriveJob.
+ *
+ * At scale the per-batch work is the same joins the batch job runs — the
+ * micro-batch is just smaller; nothing here collects to the driver.
+ */
+object MessageStream {
+
+  /** The message plane as an unbounded stream (S7/S8 source). */
+  def readMessages(spark: SparkSession, messagesDir: String,
+      maxFilesPerTrigger: Option[Int] = None): Dataset[CatalogMessage] = {
+    val r = spark.readStream.schema(messageEncoder.schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.json(messagesDir).as[CatalogMessage]
+  }
+
+  private def versionDirs(spark: SparkSession, stateDir: String): Seq[(Long, String)] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+      .flatMap(s => scala.util.Try(s.getPath.getName.drop(1).toLong).toOption
+        .map(_ -> s.getPath.toString))
+  }
+
+  private def readState(spark: SparkSession, dir: String, catalogId: String): CatalogSnapshot =
+    CatalogSnapshot(catalogId,
+      spark.read.schema(databaseSchema).parquet(s"$dir/databases").as[GDatabase],
+      spark.read.schema(tableSchema).parquet(s"$dir/tables").as[GTable],
+      spark.read.schema(partitionSchema).parquet(s"$dir/partitions").as[GPartition])
+
+  private def writeState(snap: CatalogSnapshot, dir: String): Unit = {
+    snap.databases.write.mode("overwrite").parquet(s"$dir/databases")
+    snap.tables.write.mode("overwrite").parquet(s"$dir/tables")
+    snap.partitions.write.mode("overwrite").parquet(s"$dir/partitions")
+  }
+
+  /** Newest committed state strictly below `batchId` (the state this batch
+    * must build on — versions ≥ batchId are this batch's own torn writes
+    * from a previous attempt). */
+  def stateBefore(spark: SparkSession, stateDir: String, batchId: Long,
+      initial: CatalogSnapshot): CatalogSnapshot =
+    versionDirs(spark, stateDir).filter(_._1 < batchId).sortBy(_._1).lastOption match {
+      case Some((_, dir)) => readState(spark, dir, initial.catalogId)
+      case None => initial
+    }
+
+  /** Latest committed state (read after the stream drains). */
+  def latestState(spark: SparkSession, stateDir: String, initial: CatalogSnapshot): CatalogSnapshot =
+    stateBefore(spark, stateDir, Long.MaxValue, initial)
+
+  /**
+   * Streaming import: drain `messagesDir` into versioned target state under
+   * `stateDir`, checkpointing source progress in `checkpointDir`. Returns the
+   * final target snapshot. `availableNow = false` would tail forever; the
+   * bounded drain is what Verify/specs and the reference's daily cron need.
+   */
+  def runImport(
+      spark: SparkSession,
+      messagesDir: String,
+      stateDir: String,
+      checkpointDir: String,
+      initial: CatalogSnapshot,
+      cfg: ReplicationConfig,
+      maxFilesPerTrigger: Option[Int] = None): CatalogSnapshot = {
+
+    val q = readMessages(spark, messagesDir, maxFilesPerTrigger)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[CatalogMessage], batchId: Long) =>
+        val tgt = stateBefore(spark, stateDir, batchId, initial)
+        // Micro-batch runs carry the batch id in the run id, mirroring the
+        // reference's per-invocation export_run_id stamps.
+        val res = ReplicationJob.importMessages(spark, batch, tgt,
+          cfg.copy(runId = cfg.runId + batchId))
+        writeState(res.target, s"$stateDir/v$batchId")
+        res.deadLetters.write.mode("append").parquet(s"$stateDir/dead")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    latestState(spark, stateDir, initial)
+  }
+
+  /** Dead letters accumulated by runImport (for ReDriveJob). */
+  def deadLetters(spark: SparkSession, stateDir: String): Dataset[DeadLetter] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/dead")
+    if (fs.exists(p)) spark.read.schema(deadLetterEncoder.schema).parquet(s"$stateDir/dead").as[DeadLetter]
+    else spark.emptyDataset[DeadLetter]
+  }
+}

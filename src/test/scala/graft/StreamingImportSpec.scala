@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.codec.Codecs._
+import graft.model._
+import graft.run.{ReplicationConfig, ReplicationJob}
+import graft.sources.CatalogSnapshot
+import graft.streaming.MessageStream
+
+/**
+ * S7/S8 streaming-import specs (SURVEY §2.7): AvailableNow drain equals the
+ * batch import, checkpointing resumes incrementally, and redelivery after a
+ * lost checkpoint converges (at-least-once safety).
+ */
+class StreamingImportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snapshot(names: Seq[String]): CatalogSnapshot = {
+    val dbs = Seq(GDatabase("db0"))
+    val tables = names.map(n => GTable(name = n, databaseName = "db0"))
+    val parts = names.flatMap(n => Seq(GPartition(Seq("p0"), "db0", n), GPartition(Seq("p1"), "db0", n)))
+    CatalogSnapshot("src", spark.createDataset(dbs), spark.createDataset(tables),
+      spark.createDataset(parts))
+  }
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def tableNames(s: CatalogSnapshot): Set[String] =
+    s.tables.select("name").as[String].collect().toSet
+
+  test("AvailableNow streaming drain equals the batch import") {
+    val src = snapshot(Seq("t0", "t1", "t2"))
+    val cfg = ReplicationConfig(runId = 100L, sideChannelDir = Some(tmp("side")))
+    val messages = ReplicationJob.export(spark, src, cfg)
+
+    val msgDir = tmp("msgs")
+    messages.repartition(3).write.mode("overwrite").json(msgDir)
+
+    val streamed = MessageStream.runImport(spark, msgDir, tmp("state"), tmp("ckpt"),
+      CatalogSnapshot.empty(spark, "tgt"), cfg, maxFilesPerTrigger = Some(1))
+    val batch = ReplicationJob.importMessages(spark, messages,
+      CatalogSnapshot.empty(spark, "tgt"), cfg).target
+
+    assert(tableNames(streamed) == tableNames(batch))
+    assert(streamed.partitions.count() == batch.partitions.count())
+    assert(streamed.databases.select("name").as[String].collect().toSet == Set("db0"))
+  }
+
+  test("checkpoint resume: a second drain processes only newly dropped files") {
+    val cfg = ReplicationConfig(runId = 200L, sideChannelDir = Some(tmp("side")))
+    val msgDir = tmp("msgs")
+    val stateDir = tmp("state")
+    val ckptDir = tmp("ckpt")
+
+    ReplicationJob.export(spark, snapshot(Seq("a0")), cfg)
+      .write.mode("append").json(msgDir)
+    val s1 = MessageStream.runImport(spark, msgDir, stateDir, ckptDir,
+      CatalogSnapshot.empty(spark, "tgt"), cfg)
+    assert(tableNames(s1) == Set("a0"))
+
+    ReplicationJob.export(spark, snapshot(Seq("b0")), cfg.copy(runId = 201L))
+      .write.mode("append").json(msgDir)
+    val s2 = MessageStream.runImport(spark, msgDir, stateDir, ckptDir,
+      CatalogSnapshot.empty(spark, "tgt"), cfg)
+    assert(tableNames(s2) == Set("a0", "b0"))
+  }
+
+  test("redelivery after checkpoint loss converges (at-least-once, idempotent upsert)") {
+    val src = snapshot(Seq("r0", "r1"))
+    val cfg = ReplicationConfig(runId = 300L, sideChannelDir = Some(tmp("side")))
+    val msgDir = tmp("msgs")
+    val stateDir = tmp("state")
+    ReplicationJob.export(spark, src, cfg).write.mode("overwrite").json(msgDir)
+
+    val s1 = MessageStream.runImport(spark, msgDir, stateDir, tmp("ckpt1"),
+      CatalogSnapshot.empty(spark, "tgt"), cfg)
+    // materialize before redelivery overwrites the state version files
+    assert(tableNames(s1) == Set("r0", "r1"))
+    val s1Parts = s1.partitions.count()
+
+    // lost checkpoint → everything redelivered into the SAME state dir
+    val s2 = MessageStream.runImport(spark, msgDir, stateDir, tmp("ckpt2"),
+      CatalogSnapshot.empty(spark, "tgt"), cfg)
+    assert(tableNames(s2) == Set("r0", "r1"))
+    assert(s2.partitions.count() == s1Parts)
+  }
+
+  test("streaming dead letters accumulate for re-drive") {
+    val src = snapshot(Seq("x0", "x1"))
+    val cfg = ReplicationConfig(runId = 400L, sideChannelDir = Some(tmp("side")),
+      applyFailureExpr = Some("messageType = 'table' AND get_json_object(payload, '$.table.name') = 'x0'"))
+    val msgDir = tmp("msgs")
+    val stateDir = tmp("state")
+    ReplicationJob.export(spark, src, cfg).write.mode("overwrite").json(msgDir)
+
+    val s1 = MessageStream.runImport(spark, msgDir, stateDir, tmp("ckpt"),
+      CatalogSnapshot.empty(spark, "tgt"), cfg)
+    assert(tableNames(s1) == Set("x1"))
+    val dead = MessageStream.deadLetters(spark, stateDir)
+    assert(dead.count() == 1)
+    assert(dead.head().error == "apply failure")
+  }
+}
