@@ -203,10 +203,28 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"))
     }),
 
-    // P3/P4: writable-subset projection (GlueUtil.java:175-192,406-413)
+    // P3: Table→TableInput writable-subset projection via the real operator
+    // (GlueUtil.createTableInput, java:175-192): createTime/updateTime/
+    // createdBy/retention dropped, table-level parameters win unconditionally
+    // (the java:186 overwrite — null table params stay null, the SD copy is
+    // dead).
     "p3_projection" -> ((s, dir) => {
-      t(s, dir, "part").where(col("p_size") < 10)
-        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+      val p = t(s, dir, "part").where(col("p_size") < 10)
+      val tables = asTables(p.select(col("p_partkey").as("name"), lit("db0").as("databaseName")))
+        .withColumn("owner", lit("owner_a"))
+        .withColumn("createTimeMs", lit(1000L))
+        .withColumn("updateTimeMs", lit(2000L))
+        .withColumn("lastAccessTimeMs", col("name").cast("bigint") * 10)
+        .withColumn("createdBy", lit("crawler_arn"))
+        .withColumn("retention", lit(7))
+        .withColumn("parameters",
+          when(col("name").cast("bigint") % 2 === 0, map(lit("src"), lit("tbl"))))
+      operators.Projection.toTableInput(tables)
+        .select(col("name").cast("bigint").as("p_partkey"), col("owner"),
+          col("createTimeMs").as("create_ms"), col("updateTimeMs").as("update_ms"),
+          col("lastAccessTimeMs").as("last_ms"), col("retention"),
+          col("createdBy").as("created_by"),
+          col("parameters").getItem("src").as("param_src"))
     }),
 
     // J1: database upsert-if-absent via the real Importer.diffDatabases
@@ -333,6 +351,25 @@ object SparkEntry {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"),
         lower(col("o_orderpriority")).startsWith("1-").as("is_urgent"),
         split(col("o_orderpriority"), "-").getItem(0).as("priority_code"))
+    }),
+
+    // §2.8: Hive type-string introspection (parse + Spark-schema bridge) —
+    // the reference carries these strings opaquely; parsing them is checked
+    // against a hand-computed oracle over four representative shapes.
+    "f_hive_types" -> ((s, dir) => {
+      graft.functions.HiveTypes.register(s)
+      val m = col("p_partkey") % 4
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          when(m === 0, "int")
+            .when(m === 1, "array<string>")
+            .when(m === 2, "struct<a:int,b:struct<c:decimal(10,2)>>")
+            .otherwise("map<string,array<int>>").as("hive_type"))
+        .select(col("p_partkey"), col("hive_type"),
+          call_udf("hive_type_kind", col("hive_type")).as("kind"),
+          call_udf("hive_type_depth", col("hive_type")).as("depth"),
+          call_udf("hive_type_leaves", col("hive_type")).as("n_leaves"),
+          call_udf("hive_type_to_ddl", col("hive_type")).as("spark_ddl"))
     }),
 
     // F2: JSON parse of message payloads (events.props)
@@ -567,7 +604,26 @@ object SparkEntry {
             OR lower(c_name) LIKE 'customer#0000002%'""",
 
     "p3_projection" ->
-      """SELECT p_partkey, p_name, p_retailprice FROM part WHERE p_size < 10""",
+      """SELECT p_partkey, 'owner_a' AS owner,
+         CAST(NULL AS BIGINT) AS create_ms, CAST(NULL AS BIGINT) AS update_ms,
+         p_partkey * 10 AS last_ms, 0 AS retention,
+         CAST(NULL AS VARCHAR) AS created_by,
+         CASE WHEN p_partkey % 2 = 0 THEN 'tbl' END AS param_src
+         FROM part WHERE p_size < 10""",
+
+    "f_hive_types" ->
+      """SELECT p_partkey,
+         CASE p_partkey % 4 WHEN 0 THEN 'int' WHEN 1 THEN 'array<string>'
+           WHEN 2 THEN 'struct<a:int,b:struct<c:decimal(10,2)>>'
+           ELSE 'map<string,array<int>>' END AS hive_type,
+         CASE p_partkey % 4 WHEN 0 THEN 'primitive' WHEN 1 THEN 'array'
+           WHEN 2 THEN 'struct' ELSE 'map' END AS kind,
+         CASE p_partkey % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 ELSE 3 END AS depth,
+         CASE p_partkey % 4 WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 2 END AS n_leaves,
+         CASE p_partkey % 4 WHEN 0 THEN 'int' WHEN 1 THEN 'array<string>'
+           WHEN 2 THEN 'struct<a:int,b:struct<c:decimal(10,2)>>'
+           ELSE 'map<string,array<int>>' END AS spark_ddl
+         FROM part""",
 
     "j1_db_upsert" ->
       """SELECT n_name AS name,

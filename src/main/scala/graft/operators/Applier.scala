@@ -34,11 +34,13 @@ object Applier {
   /** J2 apply: replace-or-insert every created/updated table. Duplicate
     * messages for the same (databaseName, name) — the at-least-once
     * redelivery case — collapse to one row, keeping the upsert idempotent
-    * like applyDatabases/applyPartitions. */
+    * like applyDatabases/applyPartitions. Rows pass through the P3
+    * writable-subset projection first, exactly where the reference builds
+    * its TableInput (GlueUtil.java:264-350 → createTableInput). */
   def applyTables(tgt: Dataset[GTable], actions: DataFrame): Dataset[GTable] = {
-    val upserts = actions
+    val upserts = Projection.toTableInput(actions
       .where(col("action").isin(Action.Create, Action.Update))
-      .drop("action")
+      .drop("action"))
       .dropDuplicates("databaseName", "name")
     val untouched = tgt.join(
       upserts.select(col("databaseName"), col("name")), Seq("databaseName", "name"), "left_anti")
@@ -51,7 +53,9 @@ object Applier {
   def applyPartitions(tgt: Dataset[GPartition], actions: DataFrame): Dataset[GPartition] = {
     val key = Seq("databaseName", "tableName", "values")
     val deletes = actions.where(col("action") === Action.Delete).select(key.map(col): _*)
-    val creates = actions.where(col("action") === Action.Create).drop("action")
+    // P4: creates carry only identity + storageDescriptor (PartitionInput).
+    val creates = Projection.toPartitionInput(
+      actions.where(col("action") === Action.Create).drop("action"))
       .select(tgt.columns.map(col).toSeq: _*)
     val kept = tgt.join(deletes, key, "left_anti")
     kept.unionByName(creates).dropDuplicates(key).as[GPartition]
