@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.codec.Codecs
 import graft.codec.Codecs._
-import graft.functions.{Dedup, Similarity, TextFunctions}
+import graft.functions.{Dedup, Multimodal, Similarity, TextFunctions}
 import graft.model._
 import graft.operators.{Exporter, Importer, Planner}
 import graft.plans.VectorFunctions
@@ -496,6 +496,30 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)
     }),
 
+    // ===== multimodal binary columns (documents → payload bytes) =====
+    // metadata via pure column ops (mime sniff on magic bytes, byte counts,
+    // stub-decode dims)
+    "m_meta_extract" -> ((s, dir) => {
+      Multimodal.extractMeta(Multimodal.withBinaryPayload(t(s, dir, "documents")))
+        .select(col("doc_id"), col("mime"), col("n_bytes"), col("width"),
+          col("height"), col("duration_ms"))
+    }),
+
+    // same metadata through the batched mapPartitions decode path — the
+    // plumbing a real codec plugs into; must agree with the column-op oracle
+    "m_decode_batch" -> ((s, dir) => {
+      Multimodal.decodeBatched(Multimodal.withBinaryPayload(t(s, dir, "documents")))
+        .select(col("doc_id"), col("mime"), col("n_bytes"), col("width"),
+          col("height"), col("duration_ms"))
+    }),
+
+    // perceptual-hash near-dup pairs over payload bytes (approximate — no
+    // SQL oracle; planted-duplicate spec covers it)
+    "m_phash_pairs" -> ((s, dir) => {
+      Multimodal.phashPairs(Multimodal.withBinaryPayload(
+        t(s, dir, "documents").where(col("n_chars") < 300)))
+    }),
+
     // ===== similarity search (embeddings) =====
     "e_knn_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -791,6 +815,32 @@ object SparkEntry {
          WHERE a.doc_id < b.doc_id
            AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
              (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.2""",
+
+    "m_meta_extract" ->
+      """SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+           ELSE 'audio/wav' END AS mime,
+         octet_length(encode(text)) + 8 AS n_bytes,
+         CASE WHEN doc_id % 3 IN (0, 1)
+           THEN CAST(64 + (octet_length(encode(text)) + 8) % 512 AS INT) END AS width,
+         CASE WHEN doc_id % 3 IN (0, 1)
+           THEN CAST(64 + ((octet_length(encode(text)) + 8) * 7) % 512 AS INT) END AS height,
+         CASE WHEN doc_id % 3 = 2
+           THEN (octet_length(encode(text)) + 8) % 60000 END AS duration_ms
+         FROM documents""",
+
+    "m_decode_batch" ->
+      """SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+           ELSE 'audio/wav' END AS mime,
+         octet_length(encode(text)) + 8 AS n_bytes,
+         CASE WHEN doc_id % 3 IN (0, 1)
+           THEN CAST(64 + (octet_length(encode(text)) + 8) % 512 AS INT) END AS width,
+         CASE WHEN doc_id % 3 IN (0, 1)
+           THEN CAST(64 + ((octet_length(encode(text)) + 8) * 7) % 512 AS INT) END AS height,
+         CASE WHEN doc_id % 3 = 2
+           THEN (octet_length(encode(text)) + 8) % 60000 END AS duration_ms
+         FROM documents""",
 
     "e_knn_brute" ->
       """SELECT e.vec_id,

@@ -132,9 +132,21 @@ object Dedup {
    */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
-    require(maxHamming <= 3, "4-block pigeonhole blocking is exact only for maxHamming <= 3")
     SketchFunctions.register(docs.sparkSession)
-    val hashed = docs.select(col(idCol).as("id"), simhashColumn(col(textCol)).as("sh"))
+    fingerprintPairs(
+      docs.select(col(idCol).as("id"), simhashColumn(col(textCol)).as("sh")),
+      maxHamming, maxBucketSize)
+  }
+
+  /**
+   * Near-dup pairs over ANY 64-bit fingerprint column (`id`, `sh`) — the
+   * shared engine behind text SimHash and multimodal perceptual hashes.
+   * 4-block pigeonhole blocking + exact Hamming verify, as documented on
+   * simhashPairs.
+   */
+  def fingerprintPairs(hashed: DataFrame, maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(maxHamming <= 3, "4-block pigeonhole blocking is exact only for maxHamming <= 3")
     val blocked = hashed.select(col("id"), col("sh"),
       explode(array((0 until 4).map(b => struct(lit(b).as("blk"),
         shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("blkval"))): _*)).as("x"))
