@@ -290,14 +290,22 @@ object SparkEntry {
         .select(col("tableName").cast("bigint").as("l_orderkey"), col("numberOfPartitions"))
     }),
 
-    // A2: export counters (databases/tables/partitions exported)
+    // A2: export counters (databases/tables/partitions exported) — ONE job:
+    // the entity planes union into a tagged key stream and a single
+    // conditional aggregate counts all three, map-side partials doing the
+    // work (vs. three separate full-scan count() jobs). The production path
+    // piggybacks the same counters on the export pass via observe() — see
+    // Exporter.exportMessages.
     "a2_export_counters" -> ((s, dir) => {
-      val nDbs = t(s, dir, "nation").select(col("n_name")).distinct().count()
-      val nTables = t(s, dir, "orders").count()
-      val nParts = t(s, dir, "lineitem").count()
-      val s2 = s
-      import s2.implicits._
-      Seq((nDbs, nTables, nParts)).toDF("n_databases", "n_tables", "n_partitions")
+      val n = t(s, dir, "nation").select(col("n_name")).distinct()
+        .select(lit("db").as("kind"))
+      val o = t(s, dir, "orders").select(lit("tbl").as("kind"))
+      val l = t(s, dir, "lineitem").select(lit("part").as("kind"))
+      n.unionByName(o).unionByName(l)
+        .agg(
+          count(when(col("kind") === "db", 1)).as("n_databases"),
+          count(when(col("kind") === "tbl", 1)).as("n_tables"),
+          count(when(col("kind") === "part", 1)).as("n_partitions"))
     }),
 
     // A3: fixed-size chunk batching (Lists.partition 100/25 — GlueUtil.java:414-420)

@@ -157,7 +157,17 @@ object Exporter {
         when(lit(bucket.nonEmpty), lit(bucket)).cast("string").as("s3BucketName"),
         concat(lit(s"run=$runId/databaseName="), col("dbName"), lit("/tableName="), col("tblName")).as("s3ObjectKey"))
 
+    // A2 export counters ride the export pass itself via observe() — no
+    // extra jobs; consumers read the "export_metrics_<batchId>" observation
+    // from QueryExecutionListener/StreamingQueryListener (reference: DDB
+    // counter writes per export Lambda, DDBUtil.java:150-157). The batch id
+    // in the name keeps multiple runs' exports distinct inside one plan
+    // (re-replication composes them).
     dbMsgs.unionByName(small.as[CatalogMessage]).unionByName(large.as[CatalogMessage])
+      .observe(s"export_metrics_$batchId",
+        count(when(col("messageType") === MessageType.Database, 1)).as("n_databases"),
+        count(when(col("messageType") === MessageType.Table, 1)).as("n_tables"),
+        count(when(col("messageType") === MessageType.LargeTable, 1)).as("n_large_tables"))
   }
 
   /** Export-side audit rows (DDBUtil.trackTableExportStatus:150-157,
