@@ -220,14 +220,19 @@ object ReplicationJob {
       messages, actions, audit, dead)
   }
 
-  /** Full pipeline: source snapshot → message plane → target snapshot. */
+  /** Full pipeline: source snapshot → message plane → target snapshot. The
+    * audit plane carries BOTH sides: export rows (DDBUtil.java:150-157) and
+    * import action rows (DDBUtil.java:54-65), keyed alike so "latest state
+    * per entity" windows span the whole run. */
   def replicate(
       spark: SparkSession,
       src: CatalogSnapshot,
       tgt: CatalogSnapshot,
       cfg: ReplicationConfig): ReplicationResult = {
     val messages = export(spark, src, cfg)
-    importMessages(spark, messages, tgt, cfg)
+    val res = importMessages(spark, messages, tgt, cfg)
+    res.copy(audit =
+      Exporter.exportAudit(messages, cfg.runId).unionByName(res.audit).as[AuditRecord])
   }
 }
 
