@@ -70,6 +70,27 @@ object SparkEntry {
       lit(null).cast(sdType).as("storageDescriptor"),
       map().cast("map<string,string>").as("parameters")).as[GPartition](partitionEncoder)
 
+  /** The TPC-H → catalog mapping used by entry() and the replication-shaped
+    * queries: (o_custkey % 25) = databases, orders = tables, lineitems =
+    * partitions. `limitOrders` bounds the plane deterministically (ordered by
+    * o_orderkey) so oracles can reproduce the subset. */
+  private def tpchCatalog(s: SparkSession, dir: String, limitOrders: Option[Int] = None)
+      : graft.sources.CatalogSnapshot = {
+    import graft.sources.CatalogSnapshot
+    val all = t(s, dir, "orders")
+    val orders = limitOrders.fold(all)(n => all.orderBy(col("o_orderkey")).limit(n))
+    val li = t(s, dir, "lineitem")
+    val dbs = asDbs(orders.select((col("o_custkey") % 25).cast("string").as("name")).distinct())
+    val tables = asTables(orders.select(col("o_orderkey").as("name"),
+      (col("o_custkey") % 25).cast("string").as("databaseName")))
+    val parts = asParts(
+      li.join(orders.select("o_orderkey", "o_custkey"), li("l_orderkey") === col("o_orderkey"))
+        .select(array(col("l_orderkey").cast("string"), col("l_linenumber").cast("string")).as("values"),
+          (col("o_custkey") % 25).cast("string").as("databaseName"),
+          col("l_orderkey").cast("string").as("tableName")))
+    CatalogSnapshot("src", dbs, tables, parts)
+  }
+
   // ------------------------------------------------------------- entrypoint
 
   /** Flagship: full catalog replication end-to-end on sf0.001 — the TPC-H
@@ -79,18 +100,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     import graft.run.{ReplicationConfig, ReplicationJob}
     import graft.sources.CatalogSnapshot
-    val dir = "/root/testdata/sf0.001"
-    val orders = t(spark, dir, "orders").orderBy(col("o_orderkey")).limit(500)
-    val li = t(spark, dir, "lineitem")
-    val dbs = asDbs(orders.select((col("o_custkey") % 25).cast("string").as("name")).distinct())
-    val tables = asTables(orders.select(col("o_orderkey").as("name"),
-      (col("o_custkey") % 25).cast("string").as("databaseName")))
-    val parts = asParts(
-      li.join(orders.select("o_orderkey", "o_custkey"), li("l_orderkey") === col("o_orderkey"))
-        .select(array(col("l_orderkey").cast("string"), col("l_linenumber").cast("string")).as("values"),
-          (col("o_custkey") % 25).cast("string").as("databaseName"),
-          col("l_orderkey").cast("string").as("tableName")))
-    val src = CatalogSnapshot("src", dbs, tables, parts)
+    val src = tpchCatalog(spark, "/root/testdata/sf0.001", limitOrders = Some(500))
     val tgt = CatalogSnapshot.empty(spark, "tgt")
     val side = java.nio.file.Files.createTempDirectory("graft-side").toString
     val res = ReplicationJob.replicate(spark, src, tgt,
@@ -225,6 +235,72 @@ object SparkEntry {
           col("lastAccessTimeMs").as("last_ms"), col("retention"),
           col("createdBy").as("created_by"),
           col("parameters").getItem("src").as("param_src"))
+    }),
+
+    // S1+S2+S3: catalog entity-plane scans through the REAL storage layout —
+    // writeParquet lays partitions out by databaseName for pruning, fromParquet
+    // reads the three planes back with their wire schemas; per-db counts
+    // exercise the pushdown path the reference serves with paginated
+    // GetDatabases/GetTables/GetPartitions loops (GlueUtil.java:84-105,
+    // 202-228, 361-386).
+    "s1_snapshot_scan" -> ((s, dir) => {
+      import graft.sources.CatalogSnapshot
+      val snapDir = java.nio.file.Files.createTempDirectory("graft-s1").toString
+      CatalogSnapshot.writeParquet(tpchCatalog(s, dir), snapDir)
+      val snap = CatalogSnapshot.fromParquet(s, "src", snapDir)
+      val nt = snap.tables.groupBy("databaseName").agg(count(lit(1)).as("n_tables"))
+      val np = snap.partitions.groupBy("databaseName").agg(count(lit(1)).as("n_partitions"))
+      snap.databases.select(col("name").as("databaseName"))
+        .join(nt, Seq("databaseName"), "left_outer")
+        .join(np, Seq("databaseName"), "left_outer")
+        .select(col("databaseName"),
+          coalesce(col("n_tables"), lit(0L)).as("n_tables"),
+          coalesce(col("n_partitions"), lit(0L)).as("n_partitions"))
+    }),
+
+    // P4 (+P5): Partition→PartitionInput writable projection via the real
+    // operator (GlueUtil.addPartitions, java:406-413): values + SD survive,
+    // creation/lastAccess times and partition parameters are dropped; the
+    // values array doubles as the P5 delete key (java:500-508).
+    "p4_partition_input" -> ((s, dir) => {
+      val parts = asParts(t(s, dir, "lineitem").select(
+          array(col("l_orderkey").cast("string"), col("l_linenumber").cast("string")).as("values"),
+          lit("db0").as("databaseName"), col("l_orderkey").cast("string").as("tableName")))
+        .withColumn("creationTimeMs", element_at(col("values"), 1).cast("bigint"))
+        .withColumn("lastAccessTimeMs", lit(5L))
+        .withColumn("parameters", map(lit("src"), element_at(col("values"), 2)))
+      operators.Projection.toPartitionInput(parts)
+        .select(element_at(col("values"), 1).cast("bigint").as("l_orderkey"),
+          element_at(col("values"), 2).cast("bigint").as("l_linenumber"),
+          col("creationTimeMs").as("create_ms"),
+          col("lastAccessTimeMs").as("last_ms"),
+          col("parameters").getItem("src").as("param_src"))
+    }),
+
+    // P6 + S-route: the export planner's message-type dispatch over a bounded
+    // catalog (500 orders, threshold 3 so all three types appear) — counts per
+    // messageType are exactly the reference's SNS/SQS routing split
+    // (ExportDatabaseWithTables.java:174-216).
+    "p6_dispatch" -> ((s, dir) => {
+      import graft.run.{ReplicationConfig, ReplicationJob}
+      val src = tpchCatalog(s, dir, limitOrders = Some(500))
+      val side = java.nio.file.Files.createTempDirectory("graft-p6").toString
+      val msgs = ReplicationJob.export(s, src,
+        ReplicationConfig(runId = 7L, largeTableThreshold = 3, sideChannelDir = Some(side)))
+      msgs.groupBy(col("messageType").as("message_type"))
+        .agg(count(lit(1)).as("n_messages"))
+    }),
+
+    // F1+F2: the Gson-equivalent serialize→parse round-trip as a direct
+    // oracle row (to_json of the struct, fields re-extracted from the wire
+    // string; the oracle recomputes them from the raw columns).
+    "f1_json_roundtrip" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          to_json(struct(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))).as("j"))
+        .select(col("o_orderkey"),
+          get_json_object(col("j"), "$.o_custkey").cast("bigint").as("custkey"),
+          get_json_object(col("j"), "$.o_orderpriority").as("prio"))
     }),
 
     // J1: database upsert-if-absent via the real Importer.diffDatabases
@@ -656,6 +732,34 @@ object SparkEntry {
            WHEN 2 THEN 'struct<a:int,b:struct<c:decimal(10,2)>>'
            ELSE 'map<string,array<int>>' END AS spark_ddl
          FROM part""",
+
+    "s1_snapshot_scan" ->
+      """WITH t AS (SELECT o_orderkey, CAST(o_custkey % 25 AS VARCHAR) AS databaseName FROM orders),
+         tt AS (SELECT databaseName, count(*) AS n_tables FROM t GROUP BY databaseName),
+         p AS (SELECT t.databaseName, count(*) AS n_partitions
+               FROM lineitem l JOIN t ON l.l_orderkey = t.o_orderkey GROUP BY t.databaseName)
+         SELECT tt.databaseName, tt.n_tables,
+           CAST(coalesce(p.n_partitions, 0) AS BIGINT) AS n_partitions
+         FROM tt LEFT JOIN p USING (databaseName)""",
+
+    "p4_partition_input" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         CAST(NULL AS BIGINT) AS create_ms, CAST(NULL AS BIGINT) AS last_ms,
+         CAST(NULL AS VARCHAR) AS param_src
+         FROM lineitem""",
+
+    "p6_dispatch" ->
+      """WITH sub AS (SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 500),
+         n AS (SELECT s.o_orderkey, count(l.l_orderkey) AS np
+               FROM sub s LEFT JOIN lineitem l ON l.l_orderkey = s.o_orderkey
+               GROUP BY s.o_orderkey)
+         SELECT 'database' AS message_type,
+           (SELECT count(DISTINCT o_custkey % 25) FROM sub) AS n_messages
+         UNION ALL SELECT 'table', count(*) FROM n WHERE np <= 3
+         UNION ALL SELECT 'largeTable', count(*) FROM n WHERE np > 3""",
+
+    "f1_json_roundtrip" ->
+      """SELECT o_orderkey, o_custkey AS custkey, o_orderpriority AS prio FROM orders""",
 
     "j1_db_upsert" ->
       """SELECT n_name AS name,
