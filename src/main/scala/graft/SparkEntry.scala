@@ -25,6 +25,7 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     VectorFunctions.register(s)
+    graft.plans.SketchFunctions.register(s)
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by default;
     // read it as int64 nanos and do exact integer time arithmetic downstream.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -187,6 +187,7 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5,
       maxDocsPerShingle: Option[Int] = None): DataFrame = {
+    SketchFunctions.register(docs.sparkSession)
     val shingled = docs
       .select(col(idCol).as("id"), array_distinct(wordNgrams(col(textCol), n)).as("grams"))
       .where(size(col("grams")) > 0)

@@ -4,11 +4,16 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /**
- * Text-analysis primitives for large-scale corpus pipelines, built entirely
- * from codegen'd Catalyst built-ins (no UDFs): tokenization, n-grams/shingles,
- * quality scoring, language ID, fingerprinting. All are pure column
- * expressions — they stay inside WholeStageCodegen and scale linearly with
- * the corpus, no shuffle.
+ * Text-analysis primitives for large-scale corpus pipelines: tokenization,
+ * n-grams/shingles, quality scoring, language ID, fingerprinting. All are
+ * per-row column expressions — no shuffle, linear in the corpus. The n-gram
+ * and fingerprint hot paths run the native codegen'd word_ngrams /
+ * min_gram_md5 expressions (graft.plans.SketchExpressions) — those call
+ * sites need `SketchFunctions.register(spark)` on the session first (the
+ * Dedup entry points and SparkEntry's readers do it). The remaining
+ * functions are codegen'd built-ins, except the stopword/marker counters,
+ * which use `filter(...)` — an interpreted higher-order function, acceptable
+ * because it runs once per row over a short token array.
  *
  * These extend the engine beyond the reference's surface (reference has only
  * the scalar functions in SURVEY §2.6); they are the training-data-pipeline
@@ -27,14 +32,10 @@ object TextFunctions {
   def subwordCount(text: Column): Column =
     size(filter(split(lower(text), "[^a-z0-9']+"), t => length(t) > 0))
 
-  /** Word n-grams (shingles) joined by single spaces: the dedup unit. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, array())
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - lit(n)),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  /** Word n-grams (shingles) joined by single spaces: the dedup unit.
+    * Native codegen'd expression (requires SketchFunctions.register). */
+  def wordNgrams(text: Column, n: Int): Column =
+    graft.plans.SketchFunctions.word_ngrams(text, n)
 
   /** Character n-grams of the normalized text. */
   def charNgrams(text: Column, n: Int): Column = {
@@ -118,10 +119,9 @@ object TextFunctions {
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
   /** Winnowing-style shingle fingerprint: the minimum md5 over word 3-grams —
-    * a 1-value document sketch stable under small edits at either end. */
-  def shingleFingerprint(text: Column, n: Int = 3): Column = {
-    val grams = wordNgrams(text, n)
-    when(size(grams) === 0, md5(trim(lower(text))))
-      .otherwise(array_min(transform(grams, g => md5(g))))
-  }
+    * a 1-value document sketch stable under small edits at either end. One
+    * fused native pass (requires SketchFunctions.register); fewer than n
+    * tokens falls back to md5 of the normalized text. */
+  def shingleFingerprint(text: Column, n: Int = 3): Column =
+    graft.plans.SketchFunctions.min_gram_md5(text, n)
 }

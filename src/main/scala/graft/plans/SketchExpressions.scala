@@ -4,9 +4,10 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Native Catalyst expressions for the dedup-sketch hot path (MinHash, SimHash).
@@ -95,6 +96,83 @@ object SketchOps {
     fp
   }
 
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** Tokens of trim(lower(text)) split on \s+ — character-for-character what
+    * `split(trim(lower(text)), "\\s+")` computes: UTF8String.toLowerCase
+    * (locale-independent), UTF8String.trim (space 0x20 only — NOT Java
+    * String.trim), Java regex split with limit -1. */
+  private def tokensOf(text: UTF8String): Array[String] =
+    wsPattern.split(text.toLowerCase.trim().toString, -1)
+
+  private def gramAt(toks: Array[String], i: Int, n: Int): String = {
+    val sb = new java.lang.StringBuilder
+    var j = 0
+    while (j < n) {
+      if (j > 0) sb.append(' ')
+      sb.append(toks(i + j))
+      j += 1
+    }
+    sb.toString
+  }
+
+  /** Word n-grams joined by single spaces — one fused pass replacing the
+    * interpreted `transform(sequence(...), i => concat_ws(" ", slice(toks,
+    * i+1, n)))` chain (which also recomputes the token split per reference).
+    * Fewer than n tokens → empty array, matching `when(size(toks) < n,
+    * array())`. */
+  def wordNgrams(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokensOf(text)
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](toks.length - n + 1)
+      var i = 0
+      while (i < out.length) {
+        out(i) = UTF8String.fromString(gramAt(toks, i, n))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  private def md5Hex(s: String): String = {
+    val d = md5Local.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      val b = bytes(i) & 0xFF
+      hex(2 * i) = Character.forDigit(b >>> 4, 16)
+      hex(2 * i + 1) = Character.forDigit(b & 0xF, 16)
+      i += 1
+    }
+    new String(hex)
+  }
+
+  /** Minimum md5 hex over word n-grams (winnowing-style document sketch) —
+    * value-identical to `array_min(transform(wordNgrams(text, n), md5))` with
+    * the zero-gram fallback `md5(trim(lower(text)))`, but never materializes
+    * the gram or hash arrays. */
+  def minGramMd5(text: UTF8String, n: Int): UTF8String = {
+    val s = text.toLowerCase.trim().toString
+    val toks = wsPattern.split(s, -1)
+    if (toks.length < n) UTF8String.fromString(md5Hex(s))
+    else {
+      var best: String = null
+      var i = 0
+      while (i <= toks.length - n) {
+        val h = md5Hex(gramAt(toks, i, n))
+        if (best == null || h.compareTo(best) < 0) best = h
+        i += 1
+      }
+      UTF8String.fromString(best)
+    }
+  }
+
   /** Fraction of positions where two equal-length long arrays agree — the
     * banded-LSH Jaccard estimate (shared over min length defensively). */
   def agreement(a: ArrayData, b: ArrayData): Double = {
@@ -154,6 +232,38 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** word_ngrams(text string, n) → array<string> of space-joined word n-grams. */
+case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"n must be positive, got $n")
+  override def prettyName: String = "word_ngrams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.wordNgrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchOps$$.MODULE$$.wordNgrams($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** min_gram_md5(text string, n) → string: min md5 hex over word n-grams. */
+case class MinGramMd5(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"n must be positive, got $n")
+  override def prettyName: String = "min_gram_md5"
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.minGramMd5(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchOps$$.MODULE$$.minGramMd5($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 /** sig_agreement(a array<bigint>, b array<bigint>) → double in [0,1]. */
 case class SignatureAgreement(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "sig_agreement"
@@ -184,6 +294,10 @@ object SketchFunctions {
         exprs => SimHash64(exprs(0)), "built-in")
       reg.createOrReplaceTempFunction("sig_agreement",
         exprs => SignatureAgreement(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("word_ngrams",
+        exprs => WordNgramsExpr(exprs(0), foldableInt(exprs(1), "n")), "built-in")
+      reg.createOrReplaceTempFunction("min_gram_md5",
+        exprs => MinGramMd5(exprs(0), foldableInt(exprs(1), "n")), "built-in")
     }
   }
 
@@ -205,4 +319,10 @@ object SketchFunctions {
 
   def sig_agreement(a: Column, b: Column): Column =
     call_function("sig_agreement", a, b)
+
+  def word_ngrams(text: Column, n: Int): Column =
+    call_function("word_ngrams", text.cast("string"), lit(n))
+
+  def min_gram_md5(text: Column, n: Int): Column =
+    call_function("min_gram_md5", text.cast("string"), lit(n))
 }

@@ -16,6 +16,8 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.plans.VectorFunctions.register(s)
+    graft.plans.SketchFunctions.register(s)
     s
   }
 }
