@@ -279,12 +279,14 @@ object SparkEntry {
     }),
 
     // P6 + S-route: the export planner's message-type dispatch over a bounded
-    // catalog (500 orders, threshold 3 so all three types appear) — counts per
+    // catalog (120 orders, threshold 3 so all three types appear) — counts per
     // messageType are exactly the reference's SNS/SQS routing split
-    // (ExportDatabaseWithTables.java:174-216).
+    // (ExportDatabaseWithTables.java:174-216). Bounded because the large
+    // branch writes one side-channel dir per large table; the full-corpus
+    // cost lives in the e2e specs, not the per-round gate.
     "p6_dispatch" -> ((s, dir) => {
       import graft.run.{ReplicationConfig, ReplicationJob}
-      val src = tpchCatalog(s, dir, limitOrders = Some(500))
+      val src = tpchCatalog(s, dir, limitOrders = Some(120))
       val side = java.nio.file.Files.createTempDirectory("graft-p6").toString
       val msgs = ReplicationJob.export(s, src,
         ReplicationConfig(runId = 7L, largeTableThreshold = 3, sideChannelDir = Some(side)))
@@ -631,6 +633,17 @@ object SparkEntry {
 
     "e_lsh_neardup_pairs" -> ((s, dir) => {
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.5, dim = 64)
+    }),
+
+    // IVF ANN: full-probe setting (nProbe = nCentroids) is exhaustive exact
+    // search, so the brute-force SQL oracle applies; the pruned setting is
+    // covered by the recall spec (DedupSimilaritySpec).
+    "e_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      Similarity.ivfTopK(e.where(col("vec_id") =!= 0), q, k = 10, dim = 64,
+        nCentroids = 16, nProbe = 16)
     })
   )
 
@@ -750,7 +763,7 @@ object SparkEntry {
          FROM lineitem""",
 
     "p6_dispatch" ->
-      """WITH sub AS (SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 500),
+      """WITH sub AS (SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 120),
          n AS (SELECT s.o_orderkey, count(l.l_orderkey) AS np
                FROM sub s LEFT JOIN lineitem l ON l.l_orderkey = s.o_orderkey
                GROUP BY s.o_orderkey)
@@ -967,6 +980,13 @@ object SparkEntry {
          round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
          FROM embeddings a, embeddings b
          WHERE a.vec_id < b.vec_id
-           AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.5"""
+           AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.5""",
+
+    "e_ivf_topk" ->
+      """SELECT e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim
+         FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         WHERE e.vec_id <> 0
+         ORDER BY sim DESC, e.vec_id LIMIT 10"""
   )
 }

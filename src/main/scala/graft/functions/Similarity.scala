@@ -13,12 +13,14 @@ import graft.plans.VectorFunctions.{cosine_f32, dot_f32}
  * native CosineSimilarityFloat expression (graft.plans.VectorExpressions),
  * no shuffle until the final top-k.
  *
- * Scale path: random-hyperplane LSH bucketing. Hyperplanes are generated
- * ONCE on the driver from a seeded splitmix64 stream and ride into the plan
- * as literal float arrays, so (a) the per-row projection is the native
- * codegen'd dot_f32 — not interpreted array lambdas — and (b) the query's
- * bucket is plain driver-side arithmetic on the same plane values: no Spark
- * job, bit-identical by construction.
+ * Scale paths: (1) random-hyperplane LSH bucketing — hyperplanes are
+ * generated ONCE on the driver from a seeded splitmix64 stream and ride into
+ * the plan as literal float arrays, so (a) the per-row projection is the
+ * native codegen'd dot_f32 — not interpreted array lambdas — and (b) the
+ * query's bucket is plain driver-side arithmetic on the same plane values:
+ * no Spark job, bit-identical by construction. (2) IVF — a Lloyd-trained
+ * coarse quantizer whose centroids live on the driver and ride as literals;
+ * nProbe cells scanned per query, nProbe = nCentroids degenerates to exact.
  */
 object Similarity {
 
@@ -192,6 +194,121 @@ object Similarity {
       .join(vectors.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), round(cosine(col("v_a"), col("v_b")), 6).as("sim"))
       .where(col("sim") >= threshold)
+  }
+
+  // ------------------------------------------------------------------ IVF
+
+  /** Driver-side cosine — twin of the codegen'd cosine_f32 for centroid
+    * routing (same double accumulation, zero-norm → 0). */
+  private def cosineScala(a: Seq[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def litVec(v: Array[Float]): Column =
+    array(v.toSeq.map(x => lit(x)): _*).cast("array<float>")
+
+  /** Nearest-centroid id by cosine: greatest over (sim, cid) structs — each
+    * sim a native codegen'd cosine_f32 against a literal centroid; ties break
+    * toward the higher cid, deterministically. */
+  private def nearestCentroid(vec: Column, cents: Array[Array[Float]]): Column =
+    if (cents.length == 1) lit(0)
+    else greatest(cents.zipWithIndex.map { case (c, i) =>
+      struct(cosine_f32(vec, litVec(c)).as("sim"), lit(i).as("cid"))
+    }.toSeq: _*).getField("cid")
+
+  /**
+   * IVF coarse quantizer: nCentroids cluster centers trained by Lloyd
+   * iterations under the cosine metric (the search metric). Centroids live on
+   * the driver (nCentroids × dim floats — tiny) and ride into plans as
+   * literals, so cell assignment is a codegen'd projection.
+   *
+   * Init is the lowest-id nCentroids vectors (deterministic); each iteration
+   * is one assignment pass + one (cid, pos) mean — the only shuffle, over
+   * n × dim narrow rows. At 100 TB, train on a modulo sample
+   * (`trainMod` keeps every trainMod-th id) — a coarse quantizer needs
+   * thousands of points per cell, not the full corpus; empty cells keep
+   * their previous centroid.
+   */
+  def ivfCentroids(
+      vectors: DataFrame,
+      dim: Int,
+      nCentroids: Int,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      trainMod: Int = 1): Array[Array[Float]] = {
+    VectorFunctions.register(vectors.sparkSession)
+    val train = (if (trainMod <= 1) vectors
+                 else vectors.where(pmod(col(idCol), lit(trainMod)) === 0))
+      .select(col(idCol).as("id"), col(vecCol).cast("array<float>").as("v"))
+      .persist()
+    try {
+      var cents: Array[Array[Float]] = train.orderBy(col("id")).limit(nCentroids)
+        .select(col("v")).collect().map(_.getSeq[Float](0).toArray)
+      var it = 0
+      while (it < iters) {
+        val means = train
+          .select(nearestCentroid(col("v"), cents).as("cid"),
+            posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+          .collect()
+        val next = cents.map(_.clone())
+        means.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+        }
+        cents = next
+        it += 1
+      }
+      cents
+    } finally train.unpersist()
+  }
+
+  /** Attach IVF cell ids; at 100 TB the corpus is written
+    * `.partitionBy("ivf_cell")` so an nProbe search prunes to nProbe/nCentroids
+    * of the files — the same layout story as withLshBuckets. */
+  def withIvfCells(vectors: DataFrame, cents: Array[Array[Float]],
+      vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
+    vectors.withColumn("ivf_cell", nearestCentroid(col(vecCol), cents))
+  }
+
+  /**
+   * ANN top-k via IVF: route the query to its nProbe nearest centroids
+   * (driver arithmetic — no Spark job), scan only those cells, exact cosine
+   * within. nProbe = nCentroids degenerates to exhaustive exact search (the
+   * oracle-checkable setting); small nProbe is the scale path.
+   */
+  def ivfTopK(
+      vectors: DataFrame,
+      queryVec: Seq[Float],
+      k: Int,
+      dim: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 2,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      trainMod: Int = 1): DataFrame = {
+    val cents = ivfCentroids(vectors, dim, nCentroids, iters, idCol, vecCol, trainMod)
+    val probes = cents.zipWithIndex
+      .map { case (c, i) => (cosineScala(queryVec, c), i) }
+      .sortBy { case (sim, i) => (-sim, i) }
+      .take(math.min(nProbe, cents.length))
+      .map(_._2)
+    val q = litVec(queryVec.toArray)
+    withIvfCells(vectors, cents, vecCol)
+      .where(col("ivf_cell").isin(probes.toIndexedSeq: _*))
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
   }
 
   /** Exact all-pairs cosine ≥ threshold on a bounded subset (the oracle-

@@ -127,4 +127,39 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSeq
     assert(hits.contains(601L))
   }
+
+  // ---- embeddings: IVF recall vs brute force ----
+
+  test("ivfTopK at full probe equals brute-force top-k") {
+    val q = vec(1000)
+    val brute = Similarity.bruteForceTopK(vectors, q, k = 5, excludeIds = Seq(500L))
+      .select("vec_id").as[Long].collect().toSeq
+    val ivf = Similarity.ivfTopK(vectors.where(col("vec_id") =!= 500L), q, k = 5,
+      dim = 32, nCentroids = 8, nProbe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ivf == brute)
+  }
+
+  test("ivfTopK at small nProbe retrieves the planted near-neighbor and prunes") {
+    val q = vec(2000)
+    val hits = Similarity.ivfTopK(vectors.where(col("vec_id") =!= 600L), q, k = 3,
+      dim = 32, nCentroids = 8, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(hits.contains(601L))
+    // pruning is real: the probed cells hold fewer vectors than the corpus
+    val cents = Similarity.ivfCentroids(vectors, dim = 32, nCentroids = 8)
+    val cells = Similarity.withIvfCells(vectors, cents)
+      .groupBy("ivf_cell").count().as[(Int, Long)].collect().toMap
+    assert(cells.size > 1, "all vectors fell into one cell — no pruning possible")
+  }
+
+  test("ivf empty cells keep previous centroids (no NaN poisoning)") {
+    // 3 tight clusters, 8 requested centroids → ≥5 cells go empty in Lloyd
+    val tight = (0 until 30).map(i => (i.toLong, jitter(vec(3000 + i % 3), 0.01f, i)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val cents = Similarity.ivfCentroids(tight, dim = 32, nCentroids = 8, iters = 3)
+    assert(cents.length == 8)
+    assert(cents.forall(_.forall(f => !f.isNaN)))
+  }
 }
