@@ -411,10 +411,12 @@ object SparkEntry {
     // same import path converges the target (GDCUtil.java:112-116,
     // DLQImportDatabaseOrTable.java:126-166). Odd-keyed table messages fail
     // on first import, then re-drive; final plane must equal a clean import.
+    // Bounded to 2000 orders: the gate exercises the DLQ round-trip logic;
+    // full-plane e2e cost lives in s8_stream_import and the j* queries.
     "dlq_redrive" -> ((s, dir) => {
       import graft.run.{ReDriveJob, ReplicationConfig, ReplicationJob}
       import graft.sources.CatalogSnapshot
-      val o = t(s, dir, "orders")
+      val o = t(s, dir, "orders").orderBy(col("o_orderkey")).limit(2000)
       val src = CatalogSnapshot("src",
         asDbs(o.select(lit("db0").as("name")).distinct()),
         asTables(o.select(col("o_orderkey").as("name"), lit("db0").as("databaseName"))),
@@ -801,7 +803,8 @@ object SparkEntry {
          FROM lineitem WHERE l_orderkey % 2 = 0""",
 
     "dlq_redrive" ->
-      """SELECT o_orderkey, o_orderkey % 2 = 1 AS was_redriven FROM orders""",
+      """SELECT o_orderkey, o_orderkey % 2 = 1 AS was_redriven
+         FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 2000)""",
 
     "j4_semi_gate" ->
       """SELECT o_orderkey, o_custkey FROM orders
