@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+
+import graft.model._
+import graft.operators.Importer
+import graft.sources.CatalogSnapshot
+
+/**
+ * Physical-plan regression audit: the scale properties the 100 TB design
+ * depends on, asserted against the actual executed plans so a refactor that
+ * silently drops a pushdown or broadcasts the wrong side fails CI — not a
+ * perf round three weeks later.
+ */
+class PlanAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): SparkPlan = {
+    df.collect() // force AQE to finalize the plan
+    df.queryExecution.executedPlan
+  }
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String =
+    executedPlan(df).toString
+
+  test("snapshot partition plane prunes by databaseName from the directory layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-snap").toString
+    val parts = (0 until 100).map(i =>
+      GPartition(Seq(i.toString), s"db${i % 5}", s"t${i % 10}"))
+    CatalogSnapshot.writeParquet(
+      CatalogSnapshot("c", spark.emptyDataset[GDatabase], spark.emptyDataset[GTable],
+        spark.createDataset(parts)), dir)
+    val snap = CatalogSnapshot.fromParquet(spark, "c", dir)
+    val q = snap.partitionsOf("db3", "t3")
+    val plan = planString(q.toDF())
+    // databaseName is a directory-level partition column → PartitionFilters,
+    // not a post-scan Filter; tableName is a data column → pushed to parquet.
+    assert(plan.contains("PartitionFilters") && plan.contains("databaseName"),
+      s"databaseName not pruned at the source:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("tableName"),
+      s"tableName not pushed to the parquet scan:\n$plan")
+    assert(q.collect().forall(p => p.databaseName == "db3" && p.tableName == "t3"))
+  }
+
+  test("parquet scans push predicates and prune columns (projection reaches ReadSchema)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-push").toString
+    spark.range(1000)
+      .select(col("id"), (col("id") % 7).as("k"), lit("pad").as("unused"))
+      .write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).where(col("k") > 3).select(col("id"))
+    val plan = planString(q)
+    assert(plan.contains("PushedFilters: [IsNotNull(k), GreaterThan(k,3)]"),
+      s"filter not pushed:\n$plan")
+    // column pruning: the scan must not read the 'unused' column
+    assert(!plan.split("ReadSchema")(1).takeWhile(_ != '\n').contains("unused"),
+      s"unused column read:\n$plan")
+  }
+
+  test("J1 database diff broadcasts the target-names side (no shuffle of src)") {
+    val src = spark.createDataset((0 until 500).map(i => GDatabase(s"db$i")))
+    val tgt = spark.createDataset((0 until 20).map(i => GDatabase(s"db$i")))
+    val plan = planString(Importer.diffDatabases(src, tgt))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"target side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
+
+  test("sketch hot path stays inside WholeStageCodegen (no interpreted HOF fallback)") {
+    graft.plans.SketchFunctions.register(spark)
+    // spark.range (not a local Seq): a local relation would be constant-folded
+    // into LocalTableScan and there'd be no codegen stage to audit
+    val docs = spark.range(50).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma delta epsilon token"), col("id"), lit(" zeta")).as("text"))
+    val sig = docs.select(
+      graft.functions.Dedup.minhashSignature(col("text")).as("sig"),
+      graft.functions.TextFunctions.shingleFingerprint(col("text")).as("fp"))
+    val plan = planString(sig)
+    // native expressions ride a codegen'd projection — `*(n)` marks
+    // WholeStageCodegen stages in SparkPlan.toString — and none of the
+    // interpreted lambda machinery appears
+    assert(plan.contains("*("), s"no codegen stage:\n$plan")
+    assert(!plan.contains("LambdaFunction") && !plan.contains("transform("),
+      s"interpreted HOF leaked into the sketch path:\n$plan")
+  }
+
+  test("brute-force top-k plans as TakeOrderedAndProject (partial per-partition top-k)") {
+    graft.plans.VectorFunctions.register(spark)
+    val vecs = (0 until 200).map(i => (i.toLong, Seq.fill(8)(i.toFloat / 200)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val q = graft.functions.Similarity.bruteForceTopK(vecs, Seq.fill(8)(0.5f), k = 5)
+    val plan = planString(q)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global sort instead of partial top-k:\n$plan")
+  }
+}
