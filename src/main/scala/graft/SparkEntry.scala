@@ -536,6 +536,42 @@ object SparkEntry {
       tgt.tables.select(col("name").cast("bigint").as("o_orderkey"))
     }),
 
+    // §2.7 at-least-once semantics: every message delivered TWICE (the SQS
+    // visibility-timeout redelivery), drained through streaming stateful
+    // dedup — per-type counts must equal the single-delivery export, which
+    // is what the oracle computes.
+    "s8_stream_dedup" -> ((s, dir) => {
+      import graft.run.{ReplicationConfig, ReplicationJob}
+      import graft.streaming.MessageStream
+      val src = tpchCatalog(s, dir, limitOrders = Some(300))
+      // threshold 100: this query tests dedup, not routing — every table
+      // inlines (testdata orders carry up to 12 lineitems)
+      val msgs = ReplicationJob.export(s, src,
+        ReplicationConfig(runId = 600L, largeTableThreshold = 100))
+      // Materialize the export once, then deliver the SAME bytes twice —
+      // re-running the export plan could reorder collect_list payloads and
+      // the copies would no longer be duplicates of each other.
+      val stage = java.nio.file.Files.createTempDirectory("graft-s8d-stage").toString
+      msgs.write.mode("overwrite").json(stage)
+      val once = s.read.schema(Codecs.messageEncoder.schema).json(stage)
+      val msgDir = java.nio.file.Files.createTempDirectory("graft-s8d-msgs").toString
+      once.write.mode("overwrite").json(msgDir)
+      once.write.mode("append").json(msgDir) // redelivery: same plane again
+      val outDir = java.nio.file.Files.createTempDirectory("graft-s8d-out").toString
+      val q = MessageStream.dedupMessages(MessageStream.readMessages(s, msgDir))
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-s8d-ckpt").toString)
+        .format("parquet")
+        .option("path", outDir)
+        .start()
+      q.awaitTermination()
+      s.read.schema(Codecs.messageEncoder.schema).parquet(outDir)
+        .groupBy(col("messageType").as("message_type"))
+        .agg(count(lit(1)).as("n_messages"))
+    }),
+
     // ===== text analysis (documents) =====
     "d_token_count" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -869,6 +905,12 @@ object SparkEntry {
 
     "s8_stream_import" ->
       """SELECT o_orderkey FROM orders""",
+
+    "s8_stream_dedup" ->
+      """WITH sub AS (SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 300)
+         SELECT 'database' AS message_type,
+           (SELECT count(DISTINCT o_custkey % 25) FROM sub) AS n_messages
+         UNION ALL SELECT 'table', count(*) FROM sub""",
 
     "d_token_count" ->
       """SELECT doc_id,

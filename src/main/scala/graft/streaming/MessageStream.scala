@@ -45,6 +45,18 @@ object MessageStream {
     r.json(messagesDir).as[CatalogMessage]
   }
 
+  /** At-least-once redelivery dedup: SQS visibility-timeout redelivery
+    * (template.yaml:124) re-enqueues the SAME message; collapsing copies on
+    * the full message key avoids re-running the apply work (the apply itself
+    * stays idempotent either way — upsert semantics — exactly as the
+    * reference converges under redelivery). Stateful streaming dedup: state
+    * holds one key per distinct message for the drain (bounded by the run's
+    * message count). A long-lived tail-the-queue deployment should instead
+    * stamp an ingest-time column and use `withWatermark` +
+    * `dropDuplicatesWithinWatermark` so dedup state ages out. */
+  def dedupMessages(stream: Dataset[CatalogMessage]): Dataset[CatalogMessage] =
+    stream.dropDuplicates("messageType", "sourceCatalogId", "exportBatchId", "payload")
+
   private def versionDirs(spark: SparkSession, stateDir: String): Seq[(Long, String)] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
