@@ -660,13 +660,15 @@ object SparkEntry {
       Similarity.exactNearDupPairs(t(s, dir, "embeddings"), threshold = 0.5)
     }),
 
-    // approximate — no SQL oracle
+    // full probe radius (probeHamming = nPlanes) is exhaustive exact search →
+    // the brute-force oracle applies; pruned probing is covered by the
+    // recall spec (DedupSimilaritySpec "small probe radius").
     "e_lsh_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.where(col("vec_id") === 0).select(col("embedding"))
         .head().getSeq[Float](0)
       Similarity.lshTopK(e.where(col("vec_id") =!= 0), q, k = 10, dim = 64,
-        nPlanes = 8, probeHamming = 2)
+        nPlanes = 8, probeHamming = 8)
     }),
 
     "e_lsh_neardup_pairs" -> ((s, dir) => {
@@ -1026,6 +1028,13 @@ object SparkEntry {
          FROM embeddings a, embeddings b
          WHERE a.vec_id < b.vec_id
            AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.5""",
+
+    "e_lsh_topk" ->
+      """SELECT e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim
+         FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         WHERE e.vec_id <> 0
+         ORDER BY sim DESC, e.vec_id LIMIT 10""",
 
     "e_ivf_topk" ->
       """SELECT e.vec_id,

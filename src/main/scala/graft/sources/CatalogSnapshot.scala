@@ -78,4 +78,19 @@ object CatalogSnapshot {
     // per-db/table reconciliation prunes files instead of scanning 1M rows.
     snap.partitions.write.mode("overwrite").partitionBy("databaseName").parquet(s"$dir/partitions")
   }
+
+  /** Bucketed partition-plane layout: when source and target planes are both
+    * bucketed on the table key with the same bucket count, the J3 reconcile
+    * join is co-partitioned at read time — NO shuffle of either 1M-partition
+    * plane (HashPartitioning(databaseName, tableName) satisfies the join's
+    * clustering on (databaseName, tableName, values)). This is the standing
+    * layout for an incremental/ongoing-mode deployment where reconcile runs
+    * daily against the same planes; asserted by PlanAuditSpec. */
+  def writeBucketedPartitions(
+      parts: Dataset[GPartition], tableName: String, buckets: Int = 32): Unit =
+    parts.write.mode("overwrite")
+      .bucketBy(buckets, "databaseName", "tableName")
+      .sortBy("databaseName", "tableName")
+      .format("parquet")
+      .saveAsTable(tableName)
 }

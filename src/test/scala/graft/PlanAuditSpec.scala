@@ -84,6 +84,20 @@ class PlanAuditSpec extends SparkSpec {
       s"interpreted HOF leaked into the sketch path:\n$plan")
   }
 
+  test("bucketed partition planes reconcile without shuffling either side") {
+    val src = (0 until 400).map(i => GPartition(Seq(s"p$i"), s"db${i % 4}", s"t${i % 20}"))
+    val tgt = (100 until 500).map(i => GPartition(Seq(s"p$i"), s"db${i % 4}", s"t${i % 20}"))
+    CatalogSnapshot.writeBucketedPartitions(spark.createDataset(src), "plan_audit_src", buckets = 4)
+    CatalogSnapshot.writeBucketedPartitions(spark.createDataset(tgt), "plan_audit_tgt", buckets = 4)
+    val srcPlane = spark.table("plan_audit_src").as[GPartition]
+    val tgtPlane = spark.table("plan_audit_tgt").as[GPartition]
+    val q = Importer.reconcilePartitions(srcPlane, tgtPlane, minimalDiff = true)
+    val plan = planString(q)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed reconcile still shuffles:\n$plan")
+    assert(q.count() > 0)
+  }
+
   test("brute-force top-k plans as TakeOrderedAndProject (partial per-partition top-k)") {
     graft.plans.VectorFunctions.register(spark)
     val vecs = (0 until 200).map(i => (i.toLong, Seq.fill(8)(i.toFloat / 200)))
