@@ -104,7 +104,9 @@ object Dedup {
   }
 
   /** MinHash dedup: survivors = docs minus the higher-id member of every
-    * near-dup pair (connected via the pair set's right side). */
+    * near-dup pair (connected via the pair set's right side). Pairwise form —
+    * for transitive chains (A≈B≈C with A≉C) prefer [[minhashDedupComponents]],
+    * which keeps exactly one doc per connected component. */
   def minhashDedup(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -112,6 +114,61 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     val doomed = minhashPairs(docs, idCol, textCol, threshold = threshold)
       .select(col("id_b").as(idCol)).distinct()
+    docs.join(doomed, Seq(idCol), "left_anti")
+  }
+
+  /**
+   * Connected components over a near-dup pair set (`id_a`, `id_b`): returns
+   * (id, component) where component = the minimum id reachable through the
+   * pair graph. Min-label propagation: each round every node takes the
+   * minimum of its own and its neighbors' labels — converges in
+   * O(log diameter) rounds for dedup graphs (components are tiny cliques and
+   * short chains; `maxIters` is a safety bound, and the loop exits on the
+   * first round with no label change). Each round is one join + one
+   * aggregation over the EDGE set, never an all-pairs product; the per-round
+   * convergence `count()` is the standard driver-side fixpoint check of
+   * iterative label propagation (same shape at 1000 executors).
+   */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var it = 0
+      var converged = false
+      while (!converged && it < maxIters) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("dst"), col("component")), Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(min(col("component")).as("nbr"))
+        val next = labels.select(col("id"), col("component"))
+          .join(nbrMin, Seq("id"), "left_outer")
+          .select(col("id"),
+            least(col("component"), coalesce(col("nbr"), col("component"))).as("component"),
+            (col("nbr") < col("component")).as("_changed"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        converged = next.where(col("_changed")).limit(1).count() == 0L
+        labels.unpersist()
+        labels = next // persisted; _changed projected away on return
+        it += 1
+      }
+      labels.select(col("id"), col("component"))
+    } finally edges.unpersist()
+  }
+
+  /** MinHash dedup keeping exactly ONE doc (the minimum id) per connected
+    * near-dup component — the transitive-closure upgrade of [[minhashDedup]]. */
+  def minhashDedupComponents(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.7): DataFrame = {
+    val comps = connectedComponents(
+      minhashPairs(docs, idCol, textCol, threshold = threshold))
+    val doomed = comps.where(col("id") =!= col("component")).select(col("id").as(idCol))
     docs.join(doomed, Seq(idCol), "left_anti")
   }
 

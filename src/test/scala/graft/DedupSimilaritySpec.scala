@@ -61,6 +61,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert((0 until 30).forall(i => survivors.contains(i.toLong)))
   }
 
+  test("connectedComponents: chains collapse to min-id labels, isolated pairs stay separate") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L && comps(7L) == 1L)
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+  }
+
+  test("minhashDedupComponents keeps exactly one doc per transitive near-dup chain") {
+    // A ≈ B ≈ C chain on a base disjoint from every other planted family:
+    // B is the base, A and C are small DIFFERENT edits of B (A ≈ C only
+    // transitively, through B)
+    val base4 = "annual migration patterns of arctic terns crossing hemispheres " +
+      "with record flight distances measured by satellite tags every season"
+    val chain = Seq(
+      (400L, base4.replace("annual", "yearly")),
+      (401L, base4),
+      (402L, base4.replace("every season", "each season")))
+    val corpus = docs.unionByName(chain.toDF("doc_id", "text"))
+    val survivors = Dedup.minhashDedupComponents(corpus, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // one survivor per component, carrying the component's min id
+    assert(survivors.contains(100L) && !survivors.contains(101L))
+    assert(survivors.intersect(Set(400L, 401L, 402L)) == Set(400L))
+    assert((0 until 30).forall(i => survivors.contains(i.toLong)))
+  }
+
   test("simhashPairs finds planted pairs within hamming 3 via pigeonhole blocking") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
