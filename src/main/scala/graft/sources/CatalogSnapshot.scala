@@ -76,7 +76,13 @@ object CatalogSnapshot {
     snap.tables.write.mode("overwrite").parquet(s"$dir/tables")
     // Partition plane is the big one at scale: lay it out by databaseName so
     // per-db/table reconciliation prunes files instead of scanning 1M rows.
-    snap.partitions.write.mode("overwrite").partitionBy("databaseName").parquet(s"$dir/partitions")
+    // Cluster rows by databaseName before the partitioned write — without it
+    // every task writes a sliver into every db dir (tasks × dbs small files,
+    // the classic metadata-killer at 1000 executors); with it each dir gets
+    // its task's consolidated files.
+    snap.partitions
+      .repartition(org.apache.spark.sql.functions.col("databaseName"))
+      .write.mode("overwrite").partitionBy("databaseName").parquet(s"$dir/partitions")
   }
 
   /** Bucketed partition-plane layout: when source and target planes are both
