@@ -87,6 +87,32 @@ class StreamingImportSpec extends SparkSpec {
     assert(s2.partitions.count() == s1Parts)
   }
 
+  test("redelivery dedup holds across micro-batches (stateful dropDuplicates)") {
+    val cfg = ReplicationConfig(runId = 500L, sideChannelDir = Some(tmp("side")))
+    val msgs = ReplicationJob.export(spark, snapshot(Seq("d0", "d1")), cfg)
+    // deliver the same materialized bytes twice, as SEPARATE files so
+    // maxFilesPerTrigger=1 puts the copies in different micro-batches —
+    // dedup must rely on streaming state, not intra-batch distinct
+    val stage = tmp("stage")
+    msgs.coalesce(1).write.mode("overwrite").json(stage)
+    val once = spark.read.schema(messageEncoder.schema).json(stage)
+    val msgDir = tmp("msgs")
+    once.coalesce(1).write.mode("overwrite").json(msgDir)
+    once.coalesce(1).write.mode("append").json(msgDir)
+
+    val outDir = tmp("out")
+    val q = MessageStream.dedupMessages(
+      MessageStream.readMessages(spark, msgDir, maxFilesPerTrigger = Some(1)))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", tmp("ckpt"))
+      .format("parquet").option("path", outDir)
+      .start()
+    q.awaitTermination()
+    val out = spark.read.schema(messageEncoder.schema).parquet(outDir)
+    assert(out.count() == msgs.count()) // every copy collapsed to one
+  }
+
   test("streaming dead letters accumulate for re-drive") {
     val src = snapshot(Seq("x0", "x1"))
     val cfg = ReplicationConfig(runId = 400L, sideChannelDir = Some(tmp("side")),
