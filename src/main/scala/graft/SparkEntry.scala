@@ -596,6 +596,16 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
     }),
 
+    // corpus-level document frequency: the vocabulary/IDF building block —
+    // explode distinct per-doc tokens, one shuffle on the token key
+    "d_doc_freq" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(TextFunctions.tokens(col("text")))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token")).limit(20)
+    }),
+
     "d_exact_dedup" -> ((s, dir) => {
       Dedup.exactDedup(t(s, dir, "documents"))
         .select(col("content_hash"), col("doc_id"), col("dup_count"))
@@ -673,6 +683,19 @@ object SparkEntry {
 
     "e_lsh_neardup_pairs" -> ((s, dir) => {
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.5, dim = 64)
+    }),
+
+    // int8 embedding quantization (native quantize_i8/vec_absmax): scalar
+    // digest of the quantized vector so the oracle can recompute it in SQL —
+    // double arithmetic on both sides makes the rounding bit-comparable
+    "e_quantize_int8" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = VectorFunctions.quantize_i8(col("embedding"))
+      e.select(col("vec_id"),
+        element_at(q, 1).cast("int").as("q_first"),
+        element_at(q, 32).cast("int").as("q_mid"),
+        element_at(q, 64).cast("int").as("q_last"),
+        round(VectorFunctions.vec_absmax(col("embedding")), 6).as("absmax"))
     }),
 
     // IVF ANN: full-probe setting (nProbe = nCentroids) is exhaustive exact
@@ -950,6 +973,13 @@ object SparkEntry {
                 ELSE 'zh' END AS lang_pred
          FROM counts""",
 
+    "d_doc_freq" ->
+      """SELECT token, count(*) AS df FROM (
+           SELECT DISTINCT doc_id,
+             unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS token
+           FROM documents)
+         GROUP BY token ORDER BY df DESC, token LIMIT 20""",
+
     "d_exact_dedup" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
          min(doc_id) AS doc_id, count(*) AS dup_count
@@ -1028,6 +1058,17 @@ object SparkEntry {
          FROM embeddings a, embeddings b
          WHERE a.vec_id < b.vec_id
            AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.5""",
+
+    "e_quantize_int8" ->
+      """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         m AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS mx FROM d)
+         SELECT vec_id,
+           CAST(round(v[1] * 127.0 / mx) AS INT) AS q_first,
+           CAST(round(v[32] * 127.0 / mx) AS INT) AS q_mid,
+           CAST(round(v[64] * 127.0 / mx) AS INT) AS q_last,
+           round(mx, 6) AS absmax
+         FROM m""",
 
     "e_lsh_topk" ->
       """SELECT e.vec_id,

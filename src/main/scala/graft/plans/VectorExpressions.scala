@@ -1,11 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType}
 
 /**
  * Native Catalyst expressions for the vector-similarity hot path.
@@ -97,6 +97,99 @@ case class CosineSimilarityFloat(left: Expression, right: Expression) extends Bi
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** Static loops for the quantization expressions (codegen calls these — one
+  * invocation per row, the loop body stays in compiled JVM code). */
+object VectorOps {
+
+  /** max |x| accumulated in double over an array<float>. */
+  def absMax(v: ArrayData): Double = {
+    var m = 0.0
+    var i = 0
+    val n = v.numElements()
+    while (i < n) {
+      val a = math.abs(v.getFloat(i).toDouble)
+      if (a > m) m = a
+      i += 1
+    }
+    m
+  }
+
+  /** Symmetric int8 quantization: q_i = round(x_i * 127 / absmax) — the
+    * 4×-storage embedding compression every large corpus ships with. All-zero
+    * vectors quantize to zeros. Double arithmetic matches what a SQL oracle
+    * computes over CAST(vec AS DOUBLE[]). */
+  def quantizeI8(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val m = absMax(v)
+    val out = new Array[Byte](n)
+    if (m != 0.0) {
+      var i = 0
+      while (i < n) {
+        out(i) = Math.round(v.getFloat(i).toDouble * 127.0 / m).toByte
+        i += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Inverse: x_i ≈ q_i * absmax / 127 (float). */
+  def dequantizeI8(q: ArrayData, absmax: Double): ArrayData = {
+    val n = q.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (q.getByte(i).toDouble * absmax / 127.0).toFloat
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** vec_absmax(vec array<float>) → double. */
+case class VecAbsMaxFloat(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "vec_absmax"
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.absMax(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.VectorOps$$.MODULE$$.absMax($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** quantize_i8(vec array<float>) → array<tinyint>. */
+case class QuantizeInt8(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "quantize_i8"
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.quantizeI8(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.VectorOps$$.MODULE$$.quantizeI8($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** dequantize_i8(q array<tinyint>, absmax double) → array<float>. */
+case class DequantizeInt8(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "dequantize_i8"
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def nullSafeEval(q: Any, m: Any): Any =
+    VectorOps.dequantizeI8(q.asInstanceOf[ArrayData], m.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, m) =>
+      s"${ev.value} = graft.plans.VectorOps$$.MODULE$$.dequantizeI8($q, $m);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 object VectorFunctions {
 
   /** Register the native expressions in the session's function registry —
@@ -110,6 +203,12 @@ object VectorFunctions {
         exprs => DotProductFloat(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction("cosine_f32",
         exprs => CosineSimilarityFloat(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("vec_absmax",
+        exprs => VecAbsMaxFloat(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction("quantize_i8",
+        exprs => QuantizeInt8(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction("dequantize_i8",
+        exprs => DequantizeInt8(exprs(0), exprs(1)), "built-in")
     }
   }
 
@@ -119,4 +218,13 @@ object VectorFunctions {
 
   def cosine_f32(a: Column, b: Column): Column =
     call_function("cosine_f32", a.cast("array<float>"), b.cast("array<float>"))
+
+  def vec_absmax(v: Column): Column =
+    call_function("vec_absmax", v.cast("array<float>"))
+
+  def quantize_i8(v: Column): Column =
+    call_function("quantize_i8", v.cast("array<float>"))
+
+  def dequantize_i8(q: Column, absmax: Column): Column =
+    call_function("dequantize_i8", q.cast("array<tinyint>"), absmax.cast("double"))
 }

@@ -180,6 +180,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cells.size > 1, "all vectors fell into one cell — no pruning possible")
   }
 
+  test("int8 quantize/dequantize roundtrip: bounded error, near-1 cosine, zero-safe") {
+    import graft.plans.VectorFunctions._
+    val withZero = vectors.unionByName(
+      Seq((900L, Seq.fill(32)(0.0f))).toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>")))
+    val rt = withZero
+      .withColumn("mx", vec_absmax(col("embedding")))
+      .withColumn("deq", dequantize_i8(quantize_i8(col("embedding")), col("mx")))
+      .select(col("vec_id"), col("mx"),
+        cosine_f32(col("embedding"), col("deq")).as("cos"),
+        expr("aggregate(zip_with(embedding, deq, (a, b) -> abs(a - b)), CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, CAST(x AS DOUBLE)))").as("max_err"))
+      .as[(Long, Double, Double, Double)].collect()
+    rt.foreach { case (id, mx, cos, maxErr) =>
+      // quantization step is mx/127; rounding error ≤ half a step
+      assert(maxErr <= mx / 127.0 * 0.5 + 1e-6, s"vec $id max_err $maxErr > step/2")
+      if (mx > 0) assert(cos > 0.999, s"vec $id cosine degraded to $cos")
+      else assert(cos == 0.0)
+    }
+  }
+
   test("ivf empty cells keep previous centroids (no NaN poisoning)") {
     // 3 tight clusters, 8 requested centroids → ≥5 cells go empty in Lloyd
     val tight = (0 until 30).map(i => (i.toLong, jitter(vec(3000 + i % 3), 0.01f, i)))
