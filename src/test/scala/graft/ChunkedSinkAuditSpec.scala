@@ -34,10 +34,11 @@ class ChunkedSinkAuditSpec extends SparkSpec {
     assert(chunks.count(_.size == chunkSize) >= 8)
   }
 
-  test("delete-batch chunk size (25) applies independently") {
+  test("delete/audit batch chunk size (25) applies independently") {
+    assert(ChunkedSink.DeletePartitionChunk == 25 && ChunkedSink.AuditBatchChunk == 25)
     ChunkedSinkAuditSpec.sink.clear()
     val ds = spark.range(60).coalesce(1).as[java.lang.Long].map(_.toLong)
-    ChunkedSink.foreachChunk(ds, ChunkedSink.DeletePartitionChunk)(c =>
+    ChunkedSink.foreachChunk(ds, ChunkedSink.AuditBatchChunk)(c =>
       ChunkedSinkAuditSpec.sink.add(c.toVector))
     val sizes = {
       val it = ChunkedSinkAuditSpec.sink.iterator()
