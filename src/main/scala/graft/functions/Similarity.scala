@@ -196,6 +196,41 @@ object Similarity {
       .where(col("sim") >= threshold)
   }
 
+  // --------------------------------------------------------- quantized scan
+
+  /** Driver-side twin of the native quantize_i8 (symmetric int8:
+    * round(x·127/absmax)). */
+  def quantizeScala(v: Seq[Float]): Array[Byte] = {
+    var m = 0.0
+    v.foreach(x => m = math.max(m, math.abs(x.toDouble)))
+    if (m == 0.0) new Array[Byte](v.length)
+    else v.map(x => Math.round(x.toDouble * 127.0 / m).toByte).toArray
+  }
+
+  /**
+   * Top-k over int8-quantized embeddings — the 4×-less-IO scan. Symmetric
+   * per-vector scales cancel in the cosine, so ranking is the cosine of the
+   * CODE vectors (computed by the same fused cosine_f32 after a cast);
+   * rounding costs a little rank fidelity near ties (spec measures overlap
+   * vs the float scan). At 100 TB the `q8` column is precomputed at ingest
+   * (`withColumn("q8", quantize_i8(...))` + write) and the float column is
+   * never read at query time — here it quantizes inline for self-containment.
+   */
+  def quantizedTopK(
+      vectors: DataFrame,
+      queryVec: Seq[Float],
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
+    val qq = array(quantizeScala(queryVec).toSeq.map(b => lit(b)): _*)
+    vectors
+      .withColumn("q8", VectorFunctions.quantize_i8(col(vecCol)))
+      .select(col(idCol), round(cosine_f32(col("q8"), qq), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   // ------------------------------------------------------------------ IVF
 
   /** Driver-side cosine — twin of the codegen'd cosine_f32 for centroid

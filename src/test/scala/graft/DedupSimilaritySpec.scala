@@ -200,6 +200,16 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantizedTopK ranks like the float scan (high overlap, planted hit on top)") {
+    val q = vec(1000)
+    val brute = Similarity.bruteForceTopK(vectors, q, k = 5, excludeIds = Seq(500L))
+      .select("vec_id").as[Long].collect().toSet
+    val quant = Similarity.quantizedTopK(vectors.where(col("vec_id") =!= 500L), q, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(quant.intersect(brute).size >= 4, s"overlap ${quant.intersect(brute)}")
+    assert(quant.contains(501L)) // the planted near-neighbor survives quantization
+  }
+
   test("ivf empty cells keep previous centroids (no NaN poisoning)") {
     // 3 tight clusters, 8 requested centroids → ≥5 cells go empty in Lloyd
     val tight = (0 until 30).map(i => (i.toLong, jitter(vec(3000 + i % 3), 0.01f, i)))
