@@ -234,6 +234,28 @@ object ReplicationJob {
     res.copy(audit =
       Exporter.exportAudit(messages, cfg.runId).unionByName(res.audit).as[AuditRecord])
   }
+
+  /** SNS fan-out (README.md:230-236): every target account subscribes to the
+    * SAME topic, so the reference exports once and each target imports
+    * independently. Here: the message plane materializes once (persisted —
+    * N imports share one export computation, the scan-amortization the SNS
+    * topic gives the reference) and each target folds it in isolation;
+    * results are per-target, failures on one target never touch another.
+    * Caller unpersists via the returned cleanup after consuming results. */
+  def replicateFanOut(
+      spark: SparkSession,
+      src: CatalogSnapshot,
+      targets: Seq[CatalogSnapshot],
+      cfg: ReplicationConfig): (Seq[ReplicationResult], () => Unit) = {
+    val messages = export(spark, src, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exportAudit = Exporter.exportAudit(messages, cfg.runId)
+    val results = targets.map { tgt =>
+      val res = importMessages(spark, messages, tgt, cfg)
+      res.copy(audit = exportAudit.unionByName(res.audit).as[AuditRecord])
+    }
+    (results, () => { messages.unpersist(); () })
+  }
 }
 
 /**

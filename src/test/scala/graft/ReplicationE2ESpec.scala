@@ -130,6 +130,34 @@ class ReplicationE2ESpec extends SparkSpec {
     assert(once.target.tables.count() == twice.target.tables.count())
   }
 
+  test("fan-out: one export plane converges N targets with different initial states") {
+    val src = snapshot("src", nTables = 4, partsPerTable = 3)
+    val cfg = ReplicationConfig(runId = 9L, sideChannelDir = Some(tmpDir()))
+    // target A empty; target B already holds a stale extra partition of t0
+    // and an unrelated table the export never mentions
+    val tgtB = CatalogSnapshot("tgtB",
+      spark.createDataset(Seq(GDatabase("db0"))),
+      spark.createDataset(Seq(
+        GTable(name = "t0", databaseName = "db0"),
+        GTable(name = "keepme", databaseName = "db0"))),
+      spark.createDataset(Seq(GPartition(Seq("stale"), "db0", "t0"))))
+    val (results, cleanup) = ReplicationJob.replicateFanOut(spark, src,
+      Seq(CatalogSnapshot.empty(spark, "tgtA"), tgtB), cfg)
+    try {
+      val Seq(ra, rb) = results
+      assert(tableKeys(ra.target) == tableKeys(src))
+      assert(partKeys(ra.target) == partKeys(src))
+      // B converges on the exported set, the stale partition is wholesale-
+      // replaced, and the unexported table is untouched
+      assert(partKeys(rb.target) == partKeys(src))
+      assert(tableKeys(rb.target) == tableKeys(src) + (("db0", "keepme")))
+      // both results carry the SAME export-side audit rows
+      val exA = ra.audit.where(col("action") === "export").count()
+      val exB = rb.audit.where(col("action") === "export").count()
+      assert(exA == exB && exA > 0)
+    } finally cleanup()
+  }
+
   test("prefix planner scopes the export (P1/P2)") {
     val src = snapshot("src", nTables = 4, partsPerTable = 1)
     val cfg = ReplicationConfig(runId = 8L, prefixes = Seq("db0"),
