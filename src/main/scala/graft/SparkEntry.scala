@@ -515,6 +515,31 @@ object SparkEntry {
       s.table("s7_sink")
     }),
 
+    // S7b: streaming SESSION windows — same 30-minute-gap semantics as the
+    // batch ev_sessionize, executed by the stateful session_window operator;
+    // the drained per-session rows re-aggregate to per-user counts so the
+    // batch oracle applies verbatim.
+    "s7_stream_sessions" -> ((s, dir) => {
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-s7s")
+      java.nio.file.Files.copy(src, streamDir.resolve("events.parquet"))
+      val schema = t(s, dir, "events").schema
+      val q = s.readStream.schema(schema).parquet(streamDir.toString)
+        .withColumn("tts", timestamp_micros(expr("ts div 1000")))
+        .groupBy(col("user_id"), session_window(col("tts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("complete")
+        .format("memory")
+        .queryName("s7_sessions_sink")
+        .start()
+      q.awaitTermination()
+      s.table("s7_sessions_sink")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+    }),
+
     // S8: the message plane consumed as a stream — export → JSON file drop →
     // streaming foreachBatch import with checkpoint → final target plane.
     "s8_stream_import" -> ((s, dir) => {
@@ -927,6 +952,17 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s, event_type,
          count(*) AS n_events, round(sum(value), 4) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    "s7_stream_sessions" ->
+      """SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
+             count(*) AS n_events
+         FROM (SELECT user_id,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 0
+                      WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1
+                      ELSE 0 END AS new_session
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         GROUP BY user_id""",
 
     "s8_stream_import" ->
       """SELECT o_orderkey FROM orders""",

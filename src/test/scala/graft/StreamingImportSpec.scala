@@ -127,5 +127,12 @@ class StreamingImportSpec extends SparkSpec {
     val dead = MessageStream.deadLetters(spark, stateDir)
     assert(dead.count() == 1)
     assert(dead.head().error == "apply failure")
+
+    // re-drive the streamed dead letters through the SAME import path (the
+    // DLQ Lambda analogue) — the target converges to the full source set
+    val r = graft.run.ReDriveJob.redrive(spark, dead, s1,
+      cfg.copy(applyFailureExpr = None))
+    assert(tableNames(r.target) == Set("x0", "x1"))
+    assert(r.deadLetters.isEmpty)
   }
 }
