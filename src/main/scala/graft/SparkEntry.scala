@@ -554,10 +554,12 @@ object SparkEntry {
       val cfg = ReplicationConfig(runId = 500L)
       val msgDir = java.nio.file.Files.createTempDirectory("graft-s8-msgs").toString
       ReplicationJob.export(s, src, cfg).repartition(4).write.mode("overwrite").json(msgDir)
+      // single AvailableNow batch: one versioned-state write for the gate;
+      // multi-micro-batch state progression is covered by StreamingImportSpec
       val tgt = MessageStream.runImport(s, msgDir,
         java.nio.file.Files.createTempDirectory("graft-s8-state").toString,
         java.nio.file.Files.createTempDirectory("graft-s8-ckpt").toString,
-        CatalogSnapshot.empty(s, "tgt"), cfg, maxFilesPerTrigger = Some(2))
+        CatalogSnapshot.empty(s, "tgt"), cfg)
       tgt.tables.select(col("name").cast("bigint").as("o_orderkey"))
     }),
 
