@@ -49,6 +49,33 @@ class ChunkedSinkAuditSpec extends SparkSpec {
     assert(sizes.sorted == Vector(10, 25, 25))
   }
 
+  test("A2 export counters surface through observe() on the export pass itself") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    @volatile var observed: Option[org.apache.spark.sql.Row] = None
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+        qe.observedMetrics.get("export_metrics_55").foreach(r => observed = Some(r))
+      }
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val src = CatalogSnapshot("src",
+        spark.createDataset(Seq(GDatabase("db0"), GDatabase("db1"))),
+        spark.createDataset((0 until 5).map(i => GTable(name = s"t$i", databaseName = "db0"))),
+        spark.createDataset(Seq(GPartition(Seq("p0"), "db0", "t0"))))
+      ReplicationJob.export(spark, src, ReplicationConfig(runId = 55L))
+        .write.format("noop").mode("overwrite").save()
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (observed.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val row = observed.getOrElse(fail("observe() metrics never arrived"))
+      assert(row.getAs[Long]("n_databases") == 2L)
+      assert(row.getAs[Long]("n_tables") == 5L)
+      assert(row.getAs[Long]("n_large_tables") == 0L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("replicate audit spans export and import sides, latest-per-entity window works") {
     val src = CatalogSnapshot("src",
       spark.createDataset(Seq(GDatabase("db0"))),

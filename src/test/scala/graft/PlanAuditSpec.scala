@@ -84,6 +84,21 @@ class PlanAuditSpec extends SparkSpec {
       s"interpreted HOF leaked into the sketch path:\n$plan")
   }
 
+  test("LSH-bucket-partitioned embedding layout prunes probed buckets at the source") {
+    graft.plans.VectorFunctions.register(spark)
+    val vecs = spark.range(200).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        i => (pmod(col("id") * (i + lit(3)), lit(17)) / 17.0 - 0.5)).cast("array<float>").as("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-lsh").toString
+    graft.functions.Similarity.withLshBuckets(vecs, dim = 8, nPlanes = 4)
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val probed = spark.read.parquet(dir).where(col("bucket").isin(0L, 3L, 5L))
+    val plan = planString(probed)
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"probe set not pruned at the source:\n$plan")
+    assert(probed.select("bucket").distinct().count() <= 3)
+  }
+
   test("bucketed partition planes reconcile without shuffling either side") {
     val src = (0 until 400).map(i => GPartition(Seq(s"p$i"), s"db${i % 4}", s"t${i % 20}"))
     val tgt = (100 until 500).map(i => GPartition(Seq(s"p$i"), s"db${i % 4}", s"t${i % 20}"))
