@@ -477,6 +477,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
     }),
 
+    // sliding windows (10m window, 5m slide): every event lands in exactly
+    // two windows — Spark's native window() operator, oracled by the
+    // two-shifted-buckets identity
+    "ev_sliding_10m" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("tts", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("tts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    }),
+
+    // as-of join: each purchase matched to the latest view AT-OR-BEFORE it
+    // per user — the range-join + argmax composition Catalyst plans natively
+    // (ties break to the higher view id, deterministically)
+    "ev_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("us").as("p_us"))
+      val v = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("us").as("v_us"), col("event_id").as("v_id"))
+      // range predicate INSIDE the left join: purchases with no prior view
+      // survive with a null match instead of being filtered away
+      p.join(v, p("user_id") === v("user_id") && col("v_us") <= col("p_us"), "left_outer")
+        .groupBy(col("p_id"))
+        .agg(max(struct(col("v_us"), col("v_id"))).as("m"))
+        .select(col("p_id").as("event_id"), col("m.v_id").as("asof_view_id"))
+    }),
+
     "ev_sessionize" -> ((s, dir) => {
       val e = t(s, dir, "events")
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -938,6 +967,25 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s, event_type,
          count(*) AS n_events, round(sum(value), 4) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    "ev_sliding_10m" ->
+      """WITH e AS (SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS b, event_type, value
+                    FROM events),
+         x AS (SELECT b AS ws, event_type, value FROM e
+               UNION ALL SELECT b - 300, event_type, value FROM e)
+         SELECT ws AS window_start, event_type, count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+         FROM x GROUP BY 1, 2""",
+
+    "ev_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
+         p AS (SELECT event_id AS p_id, user_id, us FROM e WHERE event_type = 'purchase'),
+         v AS (SELECT event_id AS v_id, user_id, us AS v_us FROM e WHERE event_type = 'view')
+         SELECT p.p_id AS event_id,
+           (SELECT v_id FROM v
+            WHERE v.user_id = p.user_id AND v.v_us <= p.us
+            ORDER BY v.v_us DESC, v_id DESC LIMIT 1) AS asof_view_id
+         FROM p""",
 
     "ev_sessionize" ->
       """SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
