@@ -55,13 +55,24 @@ object Dedup {
    * bucket on the band hash, pair up within buckets. Estimated Jaccard =
    * fraction of agreeing signature positions; pairs ≥ `threshold` survive.
    *
+   * Exact-signature collapse (flood safety): identical signatures are
+   * near-dups by construction (est_jaccard = 1 ≥ any threshold), so each
+   * identical-signature group collapses to its min-id representative BEFORE
+   * banding — the group contributes |group|−1 star pairs (rep, member) plus
+   * ONE banding row. A flood of N identical docs therefore costs O(N), never
+   * a quadratic bucket, and the `maxBucketSize` cap only ever drops buckets
+   * of genuinely DISTINCT signatures (a hash pile-up) — never the duplicate
+   * floods dedup exists to catch. The pair set is transitive-closure-
+   * equivalent to the exhaustive one (stars instead of cliques within an
+   * identical-signature group), which is exactly what dedup/components
+   * consume.
+   *
    * Scale shape: signatures materialize once (persisted); banding explodes
-   * (id, band, bucket) — 3 narrow columns; buckets larger than
-   * `maxBucketSize` are dropped BEFORE the self-join (a bucket that big is
-   * either a degenerate corpus or a hash pile-up, and its quadratic pair set
-   * would dominate the job — the survivors still meet in their other bands
-   * with high probability); candidates dedupe on ids only; signatures re-join
-   * for the estimate. No all-pairs product ever materializes.
+   * (id, band, bucket) — 3 narrow columns; candidates dedupe on ids only;
+   * signatures re-join for the estimate. No all-pairs product ever
+   * materializes. The returned pair frame is materialized (it is the output)
+   * and the signature cache is released before returning — caches must not
+   * accumulate across long sessions.
    */
   def minhashPairs(
       docs: DataFrame,
@@ -79,7 +90,15 @@ object Dedup {
       .select(col(idCol).as("id"), minhashSignature(col(textCol), k, shingleN).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val banded = signed.select(col("id"),
+    // One shuffle on the signature: min-id representative per identical-sig
+    // group; non-representatives pair with their rep directly (est = 1.0).
+    val repW = Window.partitionBy(col("sig"))
+    val withRep = signed.withColumn("rep", min(col("id")).over(repW))
+    val intraPairs = withRep.where(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"), lit(1.0).as("est_jaccard"))
+    val reps = withRep.where(col("id") === col("rep")).select(col("id"), col("sig"))
+
+    val banded = reps.select(col("id"),
       posexplode(SketchFunctions.minhash_bands(col("sig"), bands)).as(Seq("band", "bucket")))
 
     val bucketSize = Window.partitionBy(col("band"), col("bucket"))
@@ -95,12 +114,17 @@ object Dedup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    candidates
+    val repPairs = candidates
       .join(signed.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(signed.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard", SketchFunctions.sig_agreement(col("sig_a"), col("sig_b")))
       .where(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+
+    val result = repPairs.unionByName(intraPairs)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try result.count() finally signed.unpersist()
+    result
   }
 
   /** MinHash dedup: survivors = docs minus the higher-id member of every
