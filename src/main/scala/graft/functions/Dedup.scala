@@ -121,9 +121,15 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
 
-    val result = repPairs.unionByName(intraPairs)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try result.count() finally signed.unpersist()
+    // Eager localCheckpoint (not persist+count): the returned frame is
+    // materialized and lineage-free, but holds NO CacheManager entry — its
+    // blocks are freed by the ContextCleaner when the frame is dropped, so
+    // repeated calls in a long session cannot accumulate caches (round-3
+    // ADVICE). Trade-off: localCheckpoint blocks don't survive executor loss;
+    // a job that must survive churn mid-consumption should write the (small)
+    // pair output to storage instead.
+    val result = repPairs.unionByName(intraPairs).localCheckpoint(true)
+    signed.unpersist()
     result
   }
 
@@ -179,7 +185,11 @@ object Dedup {
         labels = next // persisted; _changed projected away on return
         it += 1
       }
-      labels.select(col("id"), col("component"))
+      // Materialize lineage-free and release the loop cache — the final
+      // labels frame must not stay in the CacheManager after return.
+      val out = labels.select(col("id"), col("component")).localCheckpoint(true)
+      labels.unpersist()
+      out
     } finally edges.unpersist()
   }
 

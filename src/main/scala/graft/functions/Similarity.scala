@@ -182,16 +182,19 @@ object Similarity {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    // Eager localCheckpoint materializes the (small) pair output while the
+    // big intermediates are still cached, then everything cached is released
+    // — the returned frame is lineage-free with no CacheManager entry, so
+    // repeated calls in a long session cannot accumulate caches (round-3
+    // ADVICE; same pattern as Dedup.minhashPairs).
     val result = candidates
       .join(ids.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(ids.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), round(cosine(col("v_a"), col("v_b")), 6).as("sim"))
       .where(col("sim") >= threshold)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // Materialize the (small) pair output, then release the big intermediates
-    // — caches must not accumulate across a long session (round-2 ADVICE).
-    // The returned frame stays cached; it IS the output the caller consumes.
-    try result.count() finally { banded.unpersist(); ids.unpersist() }
+      .localCheckpoint(true)
+    banded.unpersist()
+    ids.unpersist()
     result
   }
 
@@ -299,20 +302,28 @@ object Similarity {
       var cents: Array[Array[Float]] =
         if (pool.length <= nCentroids) pool
         else {
+          // O(poolSize · nCentroids · dim): O(1) membership via taken[], and
+          // already-chosen points never recompute cosine (minDist stays 0 for
+          // them — they can never be selected again).
           val chosen = scala.collection.mutable.ArrayBuffer(0)
+          val taken = new Array[Boolean](pool.length)
+          taken(0) = true
           val minDist = Array.tabulate(pool.length)(i => 1.0 - cosineScala(pool(0).toSeq, pool(i)))
           while (chosen.length < nCentroids) {
             var best = -1; var bestD = -1.0
             var i = 0
             while (i < pool.length) {
-              if (!chosen.contains(i) && minDist(i) > bestD) { bestD = minDist(i); best = i }
+              if (!taken(i) && minDist(i) > bestD) { bestD = minDist(i); best = i }
               i += 1
             }
             chosen += best
+            taken(best) = true
             var j = 0
             while (j < pool.length) {
-              val d = 1.0 - cosineScala(pool(best).toSeq, pool(j))
-              if (d < minDist(j)) minDist(j) = d
+              if (!taken(j)) {
+                val d = 1.0 - cosineScala(pool(best).toSeq, pool(j))
+                if (d < minDist(j)) minDist(j) = d
+              }
               j += 1
             }
           }

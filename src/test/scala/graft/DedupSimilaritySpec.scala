@@ -96,12 +96,48 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a < 100 && b < 100 })
   }
 
-  test("bucket cap drops degenerate floods instead of going quadratic") {
+  test("identical-signature floods collapse to O(N) star pairs regardless of cap") {
+    // 200 byte-identical docs share one signature → the exact-signature
+    // collapse emits 199 (rep=min id, member) star pairs and ONE banding row,
+    // so the cap never fires and can never drop a true duplicate flood.
     val flood = (0 until 200).map(i => (i.toLong, "same text every time")).toDF("doc_id", "text")
+    val expected = (1 until 200).map(i => (0L, i.toLong)).toSet
     val capped = Dedup.minhashPairs(flood, maxBucketSize = 50)
-    assert(capped.count() == 0) // every bucket over cap → dropped, no 200² blowup
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == expected)
     val uncapped = Dedup.minhashPairs(flood, maxBucketSize = 100000)
-    assert(uncapped.count() == 200L * 199 / 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped == expected)
+  }
+
+  test("bucket cap drops hot buckets of DISTINCT signatures instead of going quadratic") {
+    // 40 distinct small edits of one base: every signature is distinct, but
+    // the docs agree on most signature positions, so un-edited band buckets
+    // hold all 40 docs. A small cap drops those hot buckets; edited positions
+    // hash to unique per-doc buckets (size 1), which pair nothing.
+    val base = "the quick brown fox jumps over the lazy dog while the cat watches from " +
+      "the warm windowsill nearby today and every sentence keeps flowing with more words"
+    val words = base.split(" ")
+    val nearDups = (0 until 40).map { i =>
+      (i.toLong, words.updated(i % words.length, s"edit$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val sigs = Dedup.minhashPairs(nearDups, threshold = 0.5, maxBucketSize = 100000)
+    val uncappedCount = sigs.count()
+    assert(uncappedCount > 0, "near-dup edits should pair when uncapped")
+    val capped = Dedup.minhashPairs(nearDups, threshold = 0.5, maxBucketSize = 5)
+    assert(capped.count() < uncappedCount,
+      "a cap below the hot-bucket size must drop candidate pairs")
+  }
+
+  test("dedup/similarity entry points leave no lingering CacheManager entries") {
+    val cm = spark.sharedState.cacheManager
+    val wasEmpty = cm.isEmpty
+    Dedup.minhashDedup(docs, threshold = 0.5).count()
+    Dedup.minhashDedupComponents(docs, threshold = 0.5).count()
+    Similarity.cosineNearDupPairs(vectors, threshold = 0.5, dim = 32).count()
+    // Every internal persist must be released before return (round-3 ADVICE:
+    // caches must not accumulate across a long session).
+    if (wasEmpty) assert(cm.isEmpty, "an entry point leaked a cached frame")
   }
 
   // ---- embeddings: LSH recall vs brute force ----
