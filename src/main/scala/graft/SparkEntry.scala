@@ -432,6 +432,24 @@ object SparkEntry {
         .select(col("o_orderkey"), coalesce(col("was_redriven"), lit(false)).as("was_redriven"))
     }),
 
+    // Live GlueCatalog connector e2e: export → planImport → GlueSink batch
+    // calls against an in-memory mock of the Glue API (pagination, 100/25
+    // batch limits, TableInput/PartitionInput projections), then read the
+    // landed partition plane back out of the mock. Oracle = the lineitems of
+    // the bounded order subset, proving the connector loses/duplicates
+    // nothing end-to-end.
+    "live_replicate" -> ((s, dir) => {
+      import graft.catalog._
+      val src = tpchCatalog(s, dir, limitOrders = Some(400))
+      val mock = InMemoryGlueCatalog.fresh("live_replicate_q")
+      GlueReplication.replicateLive(s, src, InMemoryClientFactory("live_replicate_q"),
+        graft.run.ReplicationConfig(runId = 11L, largeTableThreshold = 1000))
+      s.createDataset(mock.allPartitions)(partitionEncoder)
+        .select(element_at(col("values"), 1).cast("bigint").as("l_orderkey"),
+          element_at(col("values"), 2).cast("bigint").as("l_linenumber"),
+          col("databaseName"))
+    }),
+
     // F1-F9 scalar pack: key concat, date format, prefix match, split
     "f_scalar_pack" -> ((s, dir) => {
       t(s, dir, "orders").select(
@@ -922,6 +940,12 @@ object SparkEntry {
     "dlq_redrive" ->
       """SELECT o_orderkey, o_orderkey % 2 = 1 AS was_redriven
          FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 2000)""",
+
+    "live_replicate" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 400)
+         SELECT DISTINCT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+           CAST(o.o_custkey % 25 AS VARCHAR) AS databaseName
+         FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey""",
 
     "j4_semi_gate" ->
       """SELECT o_orderkey, o_custkey FROM orders

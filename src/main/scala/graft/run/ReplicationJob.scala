@@ -36,6 +36,19 @@ final case class ReplicationResult(
     audit: Dataset[AuditRecord],
     deadLetters: Dataset[DeadLetter])
 
+/** The import decision, before any apply: the three per-plane action frames
+  * (entity columns + `action`), the dead letters, and the unified action log.
+  * Both apply paths consume this one plan — [[Applier]] folds it into a
+  * snapshot (fixture mode), graft.catalog.GlueSink plays it against a live
+  * catalog client — so live mode cannot drift from the oracle-checked
+  * semantics. */
+final case class ImportPlan(
+    dbActions: DataFrame,
+    tableActions: DataFrame,
+    partActions: DataFrame,
+    deadLetters: Dataset[DeadLetter],
+    actions: DataFrame)
+
 /**
  * End-to-end replication: planner → export → message plane → import → apply,
  * one Spark job. The reference runs this as 6 Lambdas over SNS/SQS
@@ -148,14 +161,15 @@ object ReplicationJob {
       smallParts.unionByName(largeParts).as[GPartition], exportedTables, dead)
   }
 
-  /** Import phase: diff parsed entities against the target snapshot and fold
-    * the actions in, databases → tables → partitions (topological order
-    * replacing the reference's exception-driven retry, GDCUtil.java:47-57). */
-  def importMessages(
+  /** Plan the import: diff parsed entities against the target snapshot into
+    * per-plane action frames, databases → tables → partitions (topological
+    * order replacing the reference's exception-driven retry,
+    * GDCUtil.java:47-57). Pure planning — no apply happens here. */
+  def planImport(
       spark: SparkSession,
       messages: Dataset[CatalogMessage],
       tgt: CatalogSnapshot,
-      cfg: ReplicationConfig): ReplicationResult = {
+      cfg: ReplicationConfig): ImportPlan = {
 
     // Apply-time failures (injected in fixture mode, real API errors in a live
     // sink) dead-letter the WHOLE message — the reference's DLQ granularity —
@@ -189,10 +203,6 @@ object ReplicationJob {
     val partActions = Importer.reconcilePartitionsForTables(
       exportedTables, srcParts, tgt.partitions, cfg.minimalPartitionDiff)
 
-    val newDbs = Applier.applyDatabases(tgt.databases, dbActions)
-    val newTables = Applier.applyTables(tgt.tables, tableActions)
-    val newParts = Applier.applyPartitions(tgt.partitions, partActions)
-
     val actions =
       dbActions.select(lit("database").as("entityKind"), col("name").as("databaseName"),
           lit(null).cast("string").as("tableName"), lit(null).cast("array<string>").as("partitionValues"), col("action"))
@@ -200,6 +210,22 @@ object ReplicationJob {
           col("name").as("tableName"), lit(null).cast("array<string>").as("partitionValues"), col("action")))
         .unionByName(partActions.select(lit("partition").as("entityKind"), col("databaseName"),
           col("tableName"), col("values").as("partitionValues"), col("action")))
+
+    ImportPlan(dbActions, tableActions, partActions, dead, actions)
+  }
+
+  /** Import phase: plan, then fold the actions into the target snapshot
+    * (fixture-mode apply; live mode plays the same plan through GlueSink). */
+  def importMessages(
+      spark: SparkSession,
+      messages: Dataset[CatalogMessage],
+      tgt: CatalogSnapshot,
+      cfg: ReplicationConfig): ReplicationResult = {
+    val plan = planImport(spark, messages, tgt, cfg)
+    val newDbs = Applier.applyDatabases(tgt.databases, plan.dbActions)
+    val newTables = Applier.applyTables(tgt.tables, plan.tableActions)
+    val newParts = Applier.applyPartitions(tgt.partitions, plan.partActions)
+    val actions = plan.actions
 
     val audit = actions.select(
       when(col("entityKind") === "database", col("databaseName"))
@@ -217,7 +243,7 @@ object ReplicationJob {
 
     ReplicationResult(
       CatalogSnapshot(tgt.catalogId, newDbs, newTables, newParts),
-      messages, actions, audit, dead)
+      messages, actions, audit, plan.deadLetters)
   }
 
   /** Full pipeline: source snapshot → message plane → target snapshot. The

@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog._
+import graft.codec.Codecs._
+import graft.model._
+import graft.run.{ReplicationConfig, ReplicationJob}
+import graft.sources.CatalogSnapshot
+
+/**
+ * Contract spec for the live GlueCatalog connector: the mock-backed live
+ * replicate must land EXACTLY the state the fixture (snapshot-fold) replicate
+ * computes, while observably respecting the Glue API contract — pagination,
+ * batch limits (100 create / 25 delete), skipArchive passthrough, bounded
+ * retry on throttling (reference: GlueUtil.java:84-105,264-350,406-420,
+ * 500-512; ExportDatabaseWithTables.java:76-77; ImportDatabaseOrTable.java:
+ * 47-48).
+ */
+class GlueConnectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def db(name: String): GDatabase = GDatabase(name, description = Some(s"desc-$name"))
+  private def tbl(dbName: String, name: String): GTable =
+    GTable(name, dbName, owner = Some("o"), parameters = Map("k" -> name))
+  private def part(dbName: String, tbl: String, v: Int): GPartition =
+    GPartition(Seq(v.toString), dbName, tbl, parameters = Map("p" -> v.toString))
+
+  /** Seed both a mock catalog and an equivalent fixture snapshot with the
+    * same pre-existing target state. */
+  private def seed(mock: InMemoryGlueCatalog, dbs: Seq[GDatabase], tables: Seq[GTable], parts: Seq[GPartition]): CatalogSnapshot = {
+    dbs.foreach(mock.createDatabase)
+    tables.foreach(mock.createTable)
+    parts.groupBy(p => (p.databaseName, p.tableName)).foreach { case ((d, t), ps) =>
+      ps.grouped(GlueLimits.BatchCreatePartitions).foreach { g =>
+        assert(mock.batchCreatePartitions(d, t, g).isEmpty)
+      }
+    }
+    mock.clearCallLog()
+    // The fixture target must match what the mock stored (DatabaseInput drops createTimeMs).
+    CatalogSnapshot.inMemory(spark, mock.catalogId,
+      dbs.map(_.copy(createTimeMs = None)), tables, parts)
+  }
+
+  private def srcSnapshot(nPartsBigTable: Int): CatalogSnapshot = {
+    val dbs = Seq(db("alpha"), db("beta"))
+    val tables = Seq(tbl("alpha", "t1"), tbl("alpha", "big"), tbl("beta", "t2"))
+    val parts =
+      (1 to 3).map(part("alpha", "t1", _)) ++
+        (1 to nPartsBigTable).map(part("alpha", "big", _)) ++
+        (1 to 5).map(part("beta", "t2", _))
+    CatalogSnapshot.inMemory(spark, "src", dbs, tables, parts)
+  }
+
+  private val cfg = ReplicationConfig(runId = 7L, largeTableThreshold = 1000)
+
+  test("mock-backed live replicate lands exactly the fixture-replicate state") {
+    val src = srcSnapshot(nPartsBigTable = 250)
+    // Pre-existing target state: one table to update, stale partitions to
+    // wholesale-delete (37 > one delete batch), one untouched foreign table.
+    val preDbs = Seq(db("alpha"), db("keep"))
+    val preTables = Seq(tbl("alpha", "t1").copy(owner = Some("stale")), tbl("keep", "foreign"))
+    val preParts = (100 to 136).map(part("alpha", "t1", _)) :+ part("keep", "foreign", 1)
+
+    val mock = InMemoryGlueCatalog.fresh("live-eq")
+    val fixtureTgt = seed(mock, preDbs, preTables, preParts)
+
+    val live = GlueReplication.replicateLive(spark, src, InMemoryClientFactory("live-eq"), cfg)
+    val fixture = ReplicationJob.replicate(spark, src, fixtureTgt, cfg)
+
+    assert(live.statuses.where(!col("ok")).count() === 0)
+    assert(mock.allDatabases.toSet === fixture.target.databases.collect().toSet)
+    assert(mock.allTables.toSet === fixture.target.tables.collect().toSet)
+    assert(mock.allPartitions.toSet === fixture.target.partitions.collect().toSet)
+    // The stale t1 partitions are gone, the foreign table's survive.
+    assert(!mock.allPartitions.exists(p => p.tableName == "t1" && p.values.head.toInt >= 100))
+    assert(mock.allPartitions.exists(_.tableName == "foreign"))
+  }
+
+  test("batch calls respect the service limits: create<=100, delete<=25, exact chunk counts") {
+    val src = srcSnapshot(nPartsBigTable = 250)
+    val mock = InMemoryGlueCatalog.fresh("live-chunk")
+    seed(mock, Seq(db("alpha")), Seq(tbl("alpha", "big")), (500 to 536).map(part("alpha", "big", _)))
+
+    GlueReplication.replicateLive(spark, src, InMemoryClientFactory("live-chunk"), cfg)
+
+    val creates = mock.calls.filter(_.op == "BatchCreatePartition").map(_.batchSize)
+    val deletes = mock.calls.filter(_.op == "BatchDeletePartition").map(_.batchSize)
+    assert(creates.forall(_ <= GlueLimits.BatchCreatePartitions))
+    assert(deletes.forall(_ <= GlueLimits.BatchDeletePartitions))
+    assert(creates.sum === 3 + 250 + 5)
+    // 250 partitions of one table co-locate into one task: 100+100+50.
+    assert(creates.count(_ == 100) === 2)
+    // 37 stale deletes: 25 + 12.
+    assert(deletes.sorted === Seq(12, 25))
+  }
+
+  test("table fetch paginates: pageSize 7 over 25 tables") {
+    val mock = InMemoryGlueCatalog.fresh("live-page", pageSize = 7)
+    mock.createDatabase(db("alpha"))
+    (1 to 25).foreach(i => mock.createTable(tbl("alpha", s"t$i")))
+    mock.clearCallLog()
+
+    val snap = GlueCatalogSource.snapshot(spark, InMemoryClientFactory("live-page"))
+    assert(snap.tables.count() === 25)
+    assert(mock.callCount("GetTables") === 4) // ceil(25/7)
+    assert(snap.tables.collect().map(_.name).toSet === (1 to 25).map(i => s"t$i").toSet)
+  }
+
+  test("skipArchive passes through to UpdateTable") {
+    def run(skip: Boolean, key: String): InMemoryGlueCatalog = {
+      val mock = InMemoryGlueCatalog.fresh(key)
+      seed(mock, Seq(db("alpha")), Seq(tbl("alpha", "t1").copy(owner = Some("old"))), Seq(part("alpha", "t1", 1)))
+      val src = CatalogSnapshot.inMemory(spark, "src",
+        Seq(db("alpha")), Seq(tbl("alpha", "t1")), Seq(part("alpha", "t1", 1)))
+      GlueReplication.replicateLive(spark, src, InMemoryClientFactory(key), cfg,
+        GlueSinkConfig(skipArchive = skip))
+      mock
+    }
+    val archiving = run(skip = false, "live-arch")
+    assert(archiving.archivedVersions.map(_.owner) === Seq(Some("old")))
+    val skipping = run(skip = true, "live-skiparch")
+    assert(skipping.archivedVersions.isEmpty)
+  }
+
+  test("throttling retries up to maxErrorRetry, then surfaces as a status error") {
+    val src = CatalogSnapshot.inMemory(spark, "src", Seq(db("alpha")), Seq.empty, Seq.empty)
+
+    val ok = InMemoryGlueCatalog.fresh("live-retry-ok")
+    ok.throttleNext("CreateDatabase", 3)
+    val res = GlueReplication.replicateLive(spark, src, InMemoryClientFactory("live-retry-ok"), cfg,
+      GlueSinkConfig(maxErrorRetry = 10))
+    assert(res.statuses.where(!col("ok")).count() === 0)
+    assert(ok.callCount("CreateDatabase") === 4) // 3 throttled + 1 success
+    assert(ok.allDatabases.map(_.name) === Seq("alpha"))
+
+    val starved = InMemoryGlueCatalog.fresh("live-retry-starved")
+    starved.throttleNext("CreateDatabase", 3)
+    val res2 = GlueReplication.replicateLive(spark, src, InMemoryClientFactory("live-retry-starved"), cfg,
+      GlueSinkConfig(maxErrorRetry = 1))
+    val bad = res2.statuses.where(!col("ok")).collect()
+    assert(bad.length === 1)
+    assert(bad.head.error.get.contains("GlueThrottlingException"))
+    assert(starved.allDatabases.isEmpty)
+  }
+
+  test("redelivery converges: a second identical live run changes nothing and stays green") {
+    val src = srcSnapshot(nPartsBigTable = 12)
+    val mock = InMemoryGlueCatalog.fresh("live-idem")
+    seed(mock, Seq.empty, Seq.empty, Seq.empty)
+
+    GlueReplication.replicateLive(spark, src, InMemoryClientFactory("live-idem"), cfg)
+    val after1 = (mock.allDatabases.toSet, mock.allTables.toSet, mock.allPartitions.toSet)
+
+    val res2 = GlueReplication.replicateLive(spark, src, InMemoryClientFactory("live-idem"), cfg)
+    assert(res2.statuses.where(!col("ok")).count() === 0)
+    val after2 = (mock.allDatabases.toSet, mock.allTables.toSet, mock.allPartitions.toSet)
+    assert(after1 === after2)
+    // Second run re-fetched live state, so creates became updates/skips.
+    assert(res2.actions.where(col("entityKind") === "table" && col("action") === "create").count() === 0)
+  }
+}
