@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.codec.Codecs._
@@ -46,16 +47,42 @@ object MessageStream {
   }
 
   /** At-least-once redelivery dedup: SQS visibility-timeout redelivery
-    * (template.yaml:124) re-enqueues the SAME message; collapsing copies on
-    * the full message key avoids re-running the apply work (the apply itself
-    * stays idempotent either way — upsert semantics — exactly as the
-    * reference converges under redelivery). Stateful streaming dedup: state
-    * holds one key per distinct message for the drain (bounded by the run's
-    * message count). A long-lived tail-the-queue deployment should instead
-    * stamp an ingest-time column and use `withWatermark` +
-    * `dropDuplicatesWithinWatermark` so dedup state ages out. */
+    * (template.yaml:124) re-enqueues the SAME message; collapsing copies
+    * avoids re-running the apply work (the apply itself stays idempotent
+    * either way — upsert semantics — exactly as the reference converges
+    * under redelivery). The streaming state keys on `sha2(payload)` rather
+    * than the payload itself: a large-table stub payload is KBs, and
+    * dropDuplicates state rows store the key columns — digesting keeps every
+    * state row constant-size (a few dozen bytes) while identical bytes still
+    * collapse and distinct payloads still both pass. State holds one key per
+    * distinct message for the drain (bounded by the run's message count);
+    * for a non-draining tail-the-queue deployment use
+    * [[dedupMessagesWithinWatermark]] so state also ages OUT. */
   def dedupMessages(stream: Dataset[CatalogMessage]): Dataset[CatalogMessage] =
-    stream.dropDuplicates("messageType", "sourceCatalogId", "exportBatchId", "payload")
+    stream
+      .withColumn("_payloadDigest", sha2(col("payload"), 256))
+      .dropDuplicates("messageType", "sourceCatalogId", "exportBatchId", "_payloadDigest")
+      .drop("_payloadDigest").as[CatalogMessage]
+
+  /** Redelivery dedup for LONG-LIVED streams: same digest key, but state ages
+    * out once the watermark passes a message's ingest time + `delay` — total
+    * state is bounded by the redelivery horizon (SQS redelivers within the
+    * visibility timeout, template.yaml:124: 195 s, so any `delay` comfortably
+    * above it collapses every real redelivery), not by stream lifetime.
+    * `ingestTs` defaults to arrival wall-clock; tests inject a deterministic
+    * column. A duplicate arriving after its key aged out re-emits — that is
+    * the documented at-least-once contract, and the downstream apply is
+    * idempotent precisely so late redelivery is safe. */
+  def dedupMessagesWithinWatermark(
+      stream: Dataset[CatalogMessage],
+      delay: String = "10 minutes",
+      ingestTs: org.apache.spark.sql.Column = current_timestamp()): Dataset[CatalogMessage] =
+    stream
+      .withColumn("_ingestTs", ingestTs)
+      .withColumn("_payloadDigest", sha2(col("payload"), 256))
+      .withWatermark("_ingestTs", delay)
+      .dropDuplicatesWithinWatermark("messageType", "sourceCatalogId", "exportBatchId", "_payloadDigest")
+      .drop("_ingestTs", "_payloadDigest").as[CatalogMessage]
 
   private def versionDirs(spark: SparkSession, stateDir: String): Seq[(Long, String)] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(

@@ -113,6 +113,52 @@ class StreamingImportSpec extends SparkSpec {
     assert(out.count() == msgs.count()) // every copy collapsed to one
   }
 
+  test("digest-keyed dedup: distinct payloads in the same envelope both pass") {
+    // dedupMessages keys state on sha2(payload) — identical envelopes with
+    // DIFFERENT payloads must not collapse (the digest distinguishes them),
+    // proving the constant-size key change didn't widen the dedup semantics.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[CatalogMessage](spark)
+    mem.addData(
+      CatalogMessage("table", "src", "b1", """{"table":{"name":"t0"}}"""),
+      CatalogMessage("table", "src", "b1", """{"table":{"name":"t1"}}"""),
+      CatalogMessage("table", "src", "b1", """{"table":{"name":"t0"}}""")) // true duplicate
+    val q = MessageStream.dedupMessages(mem.toDS())
+      .writeStream.format("memory").queryName("digest_dedup")
+      .option("checkpointLocation", tmp("ckpt")).start()
+    try { q.processAllAvailable() } finally q.stop()
+    val out = spark.table("digest_dedup").as[CatalogMessage].collect()
+    assert(out.length == 2)
+    assert(out.map(_.payload).toSet.size == 2)
+  }
+
+  test("watermarked dedup: duplicates collapse inside the horizon, state ages out past it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def msg(name: String): CatalogMessage =
+      CatalogMessage("table", "src", "b1", s"""{"table":{"name":"$name"}}""")
+    def ts(minute: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+    val mem = MemoryStream[(CatalogMessage, java.sql.Timestamp)](spark)
+    val stream = mem.toDS().select(col("_1.*"), col("_2").as("arrivalTs")).as[CatalogMessage]
+    val deduped = MessageStream.dedupMessagesWithinWatermark(
+      stream, delay = "10 minutes", ingestTs = col("arrivalTs"))
+    val q = deduped.writeStream.format("memory").queryName("wm_dedup")
+      .option("checkpointLocation", tmp("ckpt")).start()
+    try {
+      mem.addData(msg("a") -> ts(0), msg("a") -> ts(1)) // in-batch duplicate collapses
+      q.processAllAvailable()
+      mem.addData(msg("a") -> ts(5))                    // in-horizon redelivery collapses
+      q.processAllAvailable()
+      mem.addData(msg("z") -> ts(40))                   // advances watermark to 10:30 → a's state expires
+      q.processAllAvailable()
+      mem.addData(msg("a") -> ts(41))                   // beyond the horizon → re-emitted (at-least-once)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("wm_dedup").as[CatalogMessage].collect()
+    assert(out.count(_.payload.contains("\"a\"")) == 2) // once early, once after age-out
+    assert(out.count(_.payload.contains("\"z\"")) == 1)
+  }
+
   test("streaming dead letters accumulate for re-drive") {
     val src = snapshot(Seq("x0", "x1"))
     val cfg = ReplicationConfig(runId = 400L, sideChannelDir = Some(tmp("side")),
