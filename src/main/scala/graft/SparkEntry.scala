@@ -47,6 +47,7 @@ object SparkEntry {
   private def asTables(df: DataFrame): Dataset[GTable] =
     df.select(col("name").cast("string").as("name"),
       col("databaseName").cast("string").as("databaseName"),
+      lit(null).cast("string").as("description"),
       lit(null).cast("string").as("owner"),
       lit(null).cast("bigint").as("createTimeMs"),
       lit(null).cast("bigint").as("updateTimeMs"),

@@ -64,6 +64,7 @@ object ReferenceWire {
   val tableSchema: StructType = new StructType()
     .add("name", StringType)
     .add("databaseName", StringType)
+    .add("description", StringType)
     .add("owner", StringType)
     .add("createTime", StringType)
     .add("updateTime", StringType)
@@ -148,6 +149,7 @@ object ReferenceWire {
   private[codec] def tableStructIn(p: Column): Column = struct(
     p("name").as("name"),
     p("databaseName").as("databaseName"),
+    p("description").as("description"),
     p("owner").as("owner"),
     msOf(p("createTime")).as("createTimeMs"),
     msOf(p("updateTime")).as("updateTimeMs"),
@@ -165,6 +167,7 @@ object ReferenceWire {
   def tableOut(t: Column): Column = to_json(struct(
     t("name").as("name"),
     t("databaseName").as("databaseName"),
+    t("description").as("description"),
     t("owner").as("owner"),
     strOf(t("createTimeMs")).as("createTime"),
     strOf(t("updateTimeMs")).as("updateTime"),

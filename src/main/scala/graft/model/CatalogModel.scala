@@ -51,6 +51,7 @@ final case class GDatabase(
 final case class GTable(
     name: String,
     databaseName: String,
+    description: Option[String] = None,
     owner: Option[String] = None,
     createTimeMs: Option[Long] = None,
     updateTimeMs: Option[Long] = None,

@@ -9,11 +9,10 @@ import org.apache.spark.sql.functions._
  * removed.
  *
  * P3 Table → TableInput (GlueUtil.createTableInput, GlueUtil.java:175-192):
- * copied = description*, lastAccessTime, owner, name, storageDescriptor,
- * partitionKeys, tableType, viewExpandedText, viewOriginalText, parameters;
- * dropped = createTime, updateTime, createdBy, retention (the target catalog
- * stamps its own). (*description is not modeled — the reference's own Glue
- * Table fixture carries none.)
+ * copied = description (java:177), lastAccessTime, owner, name,
+ * storageDescriptor, partitionKeys, tableType, viewExpandedText,
+ * viewOriginalText, parameters; dropped = createTime, updateTime, createdBy,
+ * retention (the target catalog stamps its own).
  *
  * The parameters-overwrite quirk, preserved exactly: the reference first
  * copies StorageDescriptor.parameters into TableInput.parameters

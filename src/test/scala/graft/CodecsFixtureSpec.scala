@@ -88,6 +88,30 @@ class CodecsFixtureSpec extends SparkSpec {
     assert(internal.head() == reEgressed.head())
   }
 
+  test("table description survives ingest, internal round-trip, egress, and the TableInput projection") {
+    // The reference's TableInput copies description (GlueUtil.java:177); its
+    // own fixture carries none, so pin the wire fidelity with a
+    // description-bearing payload end-to-end.
+    val payload = """{"name":"t1","databaseName":"db1","description":"minute-grain events",
+      "owner":"me","retention":3,"parameters":{"k":"v"}}"""
+    val internal = df(payload).select(ReferenceWire.tableIn(col("payload")).as("t"))
+    assert(internal.select(col("t.description")).head().getString(0) == "minute-grain events")
+
+    // internal JSON wire round-trip keeps it
+    val roundTripped = internal.select(to_json(col("t")).as("payload"))
+      .select(from_json(col("payload"), Codecs.tableSchema).as("t"))
+    assert(roundTripped.head() == internal.head())
+
+    // reference-format egress keeps it
+    val egressed = internal.select(ReferenceWire.tableOut(col("t")).as("payload")).head().getString(0)
+    assert(egressed.contains(""""description":"minute-grain events""""))
+
+    // P3 TableInput projection keeps description, drops the catalog-managed set
+    val projected = graft.operators.Projection.toTableInput(internal.select(col("t.*"))).head()
+    assert(projected.getAs[String]("description") == "minute-grain events")
+    assert(projected.isNullAt(projected.fieldIndex("createdBy")))
+  }
+
   test("reference partitions fixture: every concatenated object parses with identity intact") {
     val objs = splitConcatenatedObjects(fixture("sample_partitions_schema.json"))
     assert(objs.nonEmpty)
