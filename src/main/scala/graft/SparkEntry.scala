@@ -717,6 +717,12 @@ object SparkEntry {
 
     // corpus-level document frequency: the vocabulary/IDF building block —
     // explode distinct per-doc tokens, one shuffle on the token key
+    // TF-IDF relevance scores per (doc, token) — X12's per-document extension
+    "d_tfidf" -> ((s, dir) => {
+      TextFunctions.tfIdf(t(s, dir, "documents"))
+        .orderBy(col("tfidf").desc, col("doc_id"), col("token")).limit(100)
+    }),
+
     "d_doc_freq" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -1127,6 +1133,20 @@ object SparkEntry {
                 WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
                 ELSE 'zh' END AS lang_pred
          FROM counts""",
+
+    "d_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+         w AS (SELECT doc_id, token, cnt,
+                 sum(cnt) OVER (PARTITION BY doc_id) AS doc_len,
+                 count(*) OVER (PARTITION BY token) AS df,
+                 (SELECT count(DISTINCT doc_id) FROM tf) AS n_docs
+               FROM tf)
+         SELECT doc_id, token,
+           round((CAST(cnt AS DOUBLE) / doc_len) * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+         FROM w ORDER BY tfidf DESC, doc_id, token LIMIT 100""",
 
     "d_doc_freq" ->
       """SELECT token, count(*) AS df FROM (

@@ -33,7 +33,15 @@ trait GlueCatalogClient {
 
   def getDatabases(nextToken: Option[String]): GluePage[GDatabase]
   def getTables(databaseName: String, nextToken: Option[String]): GluePage[GTable]
-  def getPartitions(databaseName: String, tableName: String, nextToken: Option[String]): GluePage[GPartition]
+
+  /** GetPartitions, optionally restricted to one [[GlueSegment]] — the
+    * service's parallel-scan feature (public GetPartitions API: `Segment
+    * {SegmentNumber, TotalSegments}`). The reference fetches serially
+    * (GlueUtil.java:361-386); segments are what keep ONE million-partition
+    * table from bounding snapshot time by a single pagination chain — the
+    * source fans (db, table, segment) keys across executors. */
+  def getPartitions(databaseName: String, tableName: String, nextToken: Option[String],
+      segment: Option[GlueSegment] = None): GluePage[GPartition]
 
   def getDatabase(name: String): Option[GDatabase]
   def getTable(databaseName: String, name: String): Option[GTable]
@@ -67,6 +75,13 @@ trait GlueCatalogClient {
 
 /** One page of a paginated read; `nextToken = None` ends the scan. */
 final case class GluePage[T](items: Seq[T], nextToken: Option[String])
+
+/** One slice of a segmented (parallel) partition scan; segments partition the
+  * key space disjointly and cover it completely. */
+final case class GlueSegment(segmentNumber: Int, totalSegments: Int) {
+  require(totalSegments >= 1 && segmentNumber >= 0 && segmentNumber < totalSegments,
+    s"invalid segment $segmentNumber/$totalSegments")
+}
 
 /** Per-partition failure inside a batch call (BatchCreatePartition /
   * BatchDeletePartition PartitionError entries). */
@@ -134,7 +149,8 @@ object GlueCatalogClient {
       def catalogId: String = underlying.catalogId
       def getDatabases(t: Option[String]) = retry(underlying.getDatabases(t))
       def getTables(db: String, t: Option[String]) = retry(underlying.getTables(db, t))
-      def getPartitions(db: String, tbl: String, t: Option[String]) = retry(underlying.getPartitions(db, tbl, t))
+      def getPartitions(db: String, tbl: String, t: Option[String], seg: Option[GlueSegment]) =
+        retry(underlying.getPartitions(db, tbl, t, seg))
       def getDatabase(name: String) = retry(underlying.getDatabase(name))
       def getTable(db: String, name: String) = retry(underlying.getTable(db, name))
       def createDatabase(db: GDatabase): Unit = retry(underlying.createDatabase(db))

@@ -30,7 +30,14 @@ import graft.sources.CatalogSnapshot
  */
 object GlueCatalogSource {
 
-  def snapshot(spark: SparkSession, factory: GlueClientFactory, cfg: GlueSinkConfig = GlueSinkConfig()): CatalogSnapshot = {
+  /** `partitionSegments` > 1 splits every table's partition scan into that
+    * many disjoint service-side segments, each fetched by its own task — the
+    * knob that keeps one million-partition table from bounding snapshot time
+    * by a single pagination chain. 1 (default) fetches each table in one
+    * chain, matching the reference's serial loop per table. */
+  def snapshot(spark: SparkSession, factory: GlueClientFactory, cfg: GlueSinkConfig = GlueSinkConfig(),
+      partitionSegments: Int = 1): CatalogSnapshot = {
+    require(partitionSegments >= 1, s"partitionSegments must be >= 1, got $partitionSegments")
     import spark.implicits._
     def wrap(c: GlueCatalogClient) = GlueCatalogClient.withRetry(c, cfg.maxErrorRetry, cfg.retryDelayMs)
 
@@ -45,11 +52,18 @@ object GlueCatalogSource {
       names.flatMap(db => GlueCatalogClient.paginate(c.getTables(db, _)))
     }.localCheckpoint(true)
 
-    val tableKeys = tables.select(col("databaseName"), col("name")).as[(String, String)]
+    val segments: Seq[Option[GlueSegment]] =
+      if (partitionSegments == 1) Seq(None)
+      else (0 until partitionSegments).map(i => Some(GlueSegment(i, partitionSegments)))
+    val fetchKeys = tables.select(col("databaseName"), col("name")).as[(String, String)]
+      .flatMap { case (db, tbl) => segments.map(seg => (db, tbl, seg.map(_.segmentNumber).getOrElse(-1))) }
       .repartition(spark.sparkContext.defaultParallelism)
-    val parts = tableKeys.mapPartitions { keys =>
+    val parts = fetchKeys.mapPartitions { keys =>
       val c = wrap(factory.client())
-      keys.flatMap { case (db, tbl) => GlueCatalogClient.paginate(c.getPartitions(db, tbl, _)) }
+      keys.flatMap { case (db, tbl, segNo) =>
+        val seg = if (segNo < 0) None else Some(GlueSegment(segNo, partitionSegments))
+        GlueCatalogClient.paginate(c.getPartitions(db, tbl, _, seg))
+      }
     }.localCheckpoint(true)
 
     CatalogSnapshot(catalogId, spark.createDataset(dbs), tables, parts)
@@ -172,18 +186,23 @@ object GlueSink {
     * run-boundary detection), one status row per issued batch. */
   def applyPartitions(partActions: DataFrame, factory: GlueClientFactory, cfg: GlueSinkConfig): Dataset[LiveApplyStatus] = {
     implicit val enc: Encoder[(GPartition, String)] = Encoders.tuple(Codecs.partitionEncoder, Encoders.STRING)
-    val key = Seq("databaseName", "tableName", "values")
     // Creates carry PartitionInput only (P4); deletes only need the key.
-    // Dedupe on partition identity first — the same upsert-idempotency the
-    // fixture fold applies (Applier.applyPartitions dropDuplicates): duplicate
-    // action rows (redelivered messages, duplicate source rows) must not
-    // surface as AlreadyExists batch errors.
-    val deletes = partActions.where(col("action") === Action.Delete).dropDuplicates(key)
+    val deletes = partActions.where(col("action") === Action.Delete)
     val creates = Projection.toPartitionInput(partActions.where(col("action") === Action.Create))
-      .dropDuplicates(key)
+    // ONE exchange serves both needs: the (databaseName, tableName) hash
+    // repartition co-locates each table's rows for batch chunking, and —
+    // because those columns are a subset of the dedup key — it also satisfies
+    // the duplicate-collapse aggregation's clustering, so the identity dedup
+    // (same upsert-idempotency the fixture fold applies via
+    // Applier.applyPartitions dropDuplicates; duplicate action rows must not
+    // surface as AlreadyExists batch errors) adds NO second shuffle of the
+    // million-row partition plane. Asserted by PlanAuditSpec. The dedup key
+    // includes `action`: wholesale reconcile legitimately emits delete+create
+    // for one identity, and both must survive (delete runs first).
     val rows = deletes.unionByName(creates)
-      .withColumn("_ord", when(col("action") === Action.Delete, 0).otherwise(1))
       .repartition(col("databaseName"), col("tableName"))
+      .dropDuplicates("databaseName", "tableName", "values", "action")
+      .withColumn("_ord", when(col("action") === Action.Delete, 0).otherwise(1))
       .sortWithinPartitions(col("databaseName"), col("tableName"), col("_ord"))
       .select(struct(Codecs.partitionSchema.fieldNames.map(col).toSeq: _*).as("p"), col("action"))
       .as[(GPartition, String)]

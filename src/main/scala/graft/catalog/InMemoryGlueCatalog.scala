@@ -92,10 +92,20 @@ final class InMemoryGlueCatalog(val catalogId: String, pageSize: Int = 100)
     page(tables.values.filter(_.databaseName == databaseName).toSeq, nextToken)
   }
 
-  def getPartitions(databaseName: String, tableName: String, nextToken: Option[String]): GluePage[GPartition] =
+  /** Segments slice on a stable hash of the partition values (the service
+    * hashes internally too — any disjoint+complete slicing satisfies the
+    * contract the source relies on). */
+  def getPartitions(databaseName: String, tableName: String, nextToken: Option[String],
+      segment: Option[GlueSegment] = None): GluePage[GPartition] =
     synchronized {
       record("GetPartitions")
-      page(parts.values.filter(p => p.databaseName == databaseName && p.tableName == tableName).toSeq, nextToken)
+      val all = parts.values.filter(p => p.databaseName == databaseName && p.tableName == tableName).toSeq
+      val sliced = segment match {
+        case None => all
+        case Some(GlueSegment(n, total)) =>
+          all.filter(p => math.floorMod(p.values.hashCode, total) == n)
+      }
+      page(sliced, nextToken)
     }
 
   def getDatabase(name: String): Option[GDatabase] = synchronized {

@@ -124,4 +124,28 @@ object TextFunctions {
     * tokens falls back to md5 of the normalized text. */
   def shingleFingerprint(text: Column, n: Int = 3): Column =
     graft.plans.SketchFunctions.min_gram_md5(text, n)
+
+  /** TF-IDF per (document, token): `(cnt/doc_len) · ln(N/df)` — the
+    * vocabulary-weighting building block over [[tokens]] (extends the
+    * d_doc_freq corpus statistic to a per-document relevance score).
+    *
+    * Shuffle shape for 100 TB: the corpus tokenizes ONCE into the (doc,
+    * token, cnt) frame; doc length and document frequency are windows over
+    * that (much smaller) frame, not re-scans of the text; the single global
+    * scalar N arrives via a broadcast cross join — no driver collect, no
+    * whole-frame window. */
+  def tfIdf(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+    val nDocs = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    tf.withColumn("doc_len", sum(col("cnt")).over(Window.partitionBy("doc_id")))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"),
+        round((col("cnt").cast("double") / col("doc_len")) *
+          log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+  }
 }

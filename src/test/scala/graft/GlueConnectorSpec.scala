@@ -107,6 +107,29 @@ class GlueConnectorSpec extends SparkSpec {
     assert(snap.tables.collect().map(_.name).toSet === (1 to 25).map(i => s"t$i").toSet)
   }
 
+  test("segmented partition fetch covers the plane exactly once and fans out the scan") {
+    val mock = InMemoryGlueCatalog.fresh("live-seg", pageSize = 50)
+    mock.createDatabase(db("alpha"))
+    mock.createTable(tbl("alpha", "huge"))
+    (1 to 400).grouped(100).foreach(g =>
+      assert(mock.batchCreatePartitions("alpha", "huge", g.map(part("alpha", "huge", _))).isEmpty))
+    mock.clearCallLog()
+
+    val plain = GlueCatalogSource.snapshot(spark, InMemoryClientFactory("live-seg"))
+    val plainCalls = mock.callCount("GetPartitions")
+    assert(plain.partitions.count() === 400)
+    assert(plainCalls === 8) // 400 rows / 50 per page, one serial chain
+
+    mock.clearCallLog()
+    val segmented = GlueCatalogSource.snapshot(spark, InMemoryClientFactory("live-seg"),
+      partitionSegments = 4)
+    // disjoint + complete: same 400 partitions, no dup, no loss
+    assert(segmented.partitions.collect().toSet === plain.partitions.collect().toSet)
+    // each of the 4 segments pages independently — at least one call per
+    // segment, and the longest chain shrinks from 8 pages to ~2
+    assert(mock.callCount("GetPartitions") >= 4)
+  }
+
   test("skipArchive passes through to UpdateTable") {
     def run(skip: Boolean, key: String): InMemoryGlueCatalog = {
       val mock = InMemoryGlueCatalog.fresh(key)

@@ -113,6 +113,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(q.count() > 0)
   }
 
+  test("GlueSink partition apply: ONE exchange co-locates tables AND satisfies the dedup") {
+    import graft.catalog._
+    val mock = InMemoryGlueCatalog.fresh("plan-sink")
+    mock.createDatabase(GDatabase("db0")); mock.createDatabase(GDatabase("db1"))
+    (0 until 6).foreach(i => mock.createTable(GTable(s"t$i", s"db${i % 2}")))
+    // 300 creates incl. exact duplicates (redelivery shape) across 6 tables
+    val acts = (0 until 300) ++ (0 until 50)
+    val actions = spark.createDataset(
+      acts.map(i => GPartition(Seq(i.toString), s"db${i % 2}", s"t${i % 6}")))
+      .withColumn("action", lit(Action.Create))
+    val statuses = GlueSink.applyPartitions(actions, InMemoryClientFactory("plan-sink"), GlueSinkConfig())
+    val df = statuses.toDF()
+    val rows = df.collect() // exactly one execution — the sink is side-effecting
+    // AQE's toString renders the plan twice (Final + Initial) — count
+    // exchanges in the final section only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the co-locating repartition is the ONLY shuffle: the identity dedup's
+    // clustering is satisfied by the (databaseName, tableName) partitioning,
+    // so duplicate-collapse costs no second exchange of the partition plane
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one exchange in the sink plan:\n$plan")
+    assert(rows.forall(_.getAs[Boolean]("ok")))
+    assert(mock.allPartitions.size == 300) // duplicates collapsed before batching
+  }
+
   test("brute-force top-k plans as TakeOrderedAndProject (partial per-partition top-k)") {
     graft.plans.VectorFunctions.register(spark)
     val vecs = (0 until 200).map(i => (i.toLong, Seq.fill(8)(i.toFloat / 200)))
