@@ -243,7 +243,11 @@ final case class LiveReplicationResult(
     statuses: Dataset[LiveApplyStatus],
     deadLetters: Dataset[DeadLetter],
     messages: Dataset[CatalogMessage],
-    actions: DataFrame)
+    actions: DataFrame,
+    /** Export + import audit rows, same plane the fixture path produces
+      * (DDBUtil.java:54-65,150-157) — "latest state per entity" windows work
+      * identically over a live run. */
+    audit: Dataset[AuditRecord])
 
 /**
  * Live replication: export from a source snapshot, plan the import against
@@ -271,6 +275,10 @@ object GlueReplication {
     val sDb = GlueSink.applyDatabases(plan.dbActions, factory, sinkCfg).localCheckpoint(true)
     val sTbl = GlueSink.applyTables(plan.tableActions, factory, sinkCfg).localCheckpoint(true)
     val sPart = GlueSink.applyPartitions(plan.partActions, factory, sinkCfg).localCheckpoint(true)
-    LiveReplicationResult(sDb.unionByName(sTbl).unionByName(sPart), plan.deadLetters, messages, plan.actions)
+    val audit = graft.operators.Exporter.exportAudit(messages, cfg.runId)
+      .unionByName(ReplicationJob.importAudit(plan.actions, cfg, tgt.catalogId))
+      .as[AuditRecord](Codecs.auditEncoder)
+    LiveReplicationResult(sDb.unionByName(sTbl).unionByName(sPart), plan.deadLetters, messages,
+      plan.actions, audit)
   }
 }

@@ -214,6 +214,24 @@ object ReplicationJob {
     ImportPlan(dbActions, tableActions, partActions, dead, actions)
   }
 
+  /** Import-side audit rows from an action log — DDBUtil.java:54-65's item
+    * shape (entity id = `name|db` for tables, `db` for databases). Shared by
+    * the fixture fold and the live sink. */
+  def importAudit(actions: DataFrame, cfg: ReplicationConfig, catalogId: String): Dataset[AuditRecord] =
+    actions.select(
+      when(col("entityKind") === "database", col("databaseName"))
+        .otherwise(concat_ws("|", col("tableName"), col("databaseName"))).as("entityId"),
+      col("entityKind"),
+      lit(cfg.runId).as("runId"),
+      lit(cfg.batchId).as("exportBatchId"),
+      lit(catalogId).as("catalogId"),
+      col("action"),
+      lit(false).as("isLargeTable"),
+      lit(null).cast("string").as("schemaJson"),
+      lit(null).cast("string").as("s3BucketName"),
+      lit(null).cast("string").as("s3ObjectKey"),
+      lit(null).cast("string").as("error")).as[AuditRecord]
+
   /** Import phase: plan, then fold the actions into the target snapshot
     * (fixture-mode apply; live mode plays the same plan through GlueSink). */
   def importMessages(
@@ -226,20 +244,7 @@ object ReplicationJob {
     val newTables = Applier.applyTables(tgt.tables, plan.tableActions)
     val newParts = Applier.applyPartitions(tgt.partitions, plan.partActions)
     val actions = plan.actions
-
-    val audit = actions.select(
-      when(col("entityKind") === "database", col("databaseName"))
-        .otherwise(concat_ws("|", col("tableName"), col("databaseName"))).as("entityId"),
-      col("entityKind"),
-      lit(cfg.runId).as("runId"),
-      lit(cfg.batchId).as("exportBatchId"),
-      lit(tgt.catalogId).as("catalogId"),
-      col("action"),
-      lit(false).as("isLargeTable"),
-      lit(null).cast("string").as("schemaJson"),
-      lit(null).cast("string").as("s3BucketName"),
-      lit(null).cast("string").as("s3ObjectKey"),
-      lit(null).cast("string").as("error")).as[AuditRecord]
+    val audit = importAudit(actions, cfg, tgt.catalogId)
 
     ReplicationResult(
       CatalogSnapshot(tgt.catalogId, newDbs, newTables, newParts),

@@ -134,9 +134,14 @@ object MessageStream {
       checkpointDir: String,
       initial: CatalogSnapshot,
       cfg: ReplicationConfig,
-      maxFilesPerTrigger: Option[Int] = None): CatalogSnapshot = {
+      maxFilesPerTrigger: Option[Int] = None,
+      /** Collapse redelivered copies before the per-batch import (digest-keyed
+        * stateful dedup). Off by default: the apply is idempotent either way,
+        * dedup just avoids re-running apply work for duplicate deliveries. */
+      dedupRedelivered: Boolean = false): CatalogSnapshot = {
 
-    val q = readMessages(spark, messagesDir, maxFilesPerTrigger)
+    val source = readMessages(spark, messagesDir, maxFilesPerTrigger)
+    val q = (if (dedupRedelivered) dedupMessages(source) else source)
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)

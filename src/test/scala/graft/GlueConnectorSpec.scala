@@ -69,6 +69,8 @@ class GlueConnectorSpec extends SparkSpec {
     val fixture = ReplicationJob.replicate(spark, src, fixtureTgt, cfg)
 
     assert(live.statuses.where(!col("ok")).count() === 0)
+    // the live run carries the SAME audit plane the fixture run writes
+    assert(live.audit.collect().toSet === fixture.audit.collect().toSet)
     assert(mock.allDatabases.toSet === fixture.target.databases.collect().toSet)
     assert(mock.allTables.toSet === fixture.target.tables.collect().toSet)
     assert(mock.allPartitions.toSet === fixture.target.partitions.collect().toSet)

@@ -159,6 +159,23 @@ class StreamingImportSpec extends SparkSpec {
     assert(out.count(_.payload.contains("\"z\"")) == 1)
   }
 
+  test("runImport with redelivery dedup converges identically on duplicated drops") {
+    val src = snapshot(Seq("e0", "e1"))
+    val cfg = ReplicationConfig(runId = 600L, sideChannelDir = Some(tmp("side")))
+    val msgDir = tmp("msgs")
+    val once = ReplicationJob.export(spark, src, cfg)
+    once.coalesce(1).write.mode("overwrite").json(msgDir)
+    // redeliver the same bytes as a second file → a later micro-batch
+    spark.read.schema(messageEncoder.schema).json(msgDir)
+      .coalesce(1).write.mode("append").json(msgDir)
+
+    val s = MessageStream.runImport(spark, msgDir, tmp("state"), tmp("ckpt"),
+      CatalogSnapshot.empty(spark, "tgt"), cfg, maxFilesPerTrigger = Some(1),
+      dedupRedelivered = true)
+    assert(tableNames(s) == Set("e0", "e1"))
+    assert(s.partitions.count() == src.partitions.count())
+  }
+
   test("streaming dead letters accumulate for re-drive") {
     val src = snapshot(Seq("x0", "x1"))
     val cfg = ReplicationConfig(runId = 400L, sideChannelDir = Some(tmp("side")),
