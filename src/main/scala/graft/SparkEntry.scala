@@ -717,6 +717,19 @@ object SparkEntry {
 
     // corpus-level document frequency: the vocabulary/IDF building block —
     // explode distinct per-doc tokens, one shuffle on the token key
+    // Deterministic md5-threshold corpus sampling (reproducible train/eval
+    // carving — no rand(), pushes down as a plain filter)
+    "d_hash_sample" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .where(TextFunctions.hashSample(col("doc_id"), 10))
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // Token-budget sequence packing per source shard (training batch packing)
+    "d_pack_sequences" -> ((s, dir) =>
+      TextFunctions.packSequences(t(s, dir, "documents"),
+        budgetTokens = 2048L, shardCol = "source")),
+
     // TF-IDF relevance scores per (doc, token) — X12's per-document extension
     "d_tfidf" -> ((s, dir) => {
       TextFunctions.tfIdf(t(s, dir, "documents"))
@@ -1133,6 +1146,20 @@ object SparkEntry {
                 WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
                 ELSE 'zh' END AS lang_pred
          FROM counts""",
+
+    "d_hash_sample" ->
+      """SELECT doc_id, source FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '19'""",
+
+    "d_pack_sequences" ->
+      """WITH d AS (SELECT source AS shard, doc_id,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         w AS (SELECT shard, doc_id, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+           FROM d)
+         SELECT shard, doc_id, n_tokens,
+           CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id FROM w""",
 
     "d_tfidf" ->
       """WITH toks AS (

@@ -125,6 +125,38 @@ object TextFunctions {
   def shingleFingerprint(text: Column, n: Int = 3): Column =
     graft.plans.SketchFunctions.min_gram_md5(text, n)
 
+  /** Deterministic corpus sampling: keep a document iff the md5 of its id
+    * falls below the hex threshold for `percent` — reproducible across
+    * engines and runs (unlike rand()-based sampling), stable under corpus
+    * growth (a doc's fate never depends on other docs), and pushes down as a
+    * plain filter (no shuffle, no global state). The standard shape for
+    * carving deterministic train/eval subsets out of a 100 TB corpus. */
+  def hashSample(id: Column, percent: Int): Column = {
+    require(percent >= 0 && percent <= 100, s"percent must be 0..100, got $percent")
+    // first two hex chars give 256 buckets; percent p keeps floor(256·p/100)
+    val cut = f"${(256 * percent) / 100}%02x"
+    substring(md5(id.cast("string")), 1, 2) < lit(cut)
+  }
+
+  /** Token-budget sequence packing: assign documents to consecutive packs of
+    * ~`budgetTokens` within each shard — the training-batch packing op.
+    * Pack id = floor(exclusive-prefix-sum(tokens) / budget), so a document
+    * lands in the pack where its first token falls. Windows partition by the
+    * shard key (packing is per-worker in a real loader), so no global
+    * single-partition window — scales with shard count. */
+  def packSequences(docs: org.apache.spark.sql.DataFrame, budgetTokens: Long,
+      shardCol: String, idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(shardCol).as("shard"), col(idCol).as("doc_id"),
+        tokenCount(col(textCol)).cast("bigint").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", floor((col("cum_tokens") - col("n_tokens")) / budgetTokens))
+      .select(col("shard"), col("doc_id"), col("n_tokens"), col("pack_id"))
+  }
+
   /** TF-IDF per (document, token): `(cnt/doc_len) · ln(N/df)` — the
     * vocabulary-weighting building block over [[tokens]] (extends the
     * d_doc_freq corpus statistic to a per-document relevance score).
