@@ -183,7 +183,14 @@ object GlueSink {
     * per table. Rows are hash-co-located on (databaseName, tableName) and
     * sorted so each task sees its tables' rows as consecutive runs —
     * chunking is then a pure iterator walk (ChunkedSink's grouped(n), plus
-    * run-boundary detection), one status row per issued batch. */
+    * run-boundary detection), one status row per issued batch.
+    *
+    * At-least-once under Spark task retry: a task that dies mid-walk re-runs
+    * its whole slice, and already-created partitions surface as
+    * AlreadyExists entries on the retried batches' status rows — the same
+    * per-partition error the reference logs on redelivered batches
+    * (GlueUtil.java:421-428); catalog state still converges because create
+    * is create-if-absent at partition granularity. */
   def applyPartitions(partActions: DataFrame, factory: GlueClientFactory, cfg: GlueSinkConfig): Dataset[LiveApplyStatus] = {
     implicit val enc: Encoder[(GPartition, String)] = Encoders.tuple(Codecs.partitionEncoder, Encoders.STRING)
     // Creates carry PartitionInput only (P4); deletes only need the key.

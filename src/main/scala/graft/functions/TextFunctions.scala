@@ -133,9 +133,12 @@ object TextFunctions {
     * carving deterministic train/eval subsets out of a 100 TB corpus. */
   def hashSample(id: Column, percent: Int): Column = {
     require(percent >= 0 && percent <= 100, s"percent must be 0..100, got $percent")
-    // first two hex chars give 256 buckets; percent p keeps floor(256·p/100)
-    val cut = f"${(256 * percent) / 100}%02x"
-    substring(md5(id.cast("string")), 1, 2) < lit(cut)
+    // First two hex chars give 256 buckets; percent p keeps floor(256·p/100).
+    // p=100 must short-circuit: its cutoff (0x100) renders as the 3-char
+    // "100", which sorts BELOW most 2-char hex strings lexicographically and
+    // would silently sample ~6%.
+    if (percent == 100) lit(true)
+    else substring(md5(id.cast("string")), 1, 2) < lit(f"${(256 * percent) / 100}%02x")
   }
 
   /** Token-budget sequence packing: assign documents to consecutive packs of
