@@ -87,10 +87,13 @@ final case class GlueSegment(segmentNumber: Int, totalSegments: Int) {
   * BatchDeletePartition PartitionError entries). */
 final case class GluePartitionError(values: Seq[String], errorCode: String, message: String)
 
-/** Service API limits (fixed by the Glue API, not tunables). */
+/** Service API limits (fixed by the Glue API, not tunables) — single source
+  * of truth is the sink-side ChunkedSink constants the fixture path already
+  * uses; aliased here so the client contract and the mock's validation can
+  * never disagree with the chunking code. */
 object GlueLimits {
-  val BatchCreatePartitions = 100 // GlueUtil.java:414-416
-  val BatchDeletePartitions = 25  // GlueUtil.java:510-512
+  val BatchCreatePartitions: Int = graft.operators.ChunkedSink.CreatePartitionChunk // GlueUtil.java:414-416
+  val BatchDeletePartitions: Int = graft.operators.ChunkedSink.DeletePartitionChunk // GlueUtil.java:510-512
 }
 
 class GlueEntityNotFoundException(msg: String) extends RuntimeException(msg)

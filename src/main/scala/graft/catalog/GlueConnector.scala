@@ -131,7 +131,8 @@ object GlueSink {
     * on the status row (reference: catch-all → DBReplicationStatus.error,
     * GlueUtil.java:155-165). */
   def applyDatabases(dbActions: DataFrame, factory: GlueClientFactory, cfg: GlueSinkConfig): Dataset[LiveApplyStatus] = {
-    val creates = dbActions.where(col("action") === Action.Create).drop("action").as[GDatabase]
+    val creates = Projection.toDatabaseInput(
+      dbActions.where(col("action") === Action.Create).drop("action")).as[GDatabase]
     val skips = dbActions.where(col("action") === Action.Skip)
       .select(lit("database").as("entityKind"), col("name").as("databaseName"),
         lit(null).cast("string").as("tableName"), lit(Action.Skip).as("action"),
@@ -271,9 +272,16 @@ object GlueReplication {
       src: CatalogSnapshot,
       factory: GlueClientFactory,
       cfg: ReplicationConfig,
-      sinkCfg: GlueSinkConfig = GlueSinkConfig()): LiveReplicationResult = {
-    val messages = ReplicationJob.export(spark, src, cfg)
-    val tgt = GlueCatalogSource.snapshot(spark, factory, sinkCfg)
+      sinkCfg: GlueSinkConfig = GlueSinkConfig(),
+      /** Parallel segments per target table's partition fetch (see
+        * GlueCatalogSource.snapshot) — raise for targets with huge tables. */
+      partitionSegments: Int = 1): LiveReplicationResult = {
+    // Pin the message plane once, lineage-free: every downstream consumer
+    // (the three apply jobs, audit, dead letters) reads the SAME materialized
+    // export instead of replaying the source scans, and a fail-injection
+    // expression evaluates exactly once per message.
+    val messages = ReplicationJob.export(spark, src, cfg).localCheckpoint(true)
+    val tgt = GlueCatalogSource.snapshot(spark, factory, sinkCfg, partitionSegments)
     val plan = ReplicationJob.planImport(spark, messages, tgt, cfg)
     // Materialize each plane's statuses before starting the next: databases
     // must exist before CreateTable, tables before BatchCreatePartition.

@@ -25,9 +25,13 @@ import graft.sources.CatalogSnapshot
  */
 object Applier {
 
-  /** J1 apply: union created databases into the target plane. */
+  /** J1 apply: union created databases into the target plane. Creates pass
+    * through the DatabaseInput projection first (createTime is catalog-
+    * managed, never replicated — GlueUtil.java:146-152), keeping this fold
+    * field-for-field equal to what a live CreateDatabase call lands. */
   def applyDatabases(tgt: Dataset[GDatabase], actions: DataFrame): Dataset[GDatabase] = {
-    val creates = actions.where(col("action") === Action.Create).drop("action")
+    val creates = Projection.toDatabaseInput(
+      actions.where(col("action") === Action.Create).drop("action"))
     tgt.unionByName(creates.as[GDatabase]).dropDuplicates("name").as[GDatabase]
   }
 

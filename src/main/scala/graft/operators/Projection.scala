@@ -28,6 +28,13 @@ import org.apache.spark.sql.functions._
  */
 object Projection {
 
+  /** Database → DatabaseInput (GlueUtil.createGlueDatabase, java:146-152):
+    * copied = name, description, locationUri, parameters; createTime is NOT
+    * copied — the target catalog stamps its own. Input/output: GDatabase-
+    * shaped frame. */
+  def toDatabaseInput(dbs: DataFrame): DataFrame =
+    dbs.withColumn("createTimeMs", lit(null).cast("bigint"))
+
   /** P3: null the non-writable table fields, keep identity + writable set.
     * Input/output: GTable-shaped DataFrame (same schema — composes with
     * Applier and the message plane). */

@@ -43,7 +43,10 @@ class GlueConnectorSpec extends SparkSpec {
   }
 
   private def srcSnapshot(nPartsBigTable: Int): CatalogSnapshot = {
-    val dbs = Seq(db("alpha"), db("beta"))
+    // beta carries a source-side createTime: DatabaseInput must drop it in
+    // BOTH apply paths (the catalog stamps its own — GlueUtil.java:146-152),
+    // so the equivalence assertion below also pins that projection.
+    val dbs = Seq(db("alpha"), db("beta").copy(createTimeMs = Some(1700000000000L)))
     val tables = Seq(tbl("alpha", "t1"), tbl("alpha", "big"), tbl("beta", "t2"))
     val parts =
       (1 to 3).map(part("alpha", "t1", _)) ++
@@ -72,6 +75,7 @@ class GlueConnectorSpec extends SparkSpec {
     // the live run carries the SAME audit plane the fixture run writes
     assert(live.audit.collect().toSet === fixture.audit.collect().toSet)
     assert(mock.allDatabases.toSet === fixture.target.databases.collect().toSet)
+    assert(mock.allDatabases.find(_.name == "beta").get.createTimeMs.isEmpty)
     assert(mock.allTables.toSet === fixture.target.tables.collect().toSet)
     assert(mock.allPartitions.toSet === fixture.target.partitions.collect().toSet)
     // The stale t1 partitions are gone, the foreign table's survive.
