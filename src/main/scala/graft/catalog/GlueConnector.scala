@@ -276,12 +276,11 @@ object GlueReplication {
       /** Parallel segments per target table's partition fetch (see
         * GlueCatalogSource.snapshot) — raise for targets with huge tables. */
       partitionSegments: Int = 1): LiveReplicationResult = {
-    // Pin the message plane once, lineage-free: every downstream consumer
-    // (the three apply jobs, audit, dead letters) reads the SAME materialized
-    // export instead of replaying the source scans, and a fail-injection
-    // expression evaluates exactly once per message.
-    val messages = ReplicationJob.export(spark, src, cfg).localCheckpoint(true)
+    val messages = ReplicationJob.export(spark, src, cfg)
     val tgt = GlueCatalogSource.snapshot(spark, factory, sinkCfg, partitionSegments)
+    // planImport pins the message plane (lineage-free localCheckpoint): the
+    // three apply jobs, audit, and dead letters all read the SAME
+    // materialized export instead of replaying the source scans.
     val plan = ReplicationJob.planImport(spark, messages, tgt, cfg)
     // Materialize each plane's statuses before starting the next: databases
     // must exist before CreateTable, tables before BatchCreatePartition.
@@ -290,10 +289,10 @@ object GlueReplication {
     val sDb = GlueSink.applyDatabases(plan.dbActions, factory, sinkCfg).localCheckpoint(true)
     val sTbl = GlueSink.applyTables(plan.tableActions, factory, sinkCfg).localCheckpoint(true)
     val sPart = GlueSink.applyPartitions(plan.partActions, factory, sinkCfg).localCheckpoint(true)
-    val audit = graft.operators.Exporter.exportAudit(messages, cfg.runId)
+    val audit = graft.operators.Exporter.exportAudit(plan.messages, cfg.runId)
       .unionByName(ReplicationJob.importAudit(plan.actions, cfg, tgt.catalogId))
       .as[AuditRecord](Codecs.auditEncoder)
-    LiveReplicationResult(sDb.unionByName(sTbl).unionByName(sPart), plan.deadLetters, messages,
+    LiveReplicationResult(sDb.unionByName(sTbl).unionByName(sPart), plan.deadLetters, plan.messages,
       plan.actions, audit)
   }
 }

@@ -47,7 +47,12 @@ final case class ImportPlan(
     tableActions: DataFrame,
     partActions: DataFrame,
     deadLetters: Dataset[DeadLetter],
-    actions: DataFrame)
+    actions: DataFrame,
+    /** The message plane all frames above derive from, pinned eagerly and
+      * lineage-free (localCheckpoint) — consumers re-read materialized
+      * blocks, never replay the export, and nothing registers in the
+      * CacheManager (no cache to leak across a long session). */
+    messages: Dataset[CatalogMessage])
 
 /**
  * End-to-end replication: planner → export → message plane → import → apply,
@@ -98,12 +103,15 @@ object ReplicationJob {
 
   /** Parse the message plane back into entity planes (import-side S7/S8 + P6
     * dispatch + F2 parse). Malformed payloads → dead letters
-    * (ImportDatabaseOrTable.java:117-132). */
+    * (ImportDatabaseOrTable.java:117-132). The five returned frames all scan
+    * `messages` — callers pass a PINNED frame (planImport localCheckpoints
+    * before calling) so those scans hit materialized blocks, not a replayed
+    * export. */
   def parseMessages(
       spark: SparkSession,
       messages: Dataset[CatalogMessage]): (Dataset[GDatabase], Dataset[GTable], Dataset[GPartition], DataFrame, Dataset[DeadLetter]) = {
 
-    val cached = messages.cache()
+    val cached = messages
 
     val dbRaw = cached.where(col("messageType") === MessageType.Database)
       .withColumn("parsed", from_json(col("payload"), Codecs.databaseSchema))
@@ -171,13 +179,20 @@ object ReplicationJob {
       tgt: CatalogSnapshot,
       cfg: ReplicationConfig): ImportPlan = {
 
+    // Pin the message plane once: every downstream frame (entity parses,
+    // dead letters, failure marking) reads the materialized blocks; the
+    // export lineage never replays and no CacheManager entry is left behind.
+    val pinned = messages.localCheckpoint(true)
+
     // Apply-time failures (injected in fixture mode, real API errors in a live
     // sink) dead-letter the WHOLE message — the reference's DLQ granularity —
     // and the message is excluded from this import; re-drive converges later.
     val (live, applyDead) = cfg.applyFailureExpr match {
-      case None => (messages, spark.emptyDataset[DeadLetter])
+      case None => (pinned, spark.emptyDataset[DeadLetter])
       case Some(e) =>
-        val marked = messages.withColumn("_fail", coalesce(expr(e), lit(false))).cache()
+        // The failure expression may be nondeterministic (chaos injection) —
+        // pin the marked frame so BOTH branches read the same verdicts.
+        val marked = pinned.withColumn("_fail", coalesce(expr(e), lit(false))).localCheckpoint(true)
         val failed = marked.where(col("_fail"))
           .select(col("messageType"), col("payload"), col("exportBatchId"),
             col("sourceCatalogId"), lit("apply failure").as("error"),
@@ -211,7 +226,7 @@ object ReplicationJob {
         .unionByName(partActions.select(lit("partition").as("entityKind"), col("databaseName"),
           col("tableName"), col("values").as("partitionValues"), col("action")))
 
-    ImportPlan(dbActions, tableActions, partActions, dead, actions)
+    ImportPlan(dbActions, tableActions, partActions, dead, actions, pinned)
   }
 
   /** Import-side audit rows from an action log — DDBUtil.java:54-65's item
@@ -248,7 +263,7 @@ object ReplicationJob {
 
     ReplicationResult(
       CatalogSnapshot(tgt.catalogId, newDbs, newTables, newParts),
-      messages, actions, audit, plan.deadLetters)
+      plan.messages, actions, audit, plan.deadLetters)
   }
 
   /** Full pipeline: source snapshot → message plane → target snapshot. The
@@ -262,8 +277,10 @@ object ReplicationJob {
       cfg: ReplicationConfig): ReplicationResult = {
     val messages = export(spark, src, cfg)
     val res = importMessages(spark, messages, tgt, cfg)
+    // res.messages is the plan's pinned plane — audit reads blocks, not a
+    // second export run.
     res.copy(audit =
-      Exporter.exportAudit(messages, cfg.runId).unionByName(res.audit).as[AuditRecord])
+      Exporter.exportAudit(res.messages, cfg.runId).unionByName(res.audit).as[AuditRecord])
   }
 
   /** SNS fan-out (README.md:230-236): every target account subscribes to the

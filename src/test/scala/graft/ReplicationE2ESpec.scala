@@ -13,6 +13,25 @@ import graft.sources.CatalogSnapshot
  * large-table side-channel round-trip, and failure routing.
  */
 class ReplicationE2ESpec extends SparkSpec {
+
+  test("replicate and replicateLive leave no lingering CacheManager entries") {
+    import graft.catalog._
+    val cm = spark.sharedState.cacheManager
+    val wasEmpty = cm.isEmpty
+    val src = CatalogSnapshot.inMemory(spark, "src",
+      Seq(GDatabase("db0")), Seq(GTable("t0", "db0")),
+      Seq(GPartition(Seq("p0"), "db0", "t0")))
+    val cfg = graft.run.ReplicationConfig(runId = 1L,
+      applyFailureExpr = Some("messageType = 'nope'"))
+    ReplicationJob.replicate(spark, src, CatalogSnapshot.empty(spark, "tgt"), cfg)
+      .target.partitions.count()
+    InMemoryGlueCatalog.fresh("cm-live")
+    GlueReplication.replicateLive(spark, src, InMemoryClientFactory("cm-live"), cfg)
+      .audit.count()
+    // The message plane pins via lineage-free localCheckpoint, never cache():
+    // a long session running imports in a loop must not accumulate entries.
+    if (wasEmpty) assert(cm.isEmpty, "a replication path leaked a cached frame")
+  }
   import spark.implicits._
 
   private def snapshot(id: String, nTables: Int, partsPerTable: Int): CatalogSnapshot = {
