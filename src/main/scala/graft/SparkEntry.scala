@@ -377,6 +377,25 @@ object SparkEntry {
         .select(col("name").cast("bigint").as("o_orderkey"), col("action"))
     }),
 
+    // J2-incremental: content-aware diff — unchanged tables become skips, so
+    // a daily run touches only real changes (no UpdateTable archive churn)
+    "j5_incremental_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def withOwner(ds: Dataset[GTable], changedOdd: Boolean): Dataset[GTable] = {
+        val base = substring(md5(col("name")), 1, 4)
+        val owner = if (changedOdd)
+          when(col("name").cast("bigint") % 2 === 0, base).otherwise(lit("CHANGED"))
+        else base
+        ds.toDF.withColumn("owner", owner).as[GTable]
+      }
+      val src = withOwner(asTables(o.select(col("o_orderkey").as("name"),
+        lit("db0").as("databaseName"))), changedOdd = false)
+      val tgt = withOwner(asTables(o.where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("name"), lit("db0").as("databaseName"))), changedOdd = true)
+      Importer.diffTablesIncremental(src, tgt)
+        .select(col("name").cast("bigint").as("o_orderkey"), col("action"))
+    }),
+
     // J3 (minimal-diff flag): partition reconciliation as anti-joins
     "j3_reconcile_min" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
@@ -986,6 +1005,13 @@ object SparkEntry {
       """SELECT o_orderkey,
          CASE WHEN o_orderkey % 3 = 0 THEN 'update' ELSE 'create' END AS action
          FROM orders WHERE o_orderkey % 2 = 0""",
+
+    "j5_incremental_diff" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 <> 0 THEN 'create'
+              WHEN o_orderkey % 2 <> 0 THEN 'update'
+              ELSE 'skip' END AS action
+         FROM orders""",
 
     "j3_reconcile_min" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, 'delete' AS action

@@ -106,6 +106,34 @@ class ImporterDecisionSpec extends SparkSpec {
     assert(endMin == endWhole)
   }
 
+  test("incremental diff: equal maps in different entry order still skip; content changes update") {
+    import org.apache.spark.sql.functions._
+    val base = GTable("t1", "db", owner = Some("o"),
+      parameters = Map("a" -> "1", "b" -> "2", "c" -> "3"))
+    val reordered = base.copy(parameters = Map("c" -> "3", "b" -> "2", "a" -> "1"))
+    val changed = base.copy(parameters = Map("a" -> "1", "b" -> "2", "c" -> "DIFFERENT"))
+    val fresh = GTable("t2", "db")
+    // createTime differs too — catalog-managed, must NOT force an update
+    val staleTimes = base.copy(createTimeMs = Some(123L))
+
+    val src = spark.createDataset(Seq(base, fresh))
+    val sameTgt = spark.createDataset(Seq(reordered))
+    val byAction = Importer.diffTablesIncremental(src, sameTgt)
+      .select(col("name"), col("action")).as[(String, String)].collect().toMap
+    assert(byAction("t1") == Action.Skip) // map order is not content
+    assert(byAction("t2") == Action.Create)
+
+    val changedTgt = spark.createDataset(Seq(changed))
+    val upd = Importer.diffTablesIncremental(spark.createDataset(Seq(base)), changedTgt)
+      .select(col("action")).as[String].head()
+    assert(upd == Action.Update)
+
+    val timeTgt = spark.createDataset(Seq(staleTimes))
+    val tSkip = Importer.diffTablesIncremental(spark.createDataset(Seq(base)), timeTgt)
+      .select(col("action")).as[String].head()
+    assert(tSkip == Action.Skip) // catalog-managed fields never count
+  }
+
   test("apply is idempotent under duplicate actions (at-least-once redelivery)") {
     val src = tbls("db" -> "t1", "db" -> "t2")
     val diff = Importer.diffTables(src, tbls())
