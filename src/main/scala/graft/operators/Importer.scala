@@ -47,32 +47,35 @@ object Importer {
       .drop("_present")
   }
 
-  /** Canonical writable-content struct for change detection: the TableInput
-    * fields with every map re-expressed as sorted entry arrays (Spark can't
-    * compare MapType columns, and two equal maps may serialize their entries
-    * in different orders). Null SD/serde propagate as null structs — the
-    * null-safe `<=>` comparison handles them. */
-  private def tableContent: org.apache.spark.sql.Column = {
-    def entries(m: org.apache.spark.sql.Column) = array_sort(map_entries(m))
+  private def sortedEntries(m: org.apache.spark.sql.Column) = array_sort(map_entries(m))
+
+  /** Canonical comparable form of a StorageDescriptor: nested maps become
+    * sorted entry arrays (Spark can't compare MapType columns, and two equal
+    * maps may serialize their entries in different orders). Null SD/serde
+    * propagate as null structs — null-safe `<=>` handles them. */
+  private def canonicalSd: org.apache.spark.sql.Column =
+    when(col("storageDescriptor").isNotNull, struct(
+      col("storageDescriptor.columns"),
+      col("storageDescriptor.location"),
+      col("storageDescriptor.inputFormat"),
+      col("storageDescriptor.outputFormat"),
+      col("storageDescriptor.compressed"),
+      col("storageDescriptor.numberOfBuckets"),
+      col("storageDescriptor.serdeInfo.serializationLibrary").as("serdeLib"),
+      sortedEntries(col("storageDescriptor.serdeInfo.parameters")).as("serdeParams"),
+      col("storageDescriptor.bucketColumns"),
+      col("storageDescriptor.sortColumns"),
+      sortedEntries(col("storageDescriptor.parameters")).as("sdParams"),
+      col("storageDescriptor.storedAsSubDirectories")))
+
+  /** Canonical writable-content struct of a table for change detection. */
+  private def tableContent: org.apache.spark.sql.Column =
     struct(
       col("description"), col("owner"), col("lastAccessTimeMs"),
       col("tableType"), col("viewOriginalText"), col("viewExpandedText"),
       col("partitionKeys"),
-      entries(col("parameters")).as("parameters"),
-      when(col("storageDescriptor").isNotNull, struct(
-        col("storageDescriptor.columns"),
-        col("storageDescriptor.location"),
-        col("storageDescriptor.inputFormat"),
-        col("storageDescriptor.outputFormat"),
-        col("storageDescriptor.compressed"),
-        col("storageDescriptor.numberOfBuckets"),
-        col("storageDescriptor.serdeInfo.serializationLibrary").as("serdeLib"),
-        entries(col("storageDescriptor.serdeInfo.parameters")).as("serdeParams"),
-        col("storageDescriptor.bucketColumns"),
-        col("storageDescriptor.sortColumns"),
-        entries(col("storageDescriptor.parameters")).as("sdParams"),
-        col("storageDescriptor.storedAsSubDirectories"))).as("sd"))
-  }
+      sortedEntries(col("parameters")).as("parameters"),
+      canonicalSd.as("sd"))
 
   /**
    * J2-incremental: content-aware table diff. Like [[diffTables]], but a
@@ -109,10 +112,12 @@ object Importer {
    *   both ≠∅           → delete ALL target, then create ALL export
    *                        (wholesale replace — GDCUtil.java:76-99 — NOT a diff)
    *
-   * `minimalDiff = true` enables the anti-join refinement (deletes = target ∖
-   * export on `values`, creates = export ∖ target): same end state, far less
-   * churn — the right default at 1M partitions, kept behind a flag because the
-   * reference's observable API-call sequence is the wholesale one.
+   * `minimalDiff = true` enables the diff refinement: deletes = target ∖
+   * export on `values` PLUS content-changed survivors; creates = export ∖
+   * target PLUS the same changed keys (replace-in-place). Same end state as
+   * wholesale, far less churn — the right default at 1M partitions, kept
+   * behind a flag because the reference's observable API-call sequence is
+   * the wholesale one.
    *
    * Returns deletes ∪ creates with an `action` column; identity is the ordered
    * `values` list (GlueUtil.java:504-508). Partition planes co-shuffle on
@@ -124,10 +129,25 @@ object Importer {
       minimalDiff: Boolean = false): DataFrame = {
     val key = Seq("databaseName", "tableName", "values")
     if (minimalDiff) {
-      val deletes = tgt.join(src.select(key.map(col): _*), key, "left_anti")
-        .withColumn("action", lit(Action.Delete))
-      val creates = src.join(tgt.select(key.map(col): _*), key, "left_anti")
-        .withColumn("action", lit(Action.Create))
+      // Key-presence AND content both matter: a partition whose key survives
+      // but whose storage descriptor changed in place must be replaced
+      // (delete + create), or minimal mode would silently keep the stale
+      // descriptor that wholesale mode replaces — the two modes must land
+      // the same end state. Content = the PartitionInput's canonical SD
+      // (parameters/times are dropped by the P4 projection and never count).
+      // ONE full-outer join on the identity key computes presence and change
+      // together; both output branches reuse its shuffle.
+      val s = src.toDF().select(key.map(col) :+ struct(src.columns.map(col).toSeq: _*).as("_s")
+        :+ canonicalSd.as("_sc"): _*)
+      val t = tgt.toDF().select(key.map(col) :+ struct(tgt.columns.map(col).toSeq: _*).as("_t")
+        :+ canonicalSd.as("_tc"): _*)
+      val j = s.join(t, key, "full_outer")
+        .withColumn("_changed",
+          col("_s").isNotNull && col("_t").isNotNull && !(col("_sc") <=> col("_tc")))
+      val deletes = j.where(col("_t").isNotNull && (col("_s").isNull || col("_changed")))
+        .select(col("_t.*")).withColumn("action", lit(Action.Delete))
+      val creates = j.where(col("_s").isNotNull && (col("_t").isNull || col("_changed")))
+        .select(col("_s.*")).withColumn("action", lit(Action.Create))
       deletes.unionByName(creates, allowMissingColumns = true)
     } else {
       // Wholesale: for any table present in the export partition plane, all

@@ -134,6 +134,41 @@ class ImporterDecisionSpec extends SparkSpec {
     assert(tSkip == Action.Skip) // catalog-managed fields never count
   }
 
+  test("minimal reconcile replaces content-changed partitions and lands the wholesale end state") {
+    import org.apache.spark.sql.functions._
+    def sd(loc: String) = Some(StorageDescriptor(location = Some(loc)))
+    // parameters null throughout: wholesale recreates every row through the
+    // P4 projection (parameters → null) while minimal leaves untouched rows
+    // alone — null params isolate the SD-change behavior under test.
+    def p(v: String, loc: String) =
+      GPartition(Seq(v), "db", "t", storageDescriptor = sd(loc), parameters = null)
+    val srcParts = Seq(
+      p("p0", "s3://new"),  // changed in place
+      p("p1", "s3://same"), // untouched
+      p("p2", "s3://add")) // new
+    val tgtParts = Seq(
+      p("p0", "s3://old"),
+      p("p1", "s3://same"),
+      p("p3", "s3://gone")) // removed
+    val src = spark.createDataset(srcParts)
+    val tgt = spark.createDataset(tgtParts)
+
+    val minimal = Importer.reconcilePartitions(src, tgt, minimalDiff = true)
+    val byKey = minimal.select(element_at(col("values"), 1).as("v"), col("action"))
+      .as[(String, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byKey("p0") == Seq(Action.Create, Action.Delete)) // replaced in place
+    assert(!byKey.contains("p1"))                            // untouched → no churn
+    assert(byKey("p2") == Seq(Action.Create))
+    assert(byKey("p3") == Seq(Action.Delete))
+
+    // end-state equality with wholesale, including the changed descriptor
+    val minState = Applier.applyPartitions(tgt, minimal).collect().toSet
+    val wholesale = Applier.applyPartitions(tgt,
+      Importer.reconcilePartitions(src, tgt, minimalDiff = false)).collect().toSet
+    assert(minState === wholesale)
+    assert(minState.find(_.values == Seq("p0")).get.storageDescriptor.get.location === Some("s3://new"))
+  }
+
   test("apply is idempotent under duplicate actions (at-least-once redelivery)") {
     val src = tbls("db" -> "t1", "db" -> "t2")
     val diff = Importer.diffTables(src, tbls())
