@@ -275,8 +275,22 @@ object GlueReplication {
       sinkCfg: GlueSinkConfig = GlueSinkConfig(),
       /** Parallel segments per target table's partition fetch (see
         * GlueCatalogSource.snapshot) — raise for targets with huge tables. */
+      partitionSegments: Int = 1): LiveReplicationResult =
+    applyMessagesLive(spark, ReplicationJob.export(spark, src, cfg), factory, cfg, sinkCfg,
+      partitionSegments)
+
+  /** Import-side half of the live path: plan a message plane against the
+    * CURRENT service state and play it through the sink. Consumed by
+    * [[replicateLive]] (batch) and MessageStream.runLiveImport (per
+    * micro-batch — the closest analogue to the reference's SQS→Lambda→Glue
+    * event loop, where the catalog itself is the only cross-batch state). */
+  def applyMessagesLive(
+      spark: SparkSession,
+      messages: Dataset[CatalogMessage],
+      factory: GlueClientFactory,
+      cfg: ReplicationConfig,
+      sinkCfg: GlueSinkConfig = GlueSinkConfig(),
       partitionSegments: Int = 1): LiveReplicationResult = {
-    val messages = ReplicationJob.export(spark, src, cfg)
     val tgt = GlueCatalogSource.snapshot(spark, factory, sinkCfg, partitionSegments)
     // planImport pins the message plane (lineage-free localCheckpoint): the
     // three apply jobs, audit, and dead letters all read the SAME

@@ -160,6 +160,43 @@ object MessageStream {
     latestState(spark, stateDir, initial)
   }
 
+  /**
+   * Streaming LIVE import: drain `messagesDir` straight into a catalog
+   * service through the GlueSink — the closest Spark analogue of the
+   * reference's event-driven deployment (SQS → Lambda → Glue API calls,
+   * ImportDatabaseOrTable.java:43-73): each micro-batch re-reads the live
+   * target state, diffs, and applies. The CATALOG is the only cross-batch
+   * state (the reference's model exactly); the checkpoint tracks source
+   * progress, and batch replay after a crash is safe because every apply is
+   * convergent (create-if-absent / create-or-update / batch upsert).
+   * Returns the accumulated per-batch statuses.
+   */
+  def runLiveImport(
+      spark: SparkSession,
+      messagesDir: String,
+      factory: graft.catalog.GlueClientFactory,
+      checkpointDir: String,
+      cfg: ReplicationConfig,
+      sinkCfg: graft.catalog.GlueSinkConfig = graft.catalog.GlueSinkConfig(),
+      maxFilesPerTrigger: Option[Int] = None,
+      dedupRedelivered: Boolean = false): Seq[graft.catalog.LiveApplyStatus] = {
+    val statuses = scala.collection.mutable.ArrayBuffer.empty[graft.catalog.LiveApplyStatus]
+    val source = readMessages(spark, messagesDir, maxFilesPerTrigger)
+    val q = (if (dedupRedelivered) dedupMessages(source) else source)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[CatalogMessage], batchId: Long) =>
+        val res = graft.catalog.GlueReplication.applyMessagesLive(
+          spark, batch, factory, cfg.copy(runId = cfg.runId + batchId), sinkCfg)
+        statuses ++= res.statuses.collect()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    statuses.toSeq
+  }
+
   /** Dead letters accumulated by runImport (for ReDriveJob). */
   def deadLetters(spark: SparkSession, stateDir: String): Dataset[DeadLetter] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
