@@ -303,10 +303,45 @@ object GlueReplication {
     val sDb = GlueSink.applyDatabases(plan.dbActions, factory, sinkCfg).localCheckpoint(true)
     val sTbl = GlueSink.applyTables(plan.tableActions, factory, sinkCfg).localCheckpoint(true)
     val sPart = GlueSink.applyPartitions(plan.partActions, factory, sinkCfg).localCheckpoint(true)
+    val statuses = sDb.unionByName(sTbl).unionByName(sPart)
     val audit = graft.operators.Exporter.exportAudit(plan.messages, cfg.runId)
       .unionByName(ReplicationJob.importAudit(plan.actions, cfg, tgt.catalogId))
       .as[AuditRecord](Codecs.auditEncoder)
-    LiveReplicationResult(sDb.unionByName(sTbl).unionByName(sPart), plan.deadLetters, plan.messages,
-      plan.actions, audit)
+    LiveReplicationResult(statuses,
+      plan.deadLetters.unionByName(sinkDeadLetters(plan.messages, statuses)),
+      plan.messages, plan.actions, audit)
+  }
+
+  /** Map failed apply statuses back to their originating MESSAGES — the
+    * reference's DLQ granularity (a Lambda rethrows its whole message on any
+    * Glue API failure, GDCUtil.java:112-116) — so ReDriveJob/re-running
+    * applyMessagesLive over these dead letters retries exactly what failed.
+    * A failed database status selects its database message; failed table or
+    * partition statuses select the table/largeTable message that carried
+    * that (databaseName, tableName). */
+  def sinkDeadLetters(
+      messages: Dataset[CatalogMessage],
+      statuses: Dataset[LiveApplyStatus]): Dataset[DeadLetter] = {
+    val failed = statuses.where(!col("ok"))
+    val failedDbs = failed.where(col("entityKind") === "database")
+      .select(col("databaseName").as("_id"), col("error").as("_err"))
+      .dropDuplicates("_id")
+    val failedTables = failed.where(col("entityKind") =!= "database")
+      .select(col("databaseName").as("_db"), col("tableName").as("_tbl"), col("error").as("_err"))
+      .dropDuplicates("_db", "_tbl")
+    val m = messages.withColumn("_dbId",
+        when(col("messageType") === MessageType.Database,
+          get_json_object(col("payload"), "$.name")))
+      .withColumn("_tblDb", get_json_object(col("payload"), "$.table.databaseName"))
+      .withColumn("_tblName", get_json_object(col("payload"), "$.table.name"))
+    val deadDbMsgs = m.join(broadcast(failedDbs), m("_dbId") === failedDbs("_id"))
+    val deadTblMsgs = m.join(broadcast(failedTables),
+      m("_tblDb") === failedTables("_db") && m("_tblName") === failedTables("_tbl"))
+    deadDbMsgs.unionByName(deadTblMsgs, allowMissingColumns = true)
+      .select(col("messageType"), col("payload"), col("exportBatchId"),
+        col("sourceCatalogId"), coalesce(col("_err"), lit("apply failure")).as("error"),
+        col("s3BucketName"), col("s3ObjectKey"))
+      .dropDuplicates("messageType", "payload")
+      .as[DeadLetter]
   }
 }

@@ -171,6 +171,17 @@ class GlueConnectorSpec extends SparkSpec {
     assert(bad.length === 1)
     assert(bad.head.error.get.contains("GlueThrottlingException"))
     assert(starved.allDatabases.isEmpty)
+
+    // the failed entity dead-letters at MESSAGE granularity (the reference's
+    // DLQ unit), and re-driving those messages after the fault clears
+    // converges the target — the live-mode DLQ round trip
+    val dead = res2.deadLetters.collect()
+    assert(dead.length === 1 && dead.head.messageType === "database")
+    val redrive = GlueReplication.applyMessagesLive(spark,
+      graft.run.ReDriveJob.messagesOf(res2.deadLetters),
+      InMemoryClientFactory("live-retry-starved"), cfg)
+    assert(redrive.statuses.where(!col("ok")).count() === 0)
+    assert(starved.allDatabases.map(_.name) === Seq("alpha"))
   }
 
   test("streaming live import drains micro-batches into the service and equals the batch live run") {
