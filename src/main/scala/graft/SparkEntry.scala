@@ -104,8 +104,15 @@ object SparkEntry {
   private def memo[T <: AnyRef](key: String)(build: => T): T =
     fixtureMemo.computeIfAbsent(key, _ => build).asInstanceOf[T]
 
+  /** Memo keys are scoped to the owning SparkContext: dlqFirstPass pins
+    * session-bound checkpointed Datasets, which are dead blocks after that
+    * context stops — a later session in the same JVM must rebuild, not
+    * resurrect. */
+  private def sessionKey(s: SparkSession): String =
+    s"${s.sparkContext.applicationId}:${s.sparkContext.startTime}"
+
   private def s1SnapshotDir(s: SparkSession, dir: String): String =
-    memo(s"s1:$dir") {
+    memo(s"s1:${sessionKey(s)}:$dir") {
       val snapDir = java.nio.file.Files.createTempDirectory("graft-s1").toString
       graft.sources.CatalogSnapshot.writeParquet(tpchCatalog(s, dir), snapDir)
       snapDir
@@ -119,7 +126,7 @@ object SparkEntry {
     * not the setup run that manufactured the dead letters. */
   private def dlqFirstPass(s: SparkSession, dir: String)
       : (Dataset[DeadLetter], graft.sources.CatalogSnapshot) =
-    memo(s"dlq:$dir") {
+    memo(s"dlq:${sessionKey(s)}:$dir") {
       import graft.run.{ReplicationConfig, ReplicationJob}
       import graft.sources.CatalogSnapshot
       val o = t(s, dir, "orders").orderBy(col("o_orderkey")).limit(2000)
@@ -594,7 +601,10 @@ object SparkEntry {
       e.withColumn("us", expr("ts div 1000"))
         .withColumn("prev_us", lag(col("us"), 1).over(w))
         .withColumn("new_session",
-          when(col("prev_us").isNull, 0).when(col("us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+          // >=: an event exactly one gap after its predecessor starts a NEW
+          // session — session_window's boundary ([start, start+gap)), so the
+          // batch and streaming sessionizers share one semantics.
+          when(col("prev_us").isNull, 0).when(col("us") - col("prev_us") >= 1800000000L, 1).otherwise(0))
         .groupBy(col("user_id"))
         .agg((sum(col("new_session")) + 1).cast("bigint").as("n_sessions"),
           count(lit(1)).as("n_events"))
@@ -1106,7 +1116,7 @@ object SparkEntry {
              count(*) AS n_events
          FROM (SELECT user_id,
                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 0
-                      WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+                      WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1
                       ELSE 0 END AS new_session
                FROM events
                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))

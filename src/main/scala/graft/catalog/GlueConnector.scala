@@ -52,21 +52,61 @@ object GlueCatalogSource {
       names.flatMap(db => GlueCatalogClient.paginate(c.getTables(db, _)))
     }.localCheckpoint(true)
 
-    val segments: Seq[Option[GlueSegment]] =
-      if (partitionSegments == 1) Seq(None)
-      else (0 until partitionSegments).map(i => Some(GlueSegment(i, partitionSegments)))
-    val fetchKeys = tables.select(col("databaseName"), col("name")).as[(String, String)]
-      .flatMap { case (db, tbl) => segments.map(seg => (db, tbl, seg.map(_.segmentNumber).getOrElse(-1))) }
-      .repartition(spark.sparkContext.defaultParallelism)
-    val parts = fetchKeys.mapPartitions { keys =>
-      val c = wrap(factory.client())
-      keys.flatMap { case (db, tbl, segNo) =>
-        val seg = if (segNo < 0) None else Some(GlueSegment(segNo, partitionSegments))
-        GlueCatalogClient.paginate(c.getPartitions(db, tbl, _, seg))
-      }
-    }.localCheckpoint(true)
+    val parts = fetchPartitions(spark, factory, cfg,
+      tables.select(col("databaseName"), col("name")).as[(String, String)], partitionSegments)
 
     CatalogSnapshot(catalogId, spark.createDataset(dbs), tables, parts)
+  }
+
+  /** Pruned live state for a BOUNDED message set: point gets for exactly the
+    * databases and tables named (the reference's per-message GetDatabase /
+    * GetTable lookups, GlueUtil.java:120-140,283-292) plus partition pages
+    * for those tables only. This is the per-micro-batch fetch shape — N
+    * messages cost O(N) point calls plus their partition pages, never a
+    * full-catalog crawl per batch. */
+  def snapshotForKeys(
+      spark: SparkSession,
+      factory: GlueClientFactory,
+      cfg: GlueSinkConfig,
+      dbNames: Seq[String],
+      tableKeys: Seq[(String, String)],
+      partitionSegments: Int = 1): CatalogSnapshot = {
+    import spark.implicits._
+    def wrap(c: GlueCatalogClient) = GlueCatalogClient.withRetry(c, cfg.maxErrorRetry, cfg.retryDelayMs)
+    val catalogId = factory.client().catalogId
+    val par = spark.sparkContext.defaultParallelism
+    val dbs = spark.createDataset(dbNames.distinct).repartition(par)
+      .mapPartitions { it => val c = wrap(factory.client()); it.flatMap(c.getDatabase) }
+      .localCheckpoint(true)
+    val keysDs = spark.createDataset(tableKeys.distinct).repartition(par)
+    val tables = keysDs
+      .mapPartitions { it => val c = wrap(factory.client()); it.flatMap { case (d, t) => c.getTable(d, t) } }
+      .localCheckpoint(true)
+    CatalogSnapshot(catalogId, dbs, tables,
+      fetchPartitions(spark, factory, cfg, keysDs, partitionSegments))
+  }
+
+  private def fetchPartitions(
+      spark: SparkSession,
+      factory: GlueClientFactory,
+      cfg: GlueSinkConfig,
+      tableKeys: Dataset[(String, String)],
+      partitionSegments: Int): Dataset[GPartition] = {
+    import spark.implicits._
+    require(partitionSegments >= 1, s"partitionSegments must be >= 1, got $partitionSegments")
+    def wrap(c: GlueCatalogClient) = GlueCatalogClient.withRetry(c, cfg.maxErrorRetry, cfg.retryDelayMs)
+    val segments: Seq[Int] =
+      if (partitionSegments == 1) Seq(-1) else 0 until partitionSegments
+    tableKeys
+      .flatMap { case (db, tbl) => segments.map(segNo => (db, tbl, segNo)) }
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { keys =>
+        val c = wrap(factory.client())
+        keys.flatMap { case (db, tbl, segNo) =>
+          val seg = if (segNo < 0) None else Some(GlueSegment(segNo, partitionSegments))
+          GlueCatalogClient.paginate(c.getPartitions(db, tbl, _, seg))
+        }
+      }.localCheckpoint(true)
   }
 }
 
@@ -237,7 +277,15 @@ object GlueSink {
               if (action == Action.Delete)
                 c.batchDeletePartitions(head.databaseName, head.tableName, batch.map(_.values))
               else c.batchCreatePartitions(head.databaseName, head.tableName, batch)
-            (errs.size.toLong, errs.headOption.map(e => s"${e.errorCode}: ${e.message}"))
+            // Convergent entries are not failures: AlreadyExists on a create
+            // (redelivered batch / Spark task retry re-walking its slice) and
+            // not-found on a delete both mean the catalog is ALREADY in the
+            // desired state — same treatment applyDatabases/applyTables give
+            // their point-call analogues. Only genuine faults remain errors.
+            val converged =
+              if (action == Action.Delete) "EntityNotFoundException" else "AlreadyExistsException"
+            val real = errs.filterNot(_.errorCode == converged)
+            (real.size.toLong, real.headOption.map(e => s"${e.errorCode}: ${e.message}"))
           } catch { case e: Exception => (batch.size.toLong, Some(e.toString)) }
           LiveApplyStatus("partition", head.databaseName, Some(head.tableName),
             action, batch.size.toLong, nErr, nErr == 0L, err)
@@ -290,12 +338,37 @@ object GlueReplication {
       factory: GlueClientFactory,
       cfg: ReplicationConfig,
       sinkCfg: GlueSinkConfig = GlueSinkConfig(),
-      partitionSegments: Int = 1): LiveReplicationResult = {
-    val tgt = GlueCatalogSource.snapshot(spark, factory, sinkCfg, partitionSegments)
+      partitionSegments: Int = 1,
+      /** Fetch only the target state the messages NAME (point gets) instead
+        * of crawling the whole catalog. Right for bounded message sets —
+        * runLiveImport turns it on so each micro-batch costs O(batch) service
+        * calls; bulk replicateLive keeps the full snapshot, whose one crawl
+        * amortizes over the whole run. */
+      pruneFetchToMessages: Boolean = false): LiveReplicationResult = {
+    val pinned = messages.localCheckpoint(true)
+    val tgt =
+      if (!pruneFetchToMessages) GlueCatalogSource.snapshot(spark, factory, sinkCfg, partitionSegments)
+      else {
+        // Identities named by this message set — driver-side, bounded by the
+        // batch's message count (one row per message). Table messages' db
+        // names are included so implicit-db existence checks see them.
+        val ids = pinned.select(
+          col("messageType"),
+          get_json_object(col("payload"), "$.name").as("dbName"),
+          get_json_object(col("payload"), "$.table.databaseName").as("tDb"),
+          get_json_object(col("payload"), "$.table.name").as("tName")).collect()
+        val dbNames = ids.flatMap(r => Option(r.getString(1))) ++ ids.flatMap(r => Option(r.getString(2)))
+        val tableKeys = ids.flatMap(r =>
+          (Option(r.getString(2)), Option(r.getString(3))) match {
+            case (Some(d), Some(t)) => Some((d, t)); case _ => None
+          })
+        GlueCatalogSource.snapshotForKeys(spark, factory, sinkCfg,
+          dbNames.distinct.toSeq, tableKeys.distinct.toSeq, partitionSegments)
+      }
     // planImport pins the message plane (lineage-free localCheckpoint): the
     // three apply jobs, audit, and dead letters all read the SAME
     // materialized export instead of replaying the source scans.
-    val plan = ReplicationJob.planImport(spark, messages, tgt, cfg)
+    val plan = ReplicationJob.planImport(spark, pinned, tgt, cfg)
     // Materialize each plane's statuses before starting the next: databases
     // must exist before CreateTable, tables before BatchCreatePartition.
     // localCheckpoint(eager) both runs the side effects and pins the (small,

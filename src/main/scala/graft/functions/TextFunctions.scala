@@ -175,7 +175,10 @@ object TextFunctions {
     val tf = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
-    val nDocs = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    // N from the raw id column, NOT from tf: deriving it from tf would plan a
+    // second tokenize+shuffle of the whole corpus; this branch scans one
+    // pruned column and aggregates.
+    val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
     tf.withColumn("doc_len", sum(col("cnt")).over(Window.partitionBy("doc_id")))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
       .crossJoin(broadcast(nDocs))

@@ -115,9 +115,13 @@ object Importer {
    * `minimalDiff = true` enables the diff refinement: deletes = target ∖
    * export on `values` PLUS content-changed survivors; creates = export ∖
    * target PLUS the same changed keys (replace-in-place). Same end state as
-   * wholesale, far less churn — the right default at 1M partitions, kept
-   * behind a flag because the reference's observable API-call sequence is
-   * the wholesale one.
+   * wholesale over the WRITABLE content (identity + storage descriptor —
+   * everything a PartitionInput carries); untouched partitions keep their
+   * target-side parameters/timestamps, which wholesale's recreate would null
+   * through the P4 projection — leaving what didn't change alone is the
+   * point. Far less churn — the right default at 1M partitions, kept behind
+   * a flag because the reference's observable API-call sequence is the
+   * wholesale one.
    *
    * Returns deletes ∪ creates with an `action` column; identity is the ordered
    * `values` list (GlueUtil.java:504-508). Partition planes co-shuffle on

@@ -155,14 +155,24 @@ object ReplicationJob {
       .unionByName(largeTables.select(col("databaseName"), col("name").as("tableName")))
       .distinct()
 
+    // A message is dead iff its type is unknown OR its payload doesn't parse
+    // under that type's schema. The unknown-type guard matters: the entity
+    // parses above filter on EXACT type constants, so without it a message
+    // with (say) messageType "Table" and a parseable payload would be
+    // neither imported nor dead-lettered — silently lost.
+    val knownType = col("messageType").isin(
+      MessageType.Database, MessageType.Table, MessageType.LargeTable)
     val dead = cached
       .withColumn("parsed", when(col("messageType") === MessageType.Database, from_json(col("payload"), Codecs.databaseSchema)("name"))
         .when(col("messageType") === MessageType.Table,
           from_json(col("payload"), Codecs.tableWithPartitionsSchema).getField("table").getField("name"))
-        .otherwise(from_json(col("payload"), Codecs.largeTableSchema).getField("table").getField("name")))
-      .where(col("parsed").isNull)
+        .when(col("messageType") === MessageType.LargeTable,
+          from_json(col("payload"), Codecs.largeTableSchema).getField("table").getField("name")))
+      .where(!knownType || col("parsed").isNull)
       .select(col("messageType"), col("payload"), col("exportBatchId"),
-        col("sourceCatalogId"), lit("malformed payload").as("error"),
+        col("sourceCatalogId"),
+        when(knownType, lit("malformed payload"))
+          .otherwise(lit("unknown messageType")).as("error"),
         col("s3BucketName"), col("s3ObjectKey")).as[DeadLetter]
 
     (dbs, smallTables.unionByName(largeTables).as[GTable],

@@ -176,6 +176,12 @@ object MessageStream {
       messagesDir: String,
       factory: graft.catalog.GlueClientFactory,
       checkpointDir: String,
+      /** DLQ location: every batch's dead letters (malformed payloads,
+        * unknown types, failed applies) append here — the checkpoint
+        * advances past their files, so without this record they'd be lost.
+        * Read back with [[deadLetters]]; re-drive with ReDriveJob.messagesOf
+        * → GlueReplication.applyMessagesLive. */
+      deadLetterDir: String,
       cfg: ReplicationConfig,
       sinkCfg: graft.catalog.GlueSinkConfig = graft.catalog.GlueSinkConfig(),
       maxFilesPerTrigger: Option[Int] = None,
@@ -188,7 +194,9 @@ object MessageStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[CatalogMessage], batchId: Long) =>
         val res = graft.catalog.GlueReplication.applyMessagesLive(
-          spark, batch, factory, cfg.copy(runId = cfg.runId + batchId), sinkCfg)
+          spark, batch, factory, cfg.copy(runId = cfg.runId + batchId), sinkCfg,
+          pruneFetchToMessages = true)
+        res.deadLetters.write.mode("append").parquet(deadLetterDir)
         statuses ++= res.statuses.collect()
         ()
       }
@@ -198,11 +206,15 @@ object MessageStream {
   }
 
   /** Dead letters accumulated by runImport (for ReDriveJob). */
-  def deadLetters(spark: SparkSession, stateDir: String): Dataset[DeadLetter] = {
+  def deadLetters(spark: SparkSession, stateDir: String): Dataset[DeadLetter] =
+    deadLettersAt(spark, s"$stateDir/dead")
+
+  /** Dead letters at an explicit DLQ dir (runLiveImport's deadLetterDir). */
+  def deadLettersAt(spark: SparkSession, dir: String): Dataset[DeadLetter] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(s"$stateDir/dead")
-    if (fs.exists(p)) spark.read.schema(deadLetterEncoder.schema).parquet(s"$stateDir/dead").as[DeadLetter]
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (fs.exists(p)) spark.read.schema(deadLetterEncoder.schema).parquet(dir).as[DeadLetter]
     else spark.emptyDataset[DeadLetter]
   }
 }

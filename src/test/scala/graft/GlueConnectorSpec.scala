@@ -185,17 +185,32 @@ class GlueConnectorSpec extends SparkSpec {
   }
 
   test("streaming live import drains micro-batches into the service and equals the batch live run") {
+    import spark.implicits._
     val src = srcSnapshot(nPartsBigTable = 30)
     val msgDir = java.nio.file.Files.createTempDirectory("live-stream-msgs").toString
     ReplicationJob.export(spark, src, cfg).repartition(3)
       .write.mode("overwrite").json(msgDir)
+    // one corrupt message — must land in the DLQ dir, not vanish past the checkpoint
+    spark.createDataset(Seq(CatalogMessage("table", "src", cfg.batchId, "{not json")))
+      .coalesce(1).write.mode("append").json(msgDir)
 
     val streamed = InMemoryGlueCatalog.fresh("live-stream")
+    val dlqDir = java.nio.file.Files.createTempDirectory("live-stream-dlq").toString
     val statuses = graft.streaming.MessageStream.runLiveImport(
       spark, msgDir, InMemoryClientFactory("live-stream"),
       java.nio.file.Files.createTempDirectory("live-stream-ckpt").toString,
-      cfg, maxFilesPerTrigger = Some(1))
+      dlqDir, cfg, maxFilesPerTrigger = Some(1))
     assert(statuses.nonEmpty && statuses.forall(_.ok))
+
+    // dead letters survive the drained checkpoint
+    val dead = graft.streaming.MessageStream.deadLettersAt(spark, dlqDir).collect()
+    assert(dead.length === 1 && dead.head.error === "malformed payload")
+
+    // per-batch fetches are point gets for the batch's keys, never a crawl
+    assert(streamed.callCount("GetDatabases") === 0)
+    assert(streamed.callCount("GetTables") === 0)
+    assert(streamed.callCount("GetDatabase") > 0)
+    assert(streamed.callCount("GetTable") > 0)
 
     val batched = InMemoryGlueCatalog.fresh("live-batch-ref")
     GlueReplication.replicateLive(spark, src, InMemoryClientFactory("live-batch-ref"), cfg)
