@@ -83,6 +83,25 @@ class GlueConnectorSpec extends SparkSpec {
     assert(mock.allPartitions.exists(_.tableName == "foreign"))
   }
 
+  test("live replicate carries large tables over the S3 side channel") {
+    // threshold 50 routes 'big' (250 partitions) through the stub-message +
+    // JSON-lines side-channel path (S6) — the live sink must land them all.
+    val src = srcSnapshot(nPartsBigTable = 250)
+    val sideCfg = cfg.copy(largeTableThreshold = 50,
+      sideChannelDir = Some(java.nio.file.Files.createTempDirectory("live-side").toString))
+    val mock = InMemoryGlueCatalog.fresh("live-large")
+    seed(mock, Seq.empty, Seq.empty, Seq.empty)
+
+    val res = GlueReplication.replicateLive(spark, src, InMemoryClientFactory("live-large"), sideCfg)
+    assert(res.statuses.where(!col("ok")).count() === 0)
+    assert(res.deadLetters.count() === 0)
+    assert(mock.allPartitions.count(_.tableName == "big") === 250)
+    assert(mock.allPartitions.size === 250 + 3 + 5)
+    // the stub message really took the side channel (payload carries no list)
+    val stub = res.messages.where(col("messageType") === "largeTable").collect()
+    assert(stub.length === 1 && stub.head.s3BucketName.isDefined)
+  }
+
   test("batch calls respect the service limits: create<=100, delete<=25, exact chunk counts") {
     val src = srcSnapshot(nPartsBigTable = 250)
     val mock = InMemoryGlueCatalog.fresh("live-chunk")

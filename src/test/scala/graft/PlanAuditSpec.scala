@@ -113,6 +113,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(q.count() > 0)
   }
 
+  test("hash sampling prunes to the selected columns at the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-sample").toString
+    spark.range(500).select(col("id").as("doc_id"),
+        concat(lit("text"), col("id")).as("text"), lit("s").as("source"))
+      .write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .where(graft.functions.TextFunctions.hashSample(col("doc_id"), 10))
+      .select(col("doc_id"), col("source"))
+    val plan = planString(q)
+    // md5 over doc_id is not a pushable parquet predicate, but the scan must
+    // still prune to (doc_id, source) — the wide text column stays unread.
+    assert(!plan.split("ReadSchema")(1).takeWhile(_ != '\n').contains("text"),
+      s"text column read by a 2-column sampling projection:\n$plan")
+  }
+
+  test("sequence packing plans per-shard windows — one exchange on the shard key, no global sort") {
+    val docs = spark.range(300).select(col("id").as("doc_id"),
+      concat(lit("w "), col("id")).as("text"), (col("id") % 4).cast("string").as("source"))
+    val q = graft.functions.TextFunctions.packSequences(docs, budgetTokens = 64L, shardCol = "source")
+    val plan = planString(q).split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected one shard exchange:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global single-partition window in the packing plan:\n$plan")
+  }
+
   test("GlueSink partition apply: ONE exchange co-locates tables AND satisfies the dedup") {
     import graft.catalog._
     val mock = InMemoryGlueCatalog.fresh("plan-sink")
