@@ -403,6 +403,33 @@ object SparkEntry {
         .select(col("name").cast("bigint").as("o_orderkey"), col("action"))
     }),
 
+    // Drift report: what WOULD a daily incremental run do — planned actions
+    // summarized per entity kind, nothing applied (composes
+    // diffTablesIncremental + minimal reconcile into one analytics row set)
+    "drift_report" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def withOwner(ds: Dataset[GTable], changedOdd: Boolean): Dataset[GTable] = {
+        val base = substring(md5(col("name")), 1, 4)
+        val owner = if (changedOdd)
+          when(col("name").cast("bigint") % 2 === 0, base).otherwise(lit("CHANGED"))
+        else base
+        ds.toDF.withColumn("owner", owner).as[GTable]
+      }
+      val srcT = withOwner(asTables(o.select(col("o_orderkey").as("name"),
+        lit("db0").as("databaseName"))), changedOdd = false)
+      val tgtT = withOwner(asTables(o.where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("name"), lit("db0").as("databaseName"))), changedOdd = true)
+      val l = t(s, dir, "lineitem")
+      def plane(m: Int) = asParts(l.where(col("l_orderkey") % m === 0)
+        .select(array(col("l_orderkey").cast("string"), col("l_linenumber").cast("string")).as("values"),
+          lit("db0").as("databaseName"), col("l_orderkey").cast("string").as("tableName")))
+      Importer.diffTablesIncremental(srcT, tgtT)
+        .select(lit("table").as("entityKind"), col("action"))
+        .unionByName(Importer.reconcilePartitions(plane(2), plane(3), minimalDiff = true)
+          .select(lit("partition").as("entityKind"), col("action")))
+        .groupBy("entityKind", "action").agg(count(lit(1)).as("n"))
+    }),
+
     // J3 (minimal-diff flag): partition reconciliation as anti-joins
     "j3_reconcile_min" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
@@ -1022,6 +1049,19 @@ object SparkEntry {
               WHEN o_orderkey % 2 <> 0 THEN 'update'
               ELSE 'skip' END AS action
          FROM orders""",
+
+    "drift_report" ->
+      """WITH t AS (SELECT CASE WHEN o_orderkey % 3 <> 0 THEN 'create'
+                        WHEN o_orderkey % 2 <> 0 THEN 'update'
+                        ELSE 'skip' END AS action FROM orders),
+         p AS (SELECT 'delete' AS action FROM lineitem
+                 WHERE l_orderkey % 3 = 0 AND l_orderkey % 2 <> 0
+               UNION ALL
+               SELECT 'create' FROM lineitem
+                 WHERE l_orderkey % 2 = 0 AND l_orderkey % 3 <> 0)
+         SELECT 'table' AS entityKind, action, count(*) AS n FROM t GROUP BY action
+         UNION ALL
+         SELECT 'partition', action, count(*) FROM p GROUP BY action""",
 
     "j3_reconcile_min" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, 'delete' AS action
