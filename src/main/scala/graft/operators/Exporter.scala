@@ -136,6 +136,12 @@ object Exporter {
           snap.partitions("databaseName") === largeKeys("dbName") &&
             snap.partitions("tableName") === largeKeys("tblName"),
           "left_semi")
+        // Cluster rows on the layout keys before the partitioned write:
+        // without it every task writes a sliver into every table dir
+        // (tasks × tables small files, the metadata-killer at scale — same
+        // guard as CatalogSnapshot.writeParquet); with it each table dir
+        // gets its task's consolidated files.
+        .repartition(col("databaseName"), col("tableName"))
         .write.mode("overwrite")
         .partitionBy("databaseName", "tableName")
         .json(s"$dir/run=$runId")
