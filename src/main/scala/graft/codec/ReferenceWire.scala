@@ -181,6 +181,58 @@ object ReferenceWire {
     t("parameters").as("parameters"),
     t("createdBy").as("createdBy")))
 
+  /** Internal GDatabase struct → reference-format JSON (the planner's SNS
+    * database message body, SNSUtil.java:101-109) — lets a reference
+    * deployment's ImportDatabaseOrTable consume OUR exports. */
+  def databaseOut(d: Column): Column = to_json(struct(
+    d("name").as("name"),
+    d("description").as("description"),
+    d("locationUri").as("locationUri"),
+    d("parameters").as("parameters"),
+    strOf(d("createTimeMs")).as("createTime")))
+
+  /** Internal GPartition struct → reference-format JSON object (one line of
+    * the S3 side-channel file, S3Util.java:201-236 reads one per line). */
+  def partitionOut(p: Column): Column = to_json(struct(
+    p("values").as("values"),
+    p("databaseName").as("databaseName"),
+    p("tableName").as("tableName"),
+    strOf(p("creationTimeMs")).as("creationTime"),
+    strOf(p("lastAccessTimeMs")).as("lastAccessTime"),
+    sdOut(p("storageDescriptor")).as("storageDescriptor"),
+    p("parameters").as("parameters")))
+
+  /** Internal large-table stub → reference-format JSON
+    * (util/LargeTable.java:14-70 wire shape). Pass the nested table as a
+    * GTable struct column. */
+  def largeTableOut(
+      catalogId: Column, numberOfPartitions: Column, table: Column,
+      s3ObjectKey: Column, s3BucketName: Column): Column = to_json(struct(
+    catalogId.as("catalogId"),
+    org.apache.spark.sql.functions.lit(true).as("largeTable"),
+    numberOfPartitions.as("numberOfPartitions"),
+    tableStructOut(table).as("table"),
+    s3ObjectKey.as("s3ObjectKey"),
+    s3BucketName.as("s3BucketName")))
+
+  /** The struct half of [[tableOut]] — reusable inside envelope formats. */
+  private[codec] def tableStructOut(t: Column): Column = struct(
+    t("name").as("name"),
+    t("databaseName").as("databaseName"),
+    t("description").as("description"),
+    t("owner").as("owner"),
+    strOf(t("createTimeMs")).as("createTime"),
+    strOf(t("updateTimeMs")).as("updateTime"),
+    strOf(t("lastAccessTimeMs")).as("lastAccessTime"),
+    t("retention").as("retention"),
+    sdOut(t("storageDescriptor")).as("storageDescriptor"),
+    colsOut(t("partitionKeys")).as("partitionKeys"),
+    t("tableType").as("tableType"),
+    t("viewOriginalText").as("viewOriginalText"),
+    t("viewExpandedText").as("viewExpandedText"),
+    t("parameters").as("parameters"),
+    t("createdBy").as("createdBy"))
+
   /** Parse a reference partition JSON object into the internal GPartition struct. */
   def partitionIn(json: Column): Column = {
     val p = from_json(json, partitionSchema)
