@@ -111,8 +111,33 @@ object SparkEntry {
   private def sessionKey(s: SparkSession): String =
     s"${s.sparkContext.applicationId}:${s.sparkContext.startTime}"
 
+  /** Session-scoped memo with EVICTION: building `kind:session:dir` drops any
+    * stale entry for the same (kind, dir) under a DEAD session key, so
+    * repeated sessions in one JVM don't accumulate checkpointed-Dataset
+    * references and temp dirs. Evicted s1 snapshot dirs are deleted (their
+    * contents are rebuildable fixture parquet, and the dead entry is the only
+    * pointer to them). */
+  private def sessionMemo[T <: AnyRef](kind: String, s: SparkSession, dir: String)(build: => T): T = {
+    val sk = sessionKey(s)
+    val live = s"$kind:$sk:$dir"
+    fixtureMemo.keySet().removeIf { k =>
+      val stale = k != live && k.startsWith(s"$kind:") && k.endsWith(s":$dir")
+      if (stale && kind == "s1") fixtureMemo.get(k) match {
+        case d: String => scala.util.Try {
+          import scala.jdk.CollectionConverters._
+          val root = java.nio.file.Paths.get(d)
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+        case _ => ()
+      }
+      stale
+    }
+    memo(live)(build)
+  }
+
   private def s1SnapshotDir(s: SparkSession, dir: String): String =
-    memo(s"s1:${sessionKey(s)}:$dir") {
+    sessionMemo("s1", s, dir) {
       val snapDir = java.nio.file.Files.createTempDirectory("graft-s1").toString
       graft.sources.CatalogSnapshot.writeParquet(tpchCatalog(s, dir), snapDir)
       snapDir
@@ -126,7 +151,7 @@ object SparkEntry {
     * not the setup run that manufactured the dead letters. */
   private def dlqFirstPass(s: SparkSession, dir: String)
       : (Dataset[DeadLetter], graft.sources.CatalogSnapshot) =
-    memo(s"dlq:${sessionKey(s)}:$dir") {
+    sessionMemo("dlq", s, dir) {
       import graft.run.{ReplicationConfig, ReplicationJob}
       import graft.sources.CatalogSnapshot
       val o = t(s, dir, "orders").orderBy(col("o_orderkey")).limit(2000)
@@ -144,11 +169,74 @@ object SparkEntry {
           r1.target.partitions.localCheckpoint(true)))
     }
 
+  /** Pin a snapshot's three planes eagerly (the live connector's
+    * read-the-service-once discipline, applied to bench fixtures): measured
+    * bodies then read materialized rows instead of replaying the fixture
+    * synthesis joins per action. */
+  private def pin(c: graft.sources.CatalogSnapshot): graft.sources.CatalogSnapshot =
+    graft.sources.CatalogSnapshot(c.catalogId,
+      c.databases.localCheckpoint(true),
+      c.tables.localCheckpoint(true),
+      c.partitions.localCheckpoint(true))
+
+  /** p6_dispatch's bounded source catalog, pinned: the measured body charges
+    * export dispatch + routing, not the lineitem⨝orders fixture synthesis. */
+  private def p6Catalog(s: SparkSession, dir: String): graft.sources.CatalogSnapshot =
+    sessionMemo("p6cat", s, dir)(pin(tpchCatalog(s, dir, limitOrders = Some(120))))
+
+  /** live_replicate's source catalog, pinned (same hygiene). */
+  private def liveCatalog(s: SparkSession, dir: String): graft.sources.CatalogSnapshot =
+    sessionMemo("livecat", s, dir)(pin(tpchCatalog(s, dir, limitOrders = Some(400))))
+
+  /** s8_stream_import's staged message drop: export → JSON files, built once.
+    * The measured body charges the streaming drain (checkpoint + foreachBatch
+    * import + versioned state), not the export that manufactured the queue. */
+  private def s8ImportMsgDir(s: SparkSession, dir: String): String =
+    sessionMemo("s8msgs", s, dir) {
+      import graft.run.{ReplicationConfig, ReplicationJob}
+      import graft.sources.CatalogSnapshot
+      val o = t(s, dir, "orders")
+      val src = CatalogSnapshot("src",
+        asDbs(o.select(lit("db0").as("name")).distinct()),
+        asTables(o.select(col("o_orderkey").as("name"), lit("db0").as("databaseName"))),
+        s.emptyDataset[GPartition])
+      val msgDir = java.nio.file.Files.createTempDirectory("graft-s8-msgs").toString
+      ReplicationJob.export(s, src, ReplicationConfig(runId = 500L))
+        .repartition(4).write.mode("overwrite").json(msgDir)
+      msgDir
+    }
+
+  /** s8_stream_dedup's double-delivered message drop (every message TWICE —
+    * the SQS visibility-timeout redelivery), built once. Materialized via a
+    * staging dir first so both copies are byte-identical: re-running the
+    * export plan could reorder collect_list payloads and the copies would no
+    * longer be duplicates of each other. */
+  private def s8DedupMsgDir(s: SparkSession, dir: String): String =
+    sessionMemo("s8dmsgs", s, dir) {
+      import graft.run.{ReplicationConfig, ReplicationJob}
+      val src = tpchCatalog(s, dir, limitOrders = Some(300))
+      // threshold 100: this fixture feeds the dedup query, not routing —
+      // every table inlines (testdata orders carry up to 12 lineitems)
+      val msgs = ReplicationJob.export(s, src,
+        ReplicationConfig(runId = 600L, largeTableThreshold = 100))
+      val stage = java.nio.file.Files.createTempDirectory("graft-s8d-stage").toString
+      msgs.write.mode("overwrite").json(stage)
+      val once = s.read.schema(Codecs.messageEncoder.schema).json(stage)
+      val msgDir = java.nio.file.Files.createTempDirectory("graft-s8d-msgs").toString
+      once.write.mode("overwrite").json(msgDir)
+      once.write.mode("append").json(msgDir) // redelivery: same plane again
+      msgDir
+    }
+
   /** Build every shared fixture for `dir` (untimed, idempotent). */
   def prepare(s: SparkSession, dir: String): Unit = {
     s1SnapshotDir(s, dir)
     sideDir("p6")
     dlqFirstPass(s, dir)
+    p6Catalog(s, dir)
+    liveCatalog(s, dir)
+    s8ImportMsgDir(s, dir)
+    s8DedupMsgDir(s, dir)
     ()
   }
 
@@ -344,7 +432,7 @@ object SparkEntry {
     // cost lives in the e2e specs, not the per-round gate.
     "p6_dispatch" -> ((s, dir) => {
       import graft.run.{ReplicationConfig, ReplicationJob}
-      val src = tpchCatalog(s, dir, limitOrders = Some(120))
+      val src = p6Catalog(s, dir)
       val msgs = ReplicationJob.export(s, src,
         ReplicationConfig(runId = 7L, largeTableThreshold = 3, sideChannelDir = Some(sideDir("p6"))))
       msgs.groupBy(col("messageType").as("message_type"))
@@ -538,7 +626,7 @@ object SparkEntry {
     // nothing end-to-end.
     "live_replicate" -> ((s, dir) => {
       import graft.catalog._
-      val src = tpchCatalog(s, dir, limitOrders = Some(400))
+      val src = liveCatalog(s, dir)
       val mock = InMemoryGlueCatalog.fresh("live_replicate_q")
       GlueReplication.replicateLive(s, src, InMemoryClientFactory("live_replicate_q"),
         graft.run.ReplicationConfig(runId = 11L, largeTableThreshold = 1000))
@@ -691,17 +779,11 @@ object SparkEntry {
     // S8: the message plane consumed as a stream — export → JSON file drop →
     // streaming foreachBatch import with checkpoint → final target plane.
     "s8_stream_import" -> ((s, dir) => {
-      import graft.run.{ReplicationConfig, ReplicationJob}
+      import graft.run.ReplicationConfig
       import graft.sources.CatalogSnapshot
       import graft.streaming.MessageStream
-      val o = t(s, dir, "orders")
-      val src = CatalogSnapshot("src",
-        asDbs(o.select(lit("db0").as("name")).distinct()),
-        asTables(o.select(col("o_orderkey").as("name"), lit("db0").as("databaseName"))),
-        s.emptyDataset[GPartition])
       val cfg = ReplicationConfig(runId = 500L)
-      val msgDir = java.nio.file.Files.createTempDirectory("graft-s8-msgs").toString
-      ReplicationJob.export(s, src, cfg).repartition(4).write.mode("overwrite").json(msgDir)
+      val msgDir = s8ImportMsgDir(s, dir)
       // single AvailableNow batch: one versioned-state write for the gate;
       // multi-micro-batch state progression is covered by StreamingImportSpec
       val tgt = MessageStream.runImport(s, msgDir,
@@ -716,22 +798,8 @@ object SparkEntry {
     // dedup — per-type counts must equal the single-delivery export, which
     // is what the oracle computes.
     "s8_stream_dedup" -> ((s, dir) => {
-      import graft.run.{ReplicationConfig, ReplicationJob}
       import graft.streaming.MessageStream
-      val src = tpchCatalog(s, dir, limitOrders = Some(300))
-      // threshold 100: this query tests dedup, not routing — every table
-      // inlines (testdata orders carry up to 12 lineitems)
-      val msgs = ReplicationJob.export(s, src,
-        ReplicationConfig(runId = 600L, largeTableThreshold = 100))
-      // Materialize the export once, then deliver the SAME bytes twice —
-      // re-running the export plan could reorder collect_list payloads and
-      // the copies would no longer be duplicates of each other.
-      val stage = java.nio.file.Files.createTempDirectory("graft-s8d-stage").toString
-      msgs.write.mode("overwrite").json(stage)
-      val once = s.read.schema(Codecs.messageEncoder.schema).json(stage)
-      val msgDir = java.nio.file.Files.createTempDirectory("graft-s8d-msgs").toString
-      once.write.mode("overwrite").json(msgDir)
-      once.write.mode("append").json(msgDir) // redelivery: same plane again
+      val msgDir = s8DedupMsgDir(s, dir)
       val outDir = java.nio.file.Files.createTempDirectory("graft-s8d-out").toString
       val q = MessageStream.dedupMessages(MessageStream.readMessages(s, msgDir))
         .writeStream
@@ -809,6 +877,58 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.contentFingerprint(col("text")).as("content_fp"),
         TextFunctions.shingleFingerprint(col("text"), 3).as("shingle_fp"))
+    }),
+
+    // Exact-dup clusters keeping the BEST copy (longest, then lowest id) —
+    // the production dedup shape: of near-identical scrapes, keep the best
+    "d_dedup_keep_best" -> ((s, dir) => {
+      Dedup.dedupKeepBest(t(s, dir, "documents"),
+        Seq(TextFunctions.tokenCount(col("text")).desc))
+        .select(col("content_hash"), col("doc_id"), col("dup_count"))
+    }),
+
+    // PII scrub (emails/phones → typed placeholders). The fixture corpus
+    // carries no PII, so a deterministic injection plants some; the scrubber
+    // must find exactly the planted set (and nothing else).
+    "d_pii_scrub" -> ((s, dir) => {
+      val inj = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" contact bob@example.com now")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" call 555-867-5309 today")).otherwise(lit("")))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.patternCount(inj, TextFunctions.EmailPattern).cast("bigint").as("n_emails"),
+        TextFunctions.patternCount(inj, TextFunctions.PhonePattern).cast("bigint").as("n_phones"),
+        length(TextFunctions.piiScrubbed(inj)).cast("bigint").as("scrubbed_len"))
+    }),
+
+    // Intra-document repetition signals (the Gopher-style filter inputs):
+    // distinct-token ratio numerators + most-frequent-token mass, all per-row
+    "d_repetition" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+        size(array_distinct(TextFunctions.tokens(col("text")))).cast("bigint").as("n_distinct"),
+        TextFunctions.topTokenCount(col("text")).cast("bigint").as("top_token_n"))
+    }),
+
+    // Corpus length histogram: token-count buckets of 32 — the shape stat
+    // every corpus curation pass starts from
+    "d_length_histogram" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(floor(TextFunctions.tokenCount(col("text")) / 32).cast("bigint").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text"))).cast("bigint").as("sum_tokens"))
+    }),
+
+    // Per-language stratified deterministic sampling: abundant languages
+    // downsample hard, identified minority languages keep more, unidentified
+    // keeps everything — documents' fates stay independent and reproducible
+    // (md5-threshold, no rand()), and the filter pushes into the scan
+    "d_stratified_sample" -> ((s, dir) => {
+      val lang = TextFunctions.langId(col("text"))
+      val keep = when(lang === "en", TextFunctions.hashSample(col("doc_id"), 10))
+        .when(lang === "und", TextFunctions.hashSample(col("doc_id"), 100))
+        .otherwise(TextFunctions.hashSample(col("doc_id"), 50))
+      t(s, dir, "documents").withColumn("lang", lang).where(keep)
+        .select(col("doc_id"), col("lang"))
     }),
 
     "d_ngram_jaccard" -> ((s, dir) => {
@@ -1280,6 +1400,75 @@ object SparkEntry {
            CASE WHEN len(gs) = 0 THEN md5(s)
                 ELSE list_min(list_transform(gs, g -> md5(g))) END AS shingle_fp
          FROM grams""",
+
+    "d_dedup_keep_best" ->
+      """WITH h AS (SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+           len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_toks
+           FROM documents)
+         SELECT content_hash, doc_id, dup_count FROM (
+           SELECT content_hash, doc_id,
+             row_number() OVER (PARTITION BY content_hash ORDER BY n_toks DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY content_hash) AS dup_count
+           FROM h)
+         WHERE rk = 1""",
+
+    "d_pii_scrub" ->
+      """WITH inj AS (SELECT doc_id,
+           text || CASE WHEN doc_id % 3 = 0 THEN ' contact bob@example.com now' ELSE '' END
+                || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309 today' ELSE '' END AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS BIGINT) AS n_phones,
+           CAST(length(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g')) AS BIGINT) AS scrubbed_len
+         FROM inj""",
+
+    "d_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+         ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         cnt AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY doc_id, tok),
+         top AS (SELECT doc_id, max(c) AS top_token_n FROM cnt GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t.t)) AS BIGINT) AS n_distinct,
+           CAST(top.top_token_n AS BIGINT) AS top_token_n
+         FROM toks t JOIN top ON t.doc_id = top.doc_id""",
+
+    "d_length_histogram" ->
+      """SELECT CAST(floor(len(regexp_split_to_array(trim(lower(text)), '\s+')) / 32.0) AS BIGINT) AS bucket,
+         count(*) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS sum_tokens
+         FROM documents GROUP BY 1""",
+
+    "d_stratified_sample" ->
+      """WITH scored AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         counts AS (
+           SELECT doc_id,
+             len(list_filter(toks, x -> list_contains(['the','and','of','to','is','with','for'], x))) AS s_en,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','mit','ein'], x))) AS s_de,
+             len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','des'], x))) AS s_fr,
+             len(list_filter(toks, x -> list_contains(['el','la','los','y','es','una','con'], x))) AS s_es,
+             len(list_filter(toks, x -> list_contains(['de','shi','le','zai','you','wo','ta'], x))) AS s_zh
+           FROM scored),
+         lang AS (
+           SELECT doc_id,
+             CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+                  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                  ELSE 'zh' END AS lang
+           FROM counts)
+         SELECT l.doc_id, l.lang FROM lang l
+         WHERE CASE WHEN l.lang = 'en' THEN substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 2) < '19'
+                    WHEN l.lang = 'und' THEN TRUE
+                    ELSE substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 2) < '80' END""",
 
     "d_ngram_jaccard" ->
       """WITH g AS (

@@ -32,6 +32,12 @@ trait GlueCatalogClient {
   def catalogId: String
 
   def getDatabases(nextToken: Option[String]): GluePage[GDatabase]
+
+  /** GetTables. Like the real API, throws [[GlueEntityNotFoundException]]
+    * when `databaseName` is absent — NOT an empty page. Callers fetching
+    * state for entities that may not exist yet (e.g. a pruned per-micro-batch
+    * snapshot whose messages are about to CREATE them) must catch it and
+    * treat the table set as empty; [[GlueCatalogSource]] does. */
   def getTables(databaseName: String, nextToken: Option[String]): GluePage[GTable]
 
   /** GetPartitions, optionally restricted to one [[GlueSegment]] — the
@@ -39,7 +45,14 @@ trait GlueCatalogClient {
     * {SegmentNumber, TotalSegments}`). The reference fetches serially
     * (GlueUtil.java:361-386); segments are what keep ONE million-partition
     * table from bounding snapshot time by a single pagination chain — the
-    * source fans (db, table, segment) keys across executors. */
+    * source fans (db, table, segment) keys across executors.
+    *
+    * Like the real API, throws [[GlueEntityNotFoundException]] when the
+    * database or table is absent — NOT an empty page. Source-side fetches
+    * that name tables which may not exist on the target yet (every table a
+    * micro-batch is about to create) catch it and treat the partition set as
+    * empty ([[GlueCatalogSource]] does); it is an entity-semantics decision,
+    * not a retryable fault, so [[GlueCatalogClient.withRetry]] rethrows it. */
   def getPartitions(databaseName: String, tableName: String, nextToken: Option[String],
       segment: Option[GlueSegment] = None): GluePage[GPartition]
 
@@ -131,11 +144,16 @@ object GlueCatalogClient {
   /** Bounded retry on throttling faults — the client-level
     * `maxErrorRetry(10)` policy (ExportDatabaseWithTables.java:76-77;
     * DDBUtil.java:48-49). `maxErrorRetry` is the number of RE-tries after the
-    * first attempt; backoff is linear in attempt count and capped, and 0 ms
-    * in tests. Only [[GlueThrottlingException]] retries — entity-semantics
-    * errors (not-found / already-exists) are decisions, not faults. */
+    * first attempt; backoff is linear in attempt count (`retryDelayMs *
+    * attempt`), capped PROPORTIONAL to the configured delay at `retryDelayMs *
+    * maxErrorRetry` — a caller configuring a 2 s base under sustained
+    * throttling really waits up to 2 s × retries, not a silent 1 s ceiling —
+    * and 0 ms in tests. Only [[GlueThrottlingException]] retries —
+    * entity-semantics errors (not-found / already-exists) are decisions, not
+    * faults. */
   def withRetry(underlying: GlueCatalogClient, maxErrorRetry: Int, retryDelayMs: Long = 0L): GlueCatalogClient =
     new GlueCatalogClient {
+      private val maxDelayMs = retryDelayMs * math.max(maxErrorRetry, 1)
       private def retry[T](op: => T): T = {
         var attempt = 0
         while (true) {
@@ -144,7 +162,7 @@ object GlueCatalogClient {
             case e: GlueThrottlingException =>
               attempt += 1
               if (attempt > maxErrorRetry) throw e
-              if (retryDelayMs > 0) Thread.sleep(math.min(retryDelayMs * attempt, 1000L))
+              if (retryDelayMs > 0) Thread.sleep(math.min(retryDelayMs * attempt, maxDelayMs))
           }
         }
         throw new IllegalStateException("unreachable")

@@ -49,7 +49,13 @@ object GlueCatalogSource {
     val dbNames = spark.createDataset(dbs.map(_.name)).repartition(slots)
     val tables = dbNames.mapPartitions { names =>
       val c = wrap(factory.client())
-      names.flatMap(db => GlueCatalogClient.paginate(c.getTables(db, _)))
+      // A database dropped between the driver's GetDatabases and this task's
+      // GetTables throws EntityNotFoundException (real-API behavior) — that's
+      // an empty table set for the vanished db, not a snapshot failure.
+      names.flatMap { db =>
+        try GlueCatalogClient.paginate(c.getTables(db, _))
+        catch { case _: GlueEntityNotFoundException => Seq.empty[GTable] }
+      }
     }.localCheckpoint(true)
 
     val parts = fetchPartitions(spark, factory, cfg,
@@ -104,7 +110,13 @@ object GlueCatalogSource {
         val c = wrap(factory.client())
         keys.flatMap { case (db, tbl, segNo) =>
           val seg = if (segNo < 0) None else Some(GlueSegment(segNo, partitionSegments))
-          GlueCatalogClient.paginate(c.getPartitions(db, tbl, _, seg))
+          // A table absent on the target (about to be CREATED by the messages
+          // this pruned fetch serves — snapshotForKeys names tables straight
+          // from the batch) makes the service throw EntityNotFoundException,
+          // not return an empty page. That's an empty partition set here, not
+          // a task failure.
+          try GlueCatalogClient.paginate(c.getPartitions(db, tbl, _, seg))
+          catch { case _: GlueEntityNotFoundException => Seq.empty[GPartition] }
         }
       }.localCheckpoint(true)
   }

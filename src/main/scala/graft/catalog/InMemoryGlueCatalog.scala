@@ -87,8 +87,13 @@ final class InMemoryGlueCatalog(val catalogId: String, pageSize: Int = 100)
     record("GetDatabases"); page(dbs.values.toSeq, nextToken)
   }
 
+  /** The real GetTables throws EntityNotFoundException for an absent database
+    * (it does NOT return an empty page) — faithful here so source-side
+    * handling is exercised by tests, not just documented. */
   def getTables(databaseName: String, nextToken: Option[String]): GluePage[GTable] = synchronized {
     record("GetTables")
+    if (!dbs.contains(databaseName))
+      throw new GlueEntityNotFoundException(s"database $databaseName not found")
     page(tables.values.filter(_.databaseName == databaseName).toSeq, nextToken)
   }
 
@@ -99,6 +104,11 @@ final class InMemoryGlueCatalog(val catalogId: String, pageSize: Int = 100)
       segment: Option[GlueSegment] = None): GluePage[GPartition] =
     synchronized {
       record("GetPartitions")
+      // Real-service fidelity: GetPartitions on an absent table throws
+      // EntityNotFoundException — the case a pruned per-micro-batch fetch hits
+      // for every table its messages are about to CREATE on the target.
+      if (!tables.contains((databaseName, tableName)))
+        throw new GlueEntityNotFoundException(s"table $databaseName.$tableName not found")
       val all = parts.values.filter(p => p.databaseName == databaseName && p.tableName == tableName).toSeq
       val sliced = segment match {
         case None => all

@@ -35,6 +35,26 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
+  /** Exact dedup, keeping the BEST document of each identical-content group
+    * rather than the lowest id — the production dedup shape (near-identical
+    * scrapes differ in surrounding quality signals; you keep the best copy).
+    * `better` columns rank candidates (first column most significant); ties
+    * MUST be broken deterministically by the caller including a unique column
+    * (idCol is appended as the final ascending tiebreak automatically).
+    * One shuffle (the window's hash partition on content_hash — same exchange
+    * exactDedup's groupBy uses); emits one row per group: the surviving id +
+    * group size. */
+  def dedupKeepBest(docs: DataFrame, better: Seq[Column],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+      .orderBy(better :+ col(idCol).asc: _*)
+    withContentHash(docs, textCol)
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("dup_count", count(lit(1)).over(Window.partitionBy(col("content_hash"))))
+      .where(col("_rk") === 1)
+      .drop("_rk")
+  }
+
   /**
    * MinHash signature: k independent min-hashes over word-`n`-gram shingles,
    * computed by the native MinHashSignature expression (one string hash per

@@ -160,6 +160,49 @@ object TextFunctions {
       .select(col("shard"), col("doc_id"), col("n_tokens"), col("pack_id"))
   }
 
+  // Patterns chosen to parse identically under Java regex (Spark) and RE2
+  // (DuckDB): character classes, bounded quantifiers, \b word boundaries —
+  // no lookarounds, no backreferences.
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+
+  /** Count of pattern matches in `text` (codegen'd regexp_count). */
+  def patternCount(text: Column, pattern: String): Column = regexp_count(text, lit(pattern))
+
+  /** PII scrub: redact emails and phone-shaped numbers with typed placeholder
+    * tokens — the standard pre-training privacy pass. Pure per-row
+    * projection: no shuffle, linear in the corpus, safe to run inside the
+    * ingest scan at 100 TB. Returns (scrubbed, n_emails, n_phones) columns
+    * via [[piiScrubbed]] + the two counters. */
+  def piiScrubbed(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"), PhonePattern, "<PHONE>")
+
+  /** Intra-document repetition signals — the Gopher-style repetition filter's
+    * inputs: distinct-token ratio and the mass of the single most frequent
+    * token. A document whose top token carries a large fraction of its length
+    * (or whose distinct ratio collapses) is boilerplate/spam. Per-row array
+    * ops over the token vector — no shuffle, no explode job. */
+  def distinctTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    size(array_distinct(toks)) / greatest(size(toks), lit(1))
+  }
+
+  /** Occurrence count of the most frequent token (the numerator of the
+    * top-token-mass signal): sort the row's tokens, then one run-length pass —
+    * O(n log n) per row, vs the naive O(distinct·n) count-per-distinct-token.
+    * State is a (prev, run, best) struct threaded through aggregate(). */
+  def topTokenCount(text: Column): Column = {
+    val sorted = array_sort(tokens(text))
+    val st = aggregate(sorted,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, tok) => {
+        val run = when(tok === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        struct(tok.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      })
+    st.getField("best")
+  }
+
   /** TF-IDF per (document, token): `(cnt/doc_len) · ln(N/df)` — the
     * vocabulary-weighting building block over [[tokens]] (extends the
     * d_doc_freq corpus statistic to a per-document relevance score).

@@ -169,7 +169,11 @@ object MessageStream {
    * state (the reference's model exactly); the checkpoint tracks source
    * progress, and batch replay after a crash is safe because every apply is
    * convergent (create-if-absent / create-or-update / batch upsert).
-   * Returns the accumulated per-batch statuses.
+   *
+   * Statuses append under `statusDir` per batch (one row per entity/batch —
+   * the reference's DynamoDB status-table analogue, DDBUtil.java:54-65) and
+   * come back as a LAZY dataset read from there: draining a 1M-partition
+   * backlog never holds the status history in driver memory.
    */
   def runLiveImport(
       spark: SparkSession,
@@ -182,11 +186,12 @@ object MessageStream {
         * Read back with [[deadLetters]]; re-drive with ReDriveJob.messagesOf
         * → GlueReplication.applyMessagesLive. */
       deadLetterDir: String,
+      /** Status-plane location: per-batch apply statuses append here. */
+      statusDir: String,
       cfg: ReplicationConfig,
       sinkCfg: graft.catalog.GlueSinkConfig = graft.catalog.GlueSinkConfig(),
       maxFilesPerTrigger: Option[Int] = None,
-      dedupRedelivered: Boolean = false): Seq[graft.catalog.LiveApplyStatus] = {
-    val statuses = scala.collection.mutable.ArrayBuffer.empty[graft.catalog.LiveApplyStatus]
+      dedupRedelivered: Boolean = false): Dataset[graft.catalog.LiveApplyStatus] = {
     val source = readMessages(spark, messagesDir, maxFilesPerTrigger)
     val q = (if (dedupRedelivered) dedupMessages(source) else source)
       .writeStream
@@ -197,12 +202,25 @@ object MessageStream {
           spark, batch, factory, cfg.copy(runId = cfg.runId + batchId), sinkCfg,
           pruneFetchToMessages = true)
         res.deadLetters.write.mode("append").parquet(deadLetterDir)
-        statuses ++= res.statuses.collect()
+        res.statuses.withColumn("batchId", lit(batchId))
+          .write.mode("append").parquet(statusDir)
         ()
       }
       .start()
     q.awaitTermination()
-    statuses.toSeq
+    statusesAt(spark, statusDir)
+  }
+
+  /** Statuses accumulated by runLiveImport (lazy; empty if no batch ran). */
+  def statusesAt(spark: SparkSession, statusDir: String): Dataset[graft.catalog.LiveApplyStatus] = {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(statusDir), spark.sparkContext.hadoopConfiguration)
+    val enc = org.apache.spark.sql.Encoders.product[graft.catalog.LiveApplyStatus]
+    if (fs.exists(new org.apache.hadoop.fs.Path(statusDir)))
+      spark.read.schema(enc.schema.add("batchId", "long")).parquet(statusDir)
+        .drop("batchId").as[graft.catalog.LiveApplyStatus](enc)
+    else spark.emptyDataset[graft.catalog.LiveApplyStatus](enc)
   }
 
   /** Dead letters accumulated by runImport (for ReDriveJob). */

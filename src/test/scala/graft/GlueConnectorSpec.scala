@@ -155,6 +155,29 @@ class GlueConnectorSpec extends SparkSpec {
     assert(mock.callCount("GetPartitions") >= 4)
   }
 
+  test("pruned fetch of entities absent on the target: service throws EntityNotFound, snapshot is empty") {
+    val mock = InMemoryGlueCatalog.fresh("live-absent")
+    mock.createDatabase(db("alpha")) // db exists; the tables do not
+    // Real-API fidelity first: the mock must THROW for missing parents, so
+    // the source-side handling below is exercised, not vacuous.
+    intercept[GlueEntityNotFoundException](mock.getPartitions("alpha", "ghost", None))
+    intercept[GlueEntityNotFoundException](mock.getTables("no-such-db", None))
+
+    // The per-micro-batch fetch shape: messages name a db and tables that are
+    // about to be CREATED — point gets miss, partition pages throw, and the
+    // snapshot must come back EMPTY instead of failing the batch.
+    val snap = GlueCatalogSource.snapshotForKeys(spark, InMemoryClientFactory("live-absent"),
+      GlueSinkConfig(), Seq("alpha", "new-db"), Seq(("alpha", "ghost"), ("new-db", "t1")))
+    assert(snap.databases.collect().map(_.name).toSeq === Seq("alpha"))
+    assert(snap.tables.count() === 0)
+    assert(snap.partitions.count() === 0)
+
+    // Segmented fetch takes the same path per (db, table, segment) key.
+    val seg = GlueCatalogSource.snapshotForKeys(spark, InMemoryClientFactory("live-absent"),
+      GlueSinkConfig(), Seq("alpha"), Seq(("alpha", "ghost")), partitionSegments = 4)
+    assert(seg.partitions.count() === 0)
+  }
+
   test("skipArchive passes through to UpdateTable") {
     def run(skip: Boolean, key: String): InMemoryGlueCatalog = {
       val mock = InMemoryGlueCatalog.fresh(key)
@@ -215,11 +238,14 @@ class GlueConnectorSpec extends SparkSpec {
 
     val streamed = InMemoryGlueCatalog.fresh("live-stream")
     val dlqDir = java.nio.file.Files.createTempDirectory("live-stream-dlq").toString
+    val statusDir = java.nio.file.Files.createTempDirectory("live-stream-status").toString
     val statuses = graft.streaming.MessageStream.runLiveImport(
       spark, msgDir, InMemoryClientFactory("live-stream"),
       java.nio.file.Files.createTempDirectory("live-stream-ckpt").toString,
-      dlqDir, cfg, maxFilesPerTrigger = Some(1))
-    assert(statuses.nonEmpty && statuses.forall(_.ok))
+      dlqDir, statusDir, cfg, maxFilesPerTrigger = Some(1))
+    // statuses came back off-driver (a lazy read of the persisted plane)
+    assert(statuses.count() > 0 && statuses.where(!col("ok")).count() === 0)
+    assert(graft.streaming.MessageStream.statusesAt(spark, statusDir).count() === statuses.count())
 
     // dead letters survive the drained checkpoint
     val dead = graft.streaming.MessageStream.deadLettersAt(spark, dlqDir).collect()
