@@ -252,14 +252,16 @@ object Similarity {
   private def litVec(v: Array[Float]): Column =
     array(v.toSeq.map(x => lit(x)): _*).cast("array<float>")
 
-  /** Nearest-centroid id by cosine: greatest over (sim, cid) structs — each
-    * sim a native codegen'd cosine_f32 against a literal centroid; ties break
-    * toward the higher cid, deterministically. */
+  /** Nearest-centroid id by cosine via the native nearest_centroid
+    * expression: one fused pass over all centroids with the matrix as an
+    * expression FIELD. The former greatest-over-(sim, cid)-structs
+    * formulation inlined nCentroids × dim float literals into codegen, and
+    * Lloyd iterations (which change the literals) forced a thousand-literal
+    * recompile per training pass; ties still break toward the higher cid,
+    * bit-identically (same double-accumulation loop as cosine_f32). */
   private def nearestCentroid(vec: Column, cents: Array[Array[Float]]): Column =
     if (cents.length == 1) lit(0)
-    else greatest(cents.zipWithIndex.map { case (c, i) =>
-      struct(cosine_f32(vec, litVec(c)).as("sim"), lit(i).as("cid"))
-    }.toSeq: _*).getField("cid")
+    else VectorFunctions.nearest_centroid(vec, cents)
 
   /**
    * IVF coarse quantizer: nCentroids cluster centers trained by Lloyd

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /**
  * Native Catalyst expressions for the vector-similarity hot path.
@@ -140,6 +140,31 @@ object VectorOps {
     bucket
   }
 
+  /** Nearest centroid by cosine (same fused double-accumulation loop as
+    * CosineSimilarityFloat, so results are bit-identical to composing
+    * cosine_f32 per centroid); ties break toward the HIGHER centroid id,
+    * matching the greatest(struct(sim, cid)) column formulation it replaces.
+    * Zero-norm inputs or centroids score 0.0. */
+  def nearestCentroid(v: ArrayData, cents: Array[Array[Float]]): Int = {
+    var best = Double.NegativeInfinity
+    var bestC = 0
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var dot = 0.0d; var na = 0.0d; var nb = 0.0d
+      var i = 0
+      val n = math.min(cent.length, v.numElements())
+      while (i < n) {
+        val xv = v.getFloat(i).toDouble; val yv = cent(i).toDouble
+        dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+      }
+      val sim = if (na == 0.0d || nb == 0.0d) 0.0d else dot / (math.sqrt(na) * math.sqrt(nb))
+      if (sim >= best) { best = sim; bestC = c }
+      c += 1
+    }
+    bestC
+  }
+
   /** max |x| accumulated in double over an array<float>. */
   def absMax(v: ArrayData): Double = {
     var m = 0.0
@@ -260,6 +285,50 @@ case class LshBucketExpr(child: Expression, dim: Int, nPlanes: Int, seed: Long)
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Trained centroid matrix as an expression field: structural equality (for
+  * semanticEquals / plan canonicalization) with a COMPACT toString — TreeNode
+  * renders constructor args into plan dumps via argString, and a raw
+  * Seq[Seq[Float]] at dim 512 × 16 centroids turns every explain() into a
+  * ~100 KB wall of floats. */
+final case class CentroidMatrix(rows: Seq[Seq[Float]]) {
+  override def toString: String =
+    s"CentroidMatrix(${rows.length}x${rows.headOption.map(_.length).getOrElse(0)})"
+}
+
+/**
+ * nearest_centroid(vec array<float>) → int: cell assignment against a trained
+ * centroid matrix — the IVF coarse quantizer's hot projection.
+ *
+ * The matrix is a FIELD of the expression (structural Seq equality keeps
+ * semanticEquals honest; a transient Array mirror feeds the hot loop), not
+ * nCentroids literal arrays composed through greatest(struct(...)): that
+ * formulation inlines nCentroids × dim float literals into codegen and —
+ * because Lloyd iterations CHANGE the literals — forces a full recompile of a
+ * thousand-literal projection per training pass. Here the generated code
+ * references the matrix as one constant object; recompiles are of a tiny
+ * method, and plan size is independent of dim × nCentroids.
+ */
+case class NearestCentroidExpr(child: Expression, centroids: CentroidMatrix)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  require(centroids.rows.nonEmpty, "centroids must be non-empty")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def prettyName: String = "nearest_centroid"
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val mat: Array[Array[Float]] = centroids.rows.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.nearestCentroid(input.asInstanceOf[ArrayData], mat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("centroidMat", mat, "float[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.VectorOps$$.MODULE$$.nearestCentroid($c, $matRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 /** dequantize_i8(q array<tinyint>, absmax double) → array<float>. */
 case class DequantizeInt8(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "dequantize_i8"
@@ -302,6 +371,20 @@ object VectorFunctions {
             foldableInt(exprs(1), "dim"), foldableInt(exprs(2), "nPlanes"),
             foldableLong(exprs(3), "seed"))
         }, "built-in")
+      // The flattened-centroids literal exists only at resolution time: the
+      // factory folds it into the expression's matrix FIELD, so the resolved
+      // plan carries the vec child alone (no thousand-float literal).
+      reg.createOrReplaceTempFunction("nearest_centroid",
+        exprs => {
+          require(exprs.length == 3,
+            s"nearest_centroid(vec, flatCentroids, dim) takes 3 arguments, got ${exprs.length}")
+          require(exprs(1).foldable, "flatCentroids must be a literal")
+          val flat = exprs(1).eval().asInstanceOf[ArrayData].toFloatArray()
+          val dim = foldableInt(exprs(2), "dim")
+          require(dim > 0 && flat.length % dim == 0,
+            s"flatCentroids length ${flat.length} is not a multiple of dim $dim")
+          NearestCentroidExpr(exprs(0), CentroidMatrix(flat.grouped(dim).map(_.toSeq).toSeq))
+        }, "built-in")
     }
   }
 
@@ -336,5 +419,18 @@ object VectorFunctions {
   def lsh_bucket(v: Column, dim: Int, nPlanes: Int, seed: Long): Column = {
     import org.apache.spark.sql.functions.lit
     call_function("lsh_bucket", v.cast("array<float>"), lit(dim), lit(nPlanes), lit(seed))
+  }
+
+  /** Native IVF cell assignment: the trained centroid matrix rides as an
+    * expression field, never as per-centroid literal arrays in the resolved
+    * plan (the flattened literal below is consumed by the registry factory at
+    * resolution and replaced by the field). */
+  def nearest_centroid(v: Column, centroids: Array[Array[Float]]): Column = {
+    import org.apache.spark.sql.functions.{lit, typedlit}
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val dim = centroids.head.length
+    require(centroids.forall(_.length == dim), "centroids must share one dim")
+    call_function("nearest_centroid", v.cast("array<float>"),
+      typedlit(centroids.flatten.toSeq), lit(dim))
   }
 }

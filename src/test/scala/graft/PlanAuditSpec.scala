@@ -164,6 +164,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(mock.allPartitions.size == 300) // duplicates collapsed before batching
   }
 
+  test("nearest_centroid carries the matrix as a field: no literal blowup at dim 512 × 16, codegen'd, equals the composed form") {
+    graft.plans.VectorFunctions.register(spark)
+    val dim = 512; val nCents = 16
+    val cents = graft.plans.VectorOps.hyperplanes(dim, nCents, seed = 7L)
+    val vecs = spark.range(100).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (pmod(col("id") * (i + lit(3)), lit(97)) / 97.0 - 0.5)).cast("array<float>").as("v"))
+    val q = vecs.select(col("vec_id"),
+      graft.plans.VectorFunctions.nearest_centroid(col("v"), cents).as("cid"))
+    val plan = planString(q)
+    // 16 × 512 float literals would render a plan orders of magnitude larger
+    // than this bound; the matrix-as-field form stays tiny and codegen'd.
+    assert(plan.length < 10000, s"plan blew up to ${plan.length} chars — literals leaked")
+    assert(plan.contains("*("), s"nearest_centroid fell out of codegen:\n$plan")
+    // Bit-identical to the composed greatest(struct(cosine_f32, cid)) form it
+    // replaced (same double-accumulation loop, same higher-cid tie-break).
+    def litVec(a: Array[Float]) = array(a.toSeq.map(x => lit(x)): _*).cast("array<float>")
+    val composed = vecs.select(col("vec_id"),
+      greatest(cents.zipWithIndex.map { case (c, i) =>
+        struct(graft.plans.VectorFunctions.cosine_f32(col("v"), litVec(c)).as("sim"),
+          lit(i).as("cid"))
+      }.toSeq: _*).getField("cid").as("cid"))
+    assert(q.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted ===
+      composed.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted)
+    assert(q.select(countDistinct(col("cid"))).head().getLong(0) > 1)
+  }
+
   test("brute-force top-k plans as TakeOrderedAndProject (partial per-partition top-k)") {
     graft.plans.VectorFunctions.register(spark)
     val vecs = (0 until 200).map(i => (i.toLong, Seq.fill(8)(i.toFloat / 200)))
