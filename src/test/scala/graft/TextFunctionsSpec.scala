@@ -29,6 +29,71 @@ class TextFunctionsSpec extends SparkSpec {
     assert(large.filter(_ < 1000) === small)
   }
 
+  test("piiScrubbed: redacts planted emails/phones, leaves near-misses alone") {
+    val rows = Seq(
+      (1L, "reach me at jane.doe+spam@sub.example.co.uk or 555-123-4567 ok"),
+      (2L, "no pii here, just words and 12345 numbers"),
+      (3L, "two mails a@b.io c@d.org one phone 111 222 3333"),
+      (4L, "not-a-phone 12-345-6789 and not-an-email foo@bar (no tld)"))
+      .toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+      TextFunctions.patternCount(col("text"), TextFunctions.EmailPattern).as("e"),
+      TextFunctions.patternCount(col("text"), TextFunctions.PhonePattern).as("p"),
+      TextFunctions.piiScrubbed(col("text")).as("s"))
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(out.map(r => (r._2, r._3)).toSeq === Seq((1, 1), (0, 0), (2, 1), (0, 0)))
+    assert(out(0)._4 === "reach me at <EMAIL> or <PHONE> ok")
+    assert(out(2)._4 === "two mails <EMAIL> <EMAIL> one phone <PHONE>")
+    assert(out(3)._4 === rows.where(col("doc_id") === 4).select("text").as[String].head())
+  }
+
+  test("topTokenCount: sorted run-length pass equals a naive per-token count") {
+    val docs = Seq(
+      (1L, "a b a c a b"),            // a×3
+      (2L, "solo"),                   // 1
+      (3L, "x x x x"),                // 4
+      (4L, "  Tie tie BOTH both  "))  // lowercased → tie×2, both×2
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"), TextFunctions.topTokenCount(col("text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 3, 2L -> 1, 3L -> 4, 4L -> 2))
+    val naive = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").count()
+      .groupBy("doc_id").agg(max("count").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.view.mapValues(_.toLong).toMap === naive)
+  }
+
+  test("dedupKeepBest keeps the highest-ranked copy per content group, with deterministic ties") {
+    val docs = Seq(
+      (10L, "same   text here"),      // normalizes equal to 11/12
+      (11L, "same text  here"),
+      (12L, "same text here"),
+      (20L, "short"),
+      (21L, "a longer unique document with many tokens"))
+      .toDF("doc_id", "text")
+    val kept = graft.functions.Dedup.dedupKeepBest(docs,
+      Seq(TextFunctions.tokenCount(col("text")).desc))
+      .select(col("doc_id"), col("dup_count")).as[(Long, Long)].collect().toMap
+    // the trio ties on token count (3 each) → lowest id wins the tie-break
+    assert(kept === Map(10L -> 3L, 20L -> 1L, 21L -> 1L))
+    // ranking actually bites: make one copy longer and it wins regardless of id
+    val docs2 = Seq(
+      (30L, "dup dup"), (31L, "dup dup dup")).toDF("doc_id", "text")
+    val kept2 = graft.functions.Dedup.dedupKeepBest(docs2,
+      Seq(TextFunctions.tokenCount(col("text")).desc))
+      .select(col("doc_id")).as[Long].collect().toSeq
+    assert(kept2 === Seq(30L, 31L)) // different content hashes — both survive
+    val docs3 = Seq(
+      (40L, "pick me not"), (41L, "pick  me  not"), (42L, "pick me not really"))
+      .toDF("doc_id", "text")
+    val kept3 = graft.functions.Dedup.dedupKeepBest(docs3,
+      Seq(TextFunctions.tokenCount(col("text")).desc))
+      .select(col("doc_id"), col("dup_count")).as[(Long, Long)].collect().toMap
+    assert(kept3 === Map(40L -> 2L, 42L -> 1L))
+  }
+
   test("packSequences: packs respect the budget unless a single doc exceeds it") {
     val docs = (0 until 200).map { i =>
       // doc i has i%7+1 words; shard by i%3
