@@ -710,6 +710,14 @@ object SparkEntry {
         .select(col("p_id").as("event_id"), col("m.v_id").as("asof_view_id"))
     }),
 
+    // banded time-proximity self-join: same-user event pairs within 60 s,
+    // joined on (user, gap-bucket) — factor-2 row inflation instead of the
+    // naive per-user product (see EventOps.proximityPairs)
+    "ev_proximity_join" -> ((s, dir) => {
+      val e = t(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      graft.functions.EventOps.proximityPairs(e, gapUs = 60000000L)
+    }),
+
     "ev_sessionize" -> ((s, dir) => {
       val e = t(s, dir, "events")
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -1281,6 +1289,14 @@ object SparkEntry {
                FROM events
                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
          GROUP BY user_id""",
+
+    "ev_proximity_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+         SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+           b.us - a.us AS gap_us
+         FROM e a JOIN e b
+           ON a.user_id = b.user_id
+          AND b.us - a.us > 0 AND b.us - a.us <= 60000000""",
 
     "s7_stream_tumbling" ->
       """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s, event_type,

@@ -191,6 +191,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(q.select(countDistinct(col("cid"))).head().getLong(0) > 1)
   }
 
+  test("banded proximity join equals the naive theta-join and plans as an equi-join") {
+    // Dense synthetic stream with pairs straddling bucket boundaries: user u
+    // fires every 7s, so 60s-gap pairs regularly cross floor(us/gap) edges.
+    val events = spark.range(400).select(
+      (col("id") % 5).cast("string").as("user_id"),
+      col("id").as("event_id"),
+      (col("id") * 7000000L + (col("id") % 3) * 999999L).as("us"))
+    val gap = 60000000L
+    val banded = graft.functions.EventOps.proximityPairs(events, gap)
+    val naive = {
+      val a = events.select(col("user_id"), col("event_id").as("id_a"), col("us").as("us_a"))
+      val b = events.select(col("user_id").as("u2"), col("event_id").as("id_b"), col("us").as("us_b"))
+      a.join(b, col("user_id") === col("u2") &&
+          col("us_b") - col("us_a") > 0 && col("us_b") - col("us_a") <= gap)
+        .select(col("user_id"), col("id_a"), col("id_b"), (col("us_b") - col("us_a")).as("gap_us"))
+    }
+    val bs = banded.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val ns = naive.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(bs === ns, s"banded join diverged from the naive theta-join")
+    assert(bs.nonEmpty)
+    // every true pair found EXACTLY once (set equality + count equality)
+    assert(banded.count() === bs.size.toLong)
+    // the scale property: an equality join on (user, bucket), never a
+    // per-user product (BroadcastNestedLoop/Cartesian)
+    val plan = planString(banded)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"proximity join fell back to a product plan:\n$plan")
+  }
+
   test("brute-force top-k plans as TakeOrderedAndProject (partial per-partition top-k)") {
     graft.plans.VectorFunctions.register(spark)
     val vecs = (0 until 200).map(i => (i.toLong, Seq.fill(8)(i.toFloat / 200)))
