@@ -926,6 +926,24 @@ object SparkEntry {
           sum(TextFunctions.tokenCount(col("text"))).cast("bigint").as("sum_tokens"))
     }),
 
+    // Per-source token-length quantiles (exact `percentile`, R-7 linear
+    // interpolation — matches DuckDB quantile_cont, so it oracles). At
+    // 100 TB the same shape runs `percentile_approx` (t-digest, mergeable,
+    // bounded memory); exact is the oracle-checkable twin, and grouping by
+    // source keeps even the exact sort per-group, never global.
+    "d_token_quantiles" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), TextFunctions.tokenCount(col("text")).cast("double").as("n"))
+        .groupBy("source")
+        .agg(expr("percentile(n, array(0.5D, 0.9D, 0.99D))").as("q"),
+          count(lit(1)).as("n_docs"))
+        .select(col("source"),
+          round(element_at(col("q"), 1), 6).as("p50"),
+          round(element_at(col("q"), 2), 6).as("p90"),
+          round(element_at(col("q"), 3), 6).as("p99"),
+          col("n_docs"))
+    }),
+
     // Per-language stratified deterministic sampling: abundant languages
     // downsample hard, identified minority languages keep more, unidentified
     // keeps everything — documents' fates stay independent and reproducible
@@ -1458,6 +1476,17 @@ object SparkEntry {
          count(*) AS n_docs,
          CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS sum_tokens
          FROM documents GROUP BY 1""",
+
+    "d_token_quantiles" ->
+      """WITH n AS (SELECT source,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE) AS n
+           FROM documents)
+         SELECT source,
+           round(quantile_cont(n, 0.5), 6) AS p50,
+           round(quantile_cont(n, 0.9), 6) AS p90,
+           round(quantile_cont(n, 0.99), 6) AS p99,
+           count(*) AS n_docs
+         FROM n GROUP BY source""",
 
     "d_stratified_sample" ->
       """WITH scored AS (

@@ -23,20 +23,45 @@ object EventOps {
 
   /** Pairs of events of the same user strictly within `gapUs` microseconds
     * (0 < us_b − us_a ≤ gapUs), with the gap. `usCol` is an epoch-micros
-    * bigint column. */
+    * bigint column.
+    *
+    * `maxEventsPerBucket` is the flood cap (the same skew discipline as the
+    * dedup pair-finders' `maxBucketSize`): a degenerate key — one user
+    * emitting e.g. a million events inside one gap window, bots/replays —
+    * would cost O(n²) pairs in that (user, bucket) cell, which is quadratic
+    * work AND quadratic output nobody can consume. Events whose HOME cell
+    * exceeds the cap drop wholesale before banding (capping join rows
+    * per-cell instead would leak their adjacent-bucket copies into the
+    * neighbor's join) — at the default 10k a flooded cell means ≥ ~50M pairs
+    * from one user in one window, noise by construction. The shipped query
+    * keeps the default ON; on this corpus the cap never triggers (the oracle
+    * equality proves it), and the flood spec plants a hot cell to show only
+    * it drops. */
   def proximityPairs(
       events: DataFrame,
       gapUs: Long,
       userCol: String = "user_id",
       idCol: String = "event_id",
-      usCol: String = "us"): DataFrame = {
+      usCol: String = "us",
+      maxEventsPerBucket: Option[Int] = Some(10000)): DataFrame = {
     require(gapUs > 0, s"gapUs must be positive, got $gapUs")
-    val e = events.select(
-      col(userCol).as("_user"), col(idCol).as("_id"), col(usCol).cast("bigint").as("_us"))
+    val all = events.select(
+      col(userCol).as("_user"), col(idCol).as("_id"), col(usCol).cast("bigint").as("_us"),
+      floor(col(usCol).cast("bigint") / gapUs).as("_home"))
+    // Drop the flooded EVENTS (by home cell) before banding — capping join
+    // rows per cell instead would leak the hot events' adjacent-bucket
+    // copies into the neighboring cell's join.
+    val e = maxEventsPerBucket match {
+      case None => all
+      case Some(cap) =>
+        val hot = all.groupBy("_user", "_home").count()
+          .where(col("count") > cap).select("_user", "_home")
+        all.join(broadcast(hot), Seq("_user", "_home"), "left_anti")
+    }
     val a = e.select(col("_user"), col("_id").as("id_a"), col("_us").as("us_a"),
-      explode(array(floor(col("_us") / gapUs), floor(col("_us") / gapUs) + 1)).as("_bucket"))
+      explode(array(col("_home"), col("_home") + 1)).as("_bucket"))
     val b = e.select(col("_user"), col("_id").as("id_b"), col("_us").as("us_b"),
-      floor(col("_us") / gapUs).as("_bucket"))
+      col("_home").as("_bucket"))
     a.join(b, Seq("_user", "_bucket"))
       .where(col("us_b") - col("us_a") > 0 && col("us_b") - col("us_a") <= gapUs)
       .select(col("_user").as(userCol), col("id_a"), col("id_b"),

@@ -218,6 +218,18 @@ class PlanAuditSpec extends SparkSpec {
     val plan = planString(banded)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"proximity join fell back to a product plan:\n$plan")
+
+    // Flood cap: a bot user firing 50 events into ONE gap window drops
+    // wholesale at cap 20; everyone else's pairs are untouched.
+    val bot = spark.range(50).select(lit("bot").as("user_id"),
+      (col("id") + 10000L).as("event_id"), (col("id") * 1000L).as("us"))
+    val flooded = events.unionByName(bot)
+    val capped = graft.functions.EventOps.proximityPairs(flooded, gap,
+      maxEventsPerBucket = Some(20))
+    val cs = capped.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(cs === ns, "cap dropped more than the flooded cell")
+    assert(graft.functions.EventOps.proximityPairs(flooded, gap, maxEventsPerBucket = None)
+      .where(col("user_id") === "bot").count() === 50L * 49 / 2)
   }
 
   test("brute-force top-k plans as TakeOrderedAndProject (partial per-partition top-k)") {
