@@ -694,20 +694,16 @@ object SparkEntry {
     }),
 
     // as-of join: each purchase matched to the latest view AT-OR-BEFORE it
-    // per user — the range-join + argmax composition Catalyst plans natively
-    // (ties break to the higher view id, deterministically)
+    // per user — ONE window pass (shuffle on user + sort + running last),
+    // replacing the range-join + argmax form that re-scanned every prior
+    // view per purchase (per-user quadratic); ties still break to the
+    // higher view id, deterministically (EventOps.asofJoin)
     "ev_asof_join" -> ((s, dir) => {
       val e = t(s, dir, "events").withColumn("us", expr("ts div 1000"))
-      val p = e.where(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id"), col("us").as("p_us"))
-      val v = e.where(col("event_type") === "view")
-        .select(col("user_id"), col("us").as("v_us"), col("event_id").as("v_id"))
-      // range predicate INSIDE the left join: purchases with no prior view
-      // survive with a null match instead of being filtered away
-      p.join(v, p("user_id") === v("user_id") && col("v_us") <= col("p_us"), "left_outer")
-        .groupBy(col("p_id"))
-        .agg(max(struct(col("v_us"), col("v_id"))).as("m"))
-        .select(col("p_id").as("event_id"), col("m.v_id").as("asof_view_id"))
+      graft.functions.EventOps.asofJoin(
+        e.where(col("event_type") === "view"),
+        e.where(col("event_type") === "purchase"))
+        .select(col("event_id"), col("asof_id").as("asof_view_id"))
     }),
 
     // banded time-proximity self-join: same-user event pairs within 60 s,

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -66,5 +67,39 @@ object EventOps {
       .where(col("us_b") - col("us_a") > 0 && col("us_b") - col("us_a") <= gapUs)
       .select(col("_user").as(userCol), col("id_a"), col("id_b"),
         (col("us_b") - col("us_a")).as("gap_us"))
+  }
+
+  /**
+   * As-of join as ONE window pass: each `right` row (purchase) matched to the
+   * latest `left` row (view) at-or-before it per user.
+   *
+   * The range-join + argmax formulation (`p JOIN v ON user AND v_us <= p_us`
+   * then max per purchase) re-scans EVERY prior view per purchase — per-user
+   * quadratic, the theta-join disease. Here both sides union into one
+   * ordered stream per user and a running `last(view_id, ignoreNulls)` over
+   * (us ASC, isRight ASC, id ASC) carries the answer to each right row:
+   * one shuffle on user, one sort, linear work. Ordering places same-
+   * microsecond views BEFORE the purchase (at-or-before includes ties) and
+   * higher view ids later (running last = the id tie-break the argmax used).
+   * Right rows with no prior left keep a null match.
+   */
+  def asofJoin(
+      left: DataFrame,   // (userCol, idCol, usCol) — the quotes/views side
+      right: DataFrame,  // (userCol, idCol, usCol) — the probes/purchases side
+      userCol: String = "user_id",
+      idCol: String = "event_id",
+      usCol: String = "us"): DataFrame = {
+    val l = left.select(col(userCol).as("_user"), col(usCol).cast("bigint").as("_us"),
+      col(idCol).as("_lid"), lit(null).cast("long").as("_rid"), lit(0).as("_isRight"))
+    val r = right.select(col(userCol).as("_user"), col(usCol).cast("bigint").as("_us"),
+      lit(null).cast("long").as("_lid"), col(idCol).cast("long").as("_rid"), lit(1).as("_isRight"))
+    val w = Window.partitionBy(col("_user"))
+      .orderBy(col("_us").asc, col("_isRight").asc, coalesce(col("_lid"), col("_rid")).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_asof", last(col("_lid"), ignoreNulls = true).over(w))
+      .where(col("_isRight") === 1)
+      .select(col("_user").as(userCol), col("_rid").as(idCol),
+        col("_us").as(usCol), col("_asof").as("asof_id"))
   }
 }

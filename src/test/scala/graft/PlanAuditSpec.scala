@@ -232,6 +232,37 @@ class PlanAuditSpec extends SparkSpec {
       .where(col("user_id") === "bot").count() === 50L * 49 / 2)
   }
 
+  test("windowed as-of join equals the range-join + argmax form, in one window pass") {
+    // Collision-rich stream: equal timestamps across sides and within the
+    // left side, users with zero views, interleaved ordering.
+    val ev = spark.range(300).select(
+      (col("id") % 7).cast("string").as("user_id"),
+      col("id").as("event_id"),
+      ((col("id") * 13) % 40 * 1000000L).as("us"),   // heavy us collisions
+      when(col("id") % 3 === 0, "purchase").otherwise("view").as("event_type"))
+      .where(col("user_id") =!= "6" || col("event_type") === "purchase") // user 6: no views
+    val v = ev.where(col("event_type") === "view")
+    val p = ev.where(col("event_type") === "purchase")
+    val windowed = graft.functions.EventOps.asofJoin(v, p)
+      .select(col("event_id"), col("asof_id"))
+    val pp = p.select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("us").as("p_us"))
+    val vv = v.select(col("user_id").as("v_user"), col("us").as("v_us"), col("event_id").as("v_id"))
+    // range predicate INSIDE the left join: a purchase whose views are all
+    // LATER must survive with a null match, not vanish in a post-filter
+    val naive = pp.join(vv, col("p_user") === col("v_user") && col("v_us") <= col("p_us"), "left_outer")
+      .groupBy(col("p_id"))
+      .agg(max(struct(col("v_us"), col("v_id"))).as("m"))
+      .select(col("p_id").as("event_id"), col("m.v_id").as("asof_id"))
+    val ws = windowed.collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    val ns = naive.collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(ws === ns)
+    assert(ws.values.exists(_.isEmpty), "expected at least one no-prior-view purchase")
+    // one exchange (user), no join operator at all in the windowed plan
+    val plan = planString(windowed).split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, s"expected one exchange:\n$plan")
+    assert(!plan.contains("Join"), s"windowed as-of still plans a join:\n$plan")
+  }
+
   test("brute-force top-k plans as TakeOrderedAndProject (partial per-partition top-k)") {
     graft.plans.VectorFunctions.register(spark)
     val vecs = (0 until 200).map(i => (i.toLong, Seq.fill(8)(i.toFloat / 200)))
