@@ -111,17 +111,30 @@ object SparkEntry {
   private def sessionKey(s: SparkSession): String =
     s"${s.sparkContext.applicationId}:${s.sparkContext.startTime}"
 
+  /** Context registry backing sessionMemo eviction: a memo key is only DEAD
+    * when its owning SparkContext is provably stopped. Two live sessions in
+    * one JVM sharing a data dir must never delete each other's snapshot dirs
+    * out from under each other (round-5 ADVICE), so an owner that is live —
+    * or unknown — keeps its entry and its dirs untouched. */
+  private val sessionContexts =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.SparkContext]()
+
   /** Session-scoped memo with EVICTION: building `kind:session:dir` drops any
-    * stale entry for the same (kind, dir) under a DEAD session key, so
-    * repeated sessions in one JVM don't accumulate checkpointed-Dataset
-    * references and temp dirs. Evicted s1 snapshot dirs are deleted (their
-    * contents are rebuildable fixture parquet, and the dead entry is the only
-    * pointer to them). */
+    * stale entry for the same (kind, dir) whose owning session key maps to a
+    * STOPPED SparkContext, so repeated sessions in one JVM don't accumulate
+    * checkpointed-Dataset references and temp dirs. Evicted s1 snapshot dirs
+    * are deleted (their contents are rebuildable fixture parquet, and the
+    * dead entry is the only pointer to them); deletion never fires for a
+    * live owner. */
   private def sessionMemo[T <: AnyRef](kind: String, s: SparkSession, dir: String)(build: => T): T = {
     val sk = sessionKey(s)
+    sessionContexts.put(sk, s.sparkContext)
     val live = s"$kind:$sk:$dir"
     fixtureMemo.keySet().removeIf { k =>
-      val stale = k != live && k.startsWith(s"$kind:") && k.endsWith(s":$dir")
+      val stale = k != live && k.startsWith(s"$kind:") && k.endsWith(s":$dir") && {
+        val owner = sessionContexts.get(k.stripPrefix(s"$kind:").stripSuffix(s":$dir"))
+        owner != null && owner.isStopped
+      }
       if (stale && kind == "s1") fixtureMemo.get(k) match {
         case d: String => scala.util.Try {
           import scala.jdk.CollectionConverters._
@@ -708,10 +721,13 @@ object SparkEntry {
 
     // banded time-proximity self-join: same-user event pairs within 60 s,
     // joined on (user, gap-bucket) — factor-2 row inflation instead of the
-    // naive per-user product (see EventOps.proximityPairs)
+    // naive per-user product (see EventOps.proximityPairs). The flood cap is
+    // opted IN here (the production posture; the library default is None):
+    // the oracle equality proves it never fires on this corpus.
     "ev_proximity_join" -> ((s, dir) => {
       val e = t(s, dir, "events").withColumn("us", expr("ts div 1000"))
-      graft.functions.EventOps.proximityPairs(e, gapUs = 60000000L)
+      graft.functions.EventOps.proximityPairs(e, gapUs = 60000000L,
+        maxEventsPerBucket = Some(10000))
     }),
 
     "ev_sessionize" -> ((s, dir) => {
@@ -953,6 +969,9 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // runs with the default hot-shingle cap ON (maxDocsPerShingle = 1000 —
+    // the 100 TB skew path); the capped plan's exact re-verify makes results
+    // identical on this corpus, which the oracle equality proves
     "d_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(
         t(s, dir, "documents").where(col("n_chars") < 300), n = 3, threshold = 0.2)
@@ -1002,8 +1021,15 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // Exact all-pairs near-dup — the oracle-checkable TWIN of
+    // e_lsh_neardup_pairs, quadratic by construction, so its input is
+    // EXPLICITLY BOUNDED (first 1000 vector ids): a fixed-cost verification
+    // sample regardless of corpus scale, never an unbounded crossJoin over
+    // the full plane. The scale path for the same semantics is
+    // cosineNearDupPairs (banded LSH + exact verify).
     "e_neardup_exact" -> ((s, dir) => {
-      Similarity.exactNearDupPairs(t(s, dir, "embeddings"), threshold = 0.5)
+      Similarity.exactNearDupPairs(
+        t(s, dir, "embeddings").where(col("vec_id") < 1000), threshold = 0.5)
     }),
 
     // full probe radius (probeHamming = nPlanes) is exhaustive exact search →
@@ -1564,7 +1590,7 @@ object SparkEntry {
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
          FROM embeddings a, embeddings b
-         WHERE a.vec_id < b.vec_id
+         WHERE a.vec_id < b.vec_id AND a.vec_id < 1000 AND b.vec_id < 1000
            AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.5""",
 
     "e_quantize_int8" ->

@@ -283,13 +283,15 @@ object Dedup {
    * EXACT), count shared shingles per pair, then |A∩B| / (|A|+|B|−|A∩B|).
    * Shuffles: one on shingle, one on the pair key.
    *
-   * `maxDocsPerShingle` is the skew escape hatch for 100 TB corpora: when
-   * set, shingles shared by more than that many docs are dropped from
-   * CANDIDATE GENERATION (a shingle like "in the the" can otherwise explode
-   * quadratically), and the Jaccard of surviving candidates is recomputed
-   * exactly from the full gram sets — so reported values stay exact; only
-   * pairs whose every common shingle is hot can be missed. None (default)
-   * keeps the fully exact single-pass plan.
+   * `maxDocsPerShingle` is the skew discipline for 100 TB corpora, ON by
+   * default (Some(1000), mirroring minhashPairs' maxBucketSize): shingles
+   * shared by more than that many docs are dropped from CANDIDATE GENERATION
+   * (a shingle like "in the the" can otherwise explode quadratically), and
+   * the Jaccard of surviving candidates is recomputed exactly from the full
+   * gram sets — so reported values stay exact; only pairs whose EVERY common
+   * shingle is hot can be missed (at cap 1000 such a pair shares only
+   * corpus-stopword shingles — noise by construction). Pass None for the
+   * fully exact single-pass plan on corpora known to be skew-free.
    */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -297,7 +299,7 @@ object Dedup {
       textCol: String = "text",
       n: Int = 3,
       threshold: Double = 0.5,
-      maxDocsPerShingle: Option[Int] = None): DataFrame = {
+      maxDocsPerShingle: Option[Int] = Some(1000)): DataFrame = {
     SketchFunctions.register(docs.sparkSession)
     val shingled = docs
       .select(col(idCol).as("id"), array_distinct(wordNgrams(col(textCol), n)).as("grams"))

@@ -33,18 +33,20 @@ object EventOps {
     * work AND quadratic output nobody can consume. Events whose HOME cell
     * exceeds the cap drop wholesale before banding (capping join rows
     * per-cell instead would leak their adjacent-bucket copies into the
-    * neighbor's join) — at the default 10k a flooded cell means ≥ ~50M pairs
-    * from one user in one window, noise by construction. The shipped query
-    * keeps the default ON; on this corpus the cap never triggers (the oracle
-    * equality proves it), and the flood spec plants a hot cell to show only
-    * it drops. */
+    * neighbor's join) — at 10k a flooded cell means ≥ ~50M pairs from one
+    * user in one window, noise by construction. The LIBRARY default is None
+    * — the generic API must not silently diverge from its documented pair
+    * semantics (round-5 ADVICE); production queries opt in explicitly (the
+    * shipped bench query passes Some(10000), and its oracle equality proves
+    * the cap never fires on that corpus; the flood spec plants a hot cell to
+    * show only it drops). */
   def proximityPairs(
       events: DataFrame,
       gapUs: Long,
       userCol: String = "user_id",
       idCol: String = "event_id",
       usCol: String = "us",
-      maxEventsPerBucket: Option[Int] = Some(10000)): DataFrame = {
+      maxEventsPerBucket: Option[Int] = None): DataFrame = {
     require(gapUs > 0, s"gapUs must be positive, got $gapUs")
     val all = events.select(
       col(userCol).as("_user"), col(idCol).as("_id"), col(usCol).cast("bigint").as("_us"),
@@ -89,8 +91,18 @@ object EventOps {
       userCol: String = "user_id",
       idCol: String = "event_id",
       usCol: String = "us"): DataFrame = {
+    // Ids must be integral on BOTH sides, checked up front: a silent
+    // string→long cast would null the ids (corrupt output, not a failure) and
+    // an asymmetric cast would diverge the two sides' types (round-5 ADVICE —
+    // misuse fails at planning, never by producing null ids).
+    Seq("left" -> left, "right" -> right).foreach { case (side, df) =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = df.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"asofJoin requires an integral $idCol; $side side has ${dt.simpleString}")
+    }
     val l = left.select(col(userCol).as("_user"), col(usCol).cast("bigint").as("_us"),
-      col(idCol).as("_lid"), lit(null).cast("long").as("_rid"), lit(0).as("_isRight"))
+      col(idCol).cast("long").as("_lid"), lit(null).cast("long").as("_rid"), lit(0).as("_isRight"))
     val r = right.select(col(userCol).as("_user"), col(usCol).cast("bigint").as("_us"),
       lit(null).cast("long").as("_lid"), col(idCol).cast("long").as("_rid"), lit(1).as("_isRight"))
     val w = Window.partitionBy(col("_user"))

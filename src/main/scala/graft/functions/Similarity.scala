@@ -389,8 +389,10 @@ object Similarity {
       .limit(k)
   }
 
-  /** Exact all-pairs cosine ≥ threshold on a bounded subset (the oracle-
-    * checkable variant; the LSH one above is the scale path). */
+  /** Exact all-pairs cosine ≥ threshold — quadratic by construction, so the
+    * CALLER must bound `vectors` (e.g. a fixed id range): this is the
+    * oracle-checkable verification twin of [[cosineNearDupPairs]], never a
+    * production path. The LSH variant above is the scale path. */
   def exactNearDupPairs(
       vectors: DataFrame,
       threshold: Double,

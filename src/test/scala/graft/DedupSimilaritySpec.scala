@@ -129,6 +129,37 @@ class DedupSimilaritySpec extends SparkSpec {
       "a cap below the hot-bucket size must drop candidate pairs")
   }
 
+  test("ngram hot-shingle cap: skew-free corpora are unchanged; a hot-shingle flood stops pairing") {
+    // On the planted corpus no shingle approaches the default cap, so the
+    // capped plan (exact re-verify) must equal the fully exact one, value for
+    // value.
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.2, maxDocsPerShingle = None)
+      .as[(Long, Long, Double)].collect().toSet
+    val capped = Dedup.ngramJaccardPairs(docs, threshold = 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped == exact)
+
+    // Flood: 50 docs whose ONLY shared shingle is one hot trigram — uncapped
+    // they pair quadratically (C(50,2) candidates); with the shingle over the
+    // cap they stop pairing entirely, while a planted pair that shares COLD
+    // shingles survives with its exact jaccard.
+    val flood = (0 until 50).map(i => (1000L + i, s"spam spam spam spam unique$i"))
+    val planted = Seq(
+      (2000L, "alpha beta gamma delta epsilon"),
+      (2001L, "alpha beta gamma delta zeta"))
+    val corpus = (flood ++ planted).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(corpus, threshold = 0.2, maxDocsPerShingle = None)
+      .as[(Long, Long, Double)].collect()
+    assert(uncapped.count { case (a, b, _) => a >= 1000L && a < 2000L && b < 2000L } == 50 * 49 / 2)
+    val withCap = Dedup.ngramJaccardPairs(corpus, threshold = 0.2, maxDocsPerShingle = Some(10))
+      .as[(Long, Long, Double)].collect()
+    assert(!withCap.exists { case (a, b, _) => a >= 1000L && a < 2000L && b < 2000L },
+      "hot-shingle-only candidates must drop under the cap")
+    // the cold-shingle pair survives both plans with the same exact value
+    assert(uncapped.contains((2000L, 2001L, 0.5)))
+    assert(withCap.toSeq.contains((2000L, 2001L, 0.5)))
+  }
+
   test("dedup/similarity entry points leave no lingering CacheManager entries") {
     val cm = spark.sharedState.cacheManager
     val wasEmpty = cm.isEmpty

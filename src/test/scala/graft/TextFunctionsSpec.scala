@@ -83,7 +83,7 @@ class TextFunctionsSpec extends SparkSpec {
       (30L, "dup dup"), (31L, "dup dup dup")).toDF("doc_id", "text")
     val kept2 = graft.functions.Dedup.dedupKeepBest(docs2,
       Seq(TextFunctions.tokenCount(col("text")).desc))
-      .select(col("doc_id")).as[Long].collect().toSeq
+      .select(col("doc_id")).as[Long].collect().toSeq.sorted
     assert(kept2 === Seq(30L, 31L)) // different content hashes — both survive
     val docs3 = Seq(
       (40L, "pick me not"), (41L, "pick  me  not"), (42L, "pick me not really"))
