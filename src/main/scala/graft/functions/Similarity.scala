@@ -161,20 +161,22 @@ object Similarity {
     import org.apache.spark.storage.StorageLevel
     VectorFunctions.register(vectors.sparkSession)
     // The embedding scan materializes ONCE: `ids` (id → vector) feeds the
-    // banding AND both sides of the verify re-join from cache; `banded` (the
-    // 8 native bucket projections per row) is computed once and self-joined
-    // from cache — previously both sides of the self-join and both verify
-    // joins re-evaluated the projections from the scan (~4× per call, the
-    // round-2 "What's wrong" #1). Same cure minhashPairs got in round 2.
+    // banding AND both sides of the verify re-join from cache; `banded` is
+    // computed once and self-joined from cache — previously both sides of the
+    // self-join and both verify joins re-evaluated the projections from the
+    // scan (~4× per call, the round-2 "What's wrong" #1). Same cure
+    // minhashPairs got in round 2. Banding itself is the fused native
+    // lsh_bands (ONE pass over each vector for all bands — the minhash_bands
+    // pattern), replacing `bands` separate lshBucket projections that each
+    // re-decoded the float buffer (round-5 "What's wrong" #5); posexplode's
+    // position IS the band index, bit-identical buckets by construction.
     val ids = vectors
       .select(col(idCol).as("id"), col(vecCol).cast("array<float>").as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = ids.select(
       col("id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          lshBucket(col("v"), dim, planesPerBand, seed + b).as("bucket"))): _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
+      posexplode(VectorFunctions.lsh_bands(col("v"), dim, bands, planesPerBand, seed))
+        .as(Seq("band", "bucket")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))

