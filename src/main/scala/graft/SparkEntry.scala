@@ -987,16 +987,18 @@ object SparkEntry {
     }),
 
     // ===== multimodal binary columns (documents → payload bytes) =====
-    // metadata via pure column ops (mime sniff on magic bytes, byte counts,
-    // stub-decode dims)
+    // metadata via pure column ops decoding the REAL header bytes: mime sniff
+    // on magic, PNG IHDR / JPEG SOF0 dims, WAV byte-rate duration — codegen'd
+    // substring/conv reads at the formats' documented offsets
     "m_meta_extract" -> ((s, dir) => {
       Multimodal.extractMeta(Multimodal.withBinaryPayload(t(s, dir, "documents")))
         .select(col("doc_id"), col("mime"), col("n_bytes"), col("width"),
           col("height"), col("duration_ms"))
     }),
 
-    // same metadata through the batched mapPartitions decode path — the
-    // plumbing a real codec plugs into; must agree with the column-op oracle
+    // same metadata through the batched mapPartitions decode path — the real
+    // byte parsers (PNG IHDR, JPEG marker scan, WAV chunk walk); must agree
+    // with the column-op oracle
     "m_decode_batch" -> ((s, dir) => {
       Multimodal.decodeBatched(Multimodal.withBinaryPayload(t(s, dir, "documents")))
         .select(col("doc_id"), col("mime"), col("n_bytes"), col("width"),
@@ -1553,30 +1555,38 @@ object SparkEntry {
            AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
              (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.2""",
 
+    // The oracle recomputes what the PARSER must read back out of the real
+    // header bytes: dims/duration are deterministic functions of the text
+    // byte length L the synthesizer encoded into the PNG IHDR / JPEG SOF0 /
+    // WAV fmt+data fields (width 64+L%512, height 64+7L%512, duration
+    // L·1000/8000), and n_bytes adds each format's real header size
+    // (33/39/44).
     "m_meta_extract" ->
       """SELECT doc_id,
          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
            ELSE 'audio/wav' END AS mime,
-         octet_length(encode(text)) + 8 AS n_bytes,
+         octet_length(encode(text)) +
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 33 WHEN 1 THEN 39 ELSE 44 END AS n_bytes,
          CASE WHEN doc_id % 3 IN (0, 1)
-           THEN CAST(64 + (octet_length(encode(text)) + 8) % 512 AS INT) END AS width,
+           THEN CAST(64 + octet_length(encode(text)) % 512 AS INT) END AS width,
          CASE WHEN doc_id % 3 IN (0, 1)
-           THEN CAST(64 + ((octet_length(encode(text)) + 8) * 7) % 512 AS INT) END AS height,
+           THEN CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INT) END AS height,
          CASE WHEN doc_id % 3 = 2
-           THEN (octet_length(encode(text)) + 8) % 60000 END AS duration_ms
+           THEN (octet_length(encode(text)) * 1000) // 8000 END AS duration_ms
          FROM documents""",
 
     "m_decode_batch" ->
       """SELECT doc_id,
          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
            ELSE 'audio/wav' END AS mime,
-         octet_length(encode(text)) + 8 AS n_bytes,
+         octet_length(encode(text)) +
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 33 WHEN 1 THEN 39 ELSE 44 END AS n_bytes,
          CASE WHEN doc_id % 3 IN (0, 1)
-           THEN CAST(64 + (octet_length(encode(text)) + 8) % 512 AS INT) END AS width,
+           THEN CAST(64 + octet_length(encode(text)) % 512 AS INT) END AS width,
          CASE WHEN doc_id % 3 IN (0, 1)
-           THEN CAST(64 + ((octet_length(encode(text)) + 8) * 7) % 512 AS INT) END AS height,
+           THEN CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INT) END AS height,
          CASE WHEN doc_id % 3 = 2
-           THEN (octet_length(encode(text)) + 8) % 60000 END AS duration_ms
+           THEN (octet_length(encode(text)) * 1000) // 8000 END AS duration_ms
          FROM documents""",
 
     "e_knn_brute" ->

@@ -13,38 +13,161 @@ import org.apache.spark.sql.functions._
  *    ordinary typed columns extracted once at ingest — queries filter and
  *    join on metadata without ever touching payload bytes (column pruning
  *    keeps the scan narrow);
- *  - mime sniffing and byte accounting are pure column ops (codegen'd);
- *  - decoding is [[decodeBatched]]: `mapPartitions` with explicit batch
- *    grouping — the Scala analogue of the mapInPandas batch shape — so a
- *    real decoder amortizes model/codec setup per batch, not per row.
+ *  - mime sniffing, byte accounting AND header-field extraction (PNG IHDR
+ *    dims, canonical-layout JPEG SOF0 dims, WAV byte-rate duration) are pure
+ *    column ops (codegen'd substring/conv reads at the formats' documented
+ *    offsets — no codec library involved);
+ *  - [[decodeBatched]] is the general decoder: `mapPartitions` with explicit
+ *    batch grouping — the Scala analogue of the mapInPandas batch shape —
+ *    running [[MediaHeaders]]' real parsers (PNG signature+IHDR walk, JPEG
+ *    marker scan, WAV RIFF chunk walk). Metadata decode is REAL; only
+ *    pixel/sample decoding (which needs actual codecs this container lacks)
+ *    would plug into the same per-batch hook.
  *
- * DECODE IS STUBBED: this container has no image/audio codecs, so
- * [[stubDecoder]] derives deterministic fake dimensions from byte counts.
- * The Spark plumbing around it — schema, batching, partitioning, fingerprint
- * pairing — is real and tested; swap [[stubDecoder]] for a JNI/codec-backed
- * function to go live.
+ * Test-data adapter: [[withBinaryPayload]] synthesizes payloads with REAL
+ * headers — a parser that works here works on files produced by actual
+ * encoders, because the header layouts are the formats' canonical ones
+ * (PNG: signature + IHDR first chunk with a genuine CRC-32; JPEG:
+ * SOI + APP0/JFIF + SOF0; WAV: the canonical 44-byte RIFF/PCM header).
  */
 object Multimodal {
 
-  /** 8-byte magic prefixes used by the deterministic payload synthesizer and
-    * recognized by [[sniffMime]]. */
-  val PngMagic: Array[Byte] = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
-  val JpegMagic: Array[Byte] = Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10, 0x4A, 0x46).map(_.toByte)
-  val WavMagic: Array[Byte] = Array(0x52, 0x49, 0x46, 0x46, 0x00, 0x00, 0x00, 0x00).map(_.toByte)
+  // ------------------------------------------------------ header byte layout
+
+  /** Byte-level header parsing/synthesis shared by the batched decoder and
+    * the spec oracles. Pure JVM, no codec dependency — these are the
+    * fixed-offset / chunk-walk reads the formats define. */
+  object MediaHeaders {
+
+    val PngSignature: Array[Byte] =
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+    private def be32(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+        ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+
+    private def be16(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
+
+    private def le32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+        ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+
+    /** PNG dims: verify the 8-byte signature, then read the IHDR chunk —
+      * which the spec requires to be FIRST, so width/height are the two
+      * big-endian u32s at offsets 16 and 20 (after the 4-byte length and
+      * "IHDR" type). */
+    def pngDims(p: Array[Byte]): Option[(Int, Int)] =
+      if (p.length >= 24 && p.take(8).sameElements(PngSignature) &&
+        p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R')
+        Some((be32(p, 16).toInt, be32(p, 20).toInt))
+      else None
+
+    /** JPEG dims: the real marker scan — walk SOI, then each 0xFF-marker
+      * segment (big-endian self-inclusive length) until a start-of-frame
+      * marker (C0–CF except the non-frame C4/C8/CC), whose payload is
+      * [precision u8][height u16][width u16]. Works on ANY segment layout,
+      * not just the canonical APP0-first one the synthesizer emits. */
+    def jpegDims(p: Array[Byte]): Option[(Int, Int)] = {
+      if (p.length < 4 || (p(0) & 0xFF) != 0xFF || (p(1) & 0xFF) != 0xD8) return None
+      var i = 2
+      while (i + 3 < p.length && (p(i) & 0xFF) == 0xFF) {
+        val marker = p(i + 1) & 0xFF
+        if (marker >= 0xC0 && marker <= 0xCF && marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+          return if (i + 8 < p.length) Some((be16(p, i + 7), be16(p, i + 5))) else None
+        }
+        if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD9)) i += 2
+        else i += 2 + be16(p, i + 2)
+      }
+      None
+    }
+
+    /** WAV duration: verify "RIFF"/"WAVE", then WALK the chunk list (id +
+      * LE u32 size, word-aligned) for "fmt " (byte-rate at its offset 8) and
+      * "data" (size field) — real RIFF traversal, robust to extra chunks
+      * before either. duration_ms = dataSize * 1000 / byteRate. */
+    def wavDurationMs(p: Array[Byte]): Option[Long] = {
+      def tag(off: Int): String =
+        if (off + 4 <= p.length) new String(p, off, 4, "US-ASCII") else ""
+      if (p.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var byteRate = -1L
+      var dataSize = -1L
+      var i = 12
+      while (i + 8 <= p.length && (byteRate < 0 || dataSize < 0)) {
+        val id = tag(i)
+        val size = le32(p, i + 4)
+        if (id == "fmt " && i + 16 <= p.length) byteRate = le32(p, i + 16)
+        if (id == "data") dataSize = size
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      if (byteRate > 0 && dataSize >= 0) Some(dataSize * 1000L / byteRate) else None
+    }
+  }
+
+  /** 8-byte magic prefixes recognized by [[sniffMime]] (the JPEG/WAV entries
+    * match the canonical headers the synthesizer emits). */
+  val PngMagic: Array[Byte] = MediaHeaders.PngSignature
+
+  /** WAV synthesis parameters: 8 kHz mono 8-bit PCM → byteRate 8000, so
+    * duration_ms = dataBytes * 1000 / 8000. */
+  val WavByteRate: Long = 8000L
+  /** Header sizes the synthesizer produces (PNG: signature + IHDR chunk;
+    * JPEG: SOI + APP0 + SOF0; WAV: the canonical 44-byte header). */
+  val PngHeaderBytes: Int = 33
+  val JpegHeaderBytes: Int = 39
+  val WavHeaderBytes: Int = 44
+
+  // little-endian u32 as 8 hex chars (for the RIFF fields)
+  private def le32Hex(n: Column): Column = concat(
+    lpad(hex(n % 256), 2, "0"),
+    lpad(hex((n.cast("bigint") / 256).cast("bigint") % 256), 2, "0"),
+    lpad(hex((n.cast("bigint") / 65536).cast("bigint") % 256), 2, "0"),
+    lpad(hex((n.cast("bigint") / 16777216).cast("bigint") % 256), 2, "0"))
 
   /**
-   * Deterministic binary payloads for the documents plane: an 8-byte media
-   * magic (cycled by doc id) followed by the UTF-8 text bytes. This is the
-   * test-data adapter — a real pipeline ingests payload bytes from object
-   * storage; everything downstream (sniff/meta/decode/dedup) is the real
-   * path either way.
+   * Deterministic binary payloads with REAL headers for the documents plane
+   * (cycled by doc id: PNG / JPEG / WAV), followed by the UTF-8 text bytes
+   * standing in for the compressed pixel/sample stream. Dimensions and
+   * duration derive deterministically from the text byte length L — width =
+   * 64 + L mod 512, height = 64 + 7L mod 512, WAV data size = L at byte rate
+   * 8000 — so a SQL oracle can recompute what a parser must read back out of
+   * the header bytes. Everything here is codegen'd column ops, including the
+   * genuine IHDR CRC-32 (Spark's crc32 over the chunk type + data).
    */
   def withBinaryPayload(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val magic = when(col(idCol) % 3 === 0, lit(PngMagic))
-      .when(col(idCol) % 3 === 1, lit(JpegMagic))
-      .otherwise(lit(WavMagic))
-    docs.withColumn("payload", concat(magic, encode(col(textCol), "UTF-8")))
+    val text = encode(col(textCol), "UTF-8")
+    val L = length(text).cast("bigint")
+    val w = lit(64L) + L % 512
+    val h = lit(64L) + (L * 7) % 512
+
+    // PNG: signature + IHDR(len=13, w u32, h u32, bit depth 8, color type 6
+    // (RGBA), compression/filter/interlace 0) + real CRC over type+data.
+    val ihdrBody = concat(lit("49484452"),
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("0806000000"))
+    val pngHeader = concat(lit("89504E470D0A1A0A"), lit("0000000D"),
+      ihdrBody, lpad(hex(crc32(unhex(ihdrBody))), 8, "0"))
+
+    // JPEG: SOI + APP0/JFIF (v1.1, no thumbnail) + SOF0 (8-bit, 3 components
+    // 4:2:0) carrying height then width as big-endian u16.
+    val jpegHeader = concat(
+      lit("FFD8"),
+      lit("FFE000104A46494600010100000100010000"),
+      lit("FFC0001108"), lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
+      lit("03012200021101031101"))
+
+    // WAV: the canonical 44-byte header — RIFF size 36+L, PCM fmt chunk
+    // (mono, 8 kHz, 8-bit → byteRate 8000, blockAlign 1), data size L.
+    val wavHeader = concat(
+      lit("52494646"), le32Hex(L + 36), lit("57415645"),
+      lit("666D7420"), lit("10000000"), lit("0100"), lit("0100"),
+      le32Hex(lit(WavByteRate)), le32Hex(lit(WavByteRate)), lit("0100"), lit("0800"),
+      lit("64617461"), le32Hex(L))
+
+    val header = when(col(idCol) % 3 === 0, pngHeader)
+      .when(col(idCol) % 3 === 1, jpegHeader)
+      .otherwise(wavHeader)
+    docs.withColumn("payload", concat(unhex(header), text))
   }
 
   /** Mime type from payload magic bytes (first 4 bytes; codegen'd hex
@@ -57,20 +180,47 @@ object Multimodal {
       .otherwise("application/octet-stream")
   }
 
-  /** Typed metadata columns from the payload: mime + byte count via column
-    * ops; dimensions via the STUB decode formulas (see [[stubDecoder]]) —
-    * images get width/height, audio gets duration_ms. */
+  // big-endian uint read as a bigint column (substring offsets are 1-based)
+  private def beUint(payload: Column, off: Int, len: Int): Column =
+    conv(hex(substring(payload, off, len)), 16, 10).cast("bigint")
+
+  // little-endian u32 read: reverse the 4 bytes, then conv
+  private def leUint32(payload: Column, off: Int): Column =
+    conv(concat(hex(substring(payload, off + 3, 1)), hex(substring(payload, off + 2, 1)),
+      hex(substring(payload, off + 1, 1)), hex(substring(payload, off, 1))), 16, 10)
+      .cast("bigint")
+
+  /**
+   * Typed metadata columns from the payload, decoded from the REAL header
+   * bytes via codegen'd column ops:
+   *  - PNG: width/height = the IHDR u32s (guarded on the chunk type actually
+   *    being "IHDR" at its spec-mandated first position);
+   *  - JPEG: the SOF0 u16s at the canonical APP0-first layout's offset,
+   *    guarded on the FFC0 marker being there — non-canonical segment layouts
+   *    yield null here and are handled by [[decodeBatched]]'s marker scan;
+   *  - WAV: duration_ms = data size × 1000 / byte rate, both read
+   *    little-endian from the canonical 44-byte header (guarded on "data" at
+   *    offset 37); non-canonical chunk orders fall to the batched chunk walk.
+   */
   def extractMeta(df: DataFrame, binCol: String = "payload"): DataFrame = {
-    val n = length(col(binCol)).cast("bigint")
-    val mime = sniffMime(col(binCol))
+    val p = col(binCol)
+    val mime = sniffMime(p)
+    val pngOk = hex(substring(p, 13, 4)) === "49484452" // "IHDR"
+    val jpegSofOk = hex(substring(p, 21, 2)) === "FFC0"
+    val wavOk = hex(substring(p, 37, 4)) === "64617461" // "data"
+    val wavByteRate = leUint32(p, 29)
+    val wavDataSize = leUint32(p, 41)
     df.withColumn("mime", mime)
-      .withColumn("n_bytes", n)
+      .withColumn("n_bytes", length(p).cast("bigint"))
       .withColumn("width",
-        when(mime.startsWith("image/"), (lit(64) + n % 512).cast("int")))
+        when(mime === "image/png" && pngOk, beUint(p, 17, 4))
+          .when(mime === "image/jpeg" && jpegSofOk, beUint(p, 28, 2)).cast("int"))
       .withColumn("height",
-        when(mime.startsWith("image/"), (lit(64) + (n * 7) % 512).cast("int")))
+        when(mime === "image/png" && pngOk, beUint(p, 21, 4))
+          .when(mime === "image/jpeg" && jpegSofOk, beUint(p, 26, 2)).cast("int"))
       .withColumn("duration_ms",
-        when(mime === "audio/wav", n % 60000))
+        when(mime === "audio/wav" && wavOk && wavByteRate > 0,
+          wavDataSize * 1000 / wavByteRate).cast("bigint"))
   }
 
   /** Decoded per-item record (what a real decoder would emit). */
@@ -120,22 +270,25 @@ object Multimodal {
     fp
   }
 
-  /** STUB decoder — deterministic fake dimensions derived from byte counts
-    * (the formulas [[extractMeta]] mirrors in column ops). A real
-    * implementation decodes the payload with an image/audio codec here,
-    * once per batch item, reusing codec state across the batch. */
-  def stubDecoder(batch: Seq[(Long, Array[Byte])]): Seq[MediaMeta] =
+  /** Header decoder — REAL byte parsing per batch item: PNG signature + IHDR
+    * read, JPEG marker scan, WAV RIFF chunk walk ([[MediaHeaders]]). A
+    * pixel/sample decoder (needs actual codecs) would extend this same
+    * per-batch hook, reusing codec state across the batch. */
+  def headerDecoder(batch: Seq[(Long, Array[Byte])]): Seq[MediaMeta] =
     batch.map { case (id, payload) =>
       val mime = sniffMimeBytes(payload)
-      val n = payload.length.toLong
-      val isImage = mime.startsWith("image/")
+      val dims = mime match {
+        case "image/png" => MediaHeaders.pngDims(payload)
+        case "image/jpeg" => MediaHeaders.jpegDims(payload)
+        case _ => None
+      }
       MediaMeta(
         doc_id = id,
         mime = mime,
-        n_bytes = n,
-        width = if (isImage) Some((64 + n % 512).toInt) else None,
-        height = if (isImage) Some((64 + (n * 7) % 512).toInt) else None,
-        duration_ms = if (mime == "audio/wav") Some(n % 60000) else None,
+        n_bytes = payload.length.toLong,
+        width = dims.map(_._1),
+        height = dims.map(_._2),
+        duration_ms = if (mime == "audio/wav") MediaHeaders.wavDurationMs(payload) else None,
         phash = phashBytes(payload))
     }
 
@@ -150,14 +303,14 @@ object Multimodal {
       idCol: String = "doc_id",
       binCol: String = "payload",
       batchSize: Int = 64,
-      decode: Seq[(Long, Array[Byte])] => Seq[MediaMeta] = stubDecoder): Dataset[MediaMeta] = {
+      decode: Seq[(Long, Array[Byte])] => Seq[MediaMeta] = headerDecoder): Dataset[MediaMeta] = {
     val narrowed = df.select(col(idCol).cast("long"), col(binCol))
     import narrowed.sparkSession.implicits._
     narrowed.as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(batchSize).flatMap(g => decode(g.toSeq)))
   }
 
-  /** Perceptual near-dup pairs: decode (stub) → 64-bit phash → the shared
+  /** Perceptual near-dup pairs: decode → 64-bit phash → the shared
     * pigeonhole fingerprint pairing from Dedup. One shuffle on the block
     * key; no all-pairs product. */
   def phashPairs(docs: DataFrame, idCol: String = "doc_id",

@@ -11,10 +11,13 @@ class MultimodalSpec extends SparkSpec {
 
   private lazy val docs = {
     val distinct = (0 until 12).map(i => (i.toLong, s"unique media item number $i with body content ${"x" * i}"))
-    // planted near-identical payloads (same magic: ids ≡ mod 3)
+    // planted near-identical payloads (same magic: ids ≡ mod 3). SAME length:
+    // near-identical real images share their dims, so the headers (which now
+    // encode dims + CRC from the content length) must be identical too — the
+    // edit is a one-character substitution, not an append.
     val planted = Seq(
       (99L, "a shared media payload body that is long enough to fingerprint stably across many shingles"),
-      (102L, "a shared media payload body that is long enough to fingerprint stably across many shingles!"))
+      (102L, "a shared media payload body that is long enough to fingerprint stably across many shingleX"))
     (distinct ++ planted).toDF("doc_id", "text")
   }
 
@@ -56,6 +59,64 @@ class MultimodalSpec extends SparkSpec {
         assert(m.width.isEmpty && m.height.isEmpty && m.duration_ms.nonEmpty)
       }
     }
+  }
+
+  test("header round-trip: parsed dims/duration equal what the synthesizer encoded") {
+    val metas = Multimodal.decodeBatched(Multimodal.withBinaryPayload(docs)).collect()
+    val textLen = docs.select(col("doc_id"), length(encode(col("text"), "UTF-8")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    metas.foreach { m =>
+      val L = textLen(m.doc_id)
+      m.mime match {
+        case "image/png" =>
+          assert(m.n_bytes == L + Multimodal.PngHeaderBytes)
+          assert(m.width.contains((64 + L % 512).toInt) && m.height.contains((64 + L * 7 % 512).toInt))
+        case "image/jpeg" =>
+          assert(m.n_bytes == L + Multimodal.JpegHeaderBytes)
+          assert(m.width.contains((64 + L % 512).toInt) && m.height.contains((64 + L * 7 % 512).toInt))
+        case "audio/wav" =>
+          assert(m.n_bytes == L + Multimodal.WavHeaderBytes)
+          assert(m.duration_ms.contains(L * 1000 / Multimodal.WavByteRate))
+        case other => fail(s"unexpected mime $other")
+      }
+    }
+  }
+
+  test("PNG IHDR CRC in synthesized payloads is the genuine CRC-32") {
+    val png = Multimodal.withBinaryPayload(docs).where(col("doc_id") % 3 === 0)
+      .select("payload").as[Array[Byte]].head()
+    val crc = new java.util.zip.CRC32
+    crc.update(png, 12, 17) // chunk type "IHDR" + 13 data bytes
+    val stored = ((png(29) & 0xFFL) << 24) | ((png(30) & 0xFFL) << 16) |
+      ((png(31) & 0xFFL) << 8) | (png(32) & 0xFFL)
+    assert(stored == crc.getValue)
+  }
+
+  test("JPEG marker scan parses non-canonical layouts the fixed-offset column path cannot") {
+    // COM segment inserted between APP0 and SOF0 — real encoders do this
+    val com = Array[Byte](0xFF.toByte, 0xFE.toByte, 0x00, 0x06) ++ "meta".getBytes("US-ASCII")
+    val canonical = Multimodal.withBinaryPayload(docs).where(col("doc_id") === 1L)
+      .select("payload").as[Array[Byte]].head()
+    val shifted = canonical.take(20) ++ com ++ canonical.drop(20)
+    assert(Multimodal.MediaHeaders.jpegDims(shifted) ===
+      Multimodal.MediaHeaders.jpegDims(canonical))
+    assert(Multimodal.MediaHeaders.jpegDims(canonical).nonEmpty)
+    // the guarded column-op read nulls out instead of misreading
+    val viaCols = Multimodal.extractMeta(
+      Seq((1L, shifted)).toDF("doc_id", "payload"))
+      .select("width").head()
+    assert(viaCols.isNullAt(0))
+  }
+
+  test("WAV chunk walk tolerates an extra chunk before fmt/data") {
+    val canonical = Multimodal.withBinaryPayload(docs).where(col("doc_id") === 2L)
+      .select("payload").as[Array[Byte]].head()
+    // insert a "LIST" chunk (size 4, word-aligned) right after "WAVE"
+    val list = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val shifted = canonical.take(12) ++ list ++ canonical.drop(12)
+    assert(Multimodal.MediaHeaders.wavDurationMs(shifted) ===
+      Multimodal.MediaHeaders.wavDurationMs(canonical))
+    assert(Multimodal.MediaHeaders.wavDurationMs(canonical).nonEmpty)
   }
 
   test("phash pairs find planted near-identical payloads, not distinct ones") {
