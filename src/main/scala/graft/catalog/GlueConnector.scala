@@ -361,21 +361,24 @@ object GlueReplication {
     val tgt =
       if (!pruneFetchToMessages) GlueCatalogSource.snapshot(spark, factory, sinkCfg, partitionSegments)
       else {
-        // Identities named by this message set — driver-side, bounded by the
-        // batch's message count (one row per message). Table messages' db
+        // Identities named by this message set, aggregated to DISTINCT keys
+        // executor-side BEFORE the collect — the driver holds one row per
+        // distinct entity, never one per message (an AvailableNow drain can
+        // deliver the entire backlog as one batch, and redelivered floods
+        // repeat the same identities thousands of times). Table messages' db
         // names are included so implicit-db existence checks see them.
-        val ids = pinned.select(
-          col("messageType"),
+        val keyed = pinned.select(
           get_json_object(col("payload"), "$.name").as("dbName"),
           get_json_object(col("payload"), "$.table.databaseName").as("tDb"),
-          get_json_object(col("payload"), "$.table.name").as("tName")).collect()
-        val dbNames = ids.flatMap(r => Option(r.getString(1))) ++ ids.flatMap(r => Option(r.getString(2)))
-        val tableKeys = ids.flatMap(r =>
-          (Option(r.getString(2)), Option(r.getString(3))) match {
-            case (Some(d), Some(t)) => Some((d, t)); case _ => None
-          })
+          get_json_object(col("payload"), "$.table.name").as("tName"))
+        val dbNames = keyed.select(col("dbName").as("n")).where(col("n").isNotNull)
+          .unionByName(keyed.select(col("tDb").as("n")).where(col("n").isNotNull))
+          .distinct().collect().map(_.getString(0))
+        val tableKeys = keyed.select(col("tDb"), col("tName"))
+          .where(col("tDb").isNotNull && col("tName").isNotNull)
+          .distinct().collect().map(r => (r.getString(0), r.getString(1)))
         GlueCatalogSource.snapshotForKeys(spark, factory, sinkCfg,
-          dbNames.distinct.toSeq, tableKeys.distinct.toSeq, partitionSegments)
+          dbNames.toSeq, tableKeys.toSeq, partitionSegments)
       }
     // planImport pins the message plane (lineage-free localCheckpoint): the
     // three apply jobs, audit, and dead letters all read the SAME

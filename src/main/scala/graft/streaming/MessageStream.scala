@@ -24,9 +24,15 @@ import graft.sources.CatalogSnapshot
  *    trigger gives the long-lived tail-the-queue mode;
  *  - **sink**: `foreachBatch` folds each micro-batch through the SAME
  *    batch-mode `ReplicationJob.importMessages` (one code path, two drivers);
- *  - **state**: versioned target snapshots under `stateDir/v<batchId>` —
- *    batch N reads the newest version `< N` and (over)writes `v<N>`, so a
- *    batch replayed after a crash rewrites its own version from the same
+ *  - **state**: INCREMENTAL — each batch writes only its action DELTAS
+ *    under `stateDir/d<batchId>` (O(batch) parquet, the reference's
+ *    per-event incremental writes, ImportDatabaseOrTable.java:43-73), and
+ *    every `compactEvery`-th batch folds the chain into a full snapshot
+ *    `stateDir/v<batchId>` so reads fold a bounded delta suffix — draining a
+ *    1M-partition catalog in 100 batches no longer rewrites the partition
+ *    plane 100×. Batch N reads the newest full version `< N` plus the deltas
+ *    after it, clears any `≥ N` leftovers (torn writes of a previous
+ *    attempt/incarnation), and (over)writes its own output from the same
  *    input: exactly-once state from an at-least-once source, the
  *    checkpoint's stable batch ids standing in for the reference's
  *    idempotent-upsert-under-redelivery;
@@ -84,15 +90,34 @@ object MessageStream {
       .dropDuplicatesWithinWatermark("messageType", "sourceCatalogId", "exportBatchId", "_payloadDigest")
       .drop("_ingestTs", "_payloadDigest").as[CatalogMessage]
 
-  private def versionDirs(spark: SparkSession, stateDir: String): Seq[(Long, String)] = {
+  private def stateSubdirs(spark: SparkSession, stateDir: String,
+      prefix: String): Seq[(Long, String)] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(stateDir)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
-      .flatMap(s => scala.util.Try(s.getPath.getName.drop(1).toLong).toOption
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .flatMap(s => scala.util.Try(s.getPath.getName.drop(prefix.length).toLong).toOption
         .map(_ -> s.getPath.toString))
+  }
+
+  private def versionDirs(spark: SparkSession, stateDir: String): Seq[(Long, String)] =
+    stateSubdirs(spark, stateDir, "v")
+
+  private def deltaDirs(spark: SparkSession, stateDir: String): Seq[(Long, String)] =
+    stateSubdirs(spark, stateDir, "d")
+
+  /** Delete full/delta state dirs with id ≥ batchId — torn writes of a
+    * previous attempt of this batch, or leftovers of a previous incarnation
+    * whose checkpoint was lost (stale higher-numbered deltas would otherwise
+    * fold on top of this incarnation's state). Deterministic on replay. */
+  private def clearFrom(spark: SparkSession, stateDir: String, batchId: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    (versionDirs(spark, stateDir) ++ deltaDirs(spark, stateDir))
+      .filter(_._1 >= batchId)
+      .foreach { case (_, d) => fs.delete(new org.apache.hadoop.fs.Path(d), true) }
   }
 
   private def readState(spark: SparkSession, dir: String, catalogId: String): CatalogSnapshot =
@@ -107,15 +132,45 @@ object MessageStream {
     snap.partitions.write.mode("overwrite").parquet(s"$dir/partitions")
   }
 
-  /** Newest committed state strictly below `batchId` (the state this batch
-    * must build on — versions ≥ batchId are this batch's own torn writes
-    * from a previous attempt). */
+  /** Write a batch's non-skip action planes — the O(batch) state delta. */
+  private def writeDelta(plan: graft.run.ImportPlan, dir: String): Unit = {
+    plan.dbActions.where(col("action") =!= Action.Skip)
+      .write.mode("overwrite").parquet(s"$dir/databases")
+    plan.tableActions.where(col("action") =!= Action.Skip)
+      .write.mode("overwrite").parquet(s"$dir/tables")
+    plan.partActions.where(col("action") =!= Action.Skip)
+      .write.mode("overwrite").parquet(s"$dir/partitions")
+  }
+
+  /** Fold one on-disk delta into a snapshot through the SAME Applier the
+    * batch import uses — replaying deltas is bit-for-bit the import fold. */
+  private def applyDelta(spark: SparkSession, snap: CatalogSnapshot, dir: String): CatalogSnapshot = {
+    import graft.operators.Applier
+    val dbA = spark.read.schema(databaseSchema.add("action", "string")).parquet(s"$dir/databases")
+    val tblA = spark.read.schema(tableSchema.add("action", "string")).parquet(s"$dir/tables")
+    val partA = spark.read.schema(partitionSchema.add("action", "string")).parquet(s"$dir/partitions")
+    CatalogSnapshot(snap.catalogId,
+      Applier.applyDatabases(snap.databases, dbA),
+      Applier.applyTables(snap.tables, tblA),
+      Applier.applyPartitions(snap.partitions, partA))
+  }
+
+  /** Committed state strictly below `batchId`: the newest full snapshot
+    * `< batchId` (or `initial`), plus the delta chain after it folded through
+    * the Applier — bounded by the compaction cadence, never the full history. */
   def stateBefore(spark: SparkSession, stateDir: String, batchId: Long,
-      initial: CatalogSnapshot): CatalogSnapshot =
-    versionDirs(spark, stateDir).filter(_._1 < batchId).sortBy(_._1).lastOption match {
+      initial: CatalogSnapshot): CatalogSnapshot = {
+    val base = versionDirs(spark, stateDir).filter(_._1 < batchId).sortBy(_._1).lastOption
+    val baseSnap = base match {
       case Some((_, dir)) => readState(spark, dir, initial.catalogId)
       case None => initial
     }
+    val from = base.map(_._1).getOrElse(-1L)
+    deltaDirs(spark, stateDir)
+      .filter { case (id, _) => id > from && id < batchId }
+      .sortBy(_._1)
+      .foldLeft(baseSnap) { case (snap, (_, dir)) => applyDelta(spark, snap, dir) }
+  }
 
   /** Latest committed state (read after the stream drains). */
   def latestState(spark: SparkSession, stateDir: String, initial: CatalogSnapshot): CatalogSnapshot =
@@ -138,26 +193,76 @@ object MessageStream {
       /** Collapse redelivered copies before the per-batch import (digest-keyed
         * stateful dedup). Off by default: the apply is idempotent either way,
         * dedup just avoids re-running apply work for duplicate deliveries. */
-      dedupRedelivered: Boolean = false): CatalogSnapshot = {
+      dedupRedelivered: Boolean = false,
+      /** Full-snapshot cadence: batch ids ≡ 0 (mod compactEvery) fold the
+        * delta chain into `v<batchId>`; every other batch writes only its
+        * O(batch) delta. Deterministic in batchId, so a replayed batch makes
+        * the same full-vs-delta choice. Batch 0 always compacts — the chain
+        * has a materialized base even when `initial` is an expensive frame. */
+      compactEvery: Int = 8): CatalogSnapshot = {
+    val q = startImport(spark, messagesDir, stateDir, checkpointDir, initial, cfg,
+      maxFilesPerTrigger, dedupRedelivered, None, compactEvery, Trigger.AvailableNow())
+    q.awaitTermination()
+    latestState(spark, stateDir, initial)
+  }
+
+  /**
+   * Long-lived form of [[runImport]]: start the import stream under any
+   * trigger and return the live query. `Trigger.ProcessingTime` is the
+   * tail-the-queue deployment — the reference's always-armed SQS→Lambda
+   * wiring (template.yaml:275) — where the stream keeps draining newly
+   * dropped message files until the caller stops it; pair it with
+   * `dedupWatermark` so redelivery-dedup state ages OUT (bounded by the
+   * horizon, not stream lifetime). The caller reads converged state with
+   * [[latestState]] after (or between) batches.
+   */
+  def startImport(
+      spark: SparkSession,
+      messagesDir: String,
+      stateDir: String,
+      checkpointDir: String,
+      initial: CatalogSnapshot,
+      cfg: ReplicationConfig,
+      maxFilesPerTrigger: Option[Int] = None,
+      dedupRedelivered: Boolean = false,
+      /** When set, redelivered copies collapse via the WATERMARKED digest
+        * dedup with this delay (e.g. "10 minutes") — the long-lived variant
+        * whose state is bounded by the redelivery horizon. Overrides
+        * `dedupRedelivered`. */
+      dedupWatermark: Option[String] = None,
+      compactEvery: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
 
     val source = readMessages(spark, messagesDir, maxFilesPerTrigger)
-    val q = (if (dedupRedelivered) dedupMessages(source) else source)
+    val deduped = dedupWatermark match {
+      case Some(delay) => dedupMessagesWithinWatermark(source, delay)
+      case None if dedupRedelivered => dedupMessages(source)
+      case None => source
+    }
+    deduped
       .writeStream
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[CatalogMessage], batchId: Long) =>
+        clearFrom(spark, stateDir, batchId)
         val tgt = stateBefore(spark, stateDir, batchId, initial)
         // Micro-batch runs carry the batch id in the run id, mirroring the
         // reference's per-invocation export_run_id stamps.
-        val res = ReplicationJob.importMessages(spark, batch, tgt,
+        val plan = ReplicationJob.planImport(spark, batch, tgt,
           cfg.copy(runId = cfg.runId + batchId))
-        writeState(res.target, s"$stateDir/v$batchId")
-        res.deadLetters.write.mode("append").parquet(s"$stateDir/dead")
+        if (batchId % compactEvery == 0) {
+          import graft.operators.Applier
+          writeState(CatalogSnapshot(tgt.catalogId,
+            Applier.applyDatabases(tgt.databases, plan.dbActions),
+            Applier.applyTables(tgt.tables, plan.tableActions),
+            Applier.applyPartitions(tgt.partitions, plan.partActions)),
+            s"$stateDir/v$batchId")
+        } else writeDelta(plan, s"$stateDir/d$batchId")
+        plan.deadLetters.write.mode("append").parquet(s"$stateDir/dead")
         ()
       }
       .start()
-    q.awaitTermination()
-    latestState(spark, stateDir, initial)
   }
 
   /**
@@ -190,7 +295,11 @@ object MessageStream {
       statusDir: String,
       cfg: ReplicationConfig,
       sinkCfg: graft.catalog.GlueSinkConfig = graft.catalog.GlueSinkConfig(),
-      maxFilesPerTrigger: Option[Int] = None,
+      /** Defaults to 64 — without a cap, AvailableNow delivers the ENTIRE
+        * backlog as one micro-batch, and the pruned fetch + statuses would
+        * scale with the whole queue instead of a bounded batch. None only for
+        * callers that bound the backlog themselves. */
+      maxFilesPerTrigger: Option[Int] = Some(64),
       dedupRedelivered: Boolean = false): Dataset[graft.catalog.LiveApplyStatus] = {
     val source = readMessages(spark, messagesDir, maxFilesPerTrigger)
     val q = (if (dedupRedelivered) dedupMessages(source) else source)

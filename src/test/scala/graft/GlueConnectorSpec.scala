@@ -271,6 +271,43 @@ class GlueConnectorSpec extends SparkSpec {
     assert(streamed.allPartitions.toSet === batched.allPartitions.toSet)
   }
 
+  test("many-file backlog drains in capped micro-batches with point fetches bounded by distinct keys") {
+    // 120 one-message files naming only THREE tables over and over — the
+    // redelivered-flood shape. The default maxFilesPerTrigger (64) must split
+    // the backlog into several micro-batches, and the pruned fetch must issue
+    // point gets per DISTINCT key per batch, never per message.
+    val src = CatalogSnapshot.inMemory(spark, "src",
+      Seq(db("alpha")), (0 until 3).map(i => tbl("alpha", s"t$i")),
+      (0 until 3).flatMap(i => (1 to 2).map(part("alpha", s"t$i", _))))
+    val msgs = ReplicationJob.export(spark, src, cfg).collect()
+    val flood = (0 until 60).flatMap(_ => msgs) // 240 messages, 4 identities
+    val msgDir = java.nio.file.Files.createTempDirectory("live-backlog-msgs").toString
+    spark.createDataset(flood).repartition(200).write.mode("overwrite").json(msgDir)
+    val nFiles = new java.io.File(msgDir).listFiles().count(_.getName.endsWith(".json"))
+    assert(nFiles > 64, s"need more files than one capped batch, got $nFiles")
+
+    val mock = InMemoryGlueCatalog.fresh("live-backlog")
+    val statusDir = java.nio.file.Files.createTempDirectory("live-backlog-status").toString
+    graft.streaming.MessageStream.runLiveImport(
+      spark, msgDir, InMemoryClientFactory("live-backlog"),
+      java.nio.file.Files.createTempDirectory("live-backlog-ckpt").toString,
+      java.nio.file.Files.createTempDirectory("live-backlog-dlq").toString,
+      statusDir, cfg)
+
+    // the default cap split the backlog — more than one micro-batch ran
+    val batchIds = spark.read.parquet(statusDir).select("batchId").distinct().count()
+    assert(batchIds >= 2, s"backlog drained as $batchIds batch(es) — cap not applied")
+    // point fetches: ≤ distinct keys per batch (3 tables + 1 db), NOT per
+    // message (120 table messages would mean hundreds of GetTable calls)
+    assert(mock.callCount("GetTable") <= batchIds * 3,
+      s"GetTable called ${mock.callCount("GetTable")} times across $batchIds batches")
+    assert(mock.callCount("GetDatabase") <= batchIds * 1)
+    assert(mock.callCount("GetTables") === 0) // never a crawl
+    // and the flood converged to exactly the source state
+    assert(mock.allTables.map(_.name).toSet === Set("t0", "t1", "t2"))
+    assert(mock.allPartitions.size === 6)
+  }
+
   test("redelivery converges: a second identical live run changes nothing and stays green") {
     val src = srcSnapshot(nPartsBigTable = 12)
     val mock = InMemoryGlueCatalog.fresh("live-idem")

@@ -87,6 +87,65 @@ class StreamingImportSpec extends SparkSpec {
     assert(s2.partitions.count() == s1Parts)
   }
 
+  test("incremental state: a batch touching one table writes an O(batch) delta, not the full planes") {
+    val cfg = ReplicationConfig(runId = 700L, sideChannelDir = Some(tmp("side")))
+    val msgDir = tmp("msgs")
+    val stateDir = tmp("state")
+    val ckptDir = tmp("ckpt")
+
+    // batch 0: three tables (compacts to v0 — the full base)
+    ReplicationJob.export(spark, snapshot(Seq("c0", "c1", "c2")), cfg)
+      .write.mode("append").json(msgDir)
+    val s1 = MessageStream.runImport(spark, msgDir, stateDir, ckptDir,
+      CatalogSnapshot.empty(spark, "tgt"), cfg)
+    assert(tableNames(s1) == Set("c0", "c1", "c2"))
+
+    // batch 1: ONE new table → must land as delta d1, no full rewrite
+    ReplicationJob.export(spark, snapshot(Seq("c3")), cfg.copy(runId = 701L))
+      .write.mode("append").json(msgDir)
+    val s2 = MessageStream.runImport(spark, msgDir, stateDir, ckptDir,
+      CatalogSnapshot.empty(spark, "tgt"), cfg)
+    assert(tableNames(s2) == Set("c0", "c1", "c2", "c3"))
+    assert(s2.partitions.count() == 8)
+
+    val state = new java.io.File(stateDir).listFiles().map(_.getName).toSet
+    assert(state.contains("v0") && state.contains("d1") && !state.contains("v1"),
+      s"expected full v0 + delta d1, got $state")
+    // the delta carries only batch 1's rows — the partition plane was NOT
+    // rewritten (4 tables × 2 partitions on disk would be 8)
+    val d1Parts = spark.read.schema(partitionSchema.add("action", "string"))
+      .parquet(s"$stateDir/d1/partitions")
+    assert(d1Parts.count() == 2, "delta must hold only the touched table's partitions")
+    assert(d1Parts.select("tableName").as[String].collect().toSet == Set("c3"))
+
+    // and the folded state equals a one-shot batch import of everything
+    val all = spark.read.schema(messageEncoder.schema).json(msgDir).as[CatalogMessage]
+    val batch = ReplicationJob.importMessages(spark, all,
+      CatalogSnapshot.empty(spark, "tgt"), cfg).target
+    assert(tableNames(s2) == tableNames(batch))
+    assert(s2.partitions.count() == batch.partitions.count())
+  }
+
+  test("incremental state: delta chain + compaction converge across many batches") {
+    val cfg = ReplicationConfig(runId = 800L, sideChannelDir = Some(tmp("side")))
+    val msgDir = tmp("msgs")
+    // five separate files → five micro-batches at maxFilesPerTrigger=1;
+    // compactEvery=3 exercises base → delta → delta → compact → delta
+    (0 until 5).foreach { i =>
+      ReplicationJob.export(spark, snapshot(Seq(s"m$i")), cfg.copy(runId = 800L + i))
+        .coalesce(1).write.mode("append").json(msgDir)
+    }
+    val stateDir = tmp("state")
+    val s = MessageStream.runImport(spark, msgDir, stateDir, tmp("ckpt"),
+      CatalogSnapshot.empty(spark, "tgt"), cfg, maxFilesPerTrigger = Some(1),
+      compactEvery = 3)
+    assert(tableNames(s) == (0 until 5).map(i => s"m$i").toSet)
+    assert(s.partitions.count() == 10)
+    val state = new java.io.File(stateDir).listFiles().map(_.getName).toSet
+    assert(state.contains("v0") && state.contains("v3"), s"missing compactions in $state")
+    assert(state.contains("d1") && state.contains("d2") && state.contains("d4"), s"missing deltas in $state")
+  }
+
   test("redelivery dedup holds across micro-batches (stateful dropDuplicates)") {
     val cfg = ReplicationConfig(runId = 500L, sideChannelDir = Some(tmp("side")))
     val msgs = ReplicationJob.export(spark, snapshot(Seq("d0", "d1")), cfg)
@@ -174,6 +233,57 @@ class StreamingImportSpec extends SparkSpec {
       dedupRedelivered = true)
     assert(tableNames(s) == Set("e0", "e1"))
     assert(s.partitions.count() == src.partitions.count())
+  }
+
+  test("ProcessingTime tail mode: live queue drain with watermarked dedup converges to the batch import") {
+    val cfg = ReplicationConfig(runId = 900L, sideChannelDir = Some(tmp("side")))
+    val msgDir = tmp("msgs")
+    val stateDir = tmp("state")
+
+    // wave 1: two tables, delivered TWICE (visibility-timeout redelivery)
+    val w1 = ReplicationJob.export(spark, snapshot(Seq("p0", "p1")), cfg)
+    val stage = tmp("stage")
+    w1.coalesce(1).write.mode("overwrite").json(stage)
+    val once = spark.read.schema(messageEncoder.schema).json(stage)
+    once.coalesce(1).write.mode("overwrite").json(msgDir)
+    once.coalesce(1).write.mode("append").json(msgDir)
+
+    // the long-lived deployment: ProcessingTime trigger + watermarked dedup
+    val q = MessageStream.startImport(spark, msgDir, stateDir, tmp("ckpt"),
+      CatalogSnapshot.empty(spark, "tgt"), cfg,
+      maxFilesPerTrigger = Some(1),
+      dedupWatermark = Some("10 minutes"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      q.processAllAvailable() // wave 1 drained while the query stays LIVE
+      assert(tableNames(MessageStream.latestState(spark, stateDir,
+        CatalogSnapshot.empty(spark, "tgt"))) == Set("p0", "p1"))
+
+      // wave 2 arrives later — the armed stream picks it up without restart
+      ReplicationJob.export(spark, snapshot(Seq("p2")), cfg.copy(runId = 901L))
+        .coalesce(1).write.mode("append").json(msgDir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // converged tail state == one-shot batch import of everything delivered
+    // (duplicates included — the idempotent apply collapses them either way)
+    val tail = MessageStream.latestState(spark, stateDir, CatalogSnapshot.empty(spark, "tgt"))
+    val delivered = spark.read.schema(messageEncoder.schema).json(msgDir).as[CatalogMessage]
+    val batch = ReplicationJob.importMessages(spark, delivered,
+      CatalogSnapshot.empty(spark, "tgt"), cfg).target
+    assert(tableNames(tail) == Set("p0", "p1", "p2"))
+    assert(tableNames(tail) == tableNames(batch))
+    assert(tail.partitions.count() == batch.partitions.count())
+
+    // multiple micro-batches actually ran, and the dedup operator's state is
+    // bounded by the DISTINCT message count (duplicates add no state rows),
+    // which the watermark then ages out — not by stream length
+    val progress = q.recentProgress
+    assert(progress.count(_.numInputRows > 0) >= 2, "expected several non-empty micro-batches")
+    val distinctMsgs = delivered.dropDuplicates("messageType", "exportBatchId", "payload").count()
+    val maxStateRows = progress.flatMap(_.stateOperators.map(_.numRowsTotal)).max
+    assert(maxStateRows <= distinctMsgs,
+      s"dedup state $maxStateRows exceeds distinct message count $distinctMsgs")
   }
 
   test("streaming dead letters accumulate for re-drive") {
