@@ -121,11 +121,15 @@ object Dedup {
     val banded = reps.select(col("id"),
       posexplode(SketchFunctions.minhash_bands(col("sig"), bands)).as(Seq("band", "bucket")))
 
-    val bucketSize = Window.partitionBy(col("band"), col("bucket"))
-    val capped = banded
-      .withColumn("_bsz", count(lit(1)).over(bucketSize))
-      .where(col("_bsz") <= maxBucketSize)
-      .drop("_bsz")
+    // Hot-bucket cap as partial-agg → tiny hot set → BROADCAST anti-join:
+    // the former window count sorted and shuffled the entire banded plane
+    // just to find the few over-cap keys; map-side combine makes the hot-set
+    // aggregation cheap, and the anti-join stays map-side (banded itself is
+    // a projection off the signature cache — never shuffled here). The hot
+    // set is ≤ |banded| / maxBucketSize keys by construction: broadcastable.
+    val hot = banded.groupBy("band", "bucket").agg(count(lit(1)).as("_bsz"))
+      .where(col("_bsz") > maxBucketSize).select("band", "bucket")
+    val capped = banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
 
     val l = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
     val r = capped.select(col("band"), col("bucket"), col("id").as("id_b"))
@@ -262,11 +266,11 @@ object Dedup {
       explode(array((0 until 4).map(b => struct(lit(b).as("blk"),
         shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("blkval"))): _*)).as("x"))
       .select(col("id"), col("sh"), col("x.blk"), col("x.blkval"))
-    val bucketSize = Window.partitionBy(col("blk"), col("blkval"))
-    val capped = blocked
-      .withColumn("_bsz", count(lit(1)).over(bucketSize))
-      .where(col("_bsz") <= maxBucketSize)
-      .drop("_bsz")
+    // Same cap shape as minhashPairs: map-side agg to the (tiny) hot set,
+    // broadcast anti-join — no sort-window shuffle of the blocked plane.
+    val hot = blocked.groupBy("blk", "blkval").agg(count(lit(1)).as("_bsz"))
+      .where(col("_bsz") > maxBucketSize).select("blk", "blkval")
+    val capped = blocked.join(broadcast(hot), Seq("blk", "blkval"), "left_anti")
     val l = capped.select(col("blk"), col("blkval"), col("id").as("id_a"), col("sh").as("sh_a"))
     val r = capped.select(col("blk"), col("blkval"), col("id").as("id_b"), col("sh").as("sh_b"))
     l.join(r, Seq("blk", "blkval"))
@@ -322,10 +326,13 @@ object Dedup {
 
       case Some(cap) =>
         // Cold shingles only for candidate generation; exact verify after.
-        val docFreq = Window.partitionBy(col("g"))
-        val cold = exploded
-          .withColumn("_df", count(lit(1)).over(docFreq))
-          .where(col("_df") <= cap)
+        // Hot shingles via map-side agg + broadcast anti-join (the same cap
+        // shape as the sketch pair-finders): the former per-shingle window
+        // sort-shuffled the whole exploded plane; the hot set is ≤ rows/cap
+        // keys — broadcastable by construction.
+        val hot = exploded.groupBy("g").agg(count(lit(1)).as("_df"))
+          .where(col("_df") > cap).select("g")
+        val cold = exploded.join(broadcast(hot), Seq("g"), "left_anti")
           .select(col("g"), col("id"))
         val l = cold.select(col("g"), col("id").as("id_a"))
         val r = cold.select(col("g"), col("id").as("id_b"))

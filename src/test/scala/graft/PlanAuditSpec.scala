@@ -191,6 +191,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(q.select(countDistinct(col("cid"))).head().getLong(0) > 1)
   }
 
+  test("pair-finder hot-key caps plan as broadcast anti-joins, never a sort-window over the exploded plane") {
+    graft.plans.SketchFunctions.register(spark)
+    val docs = spark.range(80).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma delta epsilon token"), col("id"), lit(" omega end")).as("text"))
+    val ngram = graft.functions.Dedup.ngramJaccardPairs(docs,
+      threshold = 0.3, maxDocsPerShingle = Some(50))
+    val p1 = planString(ngram)
+    assert(p1.contains("BroadcastHashJoin") && p1.contains("LeftAnti"),
+      s"hot-shingle cap is not a broadcast anti-join:\n$p1")
+    assert(!p1.contains("Window"), s"sort-window leaked back into the capped ngram plan:\n$p1")
+    val p2 = planString(graft.functions.Dedup.simhashPairs(docs, maxBucketSize = 50))
+    assert(p2.contains("BroadcastHashJoin") && p2.contains("LeftAnti"),
+      s"simhash block cap is not a broadcast anti-join:\n$p2")
+    assert(!p2.contains("Window"), s"sort-window leaked back into the simhash plan:\n$p2")
+  }
+
   test("lsh_bands fuses all band projections into one codegen'd pass, bit-identical to per-band lsh_bucket") {
     graft.plans.VectorFunctions.register(spark)
     val dim = 64; val bands = 8; val ppb = 2; val seed = 42L
