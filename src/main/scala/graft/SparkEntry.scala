@@ -1064,13 +1064,15 @@ object SparkEntry {
 
     // IVF ANN: full-probe setting (nProbe = nCentroids) is exhaustive exact
     // search, so the brute-force SQL oracle applies; the pruned setting is
-    // covered by the recall spec (DedupSimilaritySpec).
+    // covered by the recall spec (DedupSimilaritySpec). The quantizer trains
+    // on a modulo sample (trainMod = 4) — the documented 100 TB posture: a
+    // coarse quantizer needs thousands of points per cell, never the corpus.
     "e_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.where(col("vec_id") === 0).select(col("embedding"))
         .head().getSeq[Float](0)
       Similarity.ivfTopK(e.where(col("vec_id") =!= 0), q, k = 10, dim = 64,
-        nCentroids = 16, nProbe = 16)
+        nCentroids = 16, nProbe = 16, trainMod = 4)
     })
   )
 

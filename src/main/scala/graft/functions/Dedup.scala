@@ -262,22 +262,31 @@ object Dedup {
   def fingerprintPairs(hashed: DataFrame, maxHamming: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
     require(maxHamming <= 3, "4-block pigeonhole blocking is exact only for maxHamming <= 3")
+    // The fingerprint computation (simhash/phash per row) materializes ONCE:
+    // the hot-set aggregation and both self-join sides read the cache instead
+    // of re-hashing the corpus per consumer. Released before return; the
+    // (small) pair output comes back pinned and lineage-free — the same cache
+    // discipline as minhashPairs.
     val blocked = hashed.select(col("id"), col("sh"),
       explode(array((0 until 4).map(b => struct(lit(b).as("blk"),
         shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("blkval"))): _*)).as("x"))
       .select(col("id"), col("sh"), col("x.blk"), col("x.blkval"))
-    // Same cap shape as minhashPairs: map-side agg to the (tiny) hot set,
-    // broadcast anti-join — no sort-window shuffle of the blocked plane.
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Cap as partial-agg → tiny hot set → BROADCAST anti-join: no sort-window
+    // shuffle of the blocked plane (the hot set is ≤ rows/cap keys).
     val hot = blocked.groupBy("blk", "blkval").agg(count(lit(1)).as("_bsz"))
       .where(col("_bsz") > maxBucketSize).select("blk", "blkval")
     val capped = blocked.join(broadcast(hot), Seq("blk", "blkval"), "left_anti")
     val l = capped.select(col("blk"), col("blkval"), col("id").as("id_a"), col("sh").as("sh_a"))
     val r = capped.select(col("blk"), col("blkval"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("blk", "blkval"))
+    val result = l.join(r, Seq("blk", "blkval"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming64(col("sh_a"), col("sh_b")).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
+      .localCheckpoint(true)
+    blocked.unpersist()
+    result
   }
 
   /**
@@ -326,10 +335,15 @@ object Dedup {
 
       case Some(cap) =>
         // Cold shingles only for candidate generation; exact verify after.
-        // Hot shingles via map-side agg + broadcast anti-join (the same cap
-        // shape as the sketch pair-finders): the former per-shingle window
-        // sort-shuffled the whole exploded plane; the hot set is ≤ rows/cap
-        // keys — broadcastable by construction.
+        // The gram sets materialize ONCE (the shingling pass is the per-row
+        // cost): the hot-set aggregation, both candidate sides, and the two
+        // re-verify joins all read the cache. Hot shingles drop via map-side
+        // agg + BROADCAST anti-join (the same cap shape as the sketch
+        // pair-finders) — the former per-shingle window sort-shuffled the
+        // whole exploded plane; the hot set is ≤ rows/cap keys. The cache is
+        // released before return; the (small) pair output comes back pinned
+        // and lineage-free, as in minhashPairs.
+        shingled.persist(StorageLevel.MEMORY_AND_DISK)
         val hot = exploded.groupBy("g").agg(count(lit(1)).as("_df"))
           .where(col("_df") > cap).select("g")
         val cold = exploded.join(broadcast(hot), Seq("g"), "left_anti")
@@ -340,13 +354,16 @@ object Dedup {
           .where(col("id_a") < col("id_b"))
           .select("id_a", "id_b")
           .dropDuplicates("id_a", "id_b")
-        candidates
+        val result = candidates
           .join(shingled.select(col("id").as("id_a"), col("grams").as("ga"), col("n_grams").as("na")), Seq("id_a"))
           .join(shingled.select(col("id").as("id_b"), col("grams").as("gb"), col("n_grams").as("nb")), Seq("id_b"))
           .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
           .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
           .where(col("jaccard") >= threshold)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .localCheckpoint(true)
+        shingled.unpersist()
+        result
     }
   }
 }

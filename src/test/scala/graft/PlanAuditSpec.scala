@@ -192,19 +192,35 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("pair-finder hot-key caps plan as broadcast anti-joins, never a sort-window over the exploded plane") {
+    // The pair-finders pin their output (eager localCheckpoint), so the
+    // returned frame's plan is just a checkpoint scan — capture the REAL
+    // executed plans through a QueryExecutionListener instead.
     graft.plans.SketchFunctions.register(spark)
-    val docs = spark.range(80).select(col("id").as("doc_id"),
-      concat(lit("alpha beta gamma delta epsilon token"), col("id"), lit(" omega end")).as("text"))
-    val ngram = graft.functions.Dedup.ngramJaccardPairs(docs,
-      threshold = 0.3, maxDocsPerShingle = Some(50))
-    val p1 = planString(ngram)
-    assert(p1.contains("BroadcastHashJoin") && p1.contains("LeftAnti"),
-      s"hot-shingle cap is not a broadcast anti-join:\n$p1")
-    assert(!p1.contains("Window"), s"sort-window leaked back into the capped ngram plan:\n$p1")
-    val p2 = planString(graft.functions.Dedup.simhashPairs(docs, maxBucketSize = 50))
-    assert(p2.contains("BroadcastHashJoin") && p2.contains("LeftAnti"),
-      s"simhash block cap is not a broadcast anti-join:\n$p2")
-    assert(!p2.contains("Window"), s"sort-window leaked back into the simhash plan:\n$p2")
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val docs = spark.range(80).select(col("id").as("doc_id"),
+        concat(lit("alpha beta gamma delta epsilon token"), col("id"), lit(" omega end")).as("text"))
+      graft.functions.Dedup.ngramJaccardPairs(docs, threshold = 0.3, maxDocsPerShingle = Some(50))
+      graft.functions.Dedup.simhashPairs(docs, maxBucketSize = 50)
+      val deadline = System.currentTimeMillis() + 10000
+      def captured = plans.toArray(Array.empty[String])
+      def isAnti(p: String) = p.contains("LeftAnti") && p.contains("BroadcastHashJoin")
+      while (captured.count(isAnti) < 2 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val anti = captured.filter(isAnti)
+      assert(anti.length >= 2,
+        s"expected both pair-finders to cap via broadcast anti-join; captured ${captured.length} plans")
+      anti.foreach(p => assert(!p.contains("Window"),
+        s"sort-window leaked back into a capped pair plan:\n$p"))
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("lsh_bands fuses all band projections into one codegen'd pass, bit-identical to per-band lsh_bucket") {
