@@ -146,6 +146,30 @@ class StreamingImportSpec extends SparkSpec {
     assert(state.contains("d1") && state.contains("d2") && state.contains("d4"), s"missing deltas in $state")
   }
 
+  test("incremental state: stale higher-numbered leftovers of a lost incarnation are cleared, not folded") {
+    // A previous incarnation got to batch 5 (delta d5) and even compacted v9
+    // before its checkpoint was lost. The fresh drain restarts at batch 0 —
+    // it must clear those leftovers, or latestState would pick stale v9 /
+    // fold stale d5 on top of the new incarnation's state.
+    val cfg = ReplicationConfig(runId = 1000L, sideChannelDir = Some(tmp("side")))
+    val msgDir = tmp("msgs")
+    val stateDir = tmp("state")
+    ReplicationJob.export(spark, snapshot(Seq("z0")), cfg).write.mode("overwrite").json(msgDir)
+
+    val ghost = spark.createDataset(Seq(GTable("ghost", "db9")))
+      .withColumn("action", lit("create"))
+    ghost.write.parquet(s"$stateDir/d5/tables") // torn: other planes missing
+    spark.createDataset(Seq(GDatabase("db9"))).write.parquet(s"$stateDir/v9/databases")
+    spark.createDataset(Seq(GTable("ghost", "db9"))).write.parquet(s"$stateDir/v9/tables")
+    spark.emptyDataset[GPartition].write.parquet(s"$stateDir/v9/partitions")
+
+    val s = MessageStream.runImport(spark, msgDir, stateDir, tmp("ckpt"),
+      CatalogSnapshot.empty(spark, "tgt"), cfg)
+    assert(tableNames(s) == Set("z0"), "stale leftovers leaked into the drained state")
+    val state = new java.io.File(stateDir).listFiles().map(_.getName).toSet
+    assert(!state.contains("d5") && !state.contains("v9"), s"stale dirs survived: $state")
+  }
+
   test("redelivery dedup holds across micro-batches (stateful dropDuplicates)") {
     val cfg = ReplicationConfig(runId = 500L, sideChannelDir = Some(tmp("side")))
     val msgs = ReplicationJob.export(spark, snapshot(Seq("d0", "d1")), cfg)
