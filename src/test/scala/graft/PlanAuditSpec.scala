@@ -318,6 +318,13 @@ class PlanAuditSpec extends SparkSpec {
     val plan = planString(windowed).split("== Initial Plan ==")(0)
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, s"expected one exchange:\n$plan")
     assert(!plan.contains("Join"), s"windowed as-of still plans a join:\n$plan")
+    // misuse fails at PLANNING: a string id would silently null out under an
+    // asymmetric long cast — the guard rejects it up front (round-5 ADVICE)
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.EventOps.asofJoin(
+        v.withColumn("event_id", col("event_id").cast("string")), p)
+    }
+    assert(e.getMessage.contains("integral"))
   }
 
   test("brute-force top-k plans as TakeOrderedAndProject (partial per-partition top-k)") {
