@@ -10,8 +10,11 @@ import org.apache.spark.sql.SparkSession
   * Each query runs SPARK_GRAFT_BENCH_REPEATS times (default 3) and the
   * reported per-query number is the MIN across repeats — a single-shot
   * timing is hostage to noisy neighbors (the round-5 artifact recorded ~4×
-  * inflation under machine contention on unchanged code), while the min of
-  * three is a stable estimate of the code's actual cost. The max rides along
+  * inflation under machine contention on unchanged code). Repeats then
+  * continue ADAPTIVELY (to SPARK_GRAFT_BENCH_MAX_REPEATS, default 6) until
+  * the two fastest runs agree within 10%: a min whose runner-up confirms it
+  * is reproducible run-over-run, where a lucky/unlucky single min on a
+  * sub-second query still carries GC-pause jitter. The max rides along
   * under `queries_max` so contention is visible rather than silently folded
   * in, and `wall` records total harness wall-clock (all repeats + setup) as
   * load context for the round artifact. */
@@ -21,6 +24,8 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt)
+    val maxRepeats = math.max(repeats,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPEATS", "6").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -46,12 +51,19 @@ object Bench {
     try SparkEntry.prepare(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prepare failed: $e") }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (0 until repeats).map { _ =>
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      def runOnce(): Unit = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        (System.nanoTime() - t0) / 1e9
+        times += (System.nanoTime() - t0) / 1e9
       }
+      (0 until repeats).foreach(_ => runOnce())
+      def settled: Boolean = {
+        val s = times.sorted
+        s.length >= 2 && (s(1) - s(0)) <= 0.10 * s(1)
+      }
+      while (!settled && times.length < maxRepeats) runOnce()
       name -> (times.min, times.max)
     }
     val qs = results.map { case (k, (mn, _)) => s"\"" + k + "\":" + mn }
