@@ -176,6 +176,26 @@ object MessageStream {
   def latestState(spark: SparkSession, stateDir: String, initial: CatalogSnapshot): CatalogSnapshot =
     stateBefore(spark, stateDir, Long.MaxValue, initial)
 
+  /** Maintenance: delete state dirs SUPERSEDED by the newest full snapshot —
+    * everything strictly older than the newest `v<id>` (older fulls and the
+    * delta chains they already folded in). The newest full plus its trailing
+    * deltas reconstruct the same `latestState`, so the visible state is
+    * unchanged; long-lived ProcessingTime deployments call this between
+    * drains (the VACUUM model — in-line deletion inside foreachBatch would
+    * race batch replay: a crash after deleting history but before the new
+    * full commits would strand the replay with nothing to rebuild from).
+    * Returns the number of dirs removed. */
+  def pruneState(spark: SparkSession, stateDir: String): Int = {
+    val fulls = versionDirs(spark, stateDir)
+    if (fulls.isEmpty) return 0
+    val newest = fulls.map(_._1).max
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    val doomed = (fulls ++ deltaDirs(spark, stateDir)).filter(_._1 < newest)
+    doomed.foreach { case (_, d) => fs.delete(new org.apache.hadoop.fs.Path(d), true) }
+    doomed.size
+  }
+
   /**
    * Streaming import: drain `messagesDir` into versioned target state under
    * `stateDir`, checkpointing source progress in `checkpointDir`. Returns the

@@ -146,6 +146,28 @@ class StreamingImportSpec extends SparkSpec {
     assert(state.contains("d1") && state.contains("d2") && state.contains("d4"), s"missing deltas in $state")
   }
 
+  test("pruneState drops superseded history and leaves latestState unchanged") {
+    val cfg = ReplicationConfig(runId = 1100L, sideChannelDir = Some(tmp("side")))
+    val msgDir = tmp("msgs")
+    (0 until 5).foreach { i =>
+      ReplicationJob.export(spark, snapshot(Seq(s"k$i")), cfg.copy(runId = 1100L + i))
+        .coalesce(1).write.mode("append").json(msgDir)
+    }
+    val stateDir = tmp("state")
+    val drained = MessageStream.runImport(spark, msgDir, stateDir, tmp("ckpt"),
+      CatalogSnapshot.empty(spark, "tgt"), cfg, maxFilesPerTrigger = Some(1),
+      compactEvery = 3) // dirs: v0, d1, d2, v3, d4
+    val before = tableNames(drained)
+    val pruned = MessageStream.pruneState(spark, stateDir)
+    assert(pruned == 3, "v0, d1, d2 are superseded by v3")
+    val state = new java.io.File(stateDir).listFiles().map(_.getName).toSet
+    assert(state.contains("v3") && state.contains("d4"))
+    assert(!state.contains("v0") && !state.contains("d1") && !state.contains("d2"))
+    val after = MessageStream.latestState(spark, stateDir, CatalogSnapshot.empty(spark, "tgt"))
+    assert(tableNames(after) == before)
+    assert(after.partitions.count() == 10)
+  }
+
   test("incremental state: stale higher-numbered leftovers of a lost incarnation are cleared, not folded") {
     // A previous incarnation got to batch 5 (delta d5) and even compacted v9
     // before its checkpoint was lost. The fresh drain restarts at batch 0 —
