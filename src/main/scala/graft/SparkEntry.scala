@@ -977,6 +977,33 @@ object SparkEntry {
         t(s, dir, "documents").where(col("n_chars") < 300), n = 3, threshold = 0.2)
     }),
 
+    // benchmark decontamination: the planted eval set (doc_id % 101 == 0)
+    // reduces to distinct 3-grams and BROADCASTS; training docs stream
+    // through the broadcast join with no corpus shuffle — each doc sharing
+    // ≥ 1 gram with the eval set is reported with its shared-gram count
+    "d_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationReport(
+        docs.where(col("doc_id") % 101 =!= 0),
+        docs.where(col("doc_id") % 101 === 0), n = 3)
+    }),
+
+    // unigram-LM quality score: weighted mean -log2 p(token) per document —
+    // rare-vocabulary docs score high; one tokenize pass, counts via window,
+    // corpus N via broadcast cross join (see TextFunctions.unigramLogProb)
+    "d_unigram_logprob" -> ((s, dir) => {
+      TextFunctions.unigramLogProb(t(s, dir, "documents"))
+    }),
+
+    // corpus-level hot n-grams (boilerplate detector input): raw 3-gram
+    // frequency, partial-aggregated map-side, tiny top-k merge at the end
+    "d_top_ngrams" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TextFunctions.wordNgrams(col("text"), 3)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram")).limit(20)
+    }),
+
     // approximate — no SQL oracle; verified by planted-duplicate specs
     "d_minhash_pairs" -> ((s, dir) => {
       Dedup.minhashPairs(t(s, dir, "documents"), k = 64, bands = 16, threshold = 0.5)
@@ -1060,6 +1087,15 @@ object SparkEntry {
         element_at(q, 32).cast("int").as("q_mid"),
         element_at(q, 64).cast("int").as("q_last"),
         round(VectorFunctions.vec_absmax(col("embedding")), 6).as("absmax"))
+    }),
+
+    // per-label mean-pooled centroids, flattened to (label, pos, c) for the
+    // SQL oracle; the library function returns the assembled array<double>
+    "e_centroids" -> ((s, dir) => {
+      Similarity.groupCentroids(t(s, dir, "embeddings"))
+        .select(col("label"), col("n_vecs"), posexplode(col("centroid")).as(Seq("pos", "c")))
+        .select(col("label").cast("int").as("label"), col("n_vecs"),
+          col("pos").cast("bigint").as("pos"), round(col("c"), 6).as("c"))
     }),
 
     // IVF ANN: full-probe setting (nProbe = nCentroids) is exhaustive exact
@@ -1557,6 +1593,41 @@ object SparkEntry {
            AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
              (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.2""",
 
+    "d_decontaminate" ->
+      """WITH base AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+             i -> array_to_string(toks[i:i+2], ' '))) AS grams
+           FROM base WHERE len(toks) >= 3),
+         ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 101 = 0),
+         tr AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 101 <> 0)
+         SELECT tr.doc_id, count(*) AS n_shared_grams
+         FROM tr JOIN ev USING (gram)
+         GROUP BY tr.doc_id""",
+
+    "d_unigram_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+           FROM documents),
+         cnt AS (SELECT token, count(*) AS tc FROM toks GROUP BY token),
+         tot AS (SELECT count(*) AS n FROM toks)
+         SELECT doc_id, round(avg(-log2(CAST(tc AS DOUBLE) / n)), 6) AS bits_per_token,
+           count(*) AS n_tokens
+         FROM toks JOIN cnt USING (token), tot
+         GROUP BY doc_id""",
+
+    "d_top_ngrams" ->
+      """WITH base AS (
+           SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+         g AS (
+           SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+             i -> array_to_string(toks[i:i+2], ' '))) AS gram
+           FROM base WHERE len(toks) >= 3)
+         SELECT gram, count(*) AS n FROM g GROUP BY gram
+         ORDER BY n DESC, gram LIMIT 20""",
+
     // The oracle recomputes what the PARSER must read back out of the real
     // header bytes: dims/duration are deterministic functions of the text
     // byte length L the synthesizer encoded into the PNG IHDR / JPEG SOF0 /
@@ -1615,6 +1686,18 @@ object SparkEntry {
            CAST(round(v[64] * 127.0 / mx) AS INT) AS q_last,
            round(mx, 6) AS absmax
          FROM m""",
+
+    // zipped unnests flatten each vector to (position, value) pairs; the
+    // per-(label, position) average is the centroid element
+    "e_centroids" ->
+      """WITH flat AS (
+           SELECT label,
+             unnest(generate_series(1, len(embedding))) AS i,
+             unnest(embedding) AS v
+           FROM embeddings)
+         SELECT label, count(*) AS n_vecs, i - 1 AS pos,
+           round(avg(CAST(v AS DOUBLE)), 6) AS c
+         FROM flat GROUP BY label, i""",
 
     "e_lsh_topk" ->
       """SELECT e.vec_id,

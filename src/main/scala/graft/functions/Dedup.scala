@@ -366,4 +366,49 @@ object Dedup {
         result
     }
   }
+
+  /**
+   * Benchmark decontamination report: for every training document sharing at
+   * least one word-`n`-gram with the evaluation set, the number of distinct
+   * grams shared — the standard pre-training hygiene pass (strip eval/test
+   * material from the corpus before it leaks into training).
+   *
+   * Shuffle shape for 100 TB: an eval set is tiny (megabytes of benchmark
+   * text) next to the corpus, so its distinct grams BROADCAST; corpus
+   * shingles stream through the broadcast hash join with no shuffle of the
+   * corpus plane at all. The only exchange is the per-doc count, keyed on the
+   * id with map-side partial aggregation. Both sides shingle with the native
+   * codegen'd word_ngrams — one fused pass per row.
+   */
+  def contaminationReport(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    SketchFunctions.register(docs.sparkSession)
+    val evalGrams = evalDocs
+      .select(explode(array_distinct(wordNgrams(col(textCol), n))).as("_gram"))
+      .distinct()
+    docs
+      .select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("_gram"))
+      .join(broadcast(evalGrams), Seq("_gram"))
+      // grams are distinct within a doc, so plain count = distinct shared
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** The corpus with contaminated documents removed: docs that share NO
+    * word-`n`-gram with the eval set. Same broadcast shape as
+    * [[contaminationReport]]; the anti side is the (small) contaminated-id
+    * frame, so the final filter is a broadcastable left-anti join. */
+  def decontaminate(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.join(
+      contaminationReport(docs, evalDocs, n, idCol, textCol).select(col(idCol)),
+      Seq(idCol), "left_anti")
 }

@@ -408,4 +408,32 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(cosine(col("v_a"), col("v_b")), 6).as("sim"))
       .where(col("sim") >= threshold)
   }
+
+  /**
+   * Per-group mean-pooled centroids: one row per `groupCol` value with the
+   * element-wise mean of its vectors (`array<double>`) and the group size —
+   * the embedding-side aggregate behind class prototypes, cluster summaries,
+   * and coarse-quantizer seeding.
+   *
+   * Shuffle shape for 100 TB: posexplode inflates each row to `dim` (pos,
+   * value) pairs, but the groupBy(group, pos) average partial-aggregates
+   * map-side, so the exchange carries only |groups|·dim partial sums per
+   * input partition — never the exploded plane. The second exchange
+   * (assembling positions back into one array per group) moves |groups|·dim
+   * rows total: negligible. No driver collect, no literal blowup.
+   */
+  def groupCentroids(
+      vectors: DataFrame,
+      groupCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    vectors
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("_pos", "_v")))
+      .groupBy(col(groupCol), col("_pos"))
+      .agg(avg(col("_v")).as("_c"), count(lit(1)).as("_n"))
+      .groupBy(col(groupCol))
+      // max(_n): every position counts the full group when dims are uniform
+      .agg(max(col("_n")).as("n_vecs"),
+        transform(array_sort(collect_list(struct(col("_pos"), col("_c")))),
+          p => p.getField("_c")).as("centroid"))
+      .select(col(groupCol), col("n_vecs"), col("centroid"))
 }

@@ -229,4 +229,34 @@ object TextFunctions {
         round((col("cnt").cast("double") / col("doc_len")) *
           log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
   }
+
+  /** Per-document bits-per-token under the corpus unigram LM: the weighted
+    * mean of `-log2(tc/N)` over a document's tokens, where `tc` is the
+    * token's corpus count and `N` the corpus token total — the language-model
+    * quality filter in its simplest oracle-checkable form (high bits ⇒ rare
+    * vocabulary; a trained-LM perplexity filter is the production twin and
+    * slots into the same dataflow).
+    *
+    * Shuffle shape for 100 TB: the corpus tokenizes ONCE into the (doc,
+    * token, cnt) frame; corpus counts are a window over that (much smaller)
+    * frame rather than a second tokenize+join, so there is no vocabulary
+    * frame to broadcast or shuffle back; the scalar N arrives via a broadcast
+    * cross join from a single pruned column scan (the tfIdf discipline). */
+  def unigramLogProb(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+    // N from the raw text column, NOT from tf: deriving it from tf would plan
+    // a second tokenize+shuffle of the whole corpus.
+    val nTokens = docs.agg(sum(tokenCount(col(textCol))).cast("double").as("_n"))
+    tf.withColumn("_tc", sum(col("cnt")).over(Window.partitionBy("token")))
+      .crossJoin(broadcast(nTokens))
+      .groupBy("doc_id")
+      .agg(
+        round(sum(col("cnt") * -log2(col("_tc") / col("_n"))) / sum(col("cnt")), 6)
+          .as("bits_per_token"),
+        sum(col("cnt")).as("n_tokens"))
+  }
 }
