@@ -201,6 +201,32 @@ object SparkEntry {
   private def liveCatalog(s: SparkSession, dir: String): graft.sources.CatalogSnapshot =
     sessionMemo("livecat", s, dir)(pin(tpchCatalog(s, dir, limitOrders = Some(400))))
 
+  /** s2_v2_pushdown's mock service, seeded once from the bounded fixture
+    * catalog (the same 400-order subset live_replicate uses); returns the
+    * registry catalogId the DataSourceV2 reader addresses. Seeding is setup,
+    * not the measured operator — the query body charges the pushed-down scan. */
+  private def v2CatalogId(s: SparkSession, dir: String): String =
+    sessionMemo("v2cat", s, dir) {
+      import graft.catalog._
+      val id = s"v2cat:${sessionKey(s)}:$dir"
+      val mock = InMemoryGlueCatalog.fresh(id)
+      val src = liveCatalog(s, dir)
+      src.databases.collect().foreach(mock.createDatabase)
+      src.tables.collect().foreach(mock.createTable)
+      // The fixture plane carries duplicate identities (same (db, table,
+      // values) from the raw lineitem join) — the live sink collapses them
+      // via dropDuplicates before batching; the seed does the same.
+      src.partitions.dropDuplicates("databaseName", "tableName", "values")
+        .collect().groupBy(p => (p.databaseName, p.tableName)).foreach {
+        case ((d, t), ps) =>
+          ps.grouped(GlueLimits.BatchCreatePartitions).foreach { g =>
+            val errs = mock.batchCreatePartitions(d, t, g)
+            require(errs.isEmpty, s"v2 seed failed: $errs")
+          }
+      }
+      id
+    }
+
   /** s8_stream_import's staged message drop: export → JSON files, built once.
     * The measured body charges the streaming drain (checkpoint + foreachBatch
     * import + versioned state), not the export that manufactured the queue. */
@@ -248,6 +274,7 @@ object SparkEntry {
     dlqFirstPass(s, dir)
     p6Catalog(s, dir)
     liveCatalog(s, dir)
+    v2CatalogId(s, dir)
     s8ImportMsgDir(s, dir)
     s8DedupMsgDir(s, dir)
     ()
@@ -416,6 +443,20 @@ object SparkEntry {
         .select(col("databaseName"),
           coalesce(col("n_tables"), lit(0L)).as("n_tables"),
           coalesce(col("n_partitions"), lit(0L)).as("n_partitions"))
+    }),
+
+    // S2 through the DataSourceV2 relation (spark.read.format("glue-catalog")):
+    // the pushed databaseName equality prunes the live-service fan-out to ONE
+    // database's GetTables chain — no GetDatabases listing, no other db
+    // fetched (GlueSourceV2Spec asserts the call log; here the landed rows
+    // hash against the oracle). The reference serves this shape with a full
+    // planner-side crawl + prefix filter (GDCReplicationPlanner.java:70-81).
+    "s2_v2_pushdown" -> ((s, dir) => {
+      val id = v2CatalogId(s, dir)
+      s.read.format("glue-catalog")
+        .option("plane", "tables").option("catalogId", id).load()
+        .where(col("databaseName") === "7")
+        .select(col("name").cast("bigint").as("o_orderkey"), col("databaseName"))
     }),
 
     // P4 (+P5): Partition→PartitionInput writable projection via the real
@@ -1211,6 +1252,11 @@ object SparkEntry {
            WHEN 2 THEN 'struct<a:int,b:struct<c:decimal(10,2)>>'
            ELSE 'map<string,array<int>>' END AS spark_ddl
          FROM part""",
+
+    "s2_v2_pushdown" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 400)
+         SELECT o_orderkey, CAST(o_custkey % 25 AS VARCHAR) AS databaseName
+         FROM o WHERE o_custkey % 25 = 7""",
 
     "s1_snapshot_scan" ->
       """WITH t AS (SELECT o_orderkey, CAST(o_custkey % 25 AS VARCHAR) AS databaseName FROM orders),

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.catalog._
+import graft.model._
+
+/**
+ * DataSourceV2 relation (`spark.read.format("glue-catalog")`) contract:
+ * values equal the client's state, and — the part that matters at scale —
+ * pushed filters change WHICH service calls are issued. Efficacy is asserted
+ * from the mock's call log, not from the plan string alone.
+ */
+class GlueSourceV2Spec extends SparkSpec {
+  import spark.implicits._
+
+  /** 3 dbs × 4 tables × 5 partitions, page size 3 so every listing paginates:
+    * dbs = 1 full page + 1 (3 items), tables/db = 2 pages (4 items),
+    * partitions/table = 2 pages (5 items). */
+  private def freshCatalog(id: String): InMemoryGlueCatalog = {
+    val mock = InMemoryGlueCatalog.fresh(id, pageSize = 3)
+    val dbs = Seq("sales", "ops", "sales_eu").map(n => GDatabase(n, description = Some(s"d-$n")))
+    dbs.foreach(mock.createDatabase)
+    for (d <- dbs; i <- 1 to 4)
+      mock.createTable(GTable(s"t$i", d.name, owner = Some("o"), parameters = Map("k" -> s"$i")))
+    for (d <- dbs; i <- 1 to 4)
+      assert(mock.batchCreatePartitions(d.name, s"t$i",
+        (1 to 5).map(v => GPartition(Seq(v.toString), d.name, s"t$i")))
+        .isEmpty)
+    mock.clearCallLog()
+    mock
+  }
+
+  private def read(id: String, plane: String, opts: (String, String)*): DataFrame = {
+    val r = spark.read.format("glue-catalog")
+      .option("plane", plane).option("catalogId", id)
+    opts.foreach { case (k, v) => r.option(k, v) }
+    r.load()
+  }
+
+  private def planString(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("full scans of all three planes equal the service state") {
+    val mock = freshCatalog("v2-full")
+    assert(read("v2-full", "databases").as[GDatabase].collect().toSet ===
+      mock.allDatabases.toSet)
+    assert(read("v2-full", "tables").as[GTable].collect().toSet ===
+      mock.allTables.toSet)
+    assert(read("v2-full", "partitions").as[GPartition].collect().toSet ===
+      mock.allPartitions.toSet)
+  }
+
+  test("databaseName equality prunes the per-db fan-out to point planning (no listing at all)") {
+    val mock = freshCatalog("v2-dbeq")
+    val q = read("v2-dbeq", "tables").where(col("databaseName") === "ops")
+    val got = q.as[GTable].collect() // exactly ONE materialization, then audit the log
+    assert(got.length === 4 && got.forall(_.databaseName == "ops"))
+    // Pinned names bypass GetDatabases entirely; only ops's 2 table pages fetch.
+    assert(mock.callCount("GetDatabases") === 0)
+    assert(mock.callCount("GetTables") === 2, s"calls: ${mock.calls}")
+    // The already-finalized plan (no re-collect) shows the absorbed filter.
+    assert(q.queryExecution.executedPlan.toString.contains("EqualTo(databaseName,ops)"))
+  }
+
+  test("databaseName prefix match lists once, then fans out to matching dbs only") {
+    val mock = freshCatalog("v2-prefix")
+    val q = read("v2-prefix", "tables").where(col("databaseName").startsWith("sales"))
+    assert(q.as[GTable].collect().map(_.databaseName).toSet === Set("sales", "sales_eu"))
+    // 2 matching dbs × 2 pages; 'ops' never gets a GetTables chain.
+    assert(mock.callCount("GetTables") === 4, s"calls: ${mock.calls}")
+  }
+
+  test("name equality collapses a table crawl to point GetTable calls") {
+    val mock = freshCatalog("v2-point")
+    val q = read("v2-point", "tables")
+      .where(col("databaseName") === "sales" && col("name") === "t2")
+    assert(q.as[GTable].collect().map(t => (t.databaseName, t.name)).toSeq === Seq(("sales", "t2")))
+    assert(mock.callCount("GetDatabases") === 0)
+    assert(mock.callCount("GetTables") === 0)
+    assert(mock.callCount("GetTable") === 1, s"calls: ${mock.calls}")
+  }
+
+  test("partitions plane with db+table pinned issues exactly one partition chain") {
+    val mock = freshCatalog("v2-parts")
+    val q = read("v2-parts", "partitions")
+      .where(col("databaseName") === "ops" && col("tableName") === "t3")
+    assert(q.count() === 5)
+    assert(mock.callCount("GetDatabases") === 0)
+    assert(mock.callCount("GetTables") === 0)
+    assert(mock.callCount("GetPartitions") === 2, s"calls: ${mock.calls}") // 5 rows / page 3
+  }
+
+  test("databases plane name equality uses a point GetDatabase") {
+    val mock = freshCatalog("v2-db-point")
+    val q = read("v2-db-point", "databases").where(col("name") === "sales")
+    assert(q.as[GDatabase].collect().map(_.name).toSeq === Seq("sales"))
+    assert(mock.callCount("GetDatabases") === 0)
+    assert(mock.callCount("GetDatabase") === 1, s"calls: ${mock.calls}")
+  }
+
+  test("column pruning reaches the scan (payload columns never cross)") {
+    freshCatalog("v2-prune")
+    val q = read("v2-prune", "tables").select(col("name"), col("databaseName"))
+    assert(q.distinct().count() === 12)
+    // The scan LEAF must output only the pruned columns — payload (SD,
+    // parameters, timestamps) never crosses out of the reader.
+    val leaf = q.queryExecution.executedPlan.collectLeaves().head
+    assert(leaf.output.map(_.name).toSet === Set("name", "databaseName"),
+      s"scan not pruned: ${leaf.output.map(_.name)}\n$leaf")
+  }
+
+  test("segmented partition scan equals the unsegmented one") {
+    freshCatalog("v2-seg")
+    val whole = read("v2-seg", "partitions").as[GPartition].collect().toSet
+    val seg = read("v2-seg", "partitions", "partitionSegments" -> "3")
+      .as[GPartition].collect().toSet
+    assert(seg === whole)
+    assert(whole.size === 60)
+  }
+
+  test("V2 planes equal the imperative snapshot fetch") {
+    val mock = freshCatalog("v2-snap-eq")
+    val snap = GlueCatalogSource.snapshot(spark, InMemoryClientFactory("v2-snap-eq"))
+    assert(read("v2-snap-eq", "databases").as[GDatabase].collect().toSet ===
+      snap.databases.collect().toSet)
+    assert(read("v2-snap-eq", "tables").as[GTable].collect().toSet ===
+      snap.tables.collect().toSet)
+    assert(read("v2-snap-eq", "partitions").as[GPartition].collect().toSet ===
+      snap.partitions.collect().toSet)
+    assert(mock.allTables.size === 12)
+  }
+
+  test("unsupported filters are left for Spark to evaluate (and results stay correct)") {
+    freshCatalog("v2-resid")
+    // owner is not a pushable attribute; retention>=0 is a non-string filter.
+    val q = read("v2-resid", "tables")
+      .where(col("databaseName") === "sales" && col("owner") === "o" && col("retention") >= 0)
+    assert(q.count() === 4)
+    val plan = planString(q)
+    assert(plan.contains("EqualTo(databaseName,sales)"), s"db filter not pushed:\n$plan")
+  }
+}
