@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull, StringStartsWith}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -195,8 +195,8 @@ private[sources] final case class GlueScanSlice(
 private[sources] final class GluePlaneScan(
     options: CaseInsensitiveStringMap,
     plane: String,
-    filters: Array[Filter],
-    prunedSchema: StructType) extends Scan with Batch {
+    compileTimeFilters: Array[Filter],
+    prunedSchema: StructType) extends Scan with Batch with SupportsRuntimeFiltering {
 
   private val factory = GlueCatalogV2.buildFactory(options)
   private val (maxRetry, retryDelayMs) = GlueCatalogV2.retryOf(options)
@@ -205,10 +205,27 @@ private[sources] final class GluePlaneScan(
     require(n >= 1, s"partitionSegments must be >= 1, got $n"); n
   }
 
+  /** Runtime (dynamic-pruning) filters arrive after the other join side has
+    * executed — a broadcast of today's message keys prunes the service
+    * fan-out the same way a literal predicate would. Best-effort by contract
+    * (the join above still filters rows), so readers may ignore them; the
+    * planning-time fan-out MUST honor them to deliver the pruning. */
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+  private def filters: Array[Filter] = compileTimeFilters ++ runtimeFilters
+
+  override def filterAttributes(): Array[NamedReference] = (plane match {
+    case "databases" => Seq("name")
+    case "tables" => Seq("databaseName", "name")
+    case "partitions" => Seq("databaseName", "tableName")
+  }).map(Expressions.column).toArray
+
+  override def filter(fs: Array[Filter]): Unit =
+    runtimeFilters = fs.filter(GlueCatalogV2.isPushable(_, GlueCatalogV2.pushableAttrs(plane)))
+
   override def readSchema(): StructType = prunedSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"glue-catalog plane=$plane pushed=[${filters.mkString(", ")}]"
+    s"glue-catalog plane=$plane pushed=[${compileTimeFilters.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = plane match {
     case "databases" =>

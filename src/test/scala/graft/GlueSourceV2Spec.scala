@@ -134,6 +134,28 @@ class GlueSourceV2Spec extends SparkSpec {
     assert(mock.allTables.size === 12)
   }
 
+  test("runtime (dynamic-pruning) filters from a broadcast join prune the service fan-out") {
+    val mock = freshCatalog("v2-runtime")
+    // The "replicate only the dbs today's messages name" shape: a tiny
+    // filtered dimension joined on databaseName. DPP executes the broadcast
+    // side first and hands the surviving keys to the scan as runtime
+    // filters — only those dbs get a GetTables chain. The dim must NOT be a
+    // LocalRelation (the optimizer folds the filter away and DPP sees no
+    // selective predicate), so it's built over range().
+    val dim = spark.range(2)
+      .select(when(col("id") === 0, "ops").otherwise("absent_db").as("dbname"),
+        col("id").as("flag"))
+    val q = read("v2-runtime", "tables")
+      .join(dim.where(col("flag") === 0), col("databaseName") === col("dbname"))
+    val got = q.collect()
+    assert(got.length === 4 && got.forall(_.getAs[String]("databaseName") == "ops"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"dynamic pruning did not engage:\n$plan")
+    // Planning honored the runtime keys: one db's 2 table pages, no full fan-out.
+    assert(mock.callCount("GetTables") === 2, s"calls: ${mock.calls}")
+  }
+
   test("unsupported filters are left for Spark to evaluate (and results stay correct)") {
     freshCatalog("v2-resid")
     // owner is not a pushable attribute; retention>=0 is a non-string filter.
