@@ -934,6 +934,24 @@ object SparkEntry {
         .select(col("content_hash"), col("doc_id"), col("dup_count"))
     }),
 
+    // X25: per-source vocabulary heavy hitters (boilerplate/drift detection) —
+    // one shuffle of (source, token) pairs, rank window over the aggregated
+    // vocab frame only.
+    "d_top_tokens" -> ((s, dir) =>
+      TextFunctions.topTokensPerSource(t(s, dir, "documents"), 10)),
+
+    // X26: incremental (cross-run) exact dedup — today's batch anti-joins the
+    // accumulated content-hash plane of previous runs; payloads never join.
+    // Here the "known corpus" is the doc_id%3==0 slice, the "new batch" the
+    // rest.
+    "d_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val known = Dedup.withContentHash(docs.where(col("doc_id") % 3 === 0))
+        .select("content_hash")
+      Dedup.dedupAgainstKnown(docs.where(col("doc_id") % 3 =!= 0), known)
+        .select(col("doc_id"), col("content_hash"))
+    }),
+
     "d_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.contentFingerprint(col("text")).as("content_fp"),
@@ -1519,6 +1537,26 @@ object SparkEntry {
              unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS token
            FROM documents)
          GROUP BY token ORDER BY df DESC, token LIMIT 20""",
+
+    "d_top_tokens" ->
+      """WITH tok AS (
+           SELECT DISTINCT doc_id, source,
+             unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS token
+           FROM documents),
+         tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS df
+                FROM tok GROUP BY source, token),
+         r AS (SELECT source, token, df,
+                 row_number() OVER (PARTITION BY source ORDER BY df DESC, token) AS rank
+               FROM tf)
+         SELECT source, token, df, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10""",
+
+    "d_incremental_dedup" ->
+      """WITH k AS (SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash
+                    FROM documents WHERE doc_id % 3 = 0),
+         n AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash
+               FROM documents WHERE doc_id % 3 <> 0)
+         SELECT n.doc_id, n.content_hash FROM n
+         WHERE n.content_hash NOT IN (SELECT content_hash FROM k)""",
 
     "d_exact_dedup" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,

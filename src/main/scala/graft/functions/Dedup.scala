@@ -55,6 +55,20 @@ object Dedup {
       .drop("_rk")
   }
 
+  /** Incremental (cross-run) exact dedup: rows of `newDocs` whose normalized
+    * content hash does NOT already appear in `knownHashes` (a `content_hash`
+    * plane from previous ingest runs — build one with [[withContentHash]]).
+    * The daily-crawl shape at 100 TB: today's batch anti-joins yesterday's
+    * accumulated hash plane instead of re-deduping the whole corpus. One
+    * shuffle per side on the hash key (AQE broadcasts the known plane when a
+    * backfill makes it the small side); the hash plane is 32 bytes/doc —
+    * 3 TB per 100G docs — so the anti-join never touches document payloads. */
+  def dedupAgainstKnown(newDocs: DataFrame, knownHashes: DataFrame,
+      textCol: String = "text"): DataFrame =
+    withContentHash(newDocs, textCol)
+      .join(knownHashes.select(col("content_hash")).distinct(),
+        Seq("content_hash"), "left_anti")
+
   /**
    * MinHash signature: k independent min-hashes over word-`n`-gram shingles,
    * computed by the native MinHashSignature expression (one string hash per

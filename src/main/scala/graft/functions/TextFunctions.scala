@@ -259,4 +259,30 @@ object TextFunctions {
           .as("bits_per_token"),
         sum(col("cnt")).as("n_tokens"))
   }
+
+  /** Per-source top-k vocabulary heavy hitters by DOCUMENT frequency (how
+    * many of the source's documents contain the token) — the corpus-drift /
+    * boilerplate-detection statistic: a crawl source whose top tokens are
+    * "cookie", "javascript", "subscribe" needs a cleaning pass before it
+    * feeds training.
+    *
+    * Shuffle shape for 100 TB: each document contributes each distinct token
+    * once (explode of the deduped token array feeds a partially-aggregated
+    * groupBy — ONE full shuffle, of (source, token) pairs, not text); the
+    * rank window then re-shuffles only the aggregated vocabulary frame, whose
+    * per-source size grows sublinearly with the corpus (Heaps' law), so the
+    * per-source sort never sees document-scale row counts. Ties break
+    * deterministically by token. */
+  def topTokensPerSource(docs: org.apache.spark.sql.DataFrame, k: Int,
+      sourceCol: String = "source", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val df = docs
+      .select(col(sourceCol).as("source"),
+        explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("source").orderBy(col("df").desc, col("token"))
+    df.withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= k)
+  }
 }

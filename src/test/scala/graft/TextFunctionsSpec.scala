@@ -115,4 +115,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(packed.count() === 200)
     assert(packed.select("doc_id").distinct().count() === 200)
   }
+
+  test("topTokensPerSource ranks document frequency with deterministic ties") {
+    val docs = Seq(
+      (1L, "a b c", "s1"), (2L, "a b", "s1"), (3L, "a x", "s1"),
+      (4L, "z z z", "s2"), (5L, "z y", "s2")).toDF("doc_id", "text", "source")
+    val top = TextFunctions.topTokensPerSource(docs, 2)
+      .orderBy("source", "rank")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // repeated tokens inside one doc count once (df, not term frequency);
+    // df ties (c vs x) fall outside k=2, b wins rank 2 outright.
+    assert(top === Seq(
+      ("s1", "a", 3L, 1L), ("s1", "b", 2L, 2L),
+      ("s2", "z", 2L, 1L), ("s2", "y", 1L, 2L)))
+  }
+
+  test("dedupAgainstKnown drops exactly the content the known plane already has") {
+    val known = graft.functions.Dedup.withContentHash(
+      Seq((1L, "hello world")).toDF("doc_id", "text")).select("content_hash")
+    val batch = Seq(
+      (10L, "hello   WORLD"), // normalizes to known content → dropped
+      (11L, "fresh content"), (12L, "fresh content") // intra-batch dups survive (cross-run op)
+    ).toDF("doc_id", "text")
+    val kept = graft.functions.Dedup.dedupAgainstKnown(batch, known)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(11L, 12L))
+  }
 }
