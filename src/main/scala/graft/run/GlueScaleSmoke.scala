@@ -59,14 +59,25 @@ object GlueScaleSmoke {
     val nPartsOut = snap.partitions.count()
     val fetchSec = (System.nanoTime() - t1) / 1e9
 
+    // Same 150k-partition fetch through the DataSourceV2 relation: one
+    // InputPartition per (db, segment) = 200 tasks, pagination chains
+    // walked lazily at page granularity inside each task.
+    val t2 = System.nanoTime()
+    val nPartsV2 = spark.read.format("glue-catalog")
+      .option("plane", "partitions").option("catalogId", "scale")
+      .option("partitionSegments", "4").load()
+      .count()
+    val fetchV2Sec = (System.nanoTime() - t2) / 1e9
+
     val nCreateCalls = mock.callCount("BatchCreatePartition")
     val expected = nTables * partsPerTable
     assert(nBad == 0L, s"failed statuses: $nBad")
     assert(nPartsOut == expected, s"partitions: $nPartsOut != $expected")
+    assert(nPartsV2 == expected, s"v2 partitions: $nPartsV2 != $expected")
     assert(mock.allPartitions.size == expected.toInt)
     assert(nCreateCalls >= (expected / GlueLimits.BatchCreatePartitions).toInt,
       s"batch calls: $nCreateCalls")
-    println(s"""{"metric":"glue_scale_smoke_sec","apply_sec":$applySec,"fetch_sec":$fetchSec,"partitions":$nPartsOut,"batch_create_calls":$nCreateCalls}""")
+    println(s"""{"metric":"glue_scale_smoke_sec","apply_sec":$applySec,"fetch_sec":$fetchSec,"fetch_v2_sec":$fetchV2Sec,"partitions":$nPartsOut,"batch_create_calls":$nCreateCalls}""")
     spark.stop()
   }
 }
