@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull, StringStartsWith}
@@ -148,18 +148,22 @@ private[sources] object GlueCatalogV2 {
 }
 
 private[sources] final class GluePlaneTable(options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   private val plane = GlueCatalogV2.planeOf(options)
   override def name(): String = s"glue-catalog/$plane"
   override def schema(): StructType = GlueCatalogV2.schemaFor(plane)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder = {
-    // Merge table properties under scan-time read options (scan wins).
-    val merged = new util.HashMap[String, String](options.asCaseSensitiveMap())
-    merged.putAll(scanOptions.asCaseSensitiveMap())
-    new GluePlaneScanBuilder(new CaseInsensitiveStringMap(merged), plane)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+  private def merged(extra: CaseInsensitiveStringMap): CaseInsensitiveStringMap = {
+    // Table properties under call-time options (the call wins).
+    val m = new util.HashMap[String, String](options.asCaseSensitiveMap())
+    m.putAll(extra.asCaseSensitiveMap())
+    new CaseInsensitiveStringMap(m)
   }
+  override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new GluePlaneScanBuilder(merged(scanOptions), plane)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+    new GluePlaneWriteBuilder(merged(info.options()), plane, info.schema())
 }
 
 private[sources] final class GluePlaneScanBuilder(options: CaseInsensitiveStringMap, plane: String)

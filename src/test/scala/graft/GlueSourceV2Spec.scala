@@ -156,6 +156,66 @@ class GlueSourceV2Spec extends SparkSpec {
     assert(mock.callCount("GetTables") === 2, s"calls: ${mock.calls}")
   }
 
+  private def copyPlane(srcId: String, dstId: String, plane: String,
+      prep: DataFrame => DataFrame = identity): Unit =
+    prep(read(srcId, plane)).write.format("glue-catalog")
+      .option("plane", plane).option("catalogId", dstId).mode("append").save()
+
+  test("append writes replicate a catalog through pure DataFrame code") {
+    freshCatalog("v2-wsrc")
+    val dst = InMemoryGlueCatalog.fresh("v2-wdst")
+    copyPlane("v2-wsrc", "v2-wdst", "databases")
+    copyPlane("v2-wsrc", "v2-wdst", "tables")
+    // Co-locating each table's rows keeps the per-writer buffers to one key
+    // run each — 12 (db, table) keys → exactly 12 BatchCreatePartition calls.
+    copyPlane("v2-wsrc", "v2-wdst", "partitions",
+      _.repartition(col("databaseName"), col("tableName")))
+    val src = InMemoryGlueCatalog.get("v2-wsrc")
+    assert(dst.allDatabases.toSet === src.allDatabases.toSet)
+    assert(dst.allTables.toSet === src.allTables.toSet)
+    assert(dst.allPartitions.toSet === src.allPartitions.toSet)
+    assert(dst.callCount("BatchCreatePartition") === 12, s"calls: ${dst.calls}")
+  }
+
+  test("append is an idempotent upsert: replaying every plane converges") {
+    freshCatalog("v2-wid-src")
+    val dst = InMemoryGlueCatalog.fresh("v2-wid-dst")
+    for (_ <- 1 to 2; plane <- Seq("databases", "tables", "partitions"))
+      copyPlane("v2-wid-src", "v2-wid-dst", plane)
+    assert(dst.allDatabases.size === 3)
+    assert(dst.allTables.size === 12)
+    assert(dst.allPartitions.size === 60)
+  }
+
+  test("table append updates an existing table (create-or-update fallback)") {
+    freshCatalog("v2-wup")
+    val changed = InMemoryGlueCatalog.get("v2-wup").allTables.head.copy(owner = Some("new-owner"))
+    spark.createDataset(Seq(changed))(graft.codec.Codecs.tableEncoder).toDF()
+      .write.format("glue-catalog")
+      .option("plane", "tables").option("catalogId", "v2-wup").mode("append").save()
+    assert(InMemoryGlueCatalog.get("v2-wup")
+      .getTable(changed.databaseName, changed.name).get.owner === Some("new-owner"))
+  }
+
+  test("table append into an empty catalog creates the parent database implicitly") {
+    freshCatalog("v2-wimp-src")
+    val dst = InMemoryGlueCatalog.fresh("v2-wimp-dst")
+    copyPlane("v2-wimp-src", "v2-wimp-dst", "tables") // no databases written first
+    assert(dst.allTables.size === 12)
+    assert(dst.allDatabases.map(_.name).toSet === Set("sales", "ops", "sales_eu"))
+  }
+
+  test("overwrite mode is rejected (a catalog is not truncatable)") {
+    freshCatalog("v2-wov")
+    val e = intercept[Exception] {
+      read("v2-wov", "databases").write.format("glue-catalog")
+        .option("plane", "databases").option("catalogId", "v2-wov")
+        .mode("overwrite").save()
+    }
+    assert(e.getMessage.toLowerCase.contains("truncate")
+      || e.getMessage.toLowerCase.contains("overwrite"), e.getMessage)
+  }
+
   test("unsupported filters are left for Spark to evaluate (and results stay correct)") {
     freshCatalog("v2-resid")
     // owner is not a pushable attribute; retention>=0 is a non-string filter.
