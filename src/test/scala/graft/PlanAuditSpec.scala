@@ -337,4 +337,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"global sort instead of partial top-k:\n$plan")
   }
+
+  test("incremental dedup anti-join broadcasts the small hash plane and never joins payloads") {
+    val known = graft.functions.Dedup.withContentHash(
+      (0 until 50).map(i => (i.toLong, s"known doc $i")).toDF("doc_id", "text"))
+      .select("content_hash")
+    val batch = (0 until 5000).map(i => (1000L + i, s"new doc $i")).toDF("doc_id", "text")
+    val q = graft.functions.Dedup.dedupAgainstKnown(batch, known)
+    val plan = planString(q)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"known plane not broadcast / not anti:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+    assert(q.count() === 5000)
+  }
 }
