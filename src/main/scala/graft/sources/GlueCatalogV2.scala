@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull, StringStartsWith}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -167,10 +167,19 @@ private[sources] final class GluePlaneTable(options: CaseInsensitiveStringMap)
 }
 
 private[sources] final class GluePlaneScanBuilder(options: CaseInsensitiveStringMap, plane: String)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GlueCatalogV2.schemaFor(plane)
+  private var limit: Option[Int] = None
+
+  /** A pushed limit stops each slice's lazy pagination after `n` rows — an
+    * exploratory `load().limit(10)` over a million-partition catalog fetches
+    * a couple of pages per slice, not the full crawl. Partial by contract
+    * (per-partition), so Spark keeps its own global Limit above the scan. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed: Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val attrs = GlueCatalogV2.pushableAttrs(plane)
@@ -188,7 +197,7 @@ private[sources] final class GluePlaneScanBuilder(options: CaseInsensitiveString
   }
 
   override def build(): Scan =
-    new GluePlaneScan(options, plane, pushed, required)
+    new GluePlaneScan(options, plane, pushed, required, limit)
 }
 
 /** One planned slice of the scan. `dbName = None` means "the databases plane's
@@ -200,7 +209,8 @@ private[sources] final class GluePlaneScan(
     options: CaseInsensitiveStringMap,
     plane: String,
     compileTimeFilters: Array[Filter],
-    prunedSchema: StructType) extends Scan with Batch with SupportsRuntimeFiltering {
+    prunedSchema: StructType,
+    limit: Option[Int]) extends Scan with Batch with SupportsRuntimeFiltering {
 
   private val factory = GlueCatalogV2.buildFactory(options)
   private val (maxRetry, retryDelayMs) = GlueCatalogV2.retryOf(options)
@@ -254,7 +264,7 @@ private[sources] final class GluePlaneScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GluePlaneReaderFactory(plane, factory, maxRetry, retryDelayMs, filters, prunedSchema)
+    new GluePlaneReaderFactory(plane, factory, maxRetry, retryDelayMs, filters, prunedSchema, limit)
 }
 
 private[sources] final class GluePlaneReaderFactory(
@@ -263,10 +273,11 @@ private[sources] final class GluePlaneReaderFactory(
     maxRetry: Int,
     retryDelayMs: Long,
     filters: Array[Filter],
-    prunedSchema: StructType) extends PartitionReaderFactory {
+    prunedSchema: StructType,
+    limit: Option[Int]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GluePlaneReader(partition.asInstanceOf[GlueScanSlice], plane,
-      factory, maxRetry, retryDelayMs, filters, prunedSchema)
+      factory, maxRetry, retryDelayMs, filters, prunedSchema, limit)
 }
 
 private[sources] final class GluePlaneReader(
@@ -276,7 +287,8 @@ private[sources] final class GluePlaneReader(
     maxRetry: Int,
     retryDelayMs: Long,
     filters: Array[Filter],
-    prunedSchema: StructType) extends PartitionReader[InternalRow] {
+    prunedSchema: StructType,
+    limit: Option[Int]) extends PartitionReader[InternalRow] {
 
   private val client = GlueCatalogClient.withRetry(factory.client(), maxRetry, retryDelayMs)
 
@@ -315,7 +327,11 @@ private[sources] final class GluePlaneReader(
     // not a failure (the real API throws, never returns an empty page).
     try body catch { case _: GlueEntityNotFoundException => Iterator.empty }
 
-  private val rows: Iterator[InternalRow] = plane match {
+  // `take` composes with the lazy pagination: once `limit` rows surfaced,
+  // no further page is ever requested from the service.
+  private val rows: Iterator[InternalRow] = limit.fold(planeRows)(n => planeRows.take(n))
+
+  private def planeRows: Iterator[InternalRow] = plane match {
     case "databases" =>
       val conv = convert(Codecs.dbEncoder)
       val get = (d: GDatabase) => (a: String) => if (a.equalsIgnoreCase("name")) Some(d.name) else None

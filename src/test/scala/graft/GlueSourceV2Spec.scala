@@ -156,6 +156,19 @@ class GlueSourceV2Spec extends SparkSpec {
     assert(mock.callCount("GetTables") === 2, s"calls: ${mock.calls}")
   }
 
+  test("pushed limit stops each slice's pagination early (no full crawl for limit 5)") {
+    val mock = freshCatalog("v2-limit")
+    // partitions plane, one slice per db: each slice satisfies take(5) from
+    // its first table's 2 pages (pageSize 3) — 2 GetPartitions calls per db
+    // instead of the full 8 (4 tables × 2 pages); GetTables stops after its
+    // first page too.
+    val got = read("v2-limit", "partitions").limit(5).collect()
+    assert(got.length === 5)
+    assert(mock.callCount("GetPartitions") <= 6, s"calls: ${mock.calls}")
+    assert(mock.callCount("GetPartitions") >= 2, s"calls: ${mock.calls}")
+    assert(mock.callCount("GetTables") <= 3, s"calls: ${mock.calls}")
+  }
+
   private def copyPlane(srcId: String, dstId: String, plane: String,
       prep: DataFrame => DataFrame = identity): Unit =
     prep(read(srcId, plane)).write.format("glue-catalog")
