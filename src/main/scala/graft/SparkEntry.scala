@@ -940,6 +940,18 @@ object SparkEntry {
     "d_top_tokens" -> ((s, dir) =>
       TextFunctions.topTokensPerSource(t(s, dir, "documents"), 10)),
 
+    // X27: per-source duplicate rate (dedup observability) — the corpus-health
+    // stat checked before/after a dedup pass; one shuffle on (source, hash)
+    // via the distinct-count partial aggregation.
+    "d_dup_rate" -> ((s, dir) => {
+      Dedup.withContentHash(t(s, dir, "documents"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("content_hash")).as("n_distinct"))
+        .select(col("source"), col("n_docs"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6).as("dup_rate"))
+    }),
+
     // X26: incremental (cross-run) exact dedup — today's batch anti-joins the
     // accumulated content-hash plane of previous runs; payloads never join.
     // Here the "known corpus" is the doc_id%3==0 slice, the "new batch" the
@@ -1549,6 +1561,13 @@ object SparkEntry {
                  row_number() OVER (PARTITION BY source ORDER BY df DESC, token) AS rank
                FROM tf)
          SELECT source, token, df, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10""",
+
+    "d_dup_rate" ->
+      """SELECT source, count(*) AS n_docs,
+           CAST(count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS BIGINT) AS n_distinct,
+           round(1.0 - CAST(count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS DOUBLE)
+             / count(*), 6) AS dup_rate
+         FROM documents GROUP BY source""",
 
     "d_incremental_dedup" ->
       """WITH k AS (SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash
