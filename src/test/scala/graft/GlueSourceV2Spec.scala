@@ -156,6 +156,21 @@ class GlueSourceV2Spec extends SparkSpec {
     assert(mock.callCount("GetTables") === 2, s"calls: ${mock.calls}")
   }
 
+  test("plain SQL reaches the relation (CREATE TEMP VIEW USING glue-catalog) with pushdown intact") {
+    val mock = freshCatalog("v2-sql")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW glue_tables
+         USING `glue-catalog` OPTIONS (plane 'tables', catalogId 'v2-sql')""")
+    val got = spark.sql(
+      "SELECT databaseName, count(*) AS n FROM glue_tables WHERE databaseName = 'ops' GROUP BY 1")
+      .collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("ops", 4L)))
+    // The SQL route pushes the equality the same as the DataFrame route:
+    // pinned planning, no GetDatabases listing.
+    assert(mock.callCount("GetDatabases") === 0, s"calls: ${mock.calls}")
+    assert(mock.callCount("GetTables") === 2, s"calls: ${mock.calls}")
+  }
+
   test("pushed limit stops each slice's pagination early (no full crawl for limit 5)") {
     val mock = freshCatalog("v2-limit")
     // partitions plane, one slice per db: each slice satisfies take(5) from
