@@ -940,6 +940,26 @@ object SparkEntry {
     "d_top_tokens" -> ((s, dir) =>
       TextFunctions.topTokensPerSource(t(s, dir, "documents"), 10)),
 
+    // X28: the end-to-end curation pipeline — lang gate → length gate → exact
+    // dedup (keep lowest id) → deterministic 50% sample. Everything except
+    // the dedup window stays in the scan projection: ONE shuffle (on the
+    // content hash) curates the corpus, and the sample predicate would push
+    // into a parquet scan of a pre-hashed corpus. The operators composing
+    // here are each oracle-backed alone; this row pins their composition.
+    "d_curate_pipeline" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"),
+        TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+        TextFunctions.contentFingerprint(col("text")).as("content_hash"))
+      val gated = scored.where(col("lang_pred") === "en" && col("n_tokens") >= 10)
+      val deduped = gated
+        .withColumn("_rk", row_number().over(
+          Window.partitionBy("content_hash").orderBy("doc_id")))
+        .where(col("_rk") === 1).drop("_rk")
+      deduped.where(TextFunctions.hashSample(col("doc_id"), 50))
+        .select(col("doc_id"), col("lang_pred"), col("n_tokens"))
+    }),
+
     // X27: per-source duplicate rate (dedup observability) — the corpus-health
     // stat checked before/after a dedup pass; one shuffle on (source, hash)
     // via the distinct-count partial aggregation.
@@ -1561,6 +1581,41 @@ object SparkEntry {
                  row_number() OVER (PARTITION BY source ORDER BY df DESC, token) AS rank
                FROM tf)
          SELECT source, token, df, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10""",
+
+    "d_curate_pipeline" ->
+      """WITH scored AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash
+           FROM documents),
+         counts AS (
+           SELECT doc_id,
+             len(list_filter(toks, x -> list_contains(['the','and','of','to','is','with','for'], x))) AS s_en,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','mit','ein'], x))) AS s_de,
+             len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','des'], x))) AS s_fr,
+             len(list_filter(toks, x -> list_contains(['el','la','los','y','es','una','con'], x))) AS s_es,
+             len(list_filter(toks, x -> list_contains(['de','shi','le','zai','you','wo','ta'], x))) AS s_zh
+           FROM scored),
+         lang AS (
+           SELECT doc_id,
+             CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+                  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                  ELSE 'zh' END AS lang_pred
+           FROM counts),
+         gated AS (
+           SELECT s.doc_id, s.content_hash, l.lang_pred,
+             CAST(len(s.toks) AS BIGINT) AS n_tokens
+           FROM scored s JOIN lang l USING (doc_id)
+           WHERE l.lang_pred = 'en' AND len(s.toks) >= 10),
+         dedup AS (
+           SELECT doc_id, lang_pred, n_tokens FROM (
+             SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rk
+             FROM gated)
+           WHERE rk = 1)
+         SELECT doc_id, lang_pred, n_tokens FROM dedup
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'""",
 
     "d_dup_rate" ->
       """SELECT source, count(*) AS n_docs,
