@@ -1630,7 +1630,7 @@ object SparkEntry {
          n AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash
                FROM documents WHERE doc_id % 3 <> 0)
          SELECT n.doc_id, n.content_hash FROM n
-         WHERE n.content_hash NOT IN (SELECT content_hash FROM k)""",
+         WHERE NOT EXISTS (SELECT 1 FROM k WHERE k.content_hash = n.content_hash)""",
 
     "d_exact_dedup" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,

@@ -56,6 +56,12 @@ trait GlueCatalogClient {
   def getPartitions(databaseName: String, tableName: String, nextToken: Option[String],
       segment: Option[GlueSegment] = None): GluePage[GPartition]
 
+  /** Point lookups return None for an absent entity. Implementations over
+    * the real SDK MUST map EntityNotFoundException — including the case
+    * where the PARENT database of a getTable is absent — to None rather
+    * than rethrow: callers treat absence as an entity-semantics fact, and
+    * the V2 scan additionally guards these with its notFoundAsEmpty so an
+    * adapter that throws anyway degrades to an empty slice, not a failure. */
   def getDatabase(name: String): Option[GDatabase]
   def getTable(databaseName: String, name: String): Option[GTable]
 

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics => V2Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull, StringStartsWith}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -104,13 +104,19 @@ private[sources] object GlueCatalogV2 {
   }
 
   /** Evaluate one pushed filter against an entity's key fields. The scan
-    * claims these filters as handled, so it must enforce them exactly. */
+    * claims these filters as handled, so it must enforce them exactly —
+    * the default case FAILS CLOSED: a filter shape accepted by isPushable
+    * but missing here would otherwise be claimed as pushed (Spark never
+    * re-evaluates it) yet silently treated as satisfied, producing wrong
+    * results. An isPushable/eval mismatch must surface immediately. */
   def eval(f: Filter, get: String => Option[String]): Boolean = f match {
     case EqualTo(a, v) => get(a).contains(String.valueOf(v))
     case In(a, vs) => get(a).exists(x => vs.exists(v => String.valueOf(v) == x))
     case StringStartsWith(a, p) => get(a).exists(_.startsWith(p))
     case IsNotNull(a) => get(a).isDefined
-    case _ => true
+    case other => throw new IllegalStateException(
+      s"filter $other was pushed into the glue-catalog scan but eval cannot enforce it " +
+        "(isPushable and eval are out of sync)")
   }
 
   def evalAll(fs: Array[Filter], get: String => Option[String]): Boolean =
@@ -210,7 +216,8 @@ private[sources] final class GluePlaneScan(
     plane: String,
     compileTimeFilters: Array[Filter],
     prunedSchema: StructType,
-    limit: Option[Int]) extends Scan with Batch with SupportsRuntimeFiltering {
+    limit: Option[Int]) extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
 
   private val factory = GlueCatalogV2.buildFactory(options)
   private val (maxRetry, retryDelayMs) = GlueCatalogV2.retryOf(options)
@@ -231,15 +238,64 @@ private[sources] final class GluePlaneScan(
     case "databases" => Seq("name")
     case "tables" => Seq("databaseName", "name")
     case "partitions" => Seq("databaseName", "tableName")
-  }).map(Expressions.column).toArray
+  })
+    // Only columns that survived pruning: Spark's PartitionPruning rule
+    // resolves these against readSchema() and throws (not skips) on a name
+    // the projection dropped — a pruned scan must shrink its DPP surface.
+    .filter(a => prunedSchema.fieldNames.exists(_.equalsIgnoreCase(a)))
+    .map(Expressions.column).toArray
 
   override def filter(fs: Array[Filter]): Unit =
     runtimeFilters = fs.filter(GlueCatalogV2.isPushable(_, GlueCatalogV2.pushableAttrs(plane)))
 
   override def readSchema(): StructType = prunedSchema
   override def toBatch: Batch = this
-  override def description(): String =
-    s"glue-catalog plane=$plane pushed=[${compileTimeFilters.mkString(", ")}]"
+  override def description(): String = {
+    // Runtime (dynamic-pruning) filters prune the actual service fan-out, so
+    // the executed plan must show them — an explain taken after execution
+    // carries runtime=[...] alongside the compile-time pushed=[...]
+    val rt = runtimeFilters
+    s"glue-catalog plane=$plane pushed=[${compileTimeFilters.mkString(", ")}]" +
+      (if (rt.nonEmpty) s" runtime=[${rt.mkString(", ")}]" else "")
+  }
+
+  /**
+   * Plan-time statistics (SupportsReportStatistics): without them a V2
+   * relation reports the session default size (Long.MaxValue-ish), so a
+   * 3-row pinned scan joined to a terabyte plane plans a sort-merge join
+   * and only AQE can rescue it at runtime. Point lookups are countable from
+   * the pushed filters alone — |pins| rows, no service call at planning:
+   *  - databases: |name pins|
+   *  - tables: |db pins| × |name pins| (upper bound — absent entities only
+   *    shrink it), or |db pins| × `estimateRowsPerDatabase` when configured
+   *  - partitions: |db pins| × |table pins| × `estimateRowsPerTable` (the
+   *    per-table partition count is service-side; the option is the
+   *    deployment's known order of magnitude)
+   * Unknowable shapes report empty and keep the conservative default.
+   */
+  override def estimateStatistics(): V2Statistics = {
+    val fs = filters
+    def pins(attr: String): Option[Long] =
+      GlueCatalogV2.pinnedNames(fs, attr).map(_.size.toLong)
+    val rows: Option[Long] = plane match {
+      case "databases" => pins("name")
+      case "tables" =>
+        val perDb = Option(options.get("estimateRowsPerDatabase")).map(_.toLong)
+        pins("databaseName").flatMap(d => pins("name").map(d * _).orElse(perDb.map(d * _)))
+      case "partitions" =>
+        // A single pinned table can still hold a million partitions — never
+        // guess a per-table count; only a configured estimate bounds it.
+        val perTable = Option(options.get("estimateRowsPerTable")).map(_.toLong)
+        for (d <- pins("databaseName"); t <- pins("tableName"); p <- perTable)
+          yield d * t * p
+    }
+    new V2Statistics {
+      override def sizeInBytes(): util.OptionalLong =
+        rows.fold(util.OptionalLong.empty)(r => util.OptionalLong.of(r * GluePlaneScan.RowWidthBytes))
+      override def numRows(): util.OptionalLong =
+        rows.fold(util.OptionalLong.empty)(util.OptionalLong.of)
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] = plane match {
     case "databases" =>
@@ -265,6 +321,14 @@ private[sources] final class GluePlaneScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GluePlaneReaderFactory(plane, factory, maxRetry, retryDelayMs, filters, prunedSchema, limit)
+}
+
+private[sources] object GluePlaneScan {
+  /** Conservative serialized-entity width for the stats estimate: catalog
+    * rows are name strings + a storageDescriptor struct — hundreds of bytes,
+    * not kilobytes. Over-estimating 4× still leaves a point lookup far under
+    * any broadcast threshold; what matters is the orders of magnitude. */
+  val RowWidthBytes: Long = 512L
 }
 
 private[sources] final class GluePlaneReaderFactory(
@@ -336,7 +400,12 @@ private[sources] final class GluePlaneReader(
       val conv = convert(Codecs.dbEncoder)
       val get = (d: GDatabase) => (a: String) => if (a.equalsIgnoreCase("name")) Some(d.name) else None
       val source = GlueCatalogV2.pinnedNames(filters, "name") match {
-        case Some(pins) => pins.toSeq.sorted.iterator.flatMap(n => client.getDatabase(n))
+        // notFoundAsEmpty on the point gets too: the in-memory client maps
+        // absence to None, but a real SDK adapter may surface
+        // EntityNotFoundException — a pinned name that vanished is an empty
+        // slice here exactly as it is on the listing path.
+        case Some(pins) => pins.toSeq.sorted.iterator
+          .flatMap(n => notFoundAsEmpty(client.getDatabase(n).iterator))
         case None => paged(client.getDatabases)
       }
       source.filter(d => GlueCatalogV2.evalAll(filters, get(d))).map(conv)
@@ -350,7 +419,11 @@ private[sources] final class GluePlaneReader(
         case _ => None
       }
       val source = GlueCatalogV2.pinnedNames(filters, "name") match {
-        case Some(pins) => pins.toSeq.sorted.iterator.flatMap(n => client.getTable(db, n))
+        // Wrapped like the listing path: an SDK adapter throwing
+        // EntityNotFound for the table OR its absent parent database must
+        // yield an empty slice, not a task failure.
+        case Some(pins) => pins.toSeq.sorted.iterator
+          .flatMap(n => notFoundAsEmpty(client.getTable(db, n).iterator))
         case None => notFoundAsEmpty(paged(client.getTables(db, _)))
       }
       source.filter(t => GlueCatalogV2.evalAll(filters, get(t))).map(conv)

@@ -154,6 +154,32 @@ class GlueSourceV2Spec extends SparkSpec {
       s"dynamic pruning did not engage:\n$plan")
     // Planning honored the runtime keys: one db's 2 table pages, no full fan-out.
     assert(mock.callCount("GetTables") === 2, s"calls: ${mock.calls}")
+    // The executed plan's scan description names the runtime keys that did
+    // the pruning — production diagnosis reads them out of the explain.
+    assert(plan.contains("runtime=["), s"runtime filters invisible in:\n$plan")
+  }
+
+  test("point-lookup statistics broadcast the pinned scan at plan time (no AQE rescue needed)") {
+    freshCatalog("v2-stats")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // Big probe side: range stats (~80 MB) exceed the broadcast threshold,
+      // so only the scan's own SupportsReportStatistics estimate (|pins| ×
+      // 512 B) can elect the build side. Without it a V2 relation reports the
+      // session default size and this plans a sort-merge join.
+      val big = spark.range(10L * 1000 * 1000)
+        .select(concat(lit("t"), (col("id") % 7) + 1).as("tname"), col("id").as("payload"))
+      val pinned = read("v2-stats", "tables")
+        .where(col("databaseName") === "sales" && col("name") === "t2")
+        .select(col("name"), col("databaseName"))
+      val q = big.join(pinned, col("tname") === col("name"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"pinned scan not broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"fell back to sort-merge:\n$plan")
+      // ids ≡ 1 (mod 7) in [0, 1e7): 1_428_572 of them
+      assert(q.count() === 1428572L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("plain SQL reaches the relation (CREATE TEMP VIEW USING glue-catalog) with pushdown intact") {
