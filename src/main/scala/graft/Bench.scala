@@ -17,10 +17,30 @@ import org.apache.spark.sql.SparkSession
   * sub-second query still carries GC-pause jitter. The max rides along
   * under `queries_max` so contention is visible rather than silently folded
   * in, and `wall` records total harness wall-clock (all repeats + setup) as
-  * load context for the round artifact. */
+  * load context for the round artifact.
+  *
+  * CONTENTION GUARD: two consecutive round artifacts recorded garbage
+  * because the whole box was contended for the entire run — min-of-repeats
+  * cannot rescue that, so the artifact now carries the tells and a verdict:
+  *  - `loadavg_before` / `loadavg_after`: /proc/loadavg (1-min) sampled
+  *    around the run — load already present BEFORE we start is someone
+  *    else's;
+  *  - `load_ratio`: wall / (repeats × Σ min) — how much longer the harness
+  *    took than perfectly-repeatable timings explain;
+  *  - `spread_ratio`: Σ max / Σ min across queries — repeat variance;
+  *  - `contended`: true when any tell crosses its threshold (pre-existing
+  *    load > half the cores, or either ratio > 3×). A flagged artifact
+  *    should be RE-RUN on a quiet box, not compared round-over-round. */
 object Bench {
+
+  /** 1-minute load average, or -1 where /proc is unavailable. */
+  private def loadAvg1(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val wall0 = System.nanoTime()
+    val loadBefore = loadAvg1()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt)
@@ -71,8 +91,16 @@ object Bench {
     val qsMax = results.map { case (k, (_, mx)) => s"\"" + k + "\":" + mx }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val totalMax = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
     val wall = (System.nanoTime() - wall0) / 1e9
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"repeats":$repeats,"wall":$wall,"sf":"$sfDir"}""")
+    val loadAfter = loadAvg1()
+    val cores = Runtime.getRuntime.availableProcessors().toDouble
+    val loadRatio = if (total > 0) wall / (repeats * total) else 0.0
+    val spreadRatio = if (total > 0) totalMax / total else 0.0
+    // Pre-existing load is the strongest tell: we sample BEFORE creating the
+    // session, so >50% of the cores already busy means a contended box.
+    val contended = (loadBefore > 0.5 * cores) || loadRatio > 3.0 || spreadRatio > 3.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"repeats":$repeats,"wall":$wall,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cores":$cores,"load_ratio":${f"$loadRatio%.3f"},"spread_ratio":${f"$spreadRatio%.3f"},"contended":$contended,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
