@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Optional AWS-SDK adapter (src/aws/scala): compile-fenced because the
+// sandbox has no AWS SDK and zero egress. To build it in a deployment:
+//   libraryDependencies += "software.amazon.awssdk" % "glue" % "2.25.+"
+//   GRAFT_AWS_SDK=1 sbt compile
+Compile / unmanagedSourceDirectories ++= {
+  if (sys.env.contains("GRAFT_AWS_SDK"))
+    Seq(baseDirectory.value / "src" / "aws" / "scala")
+  else Seq.empty
+}
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

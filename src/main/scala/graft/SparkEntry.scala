@@ -1095,13 +1095,40 @@ object SparkEntry {
         .orderBy(col("n").desc, col("gram")).limit(20)
     }),
 
-    // approximate — no SQL oracle; verified by planted-duplicate specs
+    // MinHash-LSH candidates + EXACT n-gram Jaccard verify, against a corpus
+    // with planted near-duplicates (doc_id+10M, one appended token). The
+    // oracle recomputes the FULL all-pairs exact-Jaccard truth, so row
+    // equality proves both precision (every emitted pair verifies) and
+    // recall (banding missed nothing at the 0.8 bar — structurally ~6e-15
+    // per pair, see Dedup.minhashVerifiedPairs).
     "d_minhash_pairs" -> ((s, dir) => {
-      Dedup.minhashPairs(t(s, dir, "documents"), k = 64, bands = 16, threshold = 0.5)
+      val base = t(s, dir, "documents").where(col("n_chars") < 300)
+        .select(col("doc_id"), col("text"))
+      val planted = base.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text"), lit(" graftplantdup")).as("text"))
+      Dedup.minhashVerifiedPairs(base.unionByName(planted),
+        k = 64, bands = 32, candidateThreshold = 0.2, verifyThreshold = 0.8)
     }),
 
+    // SimHash pigeonhole candidates (EXACT for hamming ≤ 3) verified by
+    // content-hash equality. Planted copies perturb only whitespace — both
+    // the fingerprint's tokenization and the content hash normalize it away,
+    // so the pair set is exactly the normalized-equality self-join the
+    // oracle computes: hamming-0 pairs cannot escape the 4-block pigeonhole,
+    // and the verify discards everything else.
     "d_simhash_pairs" -> ((s, dir) => {
-      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = base.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(lit(" "), col("text"), lit("  ")).as("text"))
+      val corpus = base.unionByName(planted)
+      val hashes = Dedup.withContentHash(corpus).select(col("doc_id"), col("content_hash"))
+      Dedup.simhashPairs(corpus, maxHamming = 3)
+        .join(hashes.select(col("doc_id").as("id_a"), col("content_hash").as("ha")), Seq("id_a"))
+        .join(hashes.select(col("doc_id").as("id_b"), col("content_hash").as("hb")), Seq("id_b"))
+        .where(col("ha") === col("hb"))
+        .select(col("id_a"), col("id_b"))
     }),
 
     // ===== multimodal binary columns (documents → payload bytes) =====
@@ -1123,11 +1150,22 @@ object SparkEntry {
           col("height"), col("duration_ms"))
     }),
 
-    // perceptual-hash near-dup pairs over payload bytes (approximate — no
-    // SQL oracle; planted-duplicate spec covers it)
+    // TRUE perceptual near-dup pairs: fully-real payloads (PNG pixels via
+    // Deflater, WAV PCM), planted copies RE-ENCODED with different filter
+    // bytes / chunk layout (byte-level nearly disjoint, pixel-level equal),
+    // pixel-space phash candidates verified to exact decoded-content
+    // identity. Recall is structural (equal pixels → equal dHash → Hamming 0
+    // cannot escape the 4-block pigeonhole), precision exact (digest verify),
+    // so the oracle states the ground truth directly: same text, same
+    // modality (doc_id parity, preserved by the +10M planted offset).
     "m_phash_pairs" -> ((s, dir) => {
-      Multimodal.phashPairs(Multimodal.withBinaryPayload(
-        t(s, dir, "documents").where(col("n_chars") < 300)))
+      val base = t(s, dir, "documents").where(col("n_chars") < 300)
+        .select(col("doc_id"), col("text"))
+      val planted = base.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      Multimodal.phashVerifiedPairs(
+        Multimodal.withRealPayload(base, variant = 0)
+          .unionByName(Multimodal.withRealPayload(planted, variant = 1)))
     }),
 
     // ===== similarity search (embeddings) =====
@@ -1163,8 +1201,16 @@ object SparkEntry {
         nPlanes = 8, probeHamming = 8)
     }),
 
+    // Banded-LSH candidates + exact-cosine verify at 0.999, against a corpus
+    // with planted exact-duplicate vectors (vec_id+10M). A duplicate vector
+    // buckets identically in EVERY band, so recall at this bar is structural
+    // (a 0.999-cosine pair escapes all 8 bands with p ≈ 4e-17), and the
+    // oracle recomputes the full all-pairs truth in SQL.
     "e_lsh_neardup_pairs" -> ((s, dir) => {
-      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.5, dim = 64)
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = base.where(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      Similarity.cosineNearDupPairs(base.unionByName(planted), threshold = 0.999, dim = 64)
     }),
 
     // int8 embedding quantization (native quantize_i8/vec_absmax): scalar
@@ -1750,6 +1796,66 @@ object SparkEntry {
          WHERE a.doc_id < b.doc_id
            AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
              (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.2""",
+
+    // Planted ground truth for the sketch pair-finders: the oracle computes
+    // the EXACT pair set over the same (base ∪ planted) corpus, so equality
+    // proves the sketch path's recall AND precision, not just row counts.
+    "d_minhash_pairs" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE n_chars < 300
+           UNION ALL
+           SELECT doc_id + 10000000, text || ' graftplantdup'
+           FROM documents WHERE n_chars < 300 AND doc_id % 7 = 0),
+         g AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2),
+               i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[i:i+2], ' '))) AS grams
+           FROM corpus WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 3)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+         FROM g a, g b
+         WHERE a.doc_id < b.doc_id
+           AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.8""",
+
+    "d_simhash_pairs" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000000, ' ' || text || '  ' FROM documents WHERE doc_id % 5 = 0),
+         n AS (
+           SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+           FROM corpus)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM n a JOIN n b ON a.h = b.h AND a.doc_id < b.doc_id""",
+
+    // Pixel-space ground truth: withRealPayload content is injective in the
+    // text (given modality = doc_id parity), so decoded-content equality —
+    // what the Spark side verifies pair-by-pair — IS text equality, and the
+    // oracle enumerates exactly the equal-text same-parity pairs.
+    "m_phash_pairs" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE n_chars < 300
+           UNION ALL
+           SELECT doc_id + 10000000, text FROM documents
+           WHERE n_chars < 300 AND doc_id % 5 = 0)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM corpus a JOIN corpus b
+           ON a.doc_id % 2 = b.doc_id % 2 AND a.text = b.text
+         WHERE a.doc_id < b.doc_id""",
+
+    "e_lsh_neardup_pairs" ->
+      """WITH corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id % 5 = 0)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+         FROM corpus a, corpus b
+         WHERE a.vec_id < b.vec_id
+           AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.999""",
 
     "d_decontaminate" ->
       """WITH base AS (

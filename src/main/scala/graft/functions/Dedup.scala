@@ -120,37 +120,13 @@ object Dedup {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
     SketchFunctions.register(docs.sparkSession)
 
-    val signed = docs
-      .select(col(idCol).as("id"), minhashSignature(col(textCol), k, shingleN).as("sig"))
+    val signed = signatures(docs, idCol, textCol, k, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // One shuffle on the signature: min-id representative per identical-sig
-    // group; non-representatives pair with their rep directly (est = 1.0).
-    val repW = Window.partitionBy(col("sig"))
-    val withRep = signed.withColumn("rep", min(col("id")).over(repW))
-    val intraPairs = withRep.where(col("id") =!= col("rep"))
+    val (members, reps) = sigGroups(signed)
+    // Non-representatives pair with their rep directly (est = 1.0).
+    val intraPairs = members.where(col("id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("id").as("id_b"), lit(1.0).as("est_jaccard"))
-    val reps = withRep.where(col("id") === col("rep")).select(col("id"), col("sig"))
-
-    val banded = reps.select(col("id"),
-      posexplode(SketchFunctions.minhash_bands(col("sig"), bands)).as(Seq("band", "bucket")))
-
-    // Hot-bucket cap as partial-agg → tiny hot set → BROADCAST anti-join:
-    // the former window count sorted and shuffled the entire banded plane
-    // just to find the few over-cap keys; map-side combine makes the hot-set
-    // aggregation cheap, and the anti-join stays map-side (banded itself is
-    // a projection off the signature cache — never shuffled here). The hot
-    // set is ≤ |banded| / maxBucketSize keys by construction: broadcastable.
-    val hot = banded.groupBy("band", "bucket").agg(count(lit(1)).as("_bsz"))
-      .where(col("_bsz") > maxBucketSize).select("band", "bucket")
-    val capped = banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
-
-    val l = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val r = capped.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val candidates = l.join(r, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
+    val candidates = bandedCandidates(reps, bands, maxBucketSize)
 
     val repPairs = candidates
       .join(signed.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
@@ -167,6 +143,131 @@ object Dedup {
     // a job that must survive churn mid-consumption should write the (small)
     // pair output to storage instead.
     val result = repPairs.unionByName(intraPairs).localCheckpoint(true)
+    signed.unpersist()
+    result
+  }
+
+  /** (id, sig) plane — one fused native pass per row. Caller persists. */
+  private def signatures(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, shingleN: Int): DataFrame =
+    docs.select(col(idCol).as("id"), minhashSignature(col(textCol), k, shingleN).as("sig"))
+
+  /** Identical-signature grouping (one shuffle on the signature):
+    * membership plane (id, rep) with rep = min id of the group, and the
+    * rep (id, sig) plane that feeds banding — a flood of N identical docs
+    * contributes ONE banding row, never a quadratic bucket. */
+  private def sigGroups(signed: DataFrame): (DataFrame, DataFrame) = {
+    val withRep = signed.withColumn("rep", min(col("id")).over(Window.partitionBy(col("sig"))))
+    (withRep.select(col("id"), col("rep")),
+      withRep.where(col("id") === col("rep")).select(col("id"), col("sig")))
+  }
+
+  /** Rep-level banded candidate pairs with the hot-bucket cap.
+    *
+    * Hot-bucket cap as partial-agg → tiny hot set → BROADCAST anti-join:
+    * a window count would sort and shuffle the entire banded plane just to
+    * find the few over-cap keys; map-side combine makes the hot-set
+    * aggregation cheap, and the anti-join stays map-side (banded itself is
+    * a projection off the signature cache — never shuffled here). The hot
+    * set is ≤ |banded| / maxBucketSize keys by construction: broadcastable.
+    * Because identical signatures collapsed to reps upstream, the cap only
+    * ever drops buckets of genuinely DISTINCT signatures (a hash pile-up) —
+    * never the duplicate floods dedup exists to catch. */
+  private def bandedCandidates(reps: DataFrame, bands: Int, maxBucketSize: Int): DataFrame = {
+    val banded = reps.select(col("id"),
+      posexplode(SketchFunctions.minhash_bands(col("sig"), bands)).as(Seq("band", "bucket")))
+    val hot = banded.groupBy("band", "bucket").agg(count(lit(1)).as("_bsz"))
+      .where(col("_bsz") > maxBucketSize).select("band", "bucket")
+    val capped = banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val l = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = capped.select(col("band"), col("bucket"), col("id").as("id_b"))
+    l.join(r, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /**
+   * MinHash-LSH candidates verified by EXACT n-gram Jaccard — the production
+   * sketch shape: the sketch supplies recall without an all-pairs product,
+   * the exact re-verify supplies precision, and reported `jaccard` values are
+   * exact (not signature estimates), so results are oracle-comparable.
+   *
+   * `candidateThreshold` gates on the signature estimate (keep it LOW — it
+   * exists to drop obvious noise, and a tight gate would reject true pairs
+   * whose 64-position estimate wobbles under the verify bar);
+   * `verifyThreshold` is the real similarity bar, enforced exactly.
+   *
+   * Recall at scale: a pair at true Jaccard s survives banding with
+   * p = 1 − (1 − s^r)^bands (r = k/bands); at the defaults (r=2, 32 bands)
+   * a pair AT the 0.8 bar is missed with p ≈ (1 − 0.64)^32 ≈ 6e-15 —
+   * structurally negligible, which is what lets a planted-truth oracle
+   * demand exact equality against the all-pairs ground truth.
+   */
+  def minhashVerifiedPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 64,
+      bands: Int = 32,
+      shingleN: Int = 3,
+      candidateThreshold: Double = 0.2,
+      verifyThreshold: Double = 0.8,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    SketchFunctions.register(docs.sparkSession)
+    val signed = signatures(docs, idCol, textCol, k, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (members0, reps) = sigGroups(signed)
+    val members = members0.persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Rep-level candidates, gated on the signature estimate while pairs are
+    // still one-per-signature-group (members share the rep's signature
+    // EXACTLY, so the gate generalizes to every expanded member pair).
+    val repCands0 = bandedCandidates(reps, bands, maxBucketSize)
+    val repCands =
+      if (candidateThreshold <= 0) repCands0
+      else repCands0
+        .join(signed.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(signed.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .where(SketchFunctions.sig_agreement(col("sig_a"), col("sig_b")) >= candidateThreshold)
+        .select("id_a", "id_b")
+
+    // PAIRWISE CLOSURE — the difference from minhashPairs' star form: this
+    // operator's contract is the full pairwise set, so identical-signature
+    // groups expand back to member level (every cross-group member pair,
+    // plus the within-group clique via the group's self-candidacy). The
+    // expansion is quadratic exactly where the ground truth is quadratic —
+    // a group of m identical docs genuinely HAS m(m-1)/2 pairs — while the
+    // banding work stays one row per group.
+    val groupSelf = members.groupBy("rep").agg(count(lit(1)).as("_m")).where(col("_m") > 1)
+      .select(col("rep").as("id_a"), col("rep").as("id_b"))
+    val cands = repCands.unionByName(groupSelf)
+      .join(members.select(col("rep").as("id_a"), col("id").as("_ma")), Seq("id_a"))
+      .join(members.select(col("rep").as("id_b"), col("id").as("_mb")), Seq("id_b"))
+      .select(least(col("_ma"), col("_mb")).as("id_a"), greatest(col("_ma"), col("_mb")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    // Gram sets materialize once; both verify joins read the cache. Docs with
+    // fewer than shingleN tokens have no grams and drop out of the verify —
+    // the sentinel-signature pairs the banding admits for them are trivial
+    // (empty-ish docs), not similarity evidence.
+    val shingled = docs
+      .select(col(idCol).as("id"), array_distinct(wordNgrams(col(textCol), shingleN)).as("grams"))
+      .where(size(col("grams")) > 0)
+      .withColumn("n_grams", size(col("grams")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val result = cands
+      .join(shingled.select(col("id").as("id_a"), col("grams").as("ga"), col("n_grams").as("na")), Seq("id_a"))
+      .join(shingled.select(col("id").as("id_b"), col("grams").as("gb"), col("n_grams").as("nb")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= verifyThreshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .localCheckpoint(true)
+    shingled.unpersist()
+    members.unpersist()
     signed.unpersist()
     result
   }

@@ -310,14 +310,163 @@ object Multimodal {
       .mapPartitions(_.grouped(batchSize).flatMap(g => decode(g.toSeq)))
   }
 
-  /** Perceptual near-dup pairs: decode → 64-bit phash → the shared
+  // --------------------------------------------------- pixel-space payloads
+
+  /** Real-payload modality cycle: even ids → PNG, odd ids → WAV. Chosen mod 2
+    * (not mod 3) so the planted-copy id offset (+10,000,000, even) preserves
+    * each document's modality — and because JPEG, whose pixel decode needs a
+    * DCT codec, stays out of the pixel-space set (byte-fallback hash covers
+    * it like any opaque payload). */
+  private def realMime(docId: Long): String =
+    if (docId % 2 == 0) "image/png" else "audio/wav"
+
+  /** Deterministic grayscale pixels from the text bytes: dims derive from the
+    * byte count (w = 16 + L mod 64, h = 16 + 7L mod 64), pixel i = text[i mod
+    * L] XOR (31·i mod 256). The XOR term varies only with POSITION, so pixel
+    * equality ⟺ text equality (given equal dims, which equal L forces) —
+    * that injectivity is what lets a SQL oracle state pair ground truth as
+    * text equality — while breaking the constant-row degeneracy tiling alone
+    * would give short texts (whose pooled dHash cells would all tie). */
+  private[functions] def pixelsFromText(text: Array[Byte]): PixelCodec.Image = {
+    val l = text.length
+    val w = (16 + l % 64); val h = (16 + (7L * l % 64)).toInt
+    val px = new Array[Byte](w * h)
+    var i = 0
+    while (i < px.length) {
+      val t = if (l == 0) 0 else text(i % l) & 0xFF
+      px(i) = (t ^ ((31 * i) & 0xFF)).toByte
+      i += 1
+    }
+    PixelCodec.Image(w, h, px)
+  }
+
+  /**
+   * Fully-real payloads (decodable pixel/sample content, not just headers),
+   * deterministic from (doc id, text). Two encoding variants that decode to
+   * IDENTICAL content for identical text:
+   *  - variant 0 (canonical): PNG with filter None + one IDAT; WAV with the
+   *    canonical 44-byte header;
+   *  - variant 1 (re-encoded): PNG with per-row Sub/Up/Average/Paeth filters,
+   *    IDAT split into 257-byte chunks (splits mid-scanline) and a tEXt chunk
+   *    before IDAT; WAV with a LIST chunk inserted before data.
+   * Byte-level, the two variants share almost nothing; pixel-level they are
+   * the same item — the contrast [[phashPairs]]' pixel path must bridge and
+   * the byte-fallback hash cannot.
+   */
+  def withRealPayload(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", variant: Int = 0): DataFrame = {
+    require(variant == 0 || variant == 1, s"variant $variant")
+    val narrowed = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    import narrowed.sparkSession.implicits._
+    narrowed.as[(Long, String)].map { case (id, text) =>
+      val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+      val payload = realMime(id) match {
+        case "image/png" =>
+          val img = pixelsFromText(bytes)
+          if (variant == 0) PixelCodec.encodePng(img)
+          else PixelCodec.encodePng(img, filterForRow = y => 1 + y % 4,
+            idatChunkSize = 257, ancillaryText = Some("reencoded"))
+        case _ =>
+          val extra =
+            if (variant == 0) Array.emptyByteArray
+            else "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+          wavPayload(bytes, extra)
+      }
+      (id, text, payload)
+    }.toDF("doc_id", "text", "payload")
+  }
+
+  /** Canonical RIFF/WAVE PCM bytes (mono 8 kHz 8-bit, the [[WavByteRate]]
+    * layout) with `extraChunk` inserted between "WAVE" and the fmt chunk. */
+  private def wavPayload(samples: Array[Byte], extraChunk: Array[Byte]): Array[Byte] = {
+    def le32(n: Long): Array[Byte] =
+      Array((n & 0xFF).toByte, ((n >> 8) & 0xFF).toByte, ((n >> 16) & 0xFF).toByte, ((n >> 24) & 0xFF).toByte)
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      Array[Byte](1, 0, 1, 0) ++ le32(WavByteRate) ++ le32(WavByteRate) ++ Array[Byte](1, 0, 8, 0)
+    val data = "data".getBytes("US-ASCII") ++ le32(samples.length.toLong) ++ samples
+    val body = "WAVE".getBytes("US-ASCII") ++ extraChunk ++ fmt ++ data
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+  }
+
+  /** Pixel/sample-space perceptual hash where the payload decodes (PNG →
+    * dHash over the pixel grid, WAV → PCM energy-envelope hash); None where
+    * it doesn't (JPEG, octet-stream, header-only or corrupt payloads). */
+  def pixelPhash(payload: Array[Byte]): Option[Long] = sniffMimeBytes(payload) match {
+    case "image/png" => PixelCodec.decodePng(payload).map(PixelCodec.dHash64)
+    case "audio/wav" => PixelCodec.decodeWavPcm(payload).map(PixelCodec.audioHash64)
+    case _ => None
+  }
+
+  /** The hash [[phashPairs]] blocks on: pixel-space where decodable, the
+    * byte-shingle SimHash fallback otherwise — so octet-stream payloads keep
+    * byte-near-dup pairing while decodable media gets true perceptual
+    * (re-encoding-invariant) pairing. */
+  def phashAny(payload: Array[Byte]): Long =
+    pixelPhash(payload).getOrElse(phashBytes(payload))
+
+  /** MD5 digest of the DECODED canonical content (mime + dims + pixel bytes
+    * for PNG, mime + PCM bytes for WAV; None where no decode exists) —
+    * encoding-invariant exact identity, the verify key behind
+    * [[phashVerifiedPairs]]. */
+  def contentDigest(payload: Array[Byte]): Option[String] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+    sniffMimeBytes(payload) match {
+      case "image/png" => PixelCodec.decodePng(payload).map { img =>
+        md.update(s"png:${img.width}x${img.height}:".getBytes("US-ASCII"))
+        md.update(img.pixels)
+        hex(md.digest())
+      }
+      case "audio/wav" => PixelCodec.decodeWavPcm(payload).map { pcm =>
+        md.update("wav:".getBytes("US-ASCII")); md.update(pcm)
+        hex(md.digest())
+      }
+      case _ => None
+    }
+  }
+
+  /** Perceptual near-dup pairs: pixel-space phash where the payload decodes
+    * (re-encoding-invariant), byte-shingle fallback otherwise → the shared
     * pigeonhole fingerprint pairing from Dedup. One shuffle on the block
-    * key; no all-pairs product. */
-  def phashPairs(docs: DataFrame, idCol: String = "doc_id",
+    * key; no all-pairs product; the hash plane computes ONCE per row
+    * executor-side. */
+  def phashPairs(docs: DataFrame, idCol: String = "doc_id", binCol: String = "payload",
       maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
-    val metas = decodeBatched(docs, idCol)
-    Dedup.fingerprintPairs(
-      metas.select(col("doc_id").as("id"), col("phash").as("sh")),
-      maxHamming, maxBucketSize)
+    val narrowed = docs.select(col(idCol).cast("long"), col(binCol))
+    import narrowed.sparkSession.implicits._
+    val hashed = narrowed.as[(Long, Array[Byte])]
+      .map { case (id, p) => (id, phashAny(p)) }.toDF("id", "sh")
+    Dedup.fingerprintPairs(hashed, maxHamming, maxBucketSize)
+  }
+
+  /**
+   * Perceptual candidates verified to EXACT decoded-content identity: the
+   * pigeonhole phash join supplies recall (identical content → identical
+   * pixel hash → Hamming 0 → blocked together), the [[contentDigest]]
+   * equi-check supplies exact precision. The result is oracle-comparable
+   * ground truth — for [[withRealPayload]] corpora, decoded-content equality
+   * is text equality by construction, which a SQL oracle can state directly.
+   * Payloads with no decode (no digest) never verify; they belong to
+   * [[phashPairs]]' approximate byte-level regime.
+   */
+  def phashVerifiedPairs(docs: DataFrame, idCol: String = "doc_id",
+      binCol: String = "payload", maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    val narrowed = docs.select(col(idCol).cast("long"), col(binCol))
+    import narrowed.sparkSession.implicits._
+    // One executor-side pass computes hash + digest; both consumers (the
+    // blocking join and the verify) read this cached plane — payload bytes
+    // are never shuffled, only (id, 64-bit hash, 32-char digest).
+    val plane = narrowed.as[(Long, Array[Byte])]
+      .map { case (id, p) => (id, phashAny(p), contentDigest(p).orNull) }
+      .toDF("id", "sh", "digest")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val result = Dedup.fingerprintPairs(plane.select("id", "sh"), maxHamming, maxBucketSize)
+      .join(plane.select(col("id").as("id_a"), col("digest").as("da")), Seq("id_a"))
+      .join(plane.select(col("id").as("id_b"), col("digest").as("db")), Seq("id_b"))
+      .where(col("da").isNotNull && col("da") === col("db"))
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    plane.unpersist()
+    result
   }
 }

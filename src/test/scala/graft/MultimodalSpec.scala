@@ -10,7 +10,17 @@ class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val docs = {
-    val distinct = (0 until 12).map(i => (i.toLong, s"unique media item number $i with body content ${"x" * i}"))
+    // strongly distinct bodies (per-id pseudo-random letters): with the
+    // pixel-space hash, payloads of genuinely SIMILAR media are supposed to
+    // pair — distinct fixtures must be distinct as media, not just as ids
+    val distinct = (0 until 12).map { i =>
+      // md5-derived gibberish: no shared prefix beyond "item N ", per-id
+      // length (the trailing run) so tiled-sample phases decorrelate too
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"fixture-doc-$i".getBytes("UTF-8"))
+      val noise = digest.map(b => ('a' + ((b & 0xFF) % 26)).toChar).mkString * 3
+      (i.toLong, s"item $i $noise${"z" * i}")
+    }
     // planted near-identical payloads (same magic: ids ≡ mod 3). SAME length:
     // near-identical real images share their dims, so the headers (which now
     // encode dims + CRC from the content length) must be identical too — the
@@ -132,5 +142,95 @@ class MultimodalSpec extends SparkSpec {
     val c = Multimodal.phashBytes("completely different content with nothing shared at all".getBytes("UTF-8"))
     assert(java.lang.Long.bitCount(a ^ b) <= 3)
     assert(java.lang.Long.bitCount(a ^ c) > 10)
+  }
+
+  // ------------------------------------------------- pixel-space codecs
+
+  import graft.functions.PixelCodec
+
+  private def testImage(w: Int, h: Int, seed: Int): PixelCodec.Image = {
+    // seed must change the STRUCTURE (gradients), not just add an offset —
+    // dHash is (correctly) invariant to constant brightness shifts
+    val px = Array.tabulate(w * h)(i =>
+      ((i * (29 + 2 * seed) + (i / w) * (7 + 5 * seed) + seed * 97) % 256).toByte)
+    PixelCodec.Image(w, h, px)
+  }
+
+  test("PNG round-trip: every spec filter, odd width, decodes to the encoded pixels") {
+    for (filter <- 0 to 4) {
+      val img = testImage(37, 23, filter) // odd width exercises edge columns
+      val decoded = PixelCodec.decodePng(PixelCodec.encodePng(img, filterForRow = _ => filter))
+      assert(decoded.nonEmpty, s"filter $filter")
+      assert(decoded.get.width == 37 && decoded.get.height == 23)
+      assert(decoded.get.pixels.sameElements(img.pixels), s"filter $filter")
+    }
+  }
+
+  test("PNG re-encoding invariance: different filters, split IDAT, ancillary chunk — same pixels, same dHash") {
+    val img = testImage(40, 30, 5)
+    val canonical = PixelCodec.encodePng(img)
+    val reencoded = PixelCodec.encodePng(img, filterForRow = y => 1 + y % 4,
+      idatChunkSize = 100, ancillaryText = Some("alt"))
+    // the payload BYTES are different; the decoded pixels are not
+    assert(!canonical.sameElements(reencoded))
+    val a = PixelCodec.decodePng(canonical).get
+    val b = PixelCodec.decodePng(reencoded).get
+    assert(a.pixels.sameElements(b.pixels))
+    assert(PixelCodec.dHash64(a) == PixelCodec.dHash64(b))
+    assert(Multimodal.contentDigest(canonical) == Multimodal.contentDigest(reencoded))
+  }
+
+  test("dHash is perceptual: local pixel edit flips few bits, different image flips many") {
+    val img = testImage(45, 40, 1)
+    val edited = img.copy(pixels = img.pixels.clone())
+    var i = 0
+    while (i < 20) { edited.pixels(i) = (~edited.pixels(i)).toByte; i += 1 } // one corner region
+    val other = testImage(45, 40, 9)
+    val h0 = PixelCodec.dHash64(img)
+    assert(java.lang.Long.bitCount(h0 ^ PixelCodec.dHash64(edited)) <= 8)
+    assert(java.lang.Long.bitCount(h0 ^ PixelCodec.dHash64(other)) > 10)
+  }
+
+  test("header-only PNG payloads (no valid IDAT stream) decode to None, not garbage") {
+    val headerOnly = Multimodal.withBinaryPayload(docs).where(col("doc_id") % 3 === 0)
+      .select("payload").as[Array[Byte]].head()
+    assert(PixelCodec.decodePng(headerOnly).isEmpty)
+    assert(Multimodal.pixelPhash(headerOnly).isEmpty) // byte-fallback regime
+  }
+
+  test("WAV PCM decode survives an extra chunk before data; audio hash is sample-space") {
+    val samples = Array.tabulate(500)(i => ((i * 13) % 256).toByte)
+    val canonical = {
+      val d = Multimodal.withRealPayload(Seq((1L, "x")).toDF("doc_id", "text")) // id 1 → wav
+      d.select("payload").as[Array[Byte]].head()
+    }
+    assert(PixelCodec.decodeWavPcm(canonical).exists(_.sameElements("x".getBytes("UTF-8"))))
+    // re-encoded variant: LIST chunk before fmt/data — same samples, same hash
+    val v0 = Multimodal.withRealPayload(Seq((1L, "payload body")).toDF("doc_id", "text"), variant = 0)
+      .select("payload").as[Array[Byte]].head()
+    val v1 = Multimodal.withRealPayload(Seq((1L, "payload body")).toDF("doc_id", "text"), variant = 1)
+      .select("payload").as[Array[Byte]].head()
+    assert(!v0.sameElements(v1))
+    assert(PixelCodec.decodeWavPcm(v0).get.sameElements(PixelCodec.decodeWavPcm(v1).get))
+    assert(Multimodal.phashAny(v0) == Multimodal.phashAny(v1))
+    assert(Multimodal.contentDigest(v0) == Multimodal.contentDigest(v1))
+    // amplitude-local edit on a longer clip flips few envelope bits
+    val a = PixelCodec.audioHash64(samples)
+    val perturbed = samples.clone(); perturbed(100) = (perturbed(100) ^ 0x7F).toByte
+    assert(java.lang.Long.bitCount(a ^ PixelCodec.audioHash64(perturbed)) <= 4)
+  }
+
+  test("phashVerifiedPairs: re-encoded copies pair across variants, distinct media do not") {
+    val base = docs.select(col("doc_id"), col("text"))
+    val planted = base.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val corpus = Multimodal.withRealPayload(base, variant = 0)
+      .unionByName(Multimodal.withRealPayload(planted, variant = 1))
+    val pairs = Multimodal.phashVerifiedPairs(corpus)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // ids ≡ 0 (mod 5) in the fixture: 0,5,10,99(→ none: 99 % 5 ≠ 0),102 —
+    // planted copies are 0,5,10 plus any fixture id divisible by 5
+    val expected = Seq(0L, 5L, 10L).map(i => (i, i + 10000000L)).toSet
+    assert(pairs == expected, s"got $pairs")
   }
 }
