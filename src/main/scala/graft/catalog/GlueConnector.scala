@@ -129,7 +129,18 @@ object GlueCatalogSource {
 final case class GlueSinkConfig(
     skipArchive: Boolean = false,
     maxErrorRetry: Int = 10,
-    retryDelayMs: Long = 0L)
+    retryDelayMs: Long = 0L,
+    /** Skew fan-out for the partition batch sink: each table's rows spread
+      * over up to this many tasks (salt = hash(values) mod N), so ONE
+      * million-partition table no longer serializes its whole batch-call
+      * chain behind a single task. 1 = co-locate each table in one task (the
+      * strictest chunk packing: no partial chunks beyond the last). Salting
+      * costs at most N-1 extra partial batch calls per table — size it to
+      * the cluster's cores for degenerate catalogs, leave at 1 for balanced
+      * ones. Identity stays intact either way: the salt is a function of the
+      * full `values` key, so a delete+create of the SAME identity lands in
+      * the same task and keeps its delete-first ordering. */
+    partitionSalt: Int = 1)
 
 /** Per-entity (or per-batch, for partitions) apply outcome — the reference's
   * TableReplicationStatus / DBReplicationStatus planes (util/
@@ -259,9 +270,16 @@ object GlueSink {
     // million-row partition plane. Asserted by PlanAuditSpec. The dedup key
     // includes `action`: wholesale reconcile legitimately emits delete+create
     // for one identity, and both must survive (delete runs first).
+    // Skew fan-out (cfg.partitionSalt): the salt is a pure function of the
+    // identity key, so it joins the dedup key without changing semantics and
+    // the (db, table, salt) clustering stays a subset of it — still ONE
+    // exchange. Same-identity delete+create co-locate (same salt), so the
+    // delete-first sort order holds inside every salted slice.
+    val salt = math.max(cfg.partitionSalt, 1)
     val rows = deletes.unionByName(creates)
-      .repartition(col("databaseName"), col("tableName"))
-      .dropDuplicates("databaseName", "tableName", "values", "action")
+      .withColumn("_salt", if (salt == 1) lit(0) else pmod(hash(col("values")), lit(salt)))
+      .repartition(col("databaseName"), col("tableName"), col("_salt"))
+      .dropDuplicates("databaseName", "tableName", "values", "action", "_salt")
       .withColumn("_ord", when(col("action") === Action.Delete, 0).otherwise(1))
       .sortWithinPartitions(col("databaseName"), col("tableName"), col("_ord"))
       .select(struct(Codecs.partitionSchema.fieldNames.map(col).toSeq: _*).as("p"), col("action"))

@@ -321,10 +321,40 @@ object MessageStream {
         * callers that bound the backlog themselves. */
       maxFilesPerTrigger: Option[Int] = Some(64),
       dedupRedelivered: Boolean = false): Dataset[graft.catalog.LiveApplyStatus] = {
+    val q = startLiveImport(spark, messagesDir, factory, checkpointDir, deadLetterDir,
+      statusDir, cfg, sinkCfg, maxFilesPerTrigger, dedupRedelivered)
+    q.awaitTermination()
+    statusesAt(spark, statusDir)
+  }
+
+  /**
+   * Long-lived form of [[runLiveImport]]: start the live-apply stream under
+   * any trigger and return the live query. `Trigger.ProcessingTime` is the
+   * tail-the-queue deployment — the reference's always-armed SQS→Lambda→Glue
+   * wiring (template.yaml:275), where newly dropped message files keep
+   * draining into the catalog service until the caller stops the query. The
+   * catalog itself remains the only cross-batch state: a tailing stream that
+   * is stopped and later restarted (same checkpoint) resumes exactly where
+   * the file-source log left off, and convergent applies make replay of an
+   * uncommitted batch safe. Pair with `dedupRedelivered` for burst
+   * redelivery; read progress from [[statusesAt]] between batches.
+   */
+  def startLiveImport(
+      spark: SparkSession,
+      messagesDir: String,
+      factory: graft.catalog.GlueClientFactory,
+      checkpointDir: String,
+      deadLetterDir: String,
+      statusDir: String,
+      cfg: ReplicationConfig,
+      sinkCfg: graft.catalog.GlueSinkConfig = graft.catalog.GlueSinkConfig(),
+      maxFilesPerTrigger: Option[Int] = Some(64),
+      dedupRedelivered: Boolean = false,
+      trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
     val source = readMessages(spark, messagesDir, maxFilesPerTrigger)
-    val q = (if (dedupRedelivered) dedupMessages(source) else source)
+    (if (dedupRedelivered) dedupMessages(source) else source)
       .writeStream
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[CatalogMessage], batchId: Long) =>
         val res = graft.catalog.GlueReplication.applyMessagesLive(
@@ -336,8 +366,6 @@ object MessageStream {
         ()
       }
       .start()
-    q.awaitTermination()
-    statusesAt(spark, statusDir)
   }
 
   /** Statuses accumulated by runLiveImport (lazy; empty if no batch ran). */

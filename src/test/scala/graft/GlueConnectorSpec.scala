@@ -308,6 +308,48 @@ class GlueConnectorSpec extends SparkSpec {
     assert(mock.allPartitions.size === 6)
   }
 
+  test("ProcessingTime live tail: newly dropped message files keep draining into the service") {
+    // the reference's always-armed SQS→Lambda→Glue wiring (template.yaml:275):
+    // the import is a LONG-LIVED stream and the queue grows underneath it
+    val srcA = CatalogSnapshot.inMemory(spark, "src",
+      Seq(db("alpha")), Seq(tbl("alpha", "t1")), (1 to 3).map(part("alpha", "t1", _)))
+    val srcB = CatalogSnapshot.inMemory(spark, "src",
+      Seq(db("beta")), Seq(tbl("beta", "t2")), (1 to 2).map(part("beta", "t2", _)))
+    val msgDir = java.nio.file.Files.createTempDirectory("live-tail-msgs").toString
+    ReplicationJob.export(spark, srcA, cfg).coalesce(1).write.mode("append").json(msgDir)
+
+    val mock = InMemoryGlueCatalog.fresh("live-tail")
+    val statusDir = java.nio.file.Files.createTempDirectory("live-tail-status").toString
+    val q = graft.streaming.MessageStream.startLiveImport(
+      spark, msgDir, InMemoryClientFactory("live-tail"),
+      java.nio.file.Files.createTempDirectory("live-tail-ckpt").toString,
+      java.nio.file.Files.createTempDirectory("live-tail-dlq").toString,
+      statusDir, cfg,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+    try {
+      q.processAllAvailable()
+      // first drop applied while the stream stays live
+      assert(mock.allDatabases.map(_.name).toSet === Set("alpha"))
+      assert(mock.allPartitions.size === 3)
+      // the queue grows AFTER the stream started — the tail must pick it up
+      ReplicationJob.export(spark, srcB, cfg).coalesce(1).write.mode("append").json(msgDir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // converged tail state equals one batch live apply of everything
+    val combined = CatalogSnapshot.inMemory(spark, "src",
+      Seq(db("alpha"), db("beta")), Seq(tbl("alpha", "t1"), tbl("beta", "t2")),
+      (1 to 3).map(part("alpha", "t1", _)) ++ (1 to 2).map(part("beta", "t2", _)))
+    val ref = InMemoryGlueCatalog.fresh("live-tail-ref")
+    GlueReplication.replicateLive(spark, combined, InMemoryClientFactory("live-tail-ref"), cfg)
+    assert(mock.allDatabases.map(_.name).toSet === ref.allDatabases.map(_.name).toSet)
+    assert(mock.allTables.toSet === ref.allTables.toSet)
+    assert(mock.allPartitions.toSet === ref.allPartitions.toSet)
+    // statuses accumulated across the tail's batches, all green
+    val statuses = graft.streaming.MessageStream.statusesAt(spark, statusDir)
+    assert(statuses.count() > 0 && statuses.where(!col("ok")).count() === 0)
+  }
+
   test("redelivery converges: a second identical live run changes nothing and stays green") {
     val src = srcSnapshot(nPartsBigTable = 12)
     val mock = InMemoryGlueCatalog.fresh("live-idem")
