@@ -1213,6 +1213,18 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(base.unionByName(planted), threshold = 0.999, dim = 64)
     }),
 
+    // End-to-end semantic dedup: planted duplicate vectors (vec_id+10M) must
+    // vanish, everything else survives. Pairwise keep-lowest equals CC
+    // keep-min here because duplicate groups are cliques (identical vectors);
+    // the oracle recomputes survivors from the exact all-pairs truth.
+    "e_semantic_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = base.where(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      Similarity.semanticDedup(base.unionByName(planted), threshold = 0.999, dim = 64)
+        .select(col("vec_id"))
+    }),
+
     // int8 embedding quantization (native quantize_i8/vec_absmax): scalar
     // digest of the quantized vector so the oracle can recompute it in SQL —
     // double arithmetic on both sides makes the rounding bit-comparable
@@ -1845,6 +1857,19 @@ object SparkEntry {
          FROM corpus a JOIN corpus b
            ON a.doc_id % 2 = b.doc_id % 2 AND a.text = b.text
          WHERE a.doc_id < b.doc_id""",
+
+    "e_semantic_dedup" ->
+      """WITH corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id % 5 = 0),
+         pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM corpus a, corpus b
+           WHERE a.vec_id < b.vec_id
+             AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.999)
+         SELECT c.vec_id FROM corpus c
+         WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = c.vec_id)""",
 
     "e_lsh_neardup_pairs" ->
       """WITH corpus AS (

@@ -200,6 +200,26 @@ object Similarity {
     result
   }
 
+  /**
+   * End-to-end embedding (semantic) dedup: LSH-blocked exact-cosine pairs at
+   * `threshold` ([[cosineNearDupPairs]]), then drop every vector appearing
+   * as the HIGHER id of a pair — keep-lowest-representative. At near-1
+   * thresholds a duplicate group is a clique (its members are mutually
+   * near-identical vectors), so every non-min member pairs with its group
+   * min directly and pairwise removal equals connected-component keep-min
+   * without the iterative label propagation; for looser thresholds whose
+   * chains genuinely violate transitivity, compose the pair plane with
+   * [[Dedup.connectedComponents]] instead. One anti-join over the pair
+   * plane's right side; survivors keep their full row. Extension operator
+   * (no reference analogue) — the embedding-space twin of X22's exact
+   * keep-best.
+   */
+  def semanticDedup(vectors: DataFrame, threshold: Double = 0.999, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pairs = cosineNearDupPairs(vectors, threshold, dim, idCol, vecCol)
+    vectors.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+  }
+
   // --------------------------------------------------------- quantized scan
 
   /** Driver-side twin of the native quantize_i8 (symmetric int8:

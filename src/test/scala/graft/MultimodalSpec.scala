@@ -191,6 +191,36 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(h0 ^ PixelCodec.dHash64(other)) > 10)
   }
 
+  test("PNG color types 2/6 round-trip: byte-stride filters, luminance decode, alpha ignored") {
+    val img = testImage(33, 21, 3) // odd width: edge pixels exercise the bpp stride
+    val n = 33 * 21
+    // RGB where r=g=b=gray: luminance must reproduce the grayscale exactly
+    val rgb = new Array[Byte](n * 3)
+    var i = 0
+    while (i < n) { rgb(i * 3) = img.pixels(i); rgb(i * 3 + 1) = img.pixels(i); rgb(i * 3 + 2) = img.pixels(i); i += 1 }
+    for (filter <- 0 to 4) {
+      val decoded = PixelCodec.decodePng(
+        PixelCodec.encodePngChannels(33, 21, colorType = 2, rgb, filterForRow = _ => filter))
+      assert(decoded.nonEmpty, s"rgb filter $filter")
+      assert(decoded.get.pixels.sameElements(img.pixels), s"rgb filter $filter")
+    }
+    // RGBA with a varying alpha channel: alpha must not perturb the luminance
+    val rgba = new Array[Byte](n * 4)
+    i = 0
+    while (i < n) {
+      rgba(i * 4) = img.pixels(i); rgba(i * 4 + 1) = img.pixels(i)
+      rgba(i * 4 + 2) = img.pixels(i); rgba(i * 4 + 3) = ((i * 37) % 256).toByte
+      i += 1
+    }
+    val decodedRgba = PixelCodec.decodePng(
+      PixelCodec.encodePngChannels(33, 21, colorType = 6, rgba, filterForRow = _ => 4))
+    assert(decodedRgba.nonEmpty && decodedRgba.get.pixels.sameElements(img.pixels))
+    // the SAME image as grayscale and as RGB hashes identically — modality of
+    // the ENCODING never separates perceptually identical content
+    val asGray = PixelCodec.decodePng(PixelCodec.encodePng(img)).get
+    assert(PixelCodec.dHash64(asGray) == PixelCodec.dHash64(decodedRgba.get))
+  }
+
   test("header-only PNG payloads (no valid IDAT stream) decode to None, not garbage") {
     val headerOnly = Multimodal.withBinaryPayload(docs).where(col("doc_id") % 3 === 0)
       .select("payload").as[Array[Byte]].head()
