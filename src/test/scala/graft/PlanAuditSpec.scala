@@ -350,4 +350,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
     assert(q.count() === 5000)
   }
+
+  test("semantic dedup survivor anti-join broadcasts the pair plane, never shuffles the vectors") {
+    import spark.implicits._
+    // 2000 vectors, 100 planted exact duplicates: the pair plane the anti-
+    // join consumes is tiny (one row per duplicate) while the vector plane
+    // is the big side — the 100 TB shape where survivors = vectors minus a
+    // broadcast-able removal set.
+    val base = spark.range(2000).map { i =>
+      // hash-mixed SIGNED components: distinct ids give genuinely spread
+      // directions (an all-positive structured generator puts every vector
+      // in one cone and "everything dedups against everything")
+      (i, Array.tabulate(16)(d => (((i * 73856093L) ^ (d * 19349663L)) % 1001 - 500) / 500.0f))
+    }.toDF("vec_id", "embedding")
+    val planted = base.where($"vec_id" % 20 === 0)
+      .select(($"vec_id" + 10000000L).as("vec_id"), $"embedding")
+    val survivors = graft.functions.Similarity.semanticDedup(
+      base.unionByName(planted), threshold = 0.999, dim = 16)
+    assert(survivors.count() === 2000) // every planted copy removed
+    val plan = planString(survivors)
+    assert(plan.contains("LeftAnti"), s"no anti-join in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"pair plane not broadcast — the big vector side would shuffle:\n$plan")
+  }
 }
