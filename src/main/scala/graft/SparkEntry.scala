@@ -159,6 +159,35 @@ object SparkEntry {
   private def sideDir(key: String): String =
     memo(s"side:$key")(java.nio.file.Files.createTempDirectory("graft-side").toString)
 
+  /** Events split into three TIME-RANGED chunk files with ascending mtimes:
+    * with maxFilesPerTrigger=1 the file source drains them oldest-first (it
+    * orders by modification time), so each user's events arrive time-ordered
+    * ACROSS micro-batches and sessions spanning a boundary must be merged by
+    * the operator's cross-batch state — the property the custom-state
+    * queries exist to exercise. Memoized per (session, sf dir): bench
+    * repeats re-drain the same chunks. */
+  private def timeChunkedEventDir(s: SparkSession, dir: String, key: String): String =
+    sessionMemo(s"chunks:$key", s, dir) {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val us = expr("ts div 1000")
+      val (mn, mx) = ev.agg(min(us), max(us)).as[(Long, Long)].head() // two longs
+      val streamDir = java.nio.file.Files.createTempDirectory(s"graft-$key")
+      (0 until 3).foreach { i =>
+        val lo = mn + (mx - mn + 1) * i / 3
+        val hi = mn + (mx - mn + 1) * (i + 1) / 3
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-$key-c$i")
+        ev.where(us >= lo && us < hi).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dest = streamDir.resolve(f"chunk$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dest)
+        // distinct ascending mtimes pin the drain order deterministically
+        dest.toFile.setLastModified(1700000000000L + i * 60000L)
+      }
+      streamDir.toString
+    }
+
   /** dlq_redrive's fail-injected first replicate, pinned eagerly: the
     * measured body then charges the RE-DRIVE pass (the operator under test),
     * not the setup run that manufactured the dead letters. */
@@ -835,6 +864,56 @@ object SparkEntry {
       s.table("s7_sessions_sink")
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+    }),
+
+    // S7c: CUSTOM streaming state — mapGroupsWithState per-user session fold
+    // (the arbitrary-state tier below the built-in session_window), driven
+    // through THREE time-ranged chunk files so open sessions genuinely carry
+    // across micro-batches in the state store. Update-mode rows are monotone
+    // per user; the drained max equals the batch ev_sessionize oracle.
+    "s7_sessions_state" -> ((s, dir) => {
+      import s.implicits._
+      val streamDir = timeChunkedEventDir(s, dir, "s7state")
+      val schema = t(s, dir, "events").schema
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(streamDir)
+        .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"))
+      val q = graft.streaming.StatefulSessions.sessionCounts(stream, gapUs = 1800000000L)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("update")
+        .format("memory")
+        .queryName("s7_state_sink")
+        .start()
+      q.awaitTermination()
+      s.table("s7_state_sink").groupBy("user_id")
+        .agg(max(col("n_sessions")).as("n_sessions"), max(col("n_events")).as("n_events"))
+    }),
+
+    // S7d: flatMapGroupsWithState closed-session emission (Append mode +
+    // EventTimeTimeout). The effectively-infinite watermark delay means
+    // timeouts never fire during the drain, so the emitted set is exactly
+    // "every session closed by a later event" = all but each user's last —
+    // which the oracle states in SQL. The timeout branch (watermark flushes
+    // idle users and DROPS their state) is spec-driven in
+    // StatefulSessionsSpec where a MemoryStream controls the watermark.
+    "s7_closed_sessions" -> ((s, dir) => {
+      val streamDir = timeChunkedEventDir(s, dir, "s7closed")
+      val schema = t(s, dir, "events").schema
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(streamDir)
+        .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"))
+      val q = graft.streaming.StatefulSessions.closedSessions(stream,
+        gapUs = 1800000000L, watermarkDelay = "3650 days")
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append")
+        .format("memory")
+        .queryName("s7_closed_sink")
+        .start()
+      q.awaitTermination()
+      s.table("s7_closed_sink")
+        .select(col("user_id"), col("session_start_us"), col("session_end_us"), col("n_events"))
     }),
 
     // S8: the message plane consumed as a stream — export → JSON file drop →
@@ -1536,6 +1615,38 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s, event_type,
          count(*) AS n_events, round(sum(value), 4) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    // custom-state twin: same per-user truth as the session_window query
+    "s7_sessions_state" ->
+      """SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
+             count(*) AS n_events
+         FROM (SELECT user_id,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 0
+                      WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1
+                      ELSE 0 END AS new_session
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         GROUP BY user_id""",
+
+    // flatMapGroupsWithState emission truth: every session CLOSED by a later
+    // event — all but each user's last session (the infinite-watermark drain
+    // never times the tail session out)
+    "s7_closed_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+         flg AS (SELECT user_id, us, event_id,
+             CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS ns
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         sess AS (SELECT user_id, us,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+           FROM flg),
+         agg AS (SELECT user_id, sid, min(us) AS session_start_us,
+                   max(us) AS session_end_us, count(*) AS n_events
+                 FROM sess GROUP BY user_id, sid)
+         SELECT user_id, session_start_us, session_end_us, n_events
+         FROM agg
+         WHERE sid < (SELECT max(a2.sid) FROM agg a2 WHERE a2.user_id = agg.user_id)""",
 
     "s7_stream_sessions" ->
       """SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,

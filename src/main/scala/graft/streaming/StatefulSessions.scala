@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Custom streaming state via `KeyValueGroupedDataset.mapGroupsWithState` /
+ * `flatMapGroupsWithState` — the arbitrary-state tier below the built-in
+ * `session_window` operator (which `s7_stream_sessions` uses): explicit
+ * per-key state the built-ins cannot express, here per-user session tracking
+ * with gap semantics identical to the batch `ev_sessionize` window
+ * (a new session starts when `us − lastUs >= gapUs`; ties order by
+ * (us, event_id)).
+ *
+ * Scale: state is O(distinct users) × a few dozen bytes (one open-session
+ * record each) — a billion-user plane is tens of GB spread across the state
+ * store's shuffle partitions, not a driver concern. Events fold into state
+ * sorted per batch; exactness across batches needs each user's events to
+ * arrive time-ordered BETWEEN batches (time-ranged chunk files / Kafka
+ * per-key ordering give this; late events belong to the watermark + timeout
+ * regime below).
+ *
+ * Extension component (no reference analogue — the reference has no event
+ * plane; SURVEY §2.7 streaming semantics).
+ */
+object StatefulSessions {
+
+  /** Per-user session-fold state: the open session's start/size, the last
+    * event time, and running totals. ~40 bytes per user in the state store. */
+  final case class SessionState(
+      lastUs: Long, openStartUs: Long, openEvents: Long, nSessions: Long, nEvents: Long)
+
+  final case class UserSessionCounts(user_id: Long, n_sessions: Long, n_events: Long)
+
+  final case class ClosedSession(
+      user_id: Long, session_start_us: Long, session_end_us: Long, n_events: Long)
+
+  private val emptyState = SessionState(Long.MinValue, Long.MinValue, 0L, 0L, 0L)
+
+  private def fold(st: SessionState, us: Long, gapUs: Long): (SessionState, Boolean) = {
+    val isNew = st.nEvents == 0L || us - st.lastUs >= gapUs
+    (SessionState(
+      lastUs = us,
+      openStartUs = if (isNew) us else st.openStartUs,
+      openEvents = if (isNew) 1L else st.openEvents + 1L,
+      nSessions = st.nSessions + (if (isNew) 1L else 0L),
+      nEvents = st.nEvents + 1L), isNew)
+  }
+
+  /**
+   * Running per-user (n_sessions, n_events) via `mapGroupsWithState` —
+   * Update-mode output, one row per touched user per micro-batch; both
+   * counts are monotone, so the drained answer is `max` per user (or simply
+   * the latest row). Input columns: `user_id`, `us` (event-time micros),
+   * `event_id` (tie-break). Matches the batch `ev_sessionize` aggregation
+   * exactly when each user's events arrive time-ordered across batches.
+   */
+  def sessionCounts(events: DataFrame, gapUs: Long): Dataset[UserSessionCounts] = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    events.select(col("user_id").cast("long"), col("us").cast("long"), col("event_id").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long)], state: GroupState[SessionState]) =>
+          val evs = it.toArray.sortBy(e => (e._2, e._3))
+          var st = state.getOption.getOrElse(emptyState)
+          evs.foreach { case (_, us, _) => st = fold(st, us, gapUs)._1 }
+          state.update(st)
+          UserSessionCounts(user, st.nSessions, st.nEvents)
+      }
+  }
+
+  /**
+   * CLOSED sessions via `flatMapGroupsWithState` + `EventTimeTimeout` —
+   * Append-mode: a session row emits when a later event of the same user
+   * opens the next session, or when the event-time watermark passes the open
+   * session's end + gap (the timeout branch flushes it). `watermarkDelay`
+   * is the lateness horizon: a production tail sets it to the source's
+   * redelivery/lateness bound so idle users' sessions close and their state
+   * is REMOVED (bounded state); a drain that must emit only
+   * definitely-closed sessions sets it effectively infinite (timeouts never
+   * fire, each user's open tail session stays unemitted — the
+   * `s7_closed_sessions` oracle shape).
+   */
+  def closedSessions(events: DataFrame, gapUs: Long,
+      watermarkDelay: String): Dataset[ClosedSession] = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    events.select(col("user_id").cast("long").as("user_id"),
+        col("us").cast("long").as("us"), col("event_id").cast("long").as("event_id"))
+      .withColumn("tts", timestamp_micros(col("us")))
+      .withWatermark("tts", watermarkDelay)
+      // the watermark column must survive into the stateful operator's input
+      // (projecting it away drops the watermark tag)
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long, java.sql.Timestamp)], state: GroupState[SessionState]) =>
+          if (!it.hasNext && state.hasTimedOut) {
+            // Watermark passed the open session's end + gap: nothing can
+            // extend it any more — flush and DROP the state (idle users cost
+            // nothing once closed).
+            val st = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, st.openStartUs, st.lastUs, st.openEvents))
+          } else {
+            val evs = it.toArray.sortBy(e => (e._2, e._3))
+            var st = state.getOption.getOrElse(emptyState)
+            val out = Seq.newBuilder[ClosedSession]
+            evs.foreach { case (_, us, _, _) =>
+              val (next, isNew) = fold(st, us, gapUs)
+              if (isNew && st.nEvents > 0L)
+                out += ClosedSession(user, st.openStartUs, st.lastUs, st.openEvents)
+              st = next
+            }
+            state.update(st)
+            // Event-time timeout at end-of-session + gap (ms resolution).
+            state.setTimeoutTimestamp((st.lastUs + gapUs) / 1000L)
+            out.result().iterator
+          }
+      }
+  }
+}
