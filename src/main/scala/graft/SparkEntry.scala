@@ -875,17 +875,26 @@ object SparkEntry {
       import s.implicits._
       val streamDir = timeChunkedEventDir(s, dir, "s7state")
       val schema = t(s, dir, "events").schema
-      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-        .parquet(streamDir)
-        .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"))
-      val q = graft.streaming.StatefulSessions.sessionCounts(stream, gapUs = 1800000000L)
-        .writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .outputMode("update")
-        .format("memory")
-        .queryName("s7_state_sink")
-        .start()
-      q.awaitTermination()
+      // Stateful-shuffle sizing: every micro-batch opens/commits one state
+      // store per shuffle partition; 32 stores × 3 batches is pure overhead
+      // for a per-user-counter state plane — 8 keeps the drain fast while
+      // the state discipline under test is unchanged. (At 100 TB the same
+      // knob goes the other way: size partitions to the user-key volume.)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(streamDir)
+          .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"))
+        val q = graft.streaming.StatefulSessions.sessionCounts(stream, gapUs = 1800000000L)
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("update")
+          .format("memory")
+          .queryName("s7_state_sink")
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.table("s7_state_sink").groupBy("user_id")
         .agg(max(col("n_sessions")).as("n_sessions"), max(col("n_events")).as("n_events"))
     }),
@@ -900,18 +909,32 @@ object SparkEntry {
     "s7_closed_sessions" -> ((s, dir) => {
       val streamDir = timeChunkedEventDir(s, dir, "s7closed")
       val schema = t(s, dir, "events").schema
-      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-        .parquet(streamDir)
-        .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"))
-      val q = graft.streaming.StatefulSessions.closedSessions(stream,
-        gapUs = 1800000000L, watermarkDelay = "3650 days")
-        .writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .outputMode("append")
-        .format("memory")
-        .queryName("s7_closed_sink")
-        .start()
-      q.awaitTermination()
+      // Same state-store sizing as s7_sessions_state, plus: the watermark
+      // never fires a timeout in this drain (infinite delay), so the no-data
+      // micro-batches Spark inserts after each watermark advance are pure
+      // state-store churn — off for the drain. (The timeout path keeps them
+      // on and is exercised in StatefulSessionsSpec.)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      try {
+        val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(streamDir)
+          .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"))
+        val q = graft.streaming.StatefulSessions.closedSessions(stream,
+          gapUs = 1800000000L, watermarkDelay = "3650 days")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("append")
+          .format("memory")
+          .queryName("s7_closed_sink")
+          .start()
+        q.awaitTermination()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      }
       s.table("s7_closed_sink")
         .select(col("user_id"), col("session_start_us"), col("session_end_us"), col("n_events"))
     }),
