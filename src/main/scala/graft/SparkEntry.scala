@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.codec.Codecs
 import graft.codec.Codecs._
-import graft.functions.{Dedup, Multimodal, Similarity, TextFunctions}
+import graft.functions.{Dedup, Multimodal, PixelCodec, Similarity, TextFunctions}
 import graft.model._
 import graft.operators.{Exporter, Importer, Planner}
 import graft.plans.VectorFunctions
@@ -1270,6 +1270,47 @@ object SparkEntry {
           .unionByName(Multimodal.withRealPayload(planted, variant = 1)))
     }),
 
+    // RESIZE over decoded pixels: real PNG payloads → decode → EXACT 2x2
+    // box-average half-resize → integer checksum. Restricted to ASCII
+    // even-byte-length docs so the oracle can recompute the very same pixel
+    // grid (pixel i = text byte ^ position noise) and the same floor-mean
+    // boxes in SQL — the resize math itself is oracle-checked, not just row
+    // counts.
+    "m_resize_half" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents")
+        .where(col("n_chars") < 300 && col("doc_id") % 2 === 0)
+        .where(length(encode(col("text"), "UTF-8")) === length(col("text"))) // ascii-only
+        .where(length(col("text")) > 0 && length(col("text")) % 2 === 0)
+        .select(col("doc_id"), col("text"))
+      Multimodal.withRealPayload(base, variant = 0)
+        .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+        .map { case (id, p) =>
+          val img = PixelCodec.decodePng(p).get
+          val r = PixelCodec.resizeHalf(img)
+          (id, r.width, r.height, r.pixels.map(b => (b & 0xFF).toLong).sum)
+        }.toDF("doc_id", "rw", "rh", "checksum")
+    }),
+
+    // FRAME-SAMPLE over decoded PCM: real WAV payloads → RIFF walk → every
+    // 8th sample (decimation, the audio analogue of every-Nth-frame video
+    // sampling) → count + checksum the oracle recomputes byte-for-byte.
+    "m_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents")
+        .where(col("n_chars") < 300 && col("doc_id") % 2 === 1)
+        .where(length(encode(col("text"), "UTF-8")) === length(col("text")))
+        .where(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"))
+      Multimodal.withRealPayload(base, variant = 0)
+        .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+        .map { case (id, p) =>
+          val pcm = PixelCodec.decodeWavPcm(p).get
+          val frames = PixelCodec.decimate(pcm, 8)
+          (id, frames.length.toLong, frames.map(b => (b & 0xFF).toLong).sum)
+        }.toDF("doc_id", "n_samples", "checksum")
+    }),
+
     // ===== similarity search (embeddings) =====
     "e_knn_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1976,6 +2017,41 @@ object SparkEntry {
            FROM corpus)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b
          FROM n a JOIN n b ON a.h = b.h AND a.doc_id < b.doc_id""",
+
+    // The resize oracle recomputes the SAME pixel grid the synthesizer
+    // encodes (pixel i = text byte[i mod L] XOR 31i mod 256, dims from L)
+    // and the same 2x2 floor-mean boxes — ascii-only docs make ascii() the
+    // byte value, even L makes both dims even (w = 16 + L mod 64,
+    // h = 16 + 7L mod 64).
+    "m_resize_half" ->
+      """WITH d AS (
+           SELECT doc_id, text, octet_length(encode(text))::INT AS L
+           FROM documents
+           WHERE n_chars < 300 AND doc_id % 2 = 0
+             AND octet_length(encode(text)) = length(text)
+             AND length(text) > 0 AND length(text) % 2 = 0),
+         dims AS (SELECT doc_id, text, L,
+             (16 + L % 64)::INT AS w, (16 + (7*L) % 64)::INT AS h FROM d)
+         SELECT doc_id, w // 2 AS rw, h // 2 AS rh,
+           CAST(list_sum(list_transform(range(0, (w//2)*(h//2)), j ->
+             ( xor(ascii(substr(text, (((2*(j//(w//2)))*w + 2*(j%(w//2))) % L)::INT + 1, 1)), (31*((2*(j//(w//2)))*w + 2*(j%(w//2)))) % 256)
+             + xor(ascii(substr(text, (((2*(j//(w//2)))*w + 2*(j%(w//2)) + 1) % L)::INT + 1, 1)), (31*((2*(j//(w//2)))*w + 2*(j%(w//2)) + 1)) % 256)
+             + xor(ascii(substr(text, (((2*(j//(w//2)) + 1)*w + 2*(j%(w//2))) % L)::INT + 1, 1)), (31*((2*(j//(w//2)) + 1)*w + 2*(j%(w//2)))) % 256)
+             + xor(ascii(substr(text, (((2*(j//(w//2)) + 1)*w + 2*(j%(w//2)) + 1) % L)::INT + 1, 1)), (31*((2*(j//(w//2)) + 1)*w + 2*(j%(w//2)) + 1)) % 256)
+             ) // 4)) AS BIGINT) AS checksum
+         FROM dims""",
+
+    // WAV data bytes ARE the text bytes, so decimation is byte-for-byte
+    // SQL-recomputable over the ascii subset.
+    "m_frame_sample" ->
+      """SELECT doc_id,
+           CAST(len(range(0, octet_length(encode(text)), 8)) AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(range(0, octet_length(encode(text)), 8),
+             i -> ascii(substr(text, i::INT + 1, 1)))) AS BIGINT) AS checksum
+         FROM documents
+         WHERE n_chars < 300 AND doc_id % 2 = 1
+           AND octet_length(encode(text)) = length(text)
+           AND length(text) > 0""",
 
     // Pixel-space ground truth: withRealPayload content is injective in the
     // text (given modality = doc_id parity), so decoded-content equality —

@@ -250,6 +250,47 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(a ^ PixelCodec.audioHash64(perturbed)) <= 4)
   }
 
+  test("PNG round-trip property: 60 seeded random images, dims 1..40, random per-row filters") {
+    val rnd = new scala.util.Random(20260813L)
+    (0 until 60).foreach { trial =>
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(40)
+      val px = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val filters = Array.fill(h)(rnd.nextInt(5))
+      val chunk = 1 + rnd.nextInt(200)
+      val img = PixelCodec.Image(w, h, px)
+      val decoded = PixelCodec.decodePng(PixelCodec.encodePng(img,
+        filterForRow = filters(_), idatChunkSize = chunk,
+        ancillaryText = if (trial % 2 == 0) Some(s"t$trial") else None))
+      assert(decoded.nonEmpty, s"trial $trial ${w}x$h")
+      assert(decoded.get.pixels.sameElements(px), s"trial $trial ${w}x$h filters=${filters.toSeq}")
+    }
+  }
+
+  test("resizeBox: floor box means; resizeHalf agrees on even dims; constant stays constant") {
+    val img = testImage(24, 16, 7)
+    val half = PixelCodec.resizeHalf(img)
+    assert(half.width == 12 && half.height == 8)
+    assert(PixelCodec.resizeBox(img, 12, 8).pixels.sameElements(half.pixels))
+    // hand-check one 2x2 box
+    val p = img.pixels.map(_ & 0xFF)
+    val expect00 = (p(0) + p(1) + p(24) + p(25)) / 4
+    assert((half.pixels(0) & 0xFF) === expect00)
+    val const = PixelCodec.Image(10, 10, Array.fill(100)(77.toByte))
+    assert(PixelCodec.resizeBox(const, 3, 3).pixels.forall(b => (b & 0xFF) == 77))
+    // uneven boxes cover everything: 7x5 -> 3x2 still averages all pixels
+    val odd = testImage(7, 5, 2)
+    val r = PixelCodec.resizeBox(odd, 3, 2)
+    assert(r.width == 3 && r.height == 2)
+  }
+
+  test("decimate takes every k-th sample including the head") {
+    val s = Array.tabulate(23)(_.toByte)
+    val d = PixelCodec.decimate(s, 8)
+    assert(d.toSeq === Seq[Byte](0, 8, 16))
+    assert(PixelCodec.decimate(s, 1).toSeq === s.toSeq)
+    assert(PixelCodec.decimate(Array.emptyByteArray, 4).isEmpty)
+  }
+
   test("phashVerifiedPairs: re-encoded copies pair across variants, distinct media do not") {
     val base = docs.select(col("doc_id"), col("text"))
     val planted = base.where(col("doc_id") % 5 === 0)
