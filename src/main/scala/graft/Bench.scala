@@ -30,7 +30,23 @@ import org.apache.spark.sql.SparkSession
   *  - `spread_ratio`: Σ max / Σ min across queries — repeat variance;
   *  - `contended`: true when any tell crosses its threshold (pre-existing
   *    load > half the cores, or either ratio > 3×). A flagged artifact
-  *    should be RE-RUN on a quiet box, not compared round-over-round. */
+  *    should be RE-RUN on a quiet box, not compared round-over-round.
+  *
+  * KILL-PROOFING: a third artifact recorded NOTHING because the run blew
+  * the driver's wall budget and was killed before the single end-of-run
+  * println. The harness now survives that three ways:
+  *  - every query's result is streamed to stderr the moment it settles
+  *    (`{"bench_query":…}` lines), so even a SIGKILL mid-suite leaves a
+  *    per-query record in the captured log;
+  *  - an INTERNAL wall deadline (SPARK_GRAFT_BENCH_DEADLINE_SEC, default
+  *    900 — set it comfortably under the external budget): past 60% of it
+  *    adaptive repeats stop, past 80% only the first repeat of each query
+  *    runs, past 100% no new query starts and the artifact is flushed with
+  *    `"truncated": true` plus the names it skipped;
+  *  - a JVM shutdown hook prints the final JSON from whatever completed if
+  *    the normal path didn't get to (covers SIGTERM, e.g. `timeout`'s
+  *    default signal, though not SIGKILL — the stderr stream covers that).
+  */
 object Bench {
 
   /** 1-minute load average, or -1 where /proc is unavailable. */
@@ -40,12 +56,42 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val wall0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - wall0) / 1e9
     val loadBefore = loadAvg1()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt)
     val maxRepeats = math.max(repeats,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPEATS", "6").toInt)
+    val deadline = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "900").toDouble
+    // results + skip list are shared with the shutdown hook; guard with a
+    // lock, print-once with a flag, so a signal mid-run still flushes JSON.
+    val results = new scala.collection.mutable.LinkedHashMap[String, (Double, Double)]
+    val skipped = new scala.collection.mutable.ArrayBuffer[String]
+    val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    def flush(truncated: Boolean): Unit = if (printed.compareAndSet(false, true)) {
+      val (qs, qsMax, total, totalMax, skippedJson) = results.synchronized {
+        (results.map { case (k, (mn, _)) => s"\"" + k + "\":" + mn }.mkString("{", ",", "}"),
+         results.map { case (k, (_, mx)) => s"\"" + k + "\":" + mx }.mkString("{", ",", "}"),
+         if (results.nonEmpty) results.values.map(_._1).sum else 0.0,
+         if (results.nonEmpty) results.values.map(_._2).sum else 0.0,
+         skipped.map("\"" + _ + "\"").mkString("[", ",", "]"))
+      }
+      val wall = elapsed
+      val loadAfter = loadAvg1()
+      val cores = Runtime.getRuntime.availableProcessors().toDouble
+      val loadRatio = if (total > 0) wall / (repeats * total) else 0.0
+      val spreadRatio = if (total > 0) totalMax / total else 0.0
+      // Pre-existing load is the strongest tell: we sample BEFORE creating the
+      // session, so >50% of the cores already busy means a contended box.
+      val contended = (loadBefore > 0.5 * cores) || loadRatio > 3.0 || spreadRatio > 3.0
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"repeats":$repeats,"wall":$wall,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cores":$cores,"load_ratio":${f"$loadRatio%.3f"},"spread_ratio":${f"$spreadRatio%.3f"},"contended":$contended,"truncated":$truncated,"skipped":$skippedJson,"deadline":$deadline,"sf":"$sfDir"}""")
+      System.out.flush()
+    }
+    val hook = new Thread(() => flush(truncated = true))
+    Runtime.getRuntime.addShutdownHook(hook)
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -70,37 +116,42 @@ object Bench {
     // measured bodies charge query execution only.
     try SparkEntry.prepare(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prepare failed: $e") }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      def runOnce(): Unit = {
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        times += (System.nanoTime() - t0) / 1e9
+
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 runs a subset — local iteration knob, the
+    // driver never sets it so round artifacts always carry the full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    var truncated = false
+    SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
+      if (elapsed >= deadline) {
+        truncated = true
+        skipped.synchronized { skipped += name }
+      } else {
+        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+        def runOnce(): Unit = {
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+          times += (System.nanoTime() - t0) / 1e9
+        }
+        runOnce()
+        // past 80% of the deadline, first-repeat numbers only: a degraded
+        // min beats a missing artifact
+        while (times.length < repeats && elapsed < 0.8 * deadline) runOnce()
+        def settled: Boolean = {
+          val s = times.sorted
+          s.length >= 2 && (s(1) - s(0)) <= 0.10 * s(1)
+        }
+        while (!settled && times.length < maxRepeats && elapsed < 0.6 * deadline) runOnce()
+        results.synchronized { results(name) = (times.min, times.max) }
+        // streamed per-query record: survives any kill after this point
+        System.err.println(s"""{"bench_query":"$name","min":${times.min},"max":${times.max},"n":${times.length},"elapsed":${f"$elapsed%.1f"}}""")
+        System.err.flush()
       }
-      (0 until repeats).foreach(_ => runOnce())
-      def settled: Boolean = {
-        val s = times.sorted
-        s.length >= 2 && (s(1) - s(0)) <= 0.10 * s(1)
       }
-      while (!settled && times.length < maxRepeats) runOnce()
-      name -> (times.min, times.max)
-    }
-    val qs = results.map { case (k, (mn, _)) => s"\"" + k + "\":" + mn }
-      .mkString("{", ",", "}")
-    val qsMax = results.map { case (k, (_, mx)) => s"\"" + k + "\":" + mx }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    val totalMax = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
-    val wall = (System.nanoTime() - wall0) / 1e9
-    val loadAfter = loadAvg1()
-    val cores = Runtime.getRuntime.availableProcessors().toDouble
-    val loadRatio = if (total > 0) wall / (repeats * total) else 0.0
-    val spreadRatio = if (total > 0) totalMax / total else 0.0
-    // Pre-existing load is the strongest tell: we sample BEFORE creating the
-    // session, so >50% of the cores already busy means a contended box.
-    val contended = (loadBefore > 0.5 * cores) || loadRatio > 3.0 || spreadRatio > 3.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"repeats":$repeats,"wall":$wall,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cores":$cores,"load_ratio":${f"$loadRatio%.3f"},"spread_ratio":${f"$spreadRatio%.3f"},"contended":$contended,"sf":"$sfDir"}""")
+    flush(truncated)
+    Runtime.getRuntime.removeShutdownHook(hook)
     spark.stop()
   }
 }

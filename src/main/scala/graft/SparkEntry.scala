@@ -32,6 +32,21 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Run `body` with the stateful-shuffle sized to `n` partitions, restoring
+    * the session's previous setting after. Every streaming micro-batch opens
+    * and commits one state-store provider PER shuffle partition, and on this
+    * Spark 4.1 image a provider load costs seconds (logged `WARN StateStore:
+    * Loaded state store provider in loadTimeMs=2209…7732`); a short drain over
+    * a few hundred rows at 32 partitions pays ~32× that tax for zero
+    * parallelism benefit. Sizing the unit of parallelism to the work is the
+    * reference's own move (SQS batch size 1, template.yaml:275). At 100 TB the
+    * knob turns the other way: size partitions to the key volume. */
+  private def withStatefulShuffle[A](s: SparkSession, n: Int)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Map a one-column (`name`) frame onto the GDatabase plane. */
   private def asDbs(df: DataFrame): Dataset[GDatabase] =
     df.select(col("name").cast("string").as("name"),
@@ -825,19 +840,21 @@ object SparkEntry {
       val streamDir = java.nio.file.Files.createTempDirectory("graft-s7")
       java.nio.file.Files.copy(src, streamDir.resolve("events.parquet"))
       val schema = t(s, dir, "events").schema
-      val q = s.readStream.schema(schema).parquet(streamDir.toString)
-        .withColumn("tts", timestamp_micros(expr("ts div 1000")))
-        .groupBy(window(col("tts"), "5 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
-        .select(unix_timestamp(col("window.start")).as("bucket_s"), col("event_type"),
-          col("n_events"), col("sum_value"))
-        .writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .outputMode("complete")
-        .format("memory")
-        .queryName("s7_sink")
-        .start()
-      q.awaitTermination()
+      withStatefulShuffle(s, 8) {
+        val q = s.readStream.schema(schema).parquet(streamDir.toString)
+          .withColumn("tts", timestamp_micros(expr("ts div 1000")))
+          .groupBy(window(col("tts"), "5 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+          .select(unix_timestamp(col("window.start")).as("bucket_s"), col("event_type"),
+            col("n_events"), col("sum_value"))
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("complete")
+          .format("memory")
+          .queryName("s7_sink")
+          .start()
+        q.awaitTermination()
+      }
       s.table("s7_sink")
     }),
 
@@ -875,14 +892,7 @@ object SparkEntry {
       import s.implicits._
       val streamDir = timeChunkedEventDir(s, dir, "s7state")
       val schema = t(s, dir, "events").schema
-      // Stateful-shuffle sizing: every micro-batch opens/commits one state
-      // store per shuffle partition; 32 stores × 3 batches is pure overhead
-      // for a per-user-counter state plane — 8 keeps the drain fast while
-      // the state discipline under test is unchanged. (At 100 TB the same
-      // knob goes the other way: size partitions to the user-key volume.)
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      withStatefulShuffle(s, 8) {
         val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
           .parquet(streamDir)
           .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"))
@@ -894,7 +904,7 @@ object SparkEntry {
           .queryName("s7_state_sink")
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       s.table("s7_state_sink").groupBy("user_id")
         .agg(max(col("n_sessions")).as("n_sessions"), max(col("n_events")).as("n_events"))
     }),
@@ -914,11 +924,9 @@ object SparkEntry {
       // micro-batches Spark inserts after each watermark advance are pure
       // state-store churn — off for the drain. (The timeout path keeps them
       // on and is exercised in StatefulSessionsSpec.)
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-      try {
+      try withStatefulShuffle(s, 8) {
         val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
           .parquet(streamDir)
           .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"))
@@ -931,10 +939,7 @@ object SparkEntry {
           .queryName("s7_closed_sink")
           .start()
         q.awaitTermination()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
-      }
+      } finally s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
       s.table("s7_closed_sink")
         .select(col("user_id"), col("session_start_us"), col("session_end_us"), col("n_events"))
     }),
@@ -964,15 +969,17 @@ object SparkEntry {
       import graft.streaming.MessageStream
       val msgDir = s8DedupMsgDir(s, dir)
       val outDir = java.nio.file.Files.createTempDirectory("graft-s8d-out").toString
-      val q = MessageStream.dedupMessages(MessageStream.readMessages(s, msgDir))
-        .writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-s8d-ckpt").toString)
-        .format("parquet")
-        .option("path", outDir)
-        .start()
-      q.awaitTermination()
+      withStatefulShuffle(s, 8) {
+        val q = MessageStream.dedupMessages(MessageStream.readMessages(s, msgDir))
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft-s8d-ckpt").toString)
+          .format("parquet")
+          .option("path", outDir)
+          .start()
+        q.awaitTermination()
+      }
       s.read.schema(Codecs.messageEncoder.schema).parquet(outDir)
         .groupBy(col("messageType").as("message_type"))
         .agg(count(lit(1)).as("n_messages"))
