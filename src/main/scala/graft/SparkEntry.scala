@@ -43,8 +43,19 @@ object SparkEntry {
     * knob turns the other way: size partitions to the key volume. */
   private def withStatefulShuffle[A](s: SparkSession, n: Int)(body: => A): A = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    // Spark 4.1 wraps every checkpoint file in ChecksumCheckpointFileManager
+    // (fileChecksum.enabled defaults true) — a per-file integrity round-trip
+    // that graft.run.StateTaxProbe measures at ~25% of a 32-partition drain.
+    // These drains checkpoint to throwaway temp dirs read back by nobody, so
+    // the checksum buys nothing; a durable production checkpoint should keep
+    // the default.
+    val prevCk = s.conf.get("spark.sql.streaming.checkpoint.fileChecksum.enabled", "true")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    try body finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", prevCk)
+    }
   }
 
   /** Map a one-column (`name`) frame onto the GDatabase plane. */
