@@ -996,6 +996,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_messages"))
     }),
 
+    // §2.7 BOUNDED-state redelivery dedup: the watermark-aging variant for
+    // tail-the-queue deployments — state rows evict once the watermark
+    // passes ingest + delay, so total state is the redelivery horizon, not
+    // stream lifetime. The drain injects a DETERMINISTIC ingest-ts (epoch
+    // anchor + payload-crc32 jitter < 1 min — identical bytes get identical
+    // ts) over multi-file micro-batches; every redelivered copy lands well
+    // inside the 10-minute delay, so the single-delivery oracle of
+    // s8_stream_dedup applies verbatim. The EVICTION path (a dupe arriving
+    // after its key aged out re-emits) is spec-driven in StreamingImportSpec
+    // where a MemoryStream controls the watermark.
+    "s8_stream_dedup_ttl" -> ((s, dir) => {
+      import graft.streaming.MessageStream
+      val msgDir = s8DedupMsgDir(s, dir)
+      val outDir = java.nio.file.Files.createTempDirectory("graft-s8t-out").toString
+      withStatefulShuffle(s, 8) {
+        val src = MessageStream.readMessages(s, msgDir, maxFilesPerTrigger = Some(16))
+        val q = MessageStream.dedupMessagesWithinWatermark(src, delay = "10 minutes",
+            ingestTs = timestamp_millis(lit(1700000000000L) +
+              pmod(crc32(col("payload")), lit(60000L))))
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft-s8t-ckpt").toString)
+          .format("parquet")
+          .option("path", outDir)
+          .start()
+        q.awaitTermination()
+      }
+      s.read.schema(Codecs.messageEncoder.schema).parquet(outDir)
+        .groupBy(col("messageType").as("message_type"))
+        .agg(count(lit(1)).as("n_messages"))
+    }),
+
     // ===== text analysis (documents) =====
     "d_token_count" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1251,6 +1284,22 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // X10 connected components over a DETERMINISTIC planted edge set: chain
+    // edges (doc_id → doc_id+1 where doc_id % 20 < 5) plus skip edges
+    // (doc_id → doc_id+2 where doc_id % 20 < 4) tile the corpus into 6-node
+    // components. Chains force MULTI-HOP min-label propagation (the tail
+    // label travels one hop per iteration), so the oracle — a recursive-CTE
+    // transitive closure — checks the fixpoint loop, not just 1-hop joins.
+    "d_cc_components" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      def edges(step: Int, mod: Int) =
+        ids.select(col("doc_id").as("id_a"))
+          .join(ids.select(col("doc_id").as("id_b")), col("id_b") === col("id_a") + step)
+          .where(col("id_a") % 20 < mod)
+          .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(edges(1, 5).unionByName(edges(2, 4)))
+    }),
+
     // ===== multimodal binary columns (documents → payload bytes) =====
     // metadata via pure column ops decoding the REAL header bytes: mime sniff
     // on magic, PNG IHDR / JPEG SOF0 dims, WAV byte-rate duration — codegen'd
@@ -1397,6 +1446,17 @@ object SparkEntry {
         element_at(q, 32).cast("int").as("q_mid"),
         element_at(q, 64).cast("int").as("q_last"),
         round(VectorFunctions.vec_absmax(col("embedding")), 6).as("absmax"))
+    }),
+
+    // int8-scan top-k: ranking happens on the CODE vectors (symmetric
+    // per-vector scales cancel in the cosine), which the oracle replicates
+    // by quantizing in SQL with the same round-half-away double arithmetic —
+    // an EXACT ranking oracle for the 4×-less-IO scan, not an overlap bound
+    "e_quantized_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      Similarity.quantizedTopK(e.where(col("vec_id") =!= 0), q, k = 10)
     }),
 
     // per-label mean-pooled centroids, flattened to (label, pos, c) for the
@@ -1750,6 +1810,14 @@ object SparkEntry {
            (SELECT count(DISTINCT o_custkey % 25) FROM sub) AS n_messages
          UNION ALL SELECT 'table', count(*) FROM sub""",
 
+    // the aging variant collapses every redelivered copy (all arrive inside
+    // the watermark delay), so the single-delivery truth is identical
+    "s8_stream_dedup_ttl" ->
+      """WITH sub AS (SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 300)
+         SELECT 'database' AS message_type,
+           (SELECT count(DISTINCT o_custkey % 25) FROM sub) AS n_messages
+         UNION ALL SELECT 'table', count(*) FROM sub""",
+
     "d_token_count" ->
       """SELECT doc_id,
          len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens
@@ -2036,6 +2104,25 @@ object SparkEntry {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b
          FROM n a JOIN n b ON a.h = b.h AND a.doc_id < b.doc_id""",
 
+    // transitive closure of the planted chain+skip graph: reach holds every
+    // (node, reachable-label) pair, so min(comp) is exactly the min-label
+    // fixpoint the Spark loop converges to
+    "d_cc_components" ->
+      """WITH RECURSIVE edges AS (
+           SELECT a.doc_id AS src, b.doc_id AS dst
+           FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+           WHERE a.doc_id % 20 < 5
+           UNION ALL
+           SELECT a.doc_id, b.doc_id
+           FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 2
+           WHERE a.doc_id % 20 < 4),
+         sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+         reach AS (
+           SELECT src AS id, src AS comp FROM sym
+           UNION
+           SELECT s.dst AS id, r.comp FROM reach r JOIN sym s ON s.src = r.id)
+         SELECT id, min(comp) AS component FROM reach GROUP BY id""",
+
     // The resize oracle recomputes the SAME pixel grid the synthesizer
     // encodes (pixel i = text byte[i mod L] XOR 31i mod 256, dims from L)
     // and the same 2x2 floor-mean boxes — ascii-only docs make ascii() the
@@ -2203,6 +2290,22 @@ object SparkEntry {
            CAST(round(v[64] * 127.0 / mx) AS INT) AS q_last,
            round(mx, 6) AS absmax
          FROM m""",
+
+    // quantize both sides in SQL (same double round-half-away as the native
+    // quantize_i8), then rank by the cosine of the CODE vectors — int8 codes
+    // are exact in doubles, so the 6dp-rounded sims are bit-comparable
+    "e_quantized_topk" ->
+      """WITH m AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) AS am
+           FROM embeddings),
+         qz AS (
+           SELECT vec_id, list_transform(v, x -> round(x * 127.0 / am)) AS q8
+           FROM m)
+         SELECT e.vec_id, round(list_cosine_similarity(e.q8, q.q8), 6) AS sim
+         FROM qz e, (SELECT q8 FROM qz WHERE vec_id = 0) q
+         WHERE e.vec_id <> 0
+         ORDER BY sim DESC, e.vec_id LIMIT 10""",
 
     // zipped unnests flatten each vector to (position, value) pairs; the
     // per-(label, position) average is the centroid element
