@@ -1320,13 +1320,15 @@ object SparkEntry {
     }),
 
     // TRUE perceptual near-dup pairs: fully-real payloads (PNG pixels via
-    // Deflater, WAV PCM), planted copies RE-ENCODED with different filter
-    // bytes / chunk layout (byte-level nearly disjoint, pixel-level equal),
-    // pixel-space phash candidates verified to exact decoded-content
-    // identity. Recall is structural (equal pixels → equal dHash → Hamming 0
+    // Deflater, JPEG DCT coefficients via JpegCodec, WAV PCM), planted
+    // copies RE-ENCODED with different filter bytes / chunk layout / Huffman
+    // tables / restart markers (byte-level nearly disjoint, decoded-level
+    // equal), pixel-space phash candidates verified to exact decoded-content
+    // identity. Recall is structural (equal decode → equal dHash → Hamming 0
     // cannot escape the 4-block pigeonhole), precision exact (digest verify),
     // so the oracle states the ground truth directly: same text, same
-    // modality (doc_id parity, preserved by the +10M planted offset).
+    // modality (odd → WAV, ≡0 mod 4 → PNG, ≡2 mod 4 → JPEG — all preserved
+    // by the +10M planted offset, 10M ≡ 0 mod 4).
     "m_phash_pairs" -> ((s, dir) => {
       val base = t(s, dir, "documents").where(col("n_chars") < 300)
         .select(col("doc_id"), col("text"))
@@ -1346,7 +1348,7 @@ object SparkEntry {
     "m_resize_half" -> ((s, dir) => {
       import s.implicits._
       val base = t(s, dir, "documents")
-        .where(col("n_chars") < 300 && col("doc_id") % 2 === 0)
+        .where(col("n_chars") < 300 && col("doc_id") % 4 === 0) // PNG modality
         .where(length(encode(col("text"), "UTF-8")) === length(col("text"))) // ascii-only
         .where(length(col("text")) > 0 && length(col("text")) % 2 === 0)
         .select(col("doc_id"), col("text"))
@@ -2132,7 +2134,7 @@ object SparkEntry {
       """WITH d AS (
            SELECT doc_id, text, octet_length(encode(text))::INT AS L
            FROM documents
-           WHERE n_chars < 300 AND doc_id % 2 = 0
+           WHERE n_chars < 300 AND doc_id % 4 = 0
              AND octet_length(encode(text)) = length(text)
              AND length(text) > 0 AND length(text) % 2 = 0),
          dims AS (SELECT doc_id, text, L,
@@ -2159,18 +2161,24 @@ object SparkEntry {
            AND length(text) > 0""",
 
     // Pixel-space ground truth: withRealPayload content is injective in the
-    // text (given modality = doc_id parity), so decoded-content equality —
-    // what the Spark side verifies pair-by-pair — IS text equality, and the
-    // oracle enumerates exactly the equal-text same-parity pairs.
+    // text (given modality — odd WAV, ≡0 mod 4 PNG, ≡2 mod 4 JPEG; for JPEG
+    // via the unit-quant coefficient argument in Multimodal.contentDigest),
+    // so decoded-content equality — what the Spark side verifies
+    // pair-by-pair — IS text equality, and the oracle enumerates exactly
+    // the equal-text same-modality pairs.
     "m_phash_pairs" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents WHERE n_chars < 300
            UNION ALL
            SELECT doc_id + 10000000, text FROM documents
-           WHERE n_chars < 300 AND doc_id % 5 = 0)
+           WHERE n_chars < 300 AND doc_id % 5 = 0),
+         m AS (
+           SELECT doc_id, text,
+             CASE WHEN doc_id % 2 = 1 THEN -1 ELSE doc_id % 4 END AS modality
+           FROM corpus)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM corpus a JOIN corpus b
-           ON a.doc_id % 2 = b.doc_id % 2 AND a.text = b.text
+         FROM m a JOIN m b
+           ON a.modality = b.modality AND a.text = b.text
          WHERE a.doc_id < b.doc_id""",
 
     "e_semantic_dedup" ->

@@ -312,13 +312,16 @@ object Multimodal {
 
   // --------------------------------------------------- pixel-space payloads
 
-  /** Real-payload modality cycle: even ids → PNG, odd ids → WAV. Chosen mod 2
-    * (not mod 3) so the planted-copy id offset (+10,000,000, even) preserves
-    * each document's modality — and because JPEG, whose pixel decode needs a
-    * DCT codec, stays out of the pixel-space set (byte-fallback hash covers
-    * it like any opaque payload). */
+  /** Real-payload modality cycle: odd ids → WAV; even ids split PNG
+    * (id ≡ 0 mod 4) / JPEG (id ≡ 2 mod 4). Keyed mod 4 so the planted-copy
+    * id offset (+10,000,000 ≡ 0 mod 4) preserves each document's modality —
+    * every oracle that states "same modality" survives the plant. JPEG
+    * joined the pixel-space set in round 8 ([[JpegCodec]]); nothing falls to
+    * the byte hash here anymore. */
   private def realMime(docId: Long): String =
-    if (docId % 2 == 0) "image/png" else "audio/wav"
+    if (docId % 2 != 0) "audio/wav"
+    else if (docId % 4 == 0) "image/png"
+    else "image/jpeg"
 
   /** Deterministic grayscale pixels from the text bytes: dims derive from the
     * byte count (w = 16 + L mod 64, h = 16 + 7L mod 64), pixel i = text[i mod
@@ -344,11 +347,15 @@ object Multimodal {
    * Fully-real payloads (decodable pixel/sample content, not just headers),
    * deterministic from (doc id, text). Two encoding variants that decode to
    * IDENTICAL content for identical text:
-   *  - variant 0 (canonical): PNG with filter None + one IDAT; WAV with the
-   *    canonical 44-byte header;
+   *  - variant 0 (canonical): PNG with filter None + one IDAT; JPEG with
+   *    JFIF APP0 + luminance Huffman tables; WAV with the canonical 44-byte
+   *    header;
    *  - variant 1 (re-encoded): PNG with per-row Sub/Up/Average/Paeth filters,
    *    IDAT split into 257-byte chunks (splits mid-scanline) and a tEXt chunk
-   *    before IDAT; WAV with a LIST chunk inserted before data.
+   *    before IDAT; JPEG with a COM segment, CHROMINANCE Huffman tables and
+   *    restart-interval-2 RSTn markers (unit quant tables carry the
+   *    coefficients exactly, so the re-encode is pixel-identical — see
+   *    [[JpegCodec.encodeGray]]); WAV with a LIST chunk inserted before data.
    * Byte-level, the two variants share almost nothing; pixel-level they are
    * the same item — the contrast [[phashPairs]]' pixel path must bridge and
    * the byte-fallback hash cannot.
@@ -366,6 +373,8 @@ object Multimodal {
           if (variant == 0) PixelCodec.encodePng(img)
           else PixelCodec.encodePng(img, filterForRow = y => 1 + y % 4,
             idatChunkSize = 257, ancillaryText = Some("reencoded"))
+        case "image/jpeg" =>
+          JpegCodec.encodeGray(pixelsFromText(bytes), variant)
         case _ =>
           val extra =
             if (variant == 0) Array.emptyByteArray
@@ -388,11 +397,13 @@ object Multimodal {
     "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
   }
 
-  /** Pixel/sample-space perceptual hash where the payload decodes (PNG →
-    * dHash over the pixel grid, WAV → PCM energy-envelope hash); None where
-    * it doesn't (JPEG, octet-stream, header-only or corrupt payloads). */
+  /** Pixel/sample-space perceptual hash where the payload decodes (PNG/JPEG
+    * → dHash over the decoded pixel grid, WAV → PCM energy-envelope hash);
+    * None where it doesn't (octet-stream, progressive/subsampled JPEG,
+    * header-only or corrupt payloads). */
   def pixelPhash(payload: Array[Byte]): Option[Long] = sniffMimeBytes(payload) match {
     case "image/png" => PixelCodec.decodePng(payload).map(PixelCodec.dHash64)
+    case "image/jpeg" => JpegCodec.decode(payload).map(PixelCodec.dHash64)
     case "audio/wav" => PixelCodec.decodeWavPcm(payload).map(PixelCodec.audioHash64)
     case _ => None
   }
@@ -414,6 +425,18 @@ object Multimodal {
     sniffMimeBytes(payload) match {
       case "image/png" => PixelCodec.decodePng(payload).map { img =>
         md.update(s"png:${img.width}x${img.height}:".getBytes("US-ASCII"))
+        md.update(img.pixels)
+        hex(md.digest())
+      }
+      // JPEG digests the DECODED pixels too: the unit-quant coefficients are
+      // a deterministic function of the source grid, so same text → same
+      // decode exactly; and the mime prefix keeps a JPEG from pairing with
+      // the PNG of the same text (whose pixels differ by the DCT round-trip
+      // anyway — distinct-text collisions would need every 8×8 block of two
+      // different grids to round to identical coefficient sets, which the
+      // position-XOR pixel synthesis makes structurally implausible).
+      case "image/jpeg" => JpegCodec.decode(payload).map { img =>
+        md.update(s"jpeg:${img.width}x${img.height}:".getBytes("US-ASCII"))
         md.update(img.pixels)
         hex(md.digest())
       }

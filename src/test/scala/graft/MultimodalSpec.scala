@@ -304,4 +304,25 @@ class MultimodalSpec extends SparkSpec {
     val expected = Seq(0L, 5L, 10L).map(i => (i, i + 10000000L)).toSet
     assert(pairs == expected, s"got $pairs")
   }
+
+  test("JPEG modality: re-encoded copy lands at Hamming 0; same text as PNG does not pair") {
+    // ids ≡ 2 (mod 4) are JPEG, ≡ 0 (mod 4) PNG — same text across the two
+    // modalities must NOT pair (different decode, different digest prefix),
+    // while the JPEG variant-1 re-encode of the same doc must pair exactly
+    val text = "jpeg modality planted body with enough variation to fill several dct blocks"
+    val corpus = Multimodal.withRealPayload(Seq((2L, text), (4L, text)).toDF("doc_id", "text"), variant = 0)
+      .unionByName(Multimodal.withRealPayload(Seq((10000002L, text)).toDF("doc_id", "text"), variant = 1))
+    val payloads = corpus.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .collect().toMap
+    // modality routing: 2 → jpeg, 4 → png
+    assert((payloads(2L)(0) & 0xFF) == 0xFF && (payloads(2L)(1) & 0xFF) == 0xD8)
+    assert((payloads(4L)(0) & 0xFF) == 0x89)
+    // the two jpeg encodings differ byte-wise but hash identically
+    assert(!payloads(2L).sameElements(payloads(10000002L)))
+    assert(Multimodal.pixelPhash(payloads(2L)).get ==
+      Multimodal.pixelPhash(payloads(10000002L)).get)
+    val pairs = Multimodal.phashVerifiedPairs(corpus)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((2L, 10000002L)), s"got $pairs")
+  }
 }
