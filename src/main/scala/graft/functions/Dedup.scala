@@ -289,23 +289,33 @@ object Dedup {
   /**
    * Connected components over a near-dup pair set (`id_a`, `id_b`): returns
    * (id, component) where component = the minimum id reachable through the
-   * pair graph. Min-label propagation: each round every node takes the
-   * minimum of its own and its neighbors' labels — converges in
-   * O(log diameter) rounds for dedup graphs (components are tiny cliques and
-   * short chains; `maxIters` is a safety bound, and the loop exits on the
-   * first round with no label change). Each round is one join + one
-   * aggregation over the EDGE set, never an all-pairs product; the per-round
-   * convergence `count()` is the standard driver-side fixpoint check of
-   * iterative label propagation (same shape at 1000 executors).
+   * pair graph. Each round does (a) min-label propagation — every node takes
+   * the minimum of its own and its neighbors' labels (one join + one
+   * aggregation over the EDGE set, never an all-pairs product) — then (b) a
+   * POINTER-JUMP shortcut: a label is itself a node id, so each node
+   * re-reads the label OF its label (one node-sized self-join). Propagation
+   * alone moves a label one hop per round (O(diameter) — a scale hazard on
+   * long transitive near-dup chains); with the jump the reach doubles each
+   * round, so convergence is O(log diameter). Labels are monotone
+   * non-increasing and always some reachable node's id, and the minimum node
+   * of a component keeps its own label — so the no-change fixpoint is
+   * exactly "constant = component minimum". `maxIters` is a safety bound;
+   * the per-round convergence `count()` is the standard driver-side fixpoint
+   * check of iterative label propagation (same shape at 1000 executors).
    */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // Every round references the previous labels frame more than once, so
+      // an UN-truncated lineage would double in size per round (exponential
+      // logical plans, analyzer OOM by round ~20). Eager localCheckpoint
+      // truncates: each round's plan reads materialized blocks, plans stay
+      // constant-size, and the loop caches exactly one generation at a time.
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("component", col("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       var it = 0
       var converged = false
       while (!converged && it < maxIters) {
@@ -313,22 +323,24 @@ object Dedup {
           .join(labels.select(col("id").as("dst"), col("component")), Seq("dst"))
           .groupBy(col("src").as("id"))
           .agg(min(col("component")).as("nbr"))
-        val next = labels.select(col("id"), col("component"))
+        val stepped = labels.select(col("id"), col("component").as("prev"))
           .join(nbrMin, Seq("id"), "left_outer")
+          .select(col("id"), col("prev"),
+            least(col("prev"), coalesce(col("nbr"), col("prev"))).as("c1"))
+          .localCheckpoint(true)
+        // pointer jump: c1 is a node id; that node's own c1 is ≤ c1 (labels
+        // are monotone and ≤ own id), so looking it up can only shortcut
+        val next = stepped
+          .join(stepped.select(col("id").as("c1"), col("c1").as("jump")), Seq("c1"), "left_outer")
           .select(col("id"),
-            least(col("component"), coalesce(col("nbr"), col("component"))).as("component"),
-            (col("nbr") < col("component")).as("_changed"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+            least(col("c1"), coalesce(col("jump"), col("c1"))).as("component"),
+            (coalesce(col("jump"), col("c1")) < col("prev") || col("c1") < col("prev")).as("_changed"))
+          .localCheckpoint(true)
         converged = next.where(col("_changed")).limit(1).count() == 0L
-        labels.unpersist()
-        labels = next // persisted; _changed projected away on return
+        labels = next // checkpointed; _changed projected away on return
         it += 1
       }
-      // Materialize lineage-free and release the loop cache — the final
-      // labels frame must not stay in the CacheManager after return.
-      val out = labels.select(col("id"), col("component")).localCheckpoint(true)
-      labels.unpersist()
-      out
+      labels.select(col("id"), col("component"))
     } finally edges.unpersist()
   }
 

@@ -69,6 +69,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(comps(10L) == 10L && comps(11L) == 10L)
   }
 
+  test("connectedComponents: a chain LONGER than maxIters converges (pointer jumping)") {
+    // diameter 59 ≫ maxIters 20: plain one-hop min-label propagation could
+    // never finish inside the bound; the per-round label-of-label shortcut
+    // doubles reach, so ~log2(59) ≈ 6 rounds suffice
+    val pairs = (0 until 59).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(comps.size == 60)
+    assert(comps.values.forall(_ == 0L), s"unconverged labels: ${comps.filter(_._2 != 0L)}")
+  }
+
   test("minhashDedupComponents keeps exactly one doc per transitive near-dup chain") {
     // A ≈ B ≈ C chain on a base disjoint from every other planted family:
     // B is the base, A and C are small DIFFERENT edits of B (A ≈ C only
