@@ -1284,6 +1284,15 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // Sub-document segment dedup (the paragraph-dedup pass of a web
+    // pipeline, fixed 10-token windows here): segments repeated ACROSS
+    // documents survive only at their globally-first (doc_id, seg_idx).
+    // Winner selection is a skew-safe groupBy-min (map-side combine folds
+    // hot boilerplate keys), never a row_number window — see
+    // Dedup.segmentDedup. The oracle recomputes the same windows and picks
+    // the same winners with a row_number over (doc_id, seg_idx).
+    "d_segment_dedup" -> ((s, dir) => Dedup.segmentDedup(t(s, dir, "documents"))),
+
     // X10 connected components over a DETERMINISTIC planted edge set: chain
     // edges (doc_id → doc_id+1 where doc_id % 20 < 5) plus skip edges
     // (doc_id → doc_id+2 where doc_id % 20 < 4) tile the corpus into 6-node
@@ -2105,6 +2114,25 @@ object SparkEntry {
            FROM corpus)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b
          FROM n a JOIN n b ON a.h = b.h AND a.doc_id < b.doc_id""",
+
+    // same 10-token windows, same global-first winner (row_number over the
+    // segment text ordered by doc_id, seg_idx), reassembled in segment order
+    "d_segment_dedup" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+         idx AS (SELECT doc_id, tokens,
+             unnest(generate_series(0, CAST(ceil(len(tokens)/10.0) AS INT) - 1)) AS seg_idx
+           FROM base),
+         segs AS (SELECT doc_id, seg_idx,
+             array_to_string(tokens[seg_idx*10+1 : seg_idx*10+10], ' ') AS seg
+           FROM idx),
+         ranked AS (SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+           FROM segs)
+         SELECT doc_id,
+           coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1), '') AS text_clean,
+           CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+         FROM ranked GROUP BY doc_id""",
 
     // transitive closure of the planted chain+skip graph: reach holds every
     // (node, reachable-label) pair, so min(comp) is exactly the min-label

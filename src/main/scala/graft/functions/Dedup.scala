@@ -538,4 +538,49 @@ object Dedup {
     docs.join(
       contaminationReport(docs, evalDocs, n, idCol, textCol).select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  /**
+   * Sub-document (segment-level) dedup — the paragraph-dedup pass of a web
+   * pipeline, degraded to fixed `segTokens`-token windows for corpora with
+   * no paragraph separators: boilerplate repeated ACROSS documents is
+   * dropped from every occurrence but the globally first. Per doc returns
+   * the surviving text (original segment order), `n_kept` and `n_dropped`.
+   *
+   * Winner selection is a groupBy-MIN over (doc id, segment index) structs,
+   * NOT a row_number window: boilerplate is precisely the hot-key case (one
+   * segment repeated across millions of docs), and partial map-side
+   * aggregation folds each hot key to one row per task, where a window
+   * would funnel every occurrence through a single partition. Segments
+   * shuffle by md5 digest, not text, so wide rows never ride the exchange
+   * twice; the reassembly is one groupBy over the doc key.
+   */
+  def segmentDedup(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      segTokens: Int = 10): DataFrame = {
+    require(segTokens >= 1, s"segTokens $segTokens")
+    val toks = split(col(textCol), " ")
+    // ceil(n/segTokens); n >= 1 because split("", " ") = [""]
+    val nSeg = ((size(toks) + lit(segTokens - 1)) / lit(segTokens.toDouble)).cast("int")
+    val segs = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(transform(sequence(lit(0), nSeg - 1),
+          i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " ")))
+          .as(Seq("seg_idx", "seg")))
+      .withColumn("h", md5(col("seg")))
+    val winners = segs
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("w"))
+      .select(col("h"), col("w.doc_id").as("doc_id"), col("w.seg_idx").as("seg_idx"),
+        lit(true).as("keep"))
+    segs.join(winners, Seq("h", "doc_id", "seg_idx"), "left_outer")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("keep"), struct(col("seg_idx"), col("seg"))))),
+          s => s.getField("seg"))).as("text_clean"),
+        sum(when(col("keep"), 1).otherwise(0)).cast("bigint").as("n_kept"),
+        sum(when(col("keep").isNull, 1).otherwise(0)).cast("bigint").as("n_dropped"))
+  }
 }

@@ -79,6 +79,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(comps.values.forall(_ == 0L), s"unconverged labels: ${comps.filter(_._2 != 0L)}")
   }
 
+  test("segmentDedup: cross-doc boilerplate survives only at its first occurrence") {
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // exactly one 10-token window
+    val uniq = (id: Int) => (1 to 10).map(i => s"u${id}w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$boiler ${uniq(1)}"),          // first occurrence: keeps both segments
+      (2L, s"${uniq(2)} $boiler"),          // later occurrence: boilerplate dropped
+      (3L, s"$boiler"))                     // only boilerplate: everything dropped
+      .toDF("doc_id", "text")
+    val out = graft.functions.Dedup.segmentDedup(corpus)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, s"$boiler ${uniq(1)}", 2L, 0L)))
+    assert(out(2L) == ((2L, uniq(2), 1L, 1L)))
+    assert(out(3L) == ((3L, "", 0L, 1L)), "a fully-boilerplate doc keeps an empty row, not no row")
+  }
+
   test("minhashDedupComponents keeps exactly one doc per transitive near-dup chain") {
     // A ≈ B ≈ C chain on a base disjoint from every other planted family:
     // B is the base, A and C are small DIFFERENT edits of B (A ≈ C only
