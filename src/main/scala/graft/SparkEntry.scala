@@ -1284,6 +1284,14 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // EXACT heavy hitters by two-pass Misra-Gries: per-partition k-counter
+    // sketch (no token shuffle) -> driver candidate merge -> broadcast
+    // semi-join exact recount of candidates only. k=256 dwarfs both the
+    // corpus vocabulary and any N/(k+1) frequency bar, so the MG containment
+    // guarantee makes the top-20 exact and the plain SQL truth applies.
+    "d_heavy_hitters" -> ((s, dir) =>
+      TextFunctions.heavyHitterTokens(t(s, dir, "documents"), m = 20, k = 256)),
+
     // Sub-document segment dedup (the paragraph-dedup pass of a web
     // pipeline, fixed 10-token windows here): segments repeated ACROSS
     // documents survive only at their globally-first (doc_id, seg_idx).
@@ -2114,6 +2122,14 @@ object SparkEntry {
            FROM corpus)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b
          FROM n a JOIN n b ON a.h = b.h AND a.doc_id < b.doc_id""",
+
+    // the MG candidate pass is exact at k >> vocab, so the truth is the
+    // plain occurrence top-20 with token tie-break
+    "d_heavy_hitters" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+           SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+           FROM documents)
+         GROUP BY token ORDER BY n DESC, token LIMIT 20""",
 
     // same 10-token windows, same global-first winner (row_number over the
     // segment text ordered by doc_id, seg_idx), reassembled in segment order

@@ -285,4 +285,48 @@ object TextFunctions {
     df.withColumn("rank", row_number().over(w).cast("bigint"))
       .where(col("rank") <= k)
   }
+
+  /**
+   * EXACT corpus-wide top-`m` tokens by occurrence, computed the way it has
+   * to be at a web-scale vocabulary: a single-pass Misra–Gries summary of
+   * `k` counters per partition (`mapPartitions`, O(k) memory, no shuffle of
+   * the token stream), a driver-side candidate merge (≤ partitions × k
+   * entries — summaries, never data), then an exact recount of ONLY the
+   * broadcast candidate set and a top-m. The MG guarantee makes the result
+   * exact, not approximate: any token with frequency > N/(k+1) survives
+   * every eviction round, so with m ≪ k the true top-m is contained in the
+   * candidates and the recount assigns true counts. The naive alternative —
+   * groupBy over every token — shuffles the whole vocabulary; this shuffles
+   * `candidates × partitions` rows at most.
+   *
+   * Ties broken by token ascending, so the result is deterministic and a
+   * SQL oracle can state it.
+   */
+  def heavyHitterTokens(docs: org.apache.spark.sql.DataFrame, m: Int, k: Int = 1024,
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(m >= 1 && k >= m, s"need k >= m >= 1, got m=$m k=$k")
+    val toks = docs.select(explode(tokens(col(textCol))).as("token"))
+    import toks.sparkSession.implicits._
+    val candidates: Array[String] = toks.as[String].mapPartitions { it =>
+      // Misra–Gries: k counters; on overflow decrement all (amortized via
+      // eviction of zero-count entries). Survivors = candidate heavy hitters.
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        if (counters.contains(t)) counters(t) += 1L
+        else if (counters.size < k) counters(t) = 1L
+        else {
+          counters.mapValuesInPlace((_, v) => v - 1L)
+          counters.filterInPlace((_, v) => v > 0L)
+        }
+      }
+      counters.keysIterator
+    }.distinct().collect()
+    // exact recount of the bounded candidate set only: broadcast semi-join
+    // gate (no UDF — stays codegen'd), then map-side combine folds each
+    // candidate per task before the (≤ |candidates|-key) shuffle
+    toks.join(broadcast(candidates.toSeq.toDF("token")), Seq("token"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(m)
+  }
 }

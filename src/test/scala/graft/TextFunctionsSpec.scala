@@ -141,4 +141,22 @@ class TextFunctionsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept === Set(11L, 12L))
   }
+
+  test("heavyHitterTokens stays exact under eviction pressure (k far below vocab)") {
+    // 400 distinct rare tokens + 'hot' x200: N=600, k=8 counters, so MG
+    // evicts constantly — but freq(hot)=200 > N/(k+1)≈67 guarantees hot
+    // survives every per-partition sketch, and the recount is exact
+    val rows = (1 to 400).map(i => s"rare$i") ++ Seq.fill(200)("hot")
+    val df = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val top = graft.functions.TextFunctions.heavyHitterTokens(df, m = 1, k = 8)
+      .as[(String, Long)].collect()
+    assert(top.toSeq == Seq(("hot", 200L)))
+  }
+
+  test("heavyHitterTokens matches the full groupBy truth when k exceeds the vocab") {
+    val df = Seq((1L, "a b b c c c d d d d"), (2L, "d c b a a")).toDF("doc_id", "text")
+    val top = graft.functions.TextFunctions.heavyHitterTokens(df, m = 3, k = 64)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("d", 5L), ("c", 4L), ("a", 3L)))
+  }
 }
