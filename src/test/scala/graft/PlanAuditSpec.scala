@@ -373,4 +373,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"pair plane not broadcast — the big vector side would shuffle:\n$plan")
   }
+
+  test("segmentDedup winners aggregate with map-side combine — no Window over the segment plane") {
+    val docs = (0 until 200).map(i => (i.toLong,
+      (1 to 25).map(j => s"t${(i * 31 + j) % 40}").mkString(" "))).toDF("doc_id", "text")
+    val out = graft.functions.Dedup.segmentDedup(docs)
+    val plan = planString(out)
+    // hot boilerplate keys must fold in partial aggregation, not funnel
+    // through a single row_number partition
+    assert(!plan.contains("Window"), s"winner selection regressed to a window:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate")
+      || plan.contains("SortAggregate"), s"no aggregate for winner min:\n$plan")
+  }
+
+  test("heavyHitterTokens recount gates through a broadcast semi-join, never a shuffled one") {
+    val docs = (0 until 100).map(i => (i.toLong,
+      (1 to 20).map(j => s"w${(i + j) % 30}").mkString(" "))).toDF("doc_id", "text")
+    val out = graft.functions.TextFunctions.heavyHitterTokens(docs, m = 5, k = 64)
+    val plan = planString(out)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"candidate gate should be a broadcast semi-join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-m should be TakeOrdered, not a global sort:\n$plan")
+  }
+
+  test("quantizedTopK is one scan into TakeOrdered — no shuffle, no join") {
+    val vecs = (0 until 500).map(i => (i.toLong,
+      Array.tabulate(16)(d => ((i * 7 + d * 13) % 100) / 100.0f))).toDF("vec_id", "embedding")
+    val q = Array.tabulate(16)(d => (d % 10) / 10.0f).toSeq
+    val out = graft.functions.Similarity.quantizedTopK(vecs, q, k = 10)
+    val plan = planString(out)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k should be TakeOrdered (partial per partition + merge):\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Exchange hashpartitioning"),
+      s"int8 scan should not shuffle:\n$plan")
+  }
 }
