@@ -869,6 +869,34 @@ object SparkEntry {
       s.table("s7_sink")
     }),
 
+    // S7e: STREAM-STATIC enrichment — the standard Structured Streaming
+    // dimension join: each micro-batch joins the event stream against a
+    // broadcast static dim (no stream state for the join itself; only the
+    // downstream complete-mode agg is stateful). At 100 TB the dim is the
+    // small side by construction — broadcast keeps the stream side
+    // shuffle-free into the aggregation.
+    "s7_stream_enrich" -> ((s, dir) => {
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-s7e")
+      java.nio.file.Files.copy(src, streamDir.resolve("events.parquet"))
+      val schema = t(s, dir, "events").schema
+      val dim = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      withStatefulShuffle(s, 8) {
+        val q = s.readStream.schema(schema).parquet(streamDir.toString)
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("complete")
+          .format("memory")
+          .queryName("s7_enrich_sink")
+          .start()
+        q.awaitTermination()
+      }
+      s.table("s7_enrich_sink")
+    }),
+
     // S7b: streaming SESSION windows — same 30-minute-gap semantics as the
     // batch ev_sessionize, executed by the stateful session_window operator;
     // the drained per-session rows re-aggregate to per-user counts so the
@@ -1776,6 +1804,13 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s, event_type,
          count(*) AS n_events, round(sum(value), 4) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    // the drained stream-static join equals the batch join
+    "s7_stream_enrich" ->
+      """SELECT c.c_mktsegment AS segment, e.event_type,
+           count(*) AS n_events, round(sum(e.value), 4) AS sum_value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1, 2""",
 
     // custom-state twin: same per-user truth as the session_window query
     "s7_sessions_state" ->
