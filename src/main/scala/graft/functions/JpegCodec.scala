@@ -429,6 +429,113 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /**
+   * Encode an interleaved-RGB image (3 bytes/px) as a baseline 4:4:4 color
+   * JPEG: JFIF RGB→YCbCr (BT.601 full range), unit quant tables for both
+   * planes, luminance Huffman tables for Y and chrominance tables for Cb/Cr,
+   * one block of each component per MCU. Exists chiefly so the decoder's
+   * 3-component path is exercised by a stream this codec itself produced —
+   * [[decode]] returns the Y plane, which is the luma of the input.
+   */
+  def encodeColor(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"rgb ${rgb.length} != $w x $h x 3")
+    val dcY = huffEnc(DcLum); val acY = huffEnc(AcLum)
+    val dcC = huffEnc(DcChr); val acC = huffEnc(AcChr)
+
+    // planar YCbCr, computed once (each plane is read 8x8-blockwise below)
+    val n = w * h
+    val py = new Array[Int](n); val pb = new Array[Int](n); val pr = new Array[Int](n)
+    var j = 0
+    while (j < n) {
+      val r = rgb(j * 3) & 0xFF; val g = rgb(j * 3 + 1) & 0xFF; val b = rgb(j * 3 + 2) & 0xFF
+      py(j) = clamp255(StrictMath.round(0.299 * r + 0.587 * g + 0.114 * b).toInt)
+      pb(j) = clamp255(StrictMath.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0).toInt)
+      pr(j) = clamp255(StrictMath.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0).toInt)
+      j += 1
+    }
+
+    val out = new ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    def seg(m: Int, body: Array[Byte]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      out.write((len >>> 8) & 0xFF); out.write(len & 0xFF)
+      out.write(body, 0, body.length)
+    }
+    marker(0xD8)
+    seg(0xE0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xDB, (0.toByte +: Array.fill(64)(1.toByte)).toArray) // table 0 (Y)
+    seg(0xDB, (1.toByte +: Array.fill(64)(1.toByte)).toArray) // table 1 (C)
+    seg(0xC0, Array[Byte](8,
+      ((h >>> 8) & 0xFF).toByte, (h & 0xFF).toByte,
+      ((w >>> 8) & 0xFF).toByte, (w & 0xFF).toByte,
+      3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
+    seg(0xC4, (0x00.toByte +: (DcLum.bits.map(_.toByte) ++ DcLum.vals.map(_.toByte))).toArray)
+    seg(0xC4, (0x10.toByte +: (AcLum.bits.map(_.toByte) ++ AcLum.vals.map(_.toByte))).toArray)
+    seg(0xC4, (0x01.toByte +: (DcChr.bits.map(_.toByte) ++ DcChr.vals.map(_.toByte))).toArray)
+    seg(0xC4, (0x11.toByte +: (AcChr.bits.map(_.toByte) ++ AcChr.vals.map(_.toByte))).toArray)
+    seg(0xDA, Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+
+    val bw = new BitWriter(out)
+    val mcusX = (w + 7) / 8
+    val mcusY = (h + 7) / 8
+    val block = new Array[Int](64)
+    val preds = new Array[Int](3)
+    def encodeBlock(plane: Array[Int], by: Int, bx: Int, c: Int,
+        dcTab: Array[Int], acTab: Array[Int]): Unit = {
+      var y = 0
+      while (y < 8) {
+        val sy = math.min(by * 8 + y, h - 1)
+        var x = 0
+        while (x < 8) {
+          val sx = math.min(bx * 8 + x, w - 1)
+          block(y * 8 + x) = plane(sy * w + sx)
+          x += 1
+        }
+        y += 1
+      }
+      val coef = fdctQuant(block)
+      val diff = coef(0) - preds(c)
+      preds(c) = coef(0)
+      val s = category(diff)
+      val dc = dcTab(s)
+      bw.put(dc & 0xFFFF, dc >>> 16)
+      if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      var run = 0
+      var k = 1
+      while (k < 64) {
+        val v = coef(Zigzag(k))
+        if (v == 0) run += 1
+        else {
+          while (run > 15) { val z = acTab(0xF0); bw.put(z & 0xFFFF, z >>> 16); run -= 16 }
+          val sz = category(v)
+          val a = acTab((run << 4) | sz)
+          bw.put(a & 0xFFFF, a >>> 16)
+          bw.put(if (v >= 0) v else v + (1 << sz) - 1, sz)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { val e = acTab(0x00); bw.put(e & 0xFFFF, e >>> 16) }
+    }
+    var by = 0
+    while (by < mcusY) {
+      var bx = 0
+      while (bx < mcusX) {
+        encodeBlock(py, by, bx, 0, dcY, acY)
+        encodeBlock(pb, by, bx, 1, dcC, acC)
+        encodeBlock(pr, by, bx, 2, dcC, acC)
+        bx += 1
+      }
+      by += 1
+    }
+    bw.align()
+    marker(0xD9)
+    out.toByteArray
+  }
+
+  private def clamp255(v: Int): Int = math.max(0, math.min(255, v))
+
   // ------------------------------------------------------------- decoder
 
   private def be16(p: Array[Byte], i: Int): Int = ((p(i) & 0xFF) << 8) | (p(i + 1) & 0xFF)

@@ -87,6 +87,38 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(sawStuffed, "no test stream exercised FF 00 stuffing — widen the seeds")
   }
 
+  test("4:4:4 color: decode returns the Y plane of the encoded RGB (3-component path)") {
+    val w = 21; val h = 14
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + (i / 3) * 11) % 256).toByte)
+    val enc = JpegCodec.encodeColor(w, h, rgb)
+    val dec = JpegCodec.decode(enc).get
+    assert(dec.width == w && dec.height == h)
+    var maxErr = 0
+    for (j <- 0 until w * h) {
+      val r = rgb(j * 3) & 0xFF; val g = rgb(j * 3 + 1) & 0xFF; val b = rgb(j * 3 + 2) & 0xFF
+      val y = math.max(0, math.min(255,
+        StrictMath.round(0.299 * r + 0.587 * g + 0.114 * b).toInt))
+      maxErr = math.max(maxErr, math.abs((dec.pixels(j) & 0xFF) - y))
+    }
+    // one rounding step in the color transform + one in the DCT round-trip
+    assert(maxErr <= 2, s"luma deviates by $maxErr")
+  }
+
+  test("subsampled (non-1x1) streams reject to None instead of mis-decoding") {
+    val enc = JpegCodec.encodeColor(16, 16, Array.tabulate(16 * 16 * 3)(i => (i % 251).toByte))
+    // patch component 1's sampling byte (0x11 -> 0x22) inside SOF0
+    var i = 2
+    var sof = -1
+    while (sof < 0 && i + 4 < enc.length) {
+      if ((enc(i) & 0xFF) == 0xFF && (enc(i + 1) & 0xFF) == 0xC0) sof = i
+      else i += 1
+    }
+    assert(sof > 0)
+    val patched = enc.clone()
+    patched(sof + 11) = 0x22.toByte // [FF C0 len2 prec h2 w2 nf id1] -> sampling byte
+    assert(JpegCodec.decode(patched).isEmpty)
+  }
+
   test("flat images (pure-DC blocks, EOB-only ACs) round-trip exactly") {
     for (v <- Seq(0, 128, 255)) {
       val img = Image(16, 16, Array.fill(256)(v.toByte))
