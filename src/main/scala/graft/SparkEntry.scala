@@ -897,6 +897,37 @@ object SparkEntry {
       s.table("s7_enrich_sink")
     }),
 
+    // S7f: STREAM-STREAM time-interval join — the last Structured Streaming
+    // join class: both sides are streams, the state store buffers each side
+    // until the watermark passes the join window (state bounded by
+    // rate × window, not stream lifetime). Semantics equal the batch
+    // banded self-join, which is what the shared oracle states.
+    "s7_stream_joined" -> ((s, dir) => {
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-s7j")
+      java.nio.file.Files.copy(src, streamDir.resolve("events.parquet"))
+      val schema = t(s, dir, "events").schema
+      def side(tag: String) = s.readStream.schema(schema).parquet(streamDir.toString)
+        .select(col("user_id").as(s"u_$tag"), col("event_id").as(s"id_$tag"),
+          timestamp_micros(expr("ts div 1000")).as(s"tts_$tag"))
+        .withWatermark(s"tts_$tag", "1 minute")
+      withStatefulShuffle(s, 8) {
+        val q = side("a").join(side("b"),
+            expr("""u_a = u_b AND tts_b > tts_a
+                    AND tts_b <= tts_a + interval 60 seconds"""))
+          .select(col("u_a").as("user_id"), col("id_a"), col("id_b"),
+            (unix_micros(col("tts_b")) - unix_micros(col("tts_a"))).as("gap_us"))
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("append")
+          .format("memory")
+          .queryName("s7_joined_sink")
+          .start()
+        q.awaitTermination()
+      }
+      s.table("s7_joined_sink")
+    }),
+
     // S7b: streaming SESSION windows — same 30-minute-gap semantics as the
     // batch ev_sessionize, executed by the stateful session_window operator;
     // the drained per-session rows re-aggregate to per-user counts so the
@@ -1804,6 +1835,16 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s, event_type,
          count(*) AS n_events, round(sum(value), 4) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    // the drained stream-stream interval join equals the batch banded
+    // self-join (same truth as ev_proximity_join)
+    "s7_stream_joined" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+         SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+           b.us - a.us AS gap_us
+         FROM e a JOIN e b
+           ON a.user_id = b.user_id
+          AND b.us - a.us > 0 AND b.us - a.us <= 60000000""",
 
     // the drained stream-static join equals the batch join
     "s7_stream_enrich" ->
