@@ -447,6 +447,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_cust"))
     }),
 
+    // CUBE + grouping_id: all four grouping-set combinations in one pass
+    // (Catalyst expands to a single Expand + hash agg, not four scans)
+    "agg_cube_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), grouping_id().as("gid"))
+    }),
+
+    // PIVOT: per-status order counts spread to columns — one hash agg with
+    // conditional counting, which is also exactly how the oracle states it
+    "agg_pivot_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+    }),
+
     // ===== replication-core operators (SURVEY §2) over catalog-mapped planes =====
 
     // P1+P2: prefix-list database filter (GDCReplicationPlanner.java:124-137)
@@ -1632,6 +1653,19 @@ object SparkEntry {
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)""",
+
+    // DuckDB GROUPING(a, b) bit-encodes identically to Spark grouping_id()
+    "agg_cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+
+    "agg_pivot_orders" ->
+      """SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+         FROM orders GROUP BY o_orderpriority""",
 
     "p1_prefix_filter" ->
       """SELECT c_custkey, c_name FROM customer
