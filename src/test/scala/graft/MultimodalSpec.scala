@@ -305,6 +305,27 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == expected, s"got $pairs")
   }
 
+  test("marker-scan batch decode reads real codec-JPEG dims; fixed-offset path nulls, not garbage") {
+    val real = Multimodal.withRealPayload(
+      Seq((2L, "dims come from the text byte count"), (6L, "x" * 48)).toDF("doc_id", "text"))
+    def expectDims(id: Long): (Int, Int) = {
+      val l = if (id == 2L) "dims come from the text byte count".length else 48
+      (16 + l % 64, (16 + (7L * l) % 64).toInt)
+    }
+    // robust path: MediaHeaders.jpegDims marker scan finds SOF0 wherever the
+    // codec put it (after JFIF APP0 + DQT here)
+    Multimodal.decodeBatched(real).collect().foreach { m =>
+      assert(m.mime == "image/jpeg")
+      assert((m.width.get, m.height.get) == expectDims(m.doc_id),
+        s"doc ${m.doc_id}: ${m.width}x${m.height}")
+    }
+    // fixed-offset column path: SOF0 is NOT at the canonical byte-21 slot of
+    // the header-only synthesizer, so the guard must null dims, never
+    // misread another segment's bytes as dimensions
+    Multimodal.extractMeta(real).select("width", "height").collect()
+      .foreach(r => assert(r.isNullAt(0) && r.isNullAt(1)))
+  }
+
   test("JPEG modality: re-encoded copy lands at Hamming 0; same text as PNG does not pair") {
     // ids ≡ 2 (mod 4) are JPEG, ≡ 0 (mod 4) PNG — same text across the two
     // modalities must NOT pair (different decode, different digest prefix),
