@@ -54,6 +54,28 @@ def load(path):
                 inner.setdefault("rc", d.get("rc"))
                 d = inner
                 break
+    # last resort: a SIGKILLed harness never printed the final JSON, but the
+    # per-query lines it streamed to stderr survive in the captured tail —
+    # reconstruct an explicitly-partial artifact from them
+    if isinstance(d, dict) and "queries" not in d:
+        text = d.get("tail") if isinstance(d.get("tail"), str) else raw
+        qs = {}
+        for line in (text or "").splitlines():
+            line = line.strip()
+            for pfx in ("[error] ", "[info] "):
+                if line.startswith(pfx):
+                    line = line[len(pfx):]
+            if line.startswith("{") and '"bench_query"' in line:
+                try:
+                    q = json.loads(line)
+                    qs[q["bench_query"]] = (q["min"], q.get("max", q["min"]))
+                except (json.JSONDecodeError, KeyError):
+                    continue
+        if qs:
+            d = {"queries": {k: v[0] for k, v in qs.items()},
+                 "queries_max": {k: v[1] for k, v in qs.items()},
+                 "truncated": True, "reconstructed_from_stderr": True,
+                 "skipped": [], "wall": 0.0}
     if not isinstance(d, dict) or "queries" not in d or d.get("queries") is None:
         return None, "parsed but carries no queries map (rc-killed before flush?)"
     return d, None
@@ -73,7 +95,10 @@ def main():
             f"contended box (loadavg_before={d.get('loadavg_before')}, "
             f"load_ratio={d.get('load_ratio')}, spread_ratio={d.get('spread_ratio')})")
     if d.get("truncated"):
-        reasons.append(f"truncated run ({len(d.get('skipped', []))} queries skipped)")
+        what = ("reconstructed from streamed stderr lines (harness killed "
+                "before flush)" if d.get("reconstructed_from_stderr")
+                else f"truncated run ({len(d.get('skipped', []))} queries skipped)")
+        reasons.append(what)
     n = len(d["queries"])
     total = sum(d["queries"].values())
     if reasons:
