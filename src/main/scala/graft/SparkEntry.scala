@@ -1397,6 +1397,26 @@ object SparkEntry {
       Dedup.connectedComponents(edges(1, 5).unionByName(edges(2, 4)))
     }),
 
+    // dup-cluster size histogram — the standard dedup report (how much of
+    // the corpus sits in how-big duplicate groups); two tiny aggs over the
+    // component labels, the expensive part is the CC fixpoint above. A third
+    // edge family (chains in 25-blocks) overlaps the 20-block chains where
+    // blocks intersect, so the histogram genuinely varies: merged long
+    // components where families touch, plain 6- and 3-chains elsewhere.
+    "d_cc_sizes" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      def edges(step: Int, blk: Int, mod: Int) =
+        ids.select(col("doc_id").as("id_a"))
+          .join(ids.select(col("doc_id").as("id_b")), col("id_b") === col("id_a") + step)
+          .where(col("id_a") % blk < mod)
+          .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(
+          edges(1, 20, 5).unionByName(edges(2, 20, 4)).unionByName(edges(1, 25, 3)))
+        .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+    }),
+
     // ===== multimodal binary columns (documents → payload bytes) =====
     // metadata via pure column ops decoding the REAL header bytes: mime sniff
     // on magic, PNG IHDR / JPEG SOF0 dims, WAV byte-rate duration — codegen'd
@@ -2278,6 +2298,28 @@ object SparkEntry {
            UNION
            SELECT s.dst AS id, r.comp FROM reach r JOIN sym s ON s.src = r.id)
          SELECT id, min(comp) AS component FROM reach GROUP BY id""",
+
+    "d_cc_sizes" ->
+      """WITH RECURSIVE edges AS (
+           SELECT a.doc_id AS src, b.doc_id AS dst
+           FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+           WHERE a.doc_id % 20 < 5
+           UNION ALL
+           SELECT a.doc_id, b.doc_id
+           FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 2
+           WHERE a.doc_id % 20 < 4
+           UNION ALL
+           SELECT a.doc_id, b.doc_id
+           FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+           WHERE a.doc_id % 25 < 3),
+         sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+         reach AS (
+           SELECT src AS id, src AS comp FROM sym
+           UNION
+           SELECT s.dst AS id, r.comp FROM reach r JOIN sym s ON s.src = r.id),
+         labels AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+         sizes AS (SELECT component, count(*) AS sz FROM labels GROUP BY component)
+         SELECT sz AS cluster_size, count(*) AS n_clusters FROM sizes GROUP BY sz""",
 
     // The resize oracle recomputes the SAME pixel grid the synthesizer
     // encodes (pixel i = text byte[i mod L] XOR 31i mod 256, dims from L)
