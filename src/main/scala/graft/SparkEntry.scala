@@ -1334,6 +1334,22 @@ object SparkEntry {
     // equality proves both precision (every emitted pair verifies) and
     // recall (banding missed nothing at the 0.8 bar — structurally ~6e-15
     // per pair, see Dedup.minhashVerifiedPairs).
+    // sorted-neighborhood candidates (global sort on normalized text, pairs
+    // within `window` positions) verified to exact n-gram Jaccard. Planted
+    // suffix copies share the full prefix so they sort ADJACENT to their
+    // source — the window finds them positionally, with no blocking key at
+    // all; the oracle replays the same order via row_number() and verifies
+    // every windowed pair exactly
+    "d_sorted_neighbors" -> ((s, dir) => {
+      val base = t(s, dir, "documents").where(col("n_chars") < 300)
+        .select(col("doc_id"), col("text"))
+      val planted = base.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          concat(col("text"), lit(" graftsortdup")).as("text"))
+      Dedup.sortedNeighborPairs(base.unionByName(planted),
+        window = 4, n = 3, threshold = 0.5)
+    }),
+
     "d_minhash_pairs" -> ((s, dir) => {
       val base = t(s, dir, "documents").where(col("n_chars") < 300)
         .select(col("doc_id"), col("text"))
@@ -2222,6 +2238,40 @@ object SparkEntry {
     // Planted ground truth for the sketch pair-finders: the oracle computes
     // the EXACT pair set over the same (base ∪ planted) corpus, so equality
     // proves the sketch path's recall AND precision, not just row counts.
+    // exact oracle for the sorted-neighborhood pass: DuckDB replays the
+    // identical global order (row_number over the same normalized key, ties
+    // by id), enumerates the same positional window, and verifies the same
+    // Jaccard — equality proves the banded index join enumerates EXACTLY the
+    // window and the zipWithIndex plane assigned the right positions
+    "d_sorted_neighbors" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE n_chars < 300
+           UNION ALL
+           SELECT doc_id + 20000000, text || ' graftsortdup'
+           FROM documents WHERE n_chars < 300 AND doc_id % 11 = 0),
+         indexed AS (
+           SELECT doc_id AS id,
+             row_number() OVER (
+               ORDER BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), doc_id) - 1 AS pos
+           FROM corpus),
+         cands AS (
+           SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+           FROM indexed a JOIN indexed b ON b.pos - a.pos BETWEEN 1 AND 4),
+         g AS (
+           SELECT doc_id AS id,
+             list_distinct(list_transform(
+               generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2),
+               i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[i:i+2], ' '))) AS grams
+           FROM corpus WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 3)
+         SELECT c.id_a, c.id_b,
+           round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
+             (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))), 6) AS jaccard
+         FROM cands c
+         JOIN g ga ON ga.id = c.id_a
+         JOIN g gb ON gb.id = c.id_b
+         WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
+             (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) >= 0.5""",
+
     "d_minhash_pairs" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents WHERE n_chars < 300

@@ -540,6 +540,65 @@ object Dedup {
       Seq(idCol), "left_anti")
 
   /**
+   * Sorted-neighborhood near-dup pairs — the third candidate-generation
+   * family next to sketch banding and shingle blocking: impose a GLOBAL
+   * total order on a normalized sort key (whitespace-collapsed lowercase
+   * text, ties by id), take every pair within `window` positions as a
+   * candidate, verify to exact n-gram Jaccard ≥ `threshold`. Classic entity
+   * resolution: near-duplicates that share a PREFIX sort adjacent, so a
+   * sliding window finds them with O(rows × window) candidates regardless
+   * of how hot any blocking key would have been.
+   *
+   * The global contiguous index comes from `zipWithIndex` over the sorted
+   * plane — the one legitimate RDD drop in this file: a DataFrame window
+   * would single-partition the corpus, `monotonically_increasing_id` is not
+   * contiguous, while zipWithIndex is one count-per-partition job plus
+   * per-partition offsets (range-partitioned sort stays distributed).
+   * Candidate pairing is then a banded equi-join on index blocks (each pos
+   * joins block b and b+1 — same shape as the time-proximity join), never a
+   * cross product; the verify recomputes Jaccard from the full gram sets.
+   */
+  def sortedNeighborPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      window: Int = 3,
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(window >= 1, s"window $window")
+    val spark = docs.sparkSession
+    val keyed = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .withColumn("sk", regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+    val sorted = keyed.orderBy(col("sk"), col("id")).select("id", "text")
+    val indexed = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) => org.apache.spark.sql.Row(r.get(0), i) },
+      new org.apache.spark.sql.types.StructType()
+        .add("id", org.apache.spark.sql.types.LongType)
+        .add("pos", org.apache.spark.sql.types.LongType))
+    // banded index join: pos_b - pos_a in [1, window] pairs live in the same
+    // or adjacent window-sized block
+    val blocked = indexed.withColumn("blk", col("pos") / window cast "long")
+    val left = blocked.select(col("id").as("id_l"), col("pos").as("pos_a"), col("blk"))
+    def right(shift: Int) = blocked.select(col("id").as("id_r"), col("pos").as("pos_b"),
+      (col("blk") - shift).as("blk"))
+    val cands = left.join(right(0).unionByName(right(1)), Seq("blk"))
+      .where((col("pos_b") - col("pos_a")).between(1, window))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"))
+    val grams = keyed
+      .select(col("id"), array_distinct(wordNgrams(col("text"), n)).as("grams"))
+      .where(size(col("grams")) > 0)
+      .withColumn("ng", size(col("grams")))
+    cands
+      .join(grams.select(col("id").as("id_a"), col("grams").as("ga"), col("ng").as("na")), Seq("id_a"))
+      .join(grams.select(col("id").as("id_b"), col("grams").as("gb"), col("ng").as("nb")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /**
    * Sub-document (segment-level) dedup — the paragraph-dedup pass of a web
    * pipeline, degraded to fixed `segTokens`-token windows for corpora with
    * no paragraph separators: boilerplate repeated ACROSS documents is

@@ -61,6 +61,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert((0 until 30).forall(i => survivors.contains(i.toLong)))
   }
 
+  test("sortedNeighborPairs matches a local sort+window+exact-jaccard model") {
+    val result = Dedup.sortedNeighborPairs(docs, window = 2, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard")).as[(Long, Long, Double)]
+      .collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    // planted near-dups share long prefixes, so they sort adjacent and the
+    // window must find all three (base3 only via lower() normalization)
+    assert(plantedPairs.subsetOf(result.keySet), s"missing: ${plantedPairs -- result.keySet}")
+
+    // local model: same normalized key, same window, exact-jaccard verify
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.0, maxDocsPerShingle = None)
+      .select(col("id_a"), col("id_b"), col("jaccard")).as[(Long, Long, Double)]
+      .collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    val order = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, tx) => (tx.trim.toLowerCase.replaceAll("\\s+", " "), id) }
+      .sortBy(identity).map(_._2)
+    val expected = (for {
+      i <- order.indices; d <- 1 to 2 if i + d < order.length
+      p = (math.min(order(i), order(i + d)), math.max(order(i), order(i + d)))
+      j <- exact.get(p) if j >= 0.5
+    } yield p -> j).toMap
+    assert(result == expected, s"diff: ${(result.keySet -- expected.keySet)} / ${(expected.keySet -- result.keySet)}")
+  }
+
   test("connectedComponents: chains collapse to min-id labels, isolated pairs stay separate") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (10L, 11L)).toDF("id_a", "id_b")
     val comps = Dedup.connectedComponents(pairs)
