@@ -1217,6 +1217,18 @@ object SparkEntry {
         .select(col("doc_id"), col("content_hash"))
     }),
 
+    // same new∖known contract through the Bloom pre-filter plane: bloom
+    // negatives skip the confirm join entirely, bloom positives are exactly
+    // re-verified — so the oracle is the same exact anti-join semantics,
+    // and equality proves the no-false-negative path end-to-end
+    "d_bloom_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val known = Dedup.withContentHash(docs.where(col("doc_id") % 5 === 0))
+        .select("content_hash")
+      Dedup.bloomDedupAgainstKnown(docs.where(col("doc_id") % 5 =!= 0), known)
+        .select(col("doc_id"), col("content_hash"))
+    }),
+
     "d_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.contentFingerprint(col("text")).as("content_fp"),
@@ -2113,6 +2125,14 @@ object SparkEntry {
                     FROM documents WHERE doc_id % 3 = 0),
          n AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash
                FROM documents WHERE doc_id % 3 <> 0)
+         SELECT n.doc_id, n.content_hash FROM n
+         WHERE NOT EXISTS (SELECT 1 FROM k WHERE k.content_hash = n.content_hash)""",
+
+    "d_bloom_dedup" ->
+      """WITH k AS (SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash
+                    FROM documents WHERE doc_id % 5 = 0),
+         n AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash
+               FROM documents WHERE doc_id % 5 <> 0)
          SELECT n.doc_id, n.content_hash FROM n
          WHERE NOT EXISTS (SELECT 1 FROM k WHERE k.content_hash = n.content_hash)""",
 

@@ -70,6 +70,42 @@ object Dedup {
         Seq("content_hash"), "left_anti")
 
   /**
+   * [[dedupAgainstKnown]] for the regime where the accumulated hash plane is
+   * too big to broadcast AND the anti-join shuffle of today's batch is the
+   * cost to kill: collapse the known plane to a Bloom filter (~1.2 bytes/hash
+   * at 1% fpp — 100G known docs ≈ 120 GB of md5s but only ~14 GB of bloom;
+   * 1G ≈ 1.4 GB, a routine broadcast) and probe it executor-side. Bloom
+   * filters have NO false negatives, so bloom-negative rows — the
+   * overwhelming majority of a mostly-novel batch — are provably absent from
+   * the known corpus and pass through with ZERO shuffle and zero contact
+   * with the known table. Only bloom-POSITIVE rows (true dupes + the fpp
+   * sliver) do the exact confirm anti-join, so the shuffled volume drops
+   * from |batch| to |dupes|/(1−fpp) — and the result is still EXACTLY
+   * `new ∖ known`, because the confirm join kills every false positive.
+   *
+   * The membership probe is a broadcast-backed Scala UDF — deliberately:
+   * the bloom sidecar must ship via TorrentBroadcast (embedding it in the
+   * plan as an Expression literal would serialize it per-stage), and the
+   * single hash probe per row is trivia next to the codegen'd md5 feeding
+   * it. The batch IS scanned twice (once per branch of the union); at scale
+   * that is two cheap columnar scans bought for one expensive shuffle.
+   */
+  def bloomDedupAgainstKnown(newDocs: DataFrame, knownHashes: DataFrame,
+      textCol: String = "text", fpp: Double = 0.01,
+      expectedItems: Option[Long] = None): DataFrame = {
+    val known = knownHashes.select(col("content_hash")).distinct()
+    val expected = math.max(expectedItems.getOrElse(known.count()), 1L)
+    val bloom = known.stat.bloomFilter("content_hash", expected, fpp)
+    val bc = newDocs.sparkSession.sparkContext.broadcast(bloom)
+    val maybeKnown = udf((h: String) => bc.value.mightContainString(h))
+    val hashed = withContentHash(newDocs, textCol)
+    hashed.where(!maybeKnown(col("content_hash")))
+      .unionByName(
+        hashed.where(maybeKnown(col("content_hash")))
+          .join(known, Seq("content_hash"), "left_anti"))
+  }
+
+  /**
    * MinHash signature: k independent min-hashes over word-`n`-gram shingles,
    * computed by the native MinHashSignature expression (one string hash per
    * gram + k integer hashes, fused loop inside WholeStageCodegen). Returns an

@@ -84,6 +84,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(result == expected, s"diff: ${(result.keySet -- expected.keySet)} / ${(expected.keySet -- result.keySet)}")
   }
 
+  test("bloomDedupAgainstKnown equals the exact anti-join at any fpp") {
+    val known = Dedup.withContentHash(docs.where(col("doc_id") >= 100))
+      .select("content_hash")
+    val newDocs = docs.where(col("doc_id") < 100 || col("doc_id") % 2 === 1)
+    val exact = Dedup.dedupAgainstKnown(newDocs, known)
+      .select("doc_id").as[Long].collect().toSet
+    // tight fpp: almost all negatives skip the confirm join
+    val tight = Dedup.bloomDedupAgainstKnown(newDocs, known, fpp = 0.001)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tight == exact)
+    // absurd fpp floods the confirm path with false positives — the exact
+    // verify must kill every one of them
+    val loose = Dedup.bloomDedupAgainstKnown(newDocs, known, fpp = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(loose == exact)
+    // the planted dupes (odd ids >= 100 appear in both planes) are dropped
+    assert(!exact.contains(101L) && !exact.contains(201L) && !exact.contains(301L))
+  }
+
   test("connectedComponents: chains collapse to min-id labels, isolated pairs stay separate") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (10L, 11L)).toDF("id_a", "id_b")
     val comps = Dedup.connectedComponents(pairs)
