@@ -64,19 +64,24 @@ object Bench {
     val maxRepeats = math.max(repeats,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPEATS", "6").toInt)
     val deadline = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "900").toDouble
-    // results + skip list are shared with the shutdown hook; guard with a
-    // lock, print-once with a flag, so a signal mid-run still flushes JSON.
+    // results + failed + skip list are shared with the shutdown hook; guard
+    // with a lock, print-once with a flag, so a signal mid-run still flushes.
     val results = new scala.collection.mutable.LinkedHashMap[String, (Double, Double)]
+    val failed = new scala.collection.mutable.LinkedHashMap[String, String]
     val skipped = new scala.collection.mutable.ArrayBuffer[String]
     val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
 
     def flush(truncated: Boolean): Unit = if (printed.compareAndSet(false, true)) {
-      val (qs, qsMax, total, totalMax, skippedJson) = results.synchronized {
+      val (qs, qsMax, total, totalMax, failedJson, failedNames, skippedJson, nSkipped) =
+        results.synchronized {
         (results.map { case (k, (mn, _)) => s"\"" + k + "\":" + mn }.mkString("{", ",", "}"),
          results.map { case (k, (_, mx)) => s"\"" + k + "\":" + mx }.mkString("{", ",", "}"),
          if (results.nonEmpty) results.values.map(_._1).sum else 0.0,
          if (results.nonEmpty) results.values.map(_._2).sum else 0.0,
-         skipped.map("\"" + _ + "\"").mkString("[", ",", "]"))
+         failed.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}"),
+         failed.keys.toList,
+         skipped.map("\"" + _ + "\"").mkString("[", ",", "]"),
+         skipped.length)
       }
       val wall = elapsed
       val loadAfter = loadAvg1()
@@ -86,7 +91,20 @@ object Bench {
       // Pre-existing load is the strongest tell: we sample BEFORE creating the
       // session, so >50% of the cores already busy means a contended box.
       val contended = (loadBefore > 0.5 * cores) || loadRatio > 3.0 || spreadRatio > 3.0
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"repeats":$repeats,"wall":$wall,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cores":$cores,"load_ratio":${f"$loadRatio%.3f"},"spread_ratio":${f"$spreadRatio%.3f"},"contended":$contended,"truncated":$truncated,"skipped":$skippedJson,"deadline":$deadline,"sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"failed":$failedJson,"repeats":$repeats,"wall":$wall,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cores":$cores,"load_ratio":${f"$loadRatio%.3f"},"spread_ratio":${f"$spreadRatio%.3f"},"contended":$contended,"truncated":$truncated,"skipped":$skippedJson,"deadline":$deadline,"sf":"$sfDir"}""")
+      // Compact SECOND line (<500 bytes): the full line above is ~6 KB and
+      // round artifacts keep only the last 2,000 chars of output, which
+      // beheads it — five rounds of BENCH artifacts were unparseable for
+      // exactly this. Everything a gate needs (totals, flags, failures, the
+      // slowest queries) fits after the big line, inside any sane tail
+      // window; tools/check_bench.py reads either.
+      val top5 = results.synchronized {
+        results.toList.sortBy(-_._2._1).take(5)
+          .map { case (k, (mn, _)) => s"\"" + k + s"""\":${f"$mn%.2f"}""" }
+          .mkString("{", ",", "}")
+      }
+      val failedList = failedNames.take(12).map("\"" + _ + "\"").mkString("[", ",", "]")
+      println(s"""{"bench_summary":1,"total":${f"$total%.2f"},"n":${results.size},"n_failed":${failedNames.length},"failed":$failedList,"repeats":$repeats,"wall":${f"$wall%.1f"},"contended":$contended,"truncated":$truncated,"n_skipped":$nSkipped,"top5":$top5,"sf":"$sfDir"}""")
       System.out.flush()
     }
     val hook = new Thread(() => flush(truncated = true))
@@ -129,24 +147,40 @@ object Bench {
         skipped.synchronized { skipped += name }
       } else {
         val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+        // A throw anywhere (analysis error, runtime failure) marks the query
+        // FAILED and excludes it from results — a query that dies at analysis
+        // in 60 ms must never enter the artifact as a 0.06 s success (that is
+        // exactly how round 8's 10 broken queries hid inside BENCH_r08).
+        var failure: Option[Throwable] = None
         def runOnce(): Unit = {
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-          times += (System.nanoTime() - t0) / 1e9
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            times += (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            failure = Some(e)
+            System.err.println(s"[bench] $name failed: $e")
+          }
         }
         runOnce()
         // past 80% of the deadline, first-repeat numbers only: a degraded
         // min beats a missing artifact
-        while (times.length < repeats && elapsed < 0.8 * deadline) runOnce()
+        while (failure.isEmpty && times.length < repeats && elapsed < 0.8 * deadline) runOnce()
         def settled: Boolean = {
           val s = times.sorted
           s.length >= 2 && (s(1) - s(0)) <= 0.10 * s(1)
         }
-        while (!settled && times.length < maxRepeats && elapsed < 0.6 * deadline) runOnce()
-        results.synchronized { results(name) = (times.min, times.max) }
-        // streamed per-query record: survives any kill after this point
-        System.err.println(s"""{"bench_query":"$name","min":${times.min},"max":${times.max},"n":${times.length},"elapsed":${f"$elapsed%.1f"}}""")
+        while (failure.isEmpty && !settled && times.length < maxRepeats &&
+          elapsed < 0.6 * deadline) runOnce()
+        failure match {
+          case Some(e) =>
+            results.synchronized { failed(name) = e.getClass.getName }
+            System.err.println(s"""{"bench_query":"$name","failed":"${e.getClass.getName}","elapsed":${f"$elapsed%.1f"}}""")
+          case None =>
+            results.synchronized { results(name) = (times.min, times.max) }
+            // streamed per-query record: survives any kill after this point
+            System.err.println(s"""{"bench_query":"$name","min":${times.min},"max":${times.max},"n":${times.length},"elapsed":${f"$elapsed%.1f"}}""")
+        }
         System.err.flush()
       }
       }

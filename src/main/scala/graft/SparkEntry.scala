@@ -26,11 +26,23 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     VectorFunctions.register(s)
     graft.plans.SketchFunctions.register(s)
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by default;
-    // read it as int64 nanos and do exact integer time arithmetic downstream.
+    // Fixture generations have shipped events.ts as TIMESTAMP(NANOS) parquet
+    // (unrepresentable in Spark — read as int64 nanos via nanosAsLong) and as
+    // TIMESTAMP(MICROS)/NTZ. Keep the nanos escape hatch armed, pin the
+    // session to UTC so NTZ wall-clock values equal their stored micros, and
+    // let EventOps.withTsUs normalize whatever arrives (see events()).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     s.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** The events table with the canonical `ts_us` epoch-micros column
+    * appended — every event-time consumer reads THIS, never raw `ts`, so a
+    * driver-side change of parquet timestamp representation is a no-op
+    * (round-8 regression: 10 queries died on `(ts div 1000)` when the
+    * fixtures switched from int64-nanos to TIMESTAMP(MICROS)). */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.functions.EventOps.withTsUs(t(s, dir, "events"))
 
   /** Run `body` with the stateful-shuffle sized to `n` partitions, restoring
     * the session's previous setting after. Every streaming micro-batch opens
@@ -195,15 +207,18 @@ object SparkEntry {
   private def timeChunkedEventDir(s: SparkSession, dir: String, key: String): String =
     sessionMemo(s"chunks:$key", s, dir) {
       import s.implicits._
-      val ev = t(s, dir, "events")
-      val us = expr("ts div 1000")
+      val raw = t(s, dir, "events")
+      val ev = graft.functions.EventOps.withTsUs(raw)
+      val us = col("ts_us")
       val (mn, mx) = ev.agg(min(us), max(us)).as[(Long, Long)].head() // two longs
       val streamDir = java.nio.file.Files.createTempDirectory(s"graft-$key")
       (0 until 3).foreach { i =>
         val lo = mn + (mx - mn + 1) * i / 3
         val hi = mn + (mx - mn + 1) * (i + 1) / 3
         val tmp = java.nio.file.Files.createTempDirectory(s"graft-$key-c$i")
-        ev.where(us >= lo && us < hi).coalesce(1)
+        // chunks keep the RAW schema (ts_us dropped): the streaming readers
+        // re-normalize on read, same as they would against the original file
+        ev.where(us >= lo && us < hi).select(raw.columns.map(col).toSeq: _*).coalesce(1)
           .write.mode("overwrite").parquet(tmp.toString)
         val part = tmp.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
         val dest = streamDir.resolve(f"chunk$i%02d.parquet")
@@ -804,9 +819,9 @@ object SparkEntry {
 
     // ===== streaming-shaped analytics over events =====
     "ev_tumbling_5m" -> ((s, dir) => {
-      // ts is int64 nanos (see t()); integer div keeps it exact.
-      t(s, dir, "events")
-        .withColumn("bucket_s", (expr("ts div 1000000000 div 300") * 300).cast("bigint"))
+      // ts_us is canonical epoch micros (see events()); integer div is exact.
+      events(s, dir)
+        .withColumn("bucket_s", (expr("ts_us div 1000000 div 300") * 300).cast("bigint"))
         .groupBy(col("bucket_s"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
     }),
@@ -815,8 +830,8 @@ object SparkEntry {
     // two windows — Spark's native window() operator, oracled by the
     // two-shifted-buckets identity
     "ev_sliding_10m" -> ((s, dir) => {
-      t(s, dir, "events")
-        .withColumn("tts", timestamp_micros(expr("ts div 1000")))
+      events(s, dir)
+        .withColumn("tts", timestamp_micros(col("ts_us")))
         .groupBy(window(col("tts"), "10 minutes", "5 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
         .select(unix_timestamp(col("window.start")).as("window_start"),
@@ -829,7 +844,7 @@ object SparkEntry {
     // view per purchase (per-user quadratic); ties still break to the
     // higher view id, deterministically (EventOps.asofJoin)
     "ev_asof_join" -> ((s, dir) => {
-      val e = t(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      val e = events(s, dir).withColumn("us", col("ts_us"))
       graft.functions.EventOps.asofJoin(
         e.where(col("event_type") === "view"),
         e.where(col("event_type") === "purchase"))
@@ -842,15 +857,15 @@ object SparkEntry {
     // opted IN here (the production posture; the library default is None):
     // the oracle equality proves it never fires on this corpus.
     "ev_proximity_join" -> ((s, dir) => {
-      val e = t(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      val e = events(s, dir).withColumn("us", col("ts_us"))
       graft.functions.EventOps.proximityPairs(e, gapUs = 60000000L,
         maxEventsPerBucket = Some(10000))
     }),
 
     "ev_sessionize" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      e.withColumn("us", expr("ts div 1000"))
+      val e = events(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      e.withColumn("us", col("ts_us"))
         .withColumn("prev_us", lag(col("us"), 1).over(w))
         .withColumn("new_session",
           // >=: an event exactly one gap after its predecessor starts a NEW
@@ -873,8 +888,9 @@ object SparkEntry {
       java.nio.file.Files.copy(src, streamDir.resolve("events.parquet"))
       val schema = t(s, dir, "events").schema
       withStatefulShuffle(s, 8) {
-        val q = s.readStream.schema(schema).parquet(streamDir.toString)
-          .withColumn("tts", timestamp_micros(expr("ts div 1000")))
+        val q = graft.functions.EventOps.withTsUs(
+            s.readStream.schema(schema).parquet(streamDir.toString))
+          .withColumn("tts", timestamp_micros(col("ts_us")))
           .groupBy(window(col("tts"), "5 minutes"), col("event_type"))
           .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
           .select(unix_timestamp(col("window.start")).as("bucket_s"), col("event_type"),
@@ -928,9 +944,10 @@ object SparkEntry {
       val streamDir = java.nio.file.Files.createTempDirectory("graft-s7j")
       java.nio.file.Files.copy(src, streamDir.resolve("events.parquet"))
       val schema = t(s, dir, "events").schema
-      def side(tag: String) = s.readStream.schema(schema).parquet(streamDir.toString)
+      def side(tag: String) = graft.functions.EventOps.withTsUs(
+          s.readStream.schema(schema).parquet(streamDir.toString))
         .select(col("user_id").as(s"u_$tag"), col("event_id").as(s"id_$tag"),
-          timestamp_micros(expr("ts div 1000")).as(s"tts_$tag"))
+          timestamp_micros(col("ts_us")).as(s"tts_$tag"))
         .withWatermark(s"tts_$tag", "1 minute")
       withStatefulShuffle(s, 8) {
         val q = side("a").join(side("b"),
@@ -958,8 +975,9 @@ object SparkEntry {
       val streamDir = java.nio.file.Files.createTempDirectory("graft-s7s")
       java.nio.file.Files.copy(src, streamDir.resolve("events.parquet"))
       val schema = t(s, dir, "events").schema
-      val q = s.readStream.schema(schema).parquet(streamDir.toString)
-        .withColumn("tts", timestamp_micros(expr("ts div 1000")))
+      val q = graft.functions.EventOps.withTsUs(
+          s.readStream.schema(schema).parquet(streamDir.toString))
+        .withColumn("tts", timestamp_micros(col("ts_us")))
         .groupBy(col("user_id"), session_window(col("tts"), "30 minutes"))
         .agg(count(lit(1)).as("n_events"))
         .writeStream
@@ -984,9 +1002,10 @@ object SparkEntry {
       val streamDir = timeChunkedEventDir(s, dir, "s7state")
       val schema = t(s, dir, "events").schema
       withStatefulShuffle(s, 8) {
-        val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-          .parquet(streamDir)
-          .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"))
+        val stream = graft.functions.EventOps.withTsUs(
+            s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+              .parquet(streamDir))
+          .select(col("user_id"), col("ts_us").as("us"), col("event_id"))
         val q = graft.streaming.StatefulSessions.sessionCounts(stream, gapUs = 1800000000L)
           .writeStream
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1018,9 +1037,10 @@ object SparkEntry {
       val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       try withStatefulShuffle(s, 8) {
-        val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-          .parquet(streamDir)
-          .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"))
+        val stream = graft.functions.EventOps.withTsUs(
+            s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+              .parquet(streamDir))
+          .select(col("user_id"), col("ts_us").as("us"), col("event_id"))
         val q = graft.streaming.StatefulSessions.closedSessions(stream,
           gapUs = 1800000000L, watermarkDelay = "3650 days")
           .writeStream
@@ -1408,6 +1428,24 @@ object SparkEntry {
     // Dedup.segmentDedup. The oracle recomputes the same windows and picks
     // the same winners with a row_number over (doc_id, seg_idx).
     "d_segment_dedup" -> ((s, dir) => Dedup.segmentDedup(t(s, dir, "documents"))),
+
+    // Same operator under PLANTED boilerplate skew at bench cadence (the
+    // CorpusScaleSmoke hot-key scenario, small enough for the DuckDB oracle
+    // to certify row-for-row): every 10th doc gains a shadow twin that is 20
+    // copies of ONE 10-token boilerplate segment, so a single md5 key
+    // carries ~10% of all segment mass (sf0.1: ~10k occurrences of one key
+    // vs 1–2 for everything else). The groupBy-MIN winner plan folds that
+    // key map-side — a row_number window would funnel all 10k rows through
+    // one partition. Oracle = the d_segment_dedup oracle over the same
+    // planted corpus.
+    "d_segment_skew" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val boiler = (0 until 10).map(i => s"boil$i").mkString(" ")
+      val planted = docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit(((boiler + " ") * 20).trim).as("text"))
+      Dedup.segmentDedup(docs.unionByName(planted))
+    }),
 
     // X10 connected components over a DETERMINISTIC planted edge set: chain
     // edges (doc_id → doc_id+1 where doc_id % 20 < 5) plus skip edges
@@ -2335,6 +2373,32 @@ object SparkEntry {
     // segment text ordered by doc_id, seg_idx), reassembled in segment order
     "d_segment_dedup" ->
       """WITH base AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+         idx AS (SELECT doc_id, tokens,
+             unnest(generate_series(0, CAST(ceil(len(tokens)/10.0) AS INT) - 1)) AS seg_idx
+           FROM base),
+         segs AS (SELECT doc_id, seg_idx,
+             array_to_string(tokens[seg_idx*10+1 : seg_idx*10+10], ' ') AS seg
+           FROM idx),
+         ranked AS (SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+           FROM segs)
+         SELECT doc_id,
+           coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1), '') AS text_clean,
+           CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+         FROM ranked GROUP BY doc_id""",
+
+    // the same winner computation over the boilerplate-planted corpus: the
+    // hot key's 10k occurrences rank under one PARTITION BY seg, keeping the
+    // first (smallest planted doc_id, seg 0) exactly as groupBy-MIN does
+    "d_segment_skew" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000,
+             trim(repeat('boil0 boil1 boil2 boil3 boil4 boil5 boil6 boil7 boil8 boil9 ', 20))
+           FROM documents WHERE doc_id % 10 = 0),
+         base AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus),
          idx AS (SELECT doc_id, tokens,
              unnest(generate_series(0, CAST(ceil(len(tokens)/10.0) AS INT) - 1)) AS seg_idx
            FROM base),

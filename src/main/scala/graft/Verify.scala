@@ -15,12 +15,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val declared = SparkEntry.queries.keys.toList
+      .filter(name => only.isEmpty || only(name)).sorted
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        errors(name) = s"${e.getClass.getName}: ${e.getMessage}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       }
@@ -39,6 +43,20 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Declared-vs-checked contract (round-8 lesson: the driver's CORRECTNESS
+    // sheet silently OMITS rows whose output is missing, so 82/82 read as a
+    // clean sheet when 10 of 92 queries failed at analysis). The declared
+    // list lets any checker fail loudly on a query that produced nothing —
+    // tools/check_oracle.py treats every name here with no output dir as a
+    // failure, oracle or not.
+    Files.writeString(Paths.get(s"$outDir/declared_queries.json"),
+      declared.map(q).mkString("[", ",", "]"))
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (errors.nonEmpty) {
+      System.err.println(s"[verify] ${errors.size} of ${declared.size} queries FAILED: " +
+        errors.keys.mkString(", "))
+    }
     spark.stop()
   }
 }

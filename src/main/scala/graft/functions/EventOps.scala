@@ -22,6 +22,41 @@ import org.apache.spark.sql.functions._
  */
 object EventOps {
 
+  /**
+   * Schema-on-read normalization for event timestamps: append a canonical
+   * epoch-MICROS bigint column (`ts_us`) regardless of how the upstream
+   * writer chose to encode the instant in parquet. The reference treats
+   * schemas as tolerated payload rather than pinned physical types (Hive
+   * type strings carried as data, sample_table_schema.json:21-29); the same
+   * discipline applies to our own inputs — an upstream writer switching
+   * parquet timestamp units (int64-nanos → TIMESTAMP(MICROS), adjusted-to-
+   * UTC vs NTZ) must be a no-op for every consumer, which is exactly what
+   * broke 10 queries in round 8 when the fixtures regenerated.
+   *
+   * Handled representations:
+   *  - `bigint`: int64 nanoseconds (the nanosAsLong read of TIMESTAMP(NANOS)
+   *    parquet, which Spark cannot represent natively) → integer-div 1000;
+   *  - `timestamp`: instant-typed (isAdjustedToUTC=true) → `unix_micros`;
+   *  - `timestamp_ntz`: wall-clock-typed (isAdjustedToUTC=false) → cast to
+   *    instant under the session time zone, then `unix_micros`. Callers run
+   *    UTC sessions (Verify/tests/t() all pin it), so the wall-clock value
+   *    IS the stored micros value and the three encodings agree exactly.
+   *
+   * Works on batch and streaming frames alike (pure column expressions).
+   */
+  def withTsUs(df: DataFrame, tsCol: String = "ts", out: String = "ts_us"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val us = df.schema(tsCol).dataType match {
+      case LongType         => expr(s"`$tsCol` div 1000")
+      case TimestampType    => unix_micros(col(tsCol))
+      case TimestampNTZType => unix_micros(col(tsCol).cast(TimestampType))
+      case other => throw new IllegalArgumentException(
+        s"unsupported event-time type for `$tsCol`: ${other.simpleString} " +
+          "(expected bigint nanos, timestamp, or timestamp_ntz)")
+    }
+    df.withColumn(out, us.cast("bigint"))
+  }
+
   /** Pairs of events of the same user strictly within `gapUs` microseconds
     * (0 < us_b − us_a ≤ gapUs), with the gap. `usCol` is an epoch-micros
     * bigint column.

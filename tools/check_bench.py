@@ -2,19 +2,63 @@
 """Gate a BENCH artifact before anyone compares it round-over-round.
 
 A bench JSON that was recorded on a contended box (`contended: true`), was
-cut short by the harness's internal deadline (`truncated: true`), or failed
-to parse at all is NOT COMPARABLE to baseline history — two rounds of
-garbage artifacts proved that silent comparison is worse than no number.
-This check makes the verdict explicit:
+cut short by the harness's internal deadline (`truncated: true`), carries
+FAILED queries, or failed to parse at all is NOT COMPARABLE to baseline
+history — two rounds of garbage artifacts proved that silent comparison is
+worse than no number. This check makes the verdict explicit:
 
-    python3 tools/check_bench.py BENCH_r08.json [BASELINE.json]
+    python3 tools/check_bench.py BENCH_r09.json [BASELINE.json]
 
 Exit 0 and a per-query table when the artifact is clean; exit 1 with an
 explicit "NOT COMPARABLE" reason otherwise. With a baseline file, clean
 artifacts also get a total and per-query delta report (queries >2x their
 baseline are listed).
+
+Artifact shapes accepted, most- to least-complete:
+  1. the harness's full JSON line (`"metric":"total"` with a `queries` map);
+  2. the compact `"bench_summary"` line the harness prints SECOND — the full
+     line is ~6 KB and driver artifacts keep only the last 2,000 chars of
+     output, which beheads it (five rounds of artifacts died this way); the
+     summary is <500 bytes and printed last, so it survives any sane tail
+     window. Per-query detail is then reconstructed from the streamed
+     `bench_query` stderr lines when they are present;
+  3. streamed `bench_query` lines alone (harness SIGKILLed before flush) —
+     explicitly partial.
 """
 import json, sys
+
+
+def _iter_lines(raw):
+    """Yield candidate JSON payload lines, stripping sbt log prefixes."""
+    for line in raw.splitlines():
+        line = line.strip()
+        for pfx in ("[error] ", "[info] "):
+            if line.startswith(pfx):
+                line = line[len(pfx):]
+        if line.startswith("{"):
+            yield line
+
+
+def _scan_queries(text):
+    """Reconstruct (queries, queries_max, failed) from streamed bench_query
+    lines."""
+    qs, qmax, failed = {}, {}, {}
+    for line in _iter_lines(text or ""):
+        if '"bench_query"' not in line:
+            continue
+        try:
+            q = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        name = q.get("bench_query")
+        if name is None:
+            continue
+        if "failed" in q:
+            failed[name] = q["failed"]
+        elif "min" in q:
+            qs[name] = q["min"]
+            qmax[name] = q.get("max", q["min"])
+    return qs, qmax, failed
 
 
 def load(path):
@@ -27,57 +71,58 @@ def load(path):
         d = json.loads(raw)
     except json.JSONDecodeError:
         d = None
-        for line in raw.splitlines():
-            line = line.strip()
-            if line.startswith("{") and '"queries"' in line:
+        for line in _iter_lines(raw):
+            if '"queries"' in line and '"bench_query"' not in line:
                 try:
                     d = json.loads(line)
                     break
                 except json.JSONDecodeError:
                     continue
         if d is None:
-            return None, "no parseable bench JSON line"
+            d = {}
     if isinstance(d, dict) and "parsed" in d and isinstance(d.get("parsed"), dict):
-        d = d["parsed"]
-    # driver artifacts carry the harness stdout in a "tail" string — dig the
-    # bench line out of it ("[info] {"metric":...}")
-    if isinstance(d, dict) and "queries" not in d and isinstance(d.get("tail"), str):
-        for line in d["tail"].splitlines():
-            line = line.strip()
-            if line.startswith("[info] "):
-                line = line[len("[info] "):]
-            if line.startswith("{") and '"queries"' in line:
+        inner = d["parsed"]
+        inner.setdefault("tail", d.get("tail"))
+        d = inner
+    text = d.get("tail") if isinstance(d.get("tail"), str) else raw
+    # dig the full bench line out of a driver tail ("[info] {"metric":...}")
+    if isinstance(d, dict) and "queries" not in d:
+        for line in _iter_lines(text or ""):
+            if '"queries"' in line and '"bench_query"' not in line:
                 try:
                     inner = json.loads(line)
                 except json.JSONDecodeError:
                     continue
-                inner.setdefault("rc", d.get("rc"))
                 d = inner
                 break
-    # last resort: a SIGKILLed harness never printed the final JSON, but the
-    # per-query lines it streamed to stderr survive in the captured tail —
-    # reconstruct an explicitly-partial artifact from them
+    # the compact second line: totals + flags survive a beheaded full line
     if isinstance(d, dict) and "queries" not in d:
-        text = d.get("tail") if isinstance(d.get("tail"), str) else raw
-        qs = {}
-        for line in (text or "").splitlines():
-            line = line.strip()
-            for pfx in ("[error] ", "[info] "):
-                if line.startswith(pfx):
-                    line = line[len(pfx):]
-            if line.startswith("{") and '"bench_query"' in line:
+        for line in _iter_lines(text or ""):
+            if '"bench_summary"' in line:
                 try:
-                    q = json.loads(line)
-                    qs[q["bench_query"]] = (q["min"], q.get("max", q["min"]))
-                except (json.JSONDecodeError, KeyError):
+                    summ = json.loads(line)
+                except json.JSONDecodeError:
                     continue
+                qs, qmax, failed = _scan_queries(text)
+                d = dict(summ)
+                d["summary_only"] = True
+                d["queries"] = qs  # may be empty; totals come from the summary
+                d["queries_max"] = qmax
+                d.setdefault("failed", {})
+                if isinstance(d["failed"], list):
+                    d["failed"] = {k: "?" for k in d["failed"]}
+                d["failed"].update(failed)
+                break
+    # last resort: a SIGKILLed harness never printed ANY final line, but the
+    # per-query lines it streamed to stderr survive in the captured tail
+    if isinstance(d, dict) and "queries" not in d:
+        qs, qmax, failed = _scan_queries(text)
         if qs:
-            d = {"queries": {k: v[0] for k, v in qs.items()},
-                 "queries_max": {k: v[1] for k, v in qs.items()},
+            d = {"queries": qs, "queries_max": qmax, "failed": failed,
                  "truncated": True, "reconstructed_from_stderr": True,
                  "skipped": [], "wall": 0.0}
     if not isinstance(d, dict) or "queries" not in d or d.get("queries") is None:
-        return None, "parsed but carries no queries map (rc-killed before flush?)"
+        return None, "parsed but carries no queries map or summary line (rc-killed before flush?)"
     return d, None
 
 
@@ -89,6 +134,10 @@ def main():
     if err:
         print(f"NOT COMPARABLE: {sys.argv[1]}: {err}")
         return 1
+    failed = d.get("failed") or {}
+    if isinstance(failed, list):
+        failed = {k: "?" for k in failed}
+    n_failed = d.get("n_failed", len(failed))
     reasons = []
     if d.get("contended"):
         reasons.append(
@@ -97,17 +146,22 @@ def main():
     if d.get("truncated"):
         what = ("reconstructed from streamed stderr lines (harness killed "
                 "before flush)" if d.get("reconstructed_from_stderr")
-                else f"truncated run ({len(d.get('skipped', []))} queries skipped)")
+                else f"truncated run ({len(d.get('skipped', [])) or d.get('n_skipped', 0)} queries skipped)")
         reasons.append(what)
-    n = len(d["queries"])
-    total = sum(d["queries"].values())
+    if n_failed:
+        names = sorted(failed) if failed else []
+        reasons.append(f"{n_failed} queries FAILED"
+                       + (f": {', '.join(names[:12])}" if names else ""))
+    n = len(d["queries"]) or d.get("n", 0)
+    total = sum(d["queries"].values()) if d["queries"] else d.get("total", 0.0)
     if reasons:
         print(f"NOT COMPARABLE: {sys.argv[1]}: " + "; ".join(reasons))
         print(f"  partial data: {n} queries, sum-of-mins {total:.1f}s — "
-              "re-run on a quiet box before comparing to baseline history")
+              "re-run on a quiet box / fix failures before comparing to baseline history")
         return 1
-    print(f"OK: {sys.argv[1]}: {n} queries, sum-of-mins {total:.1f}s, "
-          f"wall {d.get('wall', 0):.0f}s, contended=false, truncated=false")
+    src = " (from compact summary line)" if d.get("summary_only") else ""
+    print(f"OK: {sys.argv[1]}{src}: {n} queries, sum-of-mins {total:.1f}s, "
+          f"wall {d.get('wall', 0):.0f}s, contended=false, truncated=false, failed=0")
     if len(sys.argv) > 2:
         b, berr = load(sys.argv[2])
         if berr:

@@ -1,8 +1,15 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: run each oracle SQL in
 DuckDB against the same parquet tables and compare with the Spark results
-dumped by graft.Verify (sorted columns, sorted rows, value compare)."""
-import json, sys, glob
+dumped by graft.Verify (sorted columns, sorted rows, value compare).
+
+Also the DECLARED-vs-CHECKED guard (round-8 lesson): the driver's
+CORRECTNESS artifact silently omits rows whose Verify output is missing, so
+a sheet can read 82/82-clean while 10 of 92 declared queries failed at
+analysis. Verify dumps `declared_queries.json`; every declared name with no
+output dir counts as a FAIL here, oracle or not — run this before every
+round-closing commit."""
+import json, os, sys, glob
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -63,6 +70,29 @@ def main(sf_dir, out_dir):
                  and not d.endswith('.json')]
     if no_oracle:
         print(f"rows-only (no oracle): {sorted(no_oracle)}")
+    # declared-vs-checked guard: every declared query must have produced
+    # output, oracle-checked or rows-only — missing output is a hidden
+    # failure, never a clean sheet
+    decl_path = f"{out_dir}/declared_queries.json"
+    if os.path.exists(decl_path):
+        declared = json.load(open(decl_path))
+        try:
+            verrs = json.load(open(f"{out_dir}/verify_errors.json"))
+        except Exception:
+            verrs = {}
+        checked = set(oracle) | set(no_oracle)
+        silent = [n for n in declared
+                  if n not in checked or (n not in oracle
+                      and not glob.glob(f"{out_dir}/{n}/*.parquet"))]
+        for n in sorted(silent):
+            print(f"DECLARED-MISSING {n}: no Verify output"
+                  + (f" — {verrs[n]}" if n in verrs else ""))
+            n_fail += 1
+        print(f"declared {len(declared)}, with output {len(declared) - len(silent)}, "
+              f"silently missing {len(silent)}")
+    else:
+        print("WARNING: no declared_queries.json — declared-vs-checked guard skipped "
+              "(re-run graft.Verify to generate it)")
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
