@@ -337,6 +337,10 @@ object SparkEntry {
       msgDir
     }
 
+  /** Scratch-probe access to the s8 message fixture (graft.run.S8Probe). */
+  private[graft] def probeS8MsgDir(s: SparkSession, dir: String): String =
+    s8ImportMsgDir(s, dir)
+
   /** Build every shared fixture for `dir` (untimed, idempotent). */
   def prepare(s: SparkSession, dir: String): Unit = {
     s1SnapshotDir(s, dir)
@@ -906,6 +910,40 @@ object SparkEntry {
       s.table("s7_sink")
     }),
 
+    // S7g: tumbling windows in APPEND mode behind a WATERMARK — the posture
+    // that actually scales: complete mode (s7_stream_tumbling) re-emits and
+    // retains EVERY window in the state store forever, append emits a window
+    // exactly once — when the watermark passes its end — and EVICTS its
+    // state, so state size is bounded by the watermark horizon, not stream
+    // lifetime. Drained with AvailableNow, the final watermark settles at
+    // max(event time) − delay (the trailing no-data micro-batch advances
+    // it), so the emitted set is exactly the windows whose end ≤ that bound
+    // — which the oracle states in SQL over the same events.
+    "s7_stream_append" -> ((s, dir) => {
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-s7a")
+      java.nio.file.Files.copy(src, streamDir.resolve("events.parquet"))
+      val schema = t(s, dir, "events").schema
+      withStatefulShuffle(s, 8) {
+        val q = graft.functions.EventOps.withTsUs(
+            s.readStream.schema(schema).parquet(streamDir.toString))
+          .withColumn("tts", timestamp_micros(col("ts_us")))
+          .withWatermark("tts", "10 minutes")
+          .groupBy(window(col("tts"), "5 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+          .select(unix_timestamp(col("window.start")).as("bucket_s"), col("event_type"),
+            col("n_events"), col("sum_value"))
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("append")
+          .format("memory")
+          .queryName("s7_append_sink")
+          .start()
+        q.awaitTermination()
+      }
+      s.table("s7_append_sink")
+    }),
+
     // S7e: STREAM-STATIC enrichment — the standard Structured Streaming
     // dimension join: each micro-batch joins the event stream against a
     // broadcast static dim (no stream state for the join itself; only the
@@ -1064,11 +1102,18 @@ object SparkEntry {
       val cfg = ReplicationConfig(runId = 500L)
       val msgDir = s8ImportMsgDir(s, dir)
       // single AvailableNow batch: one versioned-state write for the gate;
-      // multi-micro-batch state progression is covered by StreamingImportSpec
-      val tgt = MessageStream.runImport(s, msgDir,
-        java.nio.file.Files.createTempDirectory("graft-s8-state").toString,
-        java.nio.file.Files.createTempDirectory("graft-s8-ckpt").toString,
-        CatalogSnapshot.empty(s, "tgt"), cfg)
+      // multi-micro-batch state progression is covered by StreamingImportSpec.
+      // The batch holds ~15k messages, so the planImport joins and the three
+      // state-plane writes inside foreachBatch get the same
+      // unit-of-parallelism sizing as the other drains (8, not 32: no state
+      // store here, but 32-way exchanges over a 15k-row batch are pure task
+      // overhead and 32-file state planes cost 4× the commit I/O).
+      val tgt = withStatefulShuffle(s, 8) {
+        MessageStream.runImport(s, msgDir,
+          java.nio.file.Files.createTempDirectory("graft-s8-state").toString,
+          java.nio.file.Files.createTempDirectory("graft-s8-ckpt").toString,
+          CatalogSnapshot.empty(s, "tgt"), cfg)
+      }
       tgt.tables.select(col("name").cast("bigint").as("o_orderkey"))
     }),
 
@@ -1955,6 +2000,18 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s, event_type,
          count(*) AS n_events, round(sum(value), 4) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    // append-mode truth: exactly the windows the final watermark closed —
+    // end ≤ max(event time in ms) − 10 min (Spark tracks watermarks in ms)
+    "s7_stream_append" ->
+      """WITH e AS (SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS bucket_s,
+                      event_type, value FROM events),
+         wm AS (SELECT CAST(floor(max(epoch_us(ts))/1000) AS BIGINT) - 600000 AS w_ms
+                FROM events)
+         SELECT bucket_s, event_type, count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+         FROM e WHERE (bucket_s + 300) * 1000 <= (SELECT w_ms FROM wm)
+         GROUP BY 1, 2""",
 
     // the drained stream-stream interval join equals the batch banded
     // self-join (same truth as ev_proximity_join)

@@ -113,12 +113,24 @@ object ReplicationJob {
 
     val cached = messages
 
+    // Each type's parse is pinned ONCE (eager localCheckpoint): the from_json
+    // over KB-sized payloads against the big nested schemas is the dominant
+    // node of the whole import body, and its frame has MULTIPLE consumers —
+    // tables AND exploded partitions read twpRaw, dead letters reuse every
+    // type's parse verdict, and a multi-writer caller (foreachBatch
+    // committing 3 state planes + DLQ per micro-batch) evaluates the plan
+    // once per write. Without the pin that's up to ~10 parse passes per
+    // micro-batch; with it, exactly one per type. Blocks are scoped to the
+    // batch and sized by it (the micro-batch / message-plane row count),
+    // same discipline as the `messages` pin the caller already does.
     val dbRaw = cached.where(col("messageType") === MessageType.Database)
       .withColumn("parsed", from_json(col("payload"), Codecs.databaseSchema))
+      .localCheckpoint(true)
     val dbs = dbRaw.where(col("parsed.name").isNotNull).select(col("parsed.*")).as[GDatabase]
 
     val twpRaw = cached.where(col("messageType") === MessageType.Table)
       .withColumn("parsed", from_json(col("payload"), Codecs.tableWithPartitionsSchema))
+      .localCheckpoint(true)
     val smallTables = twpRaw.where(col("parsed.table.name").isNotNull)
       .select(col("parsed.table.*")).as[GTable]
     val smallParts = twpRaw.where(col("parsed.table.name").isNotNull)
@@ -126,6 +138,7 @@ object ReplicationJob {
 
     val largeRaw = cached.where(col("messageType") === MessageType.LargeTable)
       .withColumn("parsed", from_json(col("payload"), Codecs.largeTableSchema))
+      .localCheckpoint(true)
     val largeTables = largeRaw.where(col("parsed.table.name").isNotNull)
       .select(col("parsed.table.*")).as[GTable]
     // Large-table partitions ride the side-channel (S6): JSON-lines files under
@@ -159,21 +172,19 @@ object ReplicationJob {
     // under that type's schema. The unknown-type guard matters: the entity
     // parses above filter on EXACT type constants, so without it a message
     // with (say) messageType "Table" and a parseable payload would be
-    // neither imported nor dead-lettered — silently lost.
+    // neither imported nor dead-lettered — silently lost. Malformed rows
+    // reuse the PINNED per-type parse verdicts (dbRaw/twpRaw/largeRaw
+    // above) instead of a fourth whole-plane from_json pass.
     val knownType = col("messageType").isin(
       MessageType.Database, MessageType.Table, MessageType.LargeTable)
-    val dead = cached
-      .withColumn("parsed", when(col("messageType") === MessageType.Database, from_json(col("payload"), Codecs.databaseSchema)("name"))
-        .when(col("messageType") === MessageType.Table,
-          from_json(col("payload"), Codecs.tableWithPartitionsSchema).getField("table").getField("name"))
-        .when(col("messageType") === MessageType.LargeTable,
-          from_json(col("payload"), Codecs.largeTableSchema).getField("table").getField("name")))
-      .where(!knownType || col("parsed").isNull)
-      .select(col("messageType"), col("payload"), col("exportBatchId"),
-        col("sourceCatalogId"),
-        when(knownType, lit("malformed payload"))
-          .otherwise(lit("unknown messageType")).as("error"),
+    def asDead(df: DataFrame, error: String): Dataset[DeadLetter] =
+      df.select(col("messageType"), col("payload"), col("exportBatchId"),
+        col("sourceCatalogId"), lit(error).as("error"),
         col("s3BucketName"), col("s3ObjectKey")).as[DeadLetter]
+    val dead = asDead(cached.where(!knownType).toDF(), "unknown messageType")
+      .unionByName(asDead(dbRaw.where(col("parsed.name").isNull), "malformed payload"))
+      .unionByName(asDead(twpRaw.where(col("parsed.table.name").isNull), "malformed payload"))
+      .unionByName(asDead(largeRaw.where(col("parsed.table.name").isNull), "malformed payload"))
 
     (dbs, smallTables.unionByName(largeTables).as[GTable],
       smallParts.unionByName(largeParts).as[GPartition], exportedTables, dead)
