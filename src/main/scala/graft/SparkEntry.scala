@@ -1208,6 +1208,20 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // X34: per-source WEIGHTED top-20 sample (Efraimidis–Spirakis priority
+    // keys over the md5 draw, weight = n_chars) — longer docs preferentially
+    // survive, yet the draw is fully reproducible and the rank window is
+    // per-source (WindowGroupLimit caps the per-partition buffer at 20).
+    "d_weighted_sample" -> ((s, dir) =>
+      TextFunctions.weightedSample(t(s, dir, "documents"), n = 20)),
+
+    // X35: rebalance sources to EQUAL document counts — every source
+    // deterministically downsamples to the smallest source's size; the
+    // per-source keep-threshold broadcasts onto the scan (corpus never
+    // shuffles) and the oracle replays the identical integer comparison.
+    "d_mix_rebalance" -> ((s, dir) =>
+      TextFunctions.rebalanceSources(t(s, dir, "documents"))),
+
     // Token-budget sequence packing per source shard (training batch packing)
     "d_pack_sequences" -> ((s, dir) =>
       TextFunctions.packSequences(t(s, dir, "documents"),
@@ -1709,6 +1723,29 @@ object SparkEntry {
         .head().getSeq[Float](0)
       Similarity.ivfTopK(e.where(col("vec_id") =!= 0), q, k = 10, dim = 64,
         nCentroids = 16, nProbe = 16, trainMod = 4)
+    }),
+
+    // PQ + ADC ANN: one scan scores the M-byte code column (the float plane
+    // untouched — the 32×-less-IO posture), the 256-candidate ADC shortlist
+    // re-ranks by exact float cosine, top-10 of the re-rank is the answer.
+    // The shortlist covers the true top-10 on this corpus (PqKnnSpec pins
+    // recall at this config), so the brute-force SQL oracle applies — the
+    // same epistemics as e_ivf_topk's full-probe setting.
+    "e_pq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      Similarity.pqTopK(e.where(col("vec_id") =!= 0), q, k = 10, dim = 64,
+        nSub = 8, codebookSize = 16, shortlist = 256)
+    }),
+
+    // kNN JOIN: top-5 neighbors for EVERY query row (vec_id < 32) in ONE
+    // corpus scan — broadcast probe batch, rank window collapsed to a
+    // per-partition partial top-k by WindowGroupLimit before the exchange.
+    "e_knn_join" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.knnJoin(e, e.where(col("vec_id") < 32), k = 5)
+        .select(col("q_id"), col("vec_id"), col("sim"), col("rank"))
     })
   )
 
@@ -2129,6 +2166,34 @@ object SparkEntry {
     "d_hash_sample" ->
       """SELECT doc_id, source FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '19'""",
+
+    // same A-ES priority key: ln((hash48+1)/2^48)/weight, ranked per source
+    "d_weighted_sample" ->
+      """WITH keyed AS (
+           SELECT source, doc_id, n_chars,
+             ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1)
+                / 281474976710656.0) / n_chars AS key
+           FROM documents),
+         ranked AS (
+           SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rank
+           FROM keyed)
+         SELECT source, doc_id, n_chars, rank FROM ranked WHERE rank <= 20""",
+
+    // identical per-source threshold: floor(n_min * 2^48 / n_src) in IEEE
+    // doubles, then the integer keep-below comparison on the 48-bit draw
+    "d_mix_rebalance" ->
+      """WITH counts AS (
+           SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+         rates AS (
+           SELECT source,
+             CAST(floor(CAST((SELECT min(n_src) FROM counts) AS DOUBLE)
+               * 281474976710656.0 / CAST(n_src AS DOUBLE)) AS BIGINT) AS keep_below
+           FROM counts)
+         SELECT d.source, d.doc_id
+         FROM documents d JOIN rates r ON d.source = r.source
+         WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+               < r.keep_below""",
 
     "d_pack_sequences" ->
       """WITH d AS (SELECT source AS shard, doc_id,
@@ -2726,6 +2791,27 @@ object SparkEntry {
          round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim
          FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
          WHERE e.vec_id <> 0
-         ORDER BY sim DESC, e.vec_id LIMIT 10"""
+         ORDER BY sim DESC, e.vec_id LIMIT 10""",
+
+    // PQ shortlist + exact re-rank returns the exact top-10 at this config
+    // (shortlist recall pinned in PqKnnSpec), so the brute-force truth applies
+    "e_pq_topk" ->
+      """SELECT e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim
+         FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         WHERE e.vec_id <> 0
+         ORDER BY sim DESC, e.vec_id LIMIT 10""",
+
+    "e_knn_join" ->
+      """WITH scored AS (
+           SELECT q.vec_id AS q_id, e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim
+           FROM embeddings e, embeddings q
+           WHERE q.vec_id < 32 AND e.vec_id <> q.vec_id),
+         ranked AS (
+           SELECT q_id, vec_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+           FROM scored)
+         SELECT q_id, vec_id, sim, rank FROM ranked WHERE rank <= 5"""
   )
 }

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.plans.VectorFunctions
@@ -253,6 +254,179 @@ object Similarity {
       .select(col(idCol), round(cosine_f32(col("q8"), qq), 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  // ------------------------------------------------------------------- PQ
+
+  /**
+   * Product-quantization codebooks: the vector space splits into `nSub`
+   * contiguous subspaces of dim/nSub; each gets a K-codeword codebook trained
+   * by L2 Lloyd iterations over a BOUNDED deterministic sample (the lowest
+   * `poolSize` ids — the ivfCentroids seeding discipline: a quantizer needs
+   * thousands of representative points, never the corpus, so driver work is
+   * poolSize × dim floats regardless of corpus size). Seeding per subspace is
+   * farthest-point traversal under L2 from the lowest-id subvector; ties and
+   * empty cells are deterministic, so executors and re-runs see identical
+   * books.
+   *
+   * The 100 TB posture: codes are precomputed at ingest
+   * (`withColumn("pq", pq_encode(...))` + write) — an M-byte column replaces
+   * the 4·dim-byte float column on every ANN scan (32× less IO at dim 64,
+   * M=8), and the float column is read only for the shortlist re-rank.
+   */
+  def pqCodebooks(
+      vectors: DataFrame,
+      dim: Int,
+      nSub: Int = 8,
+      k: Int = 16,
+      iters: Int = 3,
+      poolSize: Int = 2048,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Array[Float]]] = {
+    require(dim % nSub == 0, s"dim $dim must divide into nSub $nSub subspaces")
+    val ds = dim / nSub
+    val pool: Array[Array[Float]] = vectors
+      .orderBy(col(idCol)).limit(poolSize)
+      .select(col(vecCol).cast("array<float>")).collect()
+      .map(_.getSeq[Float](0).padTo(dim, 0f).toArray)
+    require(pool.nonEmpty, "empty training pool")
+    Array.tabulate(nSub) { s =>
+      val subs: Array[Array[Float]] = pool.map(v => java.util.Arrays.copyOfRange(v, s * ds, (s + 1) * ds))
+      def l2(a: Array[Float], b: Array[Float]): Double = {
+        var acc = 0.0d; var i = 0
+        while (i < ds) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+        acc
+      }
+      // farthest-point seeding (deterministic; lower index wins ties)
+      var cents: Array[Array[Float]] =
+        if (subs.length <= k) subs.map(_.clone())
+        else {
+          val taken = new Array[Boolean](subs.length)
+          taken(0) = true
+          val minDist = subs.map(l2(subs(0), _))
+          val chosen = scala.collection.mutable.ArrayBuffer(0)
+          while (chosen.length < k) {
+            var best = -1; var bestD = -1.0
+            var i = 0
+            while (i < subs.length) {
+              if (!taken(i) && minDist(i) > bestD) { bestD = minDist(i); best = i }
+              i += 1
+            }
+            chosen += best
+            taken(best) = true
+            var j = 0
+            while (j < subs.length) {
+              if (!taken(j)) {
+                val d = l2(subs(best), subs(j))
+                if (d < minDist(j)) minDist(j) = d
+              }
+              j += 1
+            }
+          }
+          chosen.map(i => subs(i).clone()).toArray
+        }
+      // Lloyd under L2 on the pool; empty cells keep their codeword
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](ds))
+        val counts = new Array[Int](cents.length)
+        subs.foreach { v =>
+          var best = Double.MaxValue; var bestC = 0
+          var c = 0
+          while (c < cents.length) {
+            val d = l2(v, cents(c))
+            if (d < best) { best = d; bestC = c }
+            c += 1
+          }
+          counts(bestC) += 1
+          var i = 0
+          while (i < ds) { sums(bestC)(i) += v(i).toDouble; i += 1 }
+        }
+        cents = Array.tabulate(cents.length) { c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(ds)(i => (sums(c)(i) / counts(c)).toFloat)
+        }
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** Attach PQ codes (`pq` array<tinyint>, M bytes) — the ingest-time step
+    * whose output column all ANN scans read instead of the float plane. */
+  def withPqCodes(vectors: DataFrame, books: Array[Array[Array[Float]]],
+      vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
+    vectors.withColumn("pq", VectorFunctions.pq_encode(col(vecCol), books))
+  }
+
+  /**
+   * ANN top-k via PQ + ADC with EXACT re-rank: (1) one scan scores every
+   * code vector by asymmetric-distance cosine — M one-byte table lookups per
+   * row, the float column untouched; (2) the `shortlist` best ADC candidates
+   * (a TakeOrderedAndProject: partial per-partition top-R, tiny final merge)
+   * re-rank by exact float cosine; top-k of the re-rank is the answer.
+   *
+   * With a shortlist comfortably above k, the true top-k survives the ADC
+   * cut (PqKnnSpec pins shortlist recall on the fixtures; the ADC ordering
+   * itself is approximate by construction) — the standard PQ + re-rank
+   * contract. shortlist = corpus size degenerates to exact brute force.
+   */
+  def pqTopK(
+      vectors: DataFrame,
+      queryVec: Seq[Float],
+      k: Int,
+      dim: Int,
+      nSub: Int = 8,
+      codebookSize: Int = 16,
+      shortlist: Int = 256,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      books: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
+    val bk = books.getOrElse(pqCodebooks(vectors, dim, nSub, codebookSize, idCol = idCol, vecCol = vecCol))
+    val q = queryVec.padTo(dim, 0f).toArray
+    val qLit = array(queryVec.map(v => lit(v)): _*).cast("array<float>")
+    val adcShortlist = withPqCodes(vectors, bk, vecCol)
+      .select(col(idCol), col(vecCol), VectorFunctions.pq_adc(col("pq"), q, bk).as("adc"))
+      .orderBy(col("adc").desc, col(idCol).asc)
+      .limit(shortlist)
+    adcShortlist
+      .select(col(idCol), round(cosine(col(vecCol), qLit), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  // ------------------------------------------------------------- kNN join
+
+  /**
+   * All-queries kNN join: top-k corpus neighbors for EVERY query row, in one
+   * corpus scan. The query set broadcasts (it is the small side by
+   * construction — a probe batch, never the corpus); scoring happens in the
+   * scan projection, and the per-query top-k runs as a rank window that
+   * Spark's WindowGroupLimit rewrite turns into a per-partition partial
+   * top-k BEFORE the exchange — so the shuffle carries ≤ |queries| × k rows
+   * per input partition, not the |corpus| × |queries| score plane
+   * (PlanAuditSpec asserts the WindowGroupLimit node).
+   *
+   * Self-join hygiene: a corpus row never matches itself (`id ≠ q_id`).
+   */
+  def knnJoin(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+    val scored = corpus
+      .join(broadcast(q), col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol),
+        round(cosine(col(vecCol), col("q_v")), 6).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
   }
 
   // ------------------------------------------------------------------ IVF

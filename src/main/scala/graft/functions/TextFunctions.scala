@@ -329,4 +329,74 @@ object TextFunctions {
       .orderBy(col("n").desc, col("token"))
       .limit(m)
   }
+
+  /** 48-bit integer from the md5 of an id — the shared deterministic uniform
+    * underlying hashSample (2 hex chars), weighted sampling and source
+    * rebalancing (12 hex chars = 48 bits, exact in a double and in both
+    * engines' BIGINT). A document's draw depends only on its own id:
+    * reproducible across engines, runs, and corpus growth. */
+  def hash48(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 12), 16, 10).cast("bigint")
+
+  /**
+   * Priority key for deterministic WEIGHTED sampling without replacement
+   * (Efraimidis–Spirakis A-ES): key = ln(u)/w with u = (hash48+1)/2^48 ∈
+   * (0, 1] — a monotone transform of the textbook u^(1/w), so taking the
+   * top-n by key draws each subset with probability proportional to its
+   * weights. Deterministic (u is the md5 draw), so the SQL oracle replays
+   * the identical ranking.
+   */
+  def weightedSampleKey(id: Column, weight: Column): Column =
+    log((hash48(id) + 1).cast("double") / lit(281474976710656.0)) /
+      weight.cast("double")
+
+  /**
+   * X34: per-stratum weighted top-n sample — the corpus-mixing primitive
+   * that favors (e.g.) longer or higher-quality documents while staying
+   * reproducible. One shuffle on the stratum key; the rank window touches
+   * each stratum independently (never a global sort), and Spark's
+   * WindowGroupLimit rewrite caps the per-partition buffer at n before the
+   * exchange. At 100 TB: strata are sources/languages (thousands), so
+   * partitions stay balanced; a skewed mega-stratum is exactly the
+   * WindowGroupLimit case — each input partition forwards at most n rows
+   * per stratum.
+   */
+  def weightedSample(docs: org.apache.spark.sql.DataFrame, n: Int,
+      strataCol: String = "source", weightCol: String = "n_chars",
+      idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(weightedSampleKey(col(idCol), col(weightCol)).desc, col(idCol).asc)
+    docs
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= n)
+      .select(col(strataCol), col(idCol), col(weightCol).cast("bigint").as(weightCol), col("rank"))
+  }
+
+  /**
+   * X35: rebalance a multi-source corpus to EQUAL per-source document counts
+   * by deterministically downsampling every source to the smallest source's
+   * size: keep iff hash48(id) < floor(n_min · 2^48 / n_src), the per-source
+   * threshold computed ONCE per source. The threshold math is IEEE double
+   * (·, /, floor — all bit-determined operations, no transcendentals), so
+   * the SQL oracle reproduces it exactly at any count magnitude, with no
+   * 64-bit overflow at billion-document sources. Expected kept per source =
+   * n_src · (n_min/n_src) = n_min.
+   *
+   * Plan shape at 100 TB: one tiny count aggregate (|sources| rows), its min
+   * cross-joined back and BROADCAST onto the corpus scan — the corpus never
+   * shuffles; the filter evaluates inside the scan projection.
+   */
+  def rebalanceSources(docs: org.apache.spark.sql.DataFrame,
+      srcCol: String = "source", idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    val counts = docs.groupBy(col(srcCol)).agg(count(lit(1)).as("n_src"))
+    val rates = counts.crossJoin(counts.agg(min(col("n_src")).as("n_min")))
+      .select(col(srcCol),
+        floor(col("n_min").cast("double") * lit(281474976710656.0) /
+          col("n_src").cast("double")).cast("bigint").as("keep_below"))
+    docs
+      .join(broadcast(rates), Seq(srcCol))
+      .where(hash48(col(idCol)) < col("keep_below"))
+      .select(col(srcCol), col(idCol))
+  }
 }

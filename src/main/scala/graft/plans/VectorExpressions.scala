@@ -253,6 +253,85 @@ object VectorOps {
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
+
+  /** Product-quantization encode: the vector splits into `books.length`
+    * contiguous subvectors; each subvector maps to the index of its nearest
+    * (L2, double accumulation) codeword in that subspace's codebook.
+    * Ties break toward the LOWER code; short vectors zero-pad. One byte per
+    * subspace — a dim-64 float vector compresses 256 B → 8 B (M=8). */
+  def pqEncode(v: ArrayData, books: Array[Array[Array[Float]]]): ArrayData = {
+    val m = books.length
+    val out = new Array[Byte](m)
+    val nV = v.numElements()
+    var sub = 0
+    var off = 0
+    while (sub < m) {
+      val book = books(sub)
+      val ds = if (book.length == 0) 0 else book(0).length
+      var best = Double.MaxValue
+      var bestC = 0
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d2 = 0.0d
+        var i = 0
+        while (i < ds) {
+          val idx = off + i
+          val x = if (idx < nV) v.getFloat(idx).toDouble else 0.0d
+          val diff = x - cent(i).toDouble
+          d2 += diff * diff
+          i += 1
+        }
+        if (d2 < best) { best = d2; bestC = c }
+        c += 1
+      }
+      out(sub) = bestC.toByte
+      off += ds
+      sub += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Asymmetric-distance cosine against a query's precomputed lookup tables:
+    * dotLut(s)(c) = q_s · codeword, normLut(s)(c) = |codeword|². The cosine of
+    * the query against the RECONSTRUCTED vector falls out of M table reads —
+    * no float-buffer decode at all on the scan. Zero norms yield 0.0. */
+  def pqAdc(codes: ArrayData, dotLut: Array[Array[Double]],
+      normLut: Array[Array[Double]], qNorm: Double): Double = {
+    var dot = 0.0d
+    var n2 = 0.0d
+    val m = math.min(codes.numElements(), dotLut.length)
+    var s = 0
+    while (s < m) {
+      val c = codes.getByte(s) & 0xFF
+      dot += dotLut(s)(c)
+      n2 += normLut(s)(c)
+      s += 1
+    }
+    if (qNorm == 0.0d || n2 == 0.0d) 0.0d else dot / (qNorm * math.sqrt(n2))
+  }
+
+  /** Reconstruct the quantized vector: concatenation of each subspace's
+    * selected codeword. */
+  def pqDecode(codes: ArrayData, books: Array[Array[Array[Float]]]): ArrayData = {
+    val m = math.min(codes.numElements(), books.length)
+    var dim = 0
+    var s = 0
+    while (s < m) { dim += (if (books(s).length == 0) 0 else books(s)(0).length); s += 1 }
+    val out = new Array[Float](dim)
+    var off = 0
+    s = 0
+    while (s < m) {
+      val book = books(s)
+      if (book.length > 0) {
+        val cent = book((codes.getByte(s) & 0xFF) % book.length)
+        System.arraycopy(cent, 0, out, off, cent.length)
+        off += cent.length
+      }
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
 }
 
 /** vec_absmax(vec array<float>) → double. */
@@ -418,6 +497,105 @@ case class DequantizeInt8(left: Expression, right: Expression) extends BinaryExp
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** Trained PQ codebooks (M subspaces × K codewords × ds floats) as an
+  * expression field — structural equality for semanticEquals, compact
+  * toString so explain() stays readable at production dims. */
+final case class PqCodebook(books: Seq[Seq[Seq[Float]]]) {
+  override def toString: String = {
+    val k = books.headOption.map(_.length).getOrElse(0)
+    val ds = books.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)
+    s"PqCodebook(${books.length}x${k}x$ds)"
+  }
+}
+
+/** A query's precomputed ADC lookup tables (per-subspace dot products and
+  * codeword norms against one codebook) — expression field, compact render. */
+final case class PqLut(dot: Seq[Seq[Double]], norm: Seq[Seq[Double]], qNorm: Double) {
+  override def toString: String =
+    s"PqLut(${dot.length}x${dot.headOption.map(_.length).getOrElse(0)})"
+}
+
+/**
+ * pq_encode(vec array<float>) → array<tinyint>: product-quantization codes —
+ * the 32×-compression ANN storage plane (M bytes per vector vs 4·dim). The
+ * codebook is a FIELD (same plan-size discipline as NearestCentroidExpr).
+ */
+case class PqEncodeExpr(child: Expression, codebook: PqCodebook)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  require(codebook.books.nonEmpty, "codebook must be non-empty")
+  require(codebook.books.forall(b => b.nonEmpty && b.length <= 256),
+    "each subspace needs 1..256 codewords (codes are one byte)")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def prettyName: String = "pq_encode"
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+
+  @transient private lazy val mat: Array[Array[Array[Float]]] =
+    codebook.books.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.pqEncode(input.asInstanceOf[ArrayData], mat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("pqBooks", mat, "float[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.VectorOps$$.MODULE$$.pqEncode($c, $matRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/**
+ * pq_adc(codes array<tinyint>) → double: asymmetric-distance cosine of a
+ * query against the reconstruction each code vector denotes — M lookup-table
+ * reads per row, the float column is never touched. The LUT (built once on
+ * the driver from the query and the codebook) is a FIELD.
+ */
+case class PqAdcExpr(child: Expression, lut: PqLut)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  require(lut.dot.nonEmpty && lut.dot.length == lut.norm.length, "malformed ADC LUT")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(ByteType))
+  override def prettyName: String = "pq_adc"
+  override def dataType: DataType = DoubleType
+
+  @transient private lazy val dotLut: Array[Array[Double]] = lut.dot.map(_.toArray).toArray
+  @transient private lazy val normLut: Array[Array[Double]] = lut.norm.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.pqAdc(input.asInstanceOf[ArrayData], dotLut, normLut, lut.qNorm)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dotRef = ctx.addReferenceObj("pqDotLut", dotLut, "double[][]")
+    val normRef = ctx.addReferenceObj("pqNormLut", normLut, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.VectorOps$$.MODULE$$.pqAdc($c, $dotRef, $normRef, ${lut.qNorm});")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** pq_decode(codes array<tinyint>) → array<float>: the reconstruction. */
+case class PqDecodeExpr(child: Expression, codebook: PqCodebook)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  require(codebook.books.nonEmpty, "codebook must be non-empty")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(ByteType))
+  override def prettyName: String = "pq_decode"
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  @transient private lazy val mat: Array[Array[Array[Float]]] =
+    codebook.books.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.pqDecode(input.asInstanceOf[ArrayData], mat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("pqBooksDec", mat, "float[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.VectorOps$$.MODULE$$.pqDecode($c, $matRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Register the native expressions in the session's function registry —
@@ -467,7 +645,58 @@ object VectorFunctions {
             s"flatCentroids length ${flat.length} is not a multiple of dim $dim")
           NearestCentroidExpr(exprs(0), CentroidMatrix(flat.grouped(dim).map(_.toSeq).toSeq))
         }, "built-in")
+      // PQ family: flattened literals exist only at resolution time — the
+      // factories fold them into expression FIELDS (the nearest_centroid
+      // pattern), so resolved plans carry the codes child alone.
+      reg.createOrReplaceTempFunction("pq_encode",
+        exprs => {
+          require(exprs.length == 3,
+            s"pq_encode(vec, flatBooks, nSub) takes 3 arguments, got ${exprs.length}")
+          PqEncodeExpr(exprs(0), unflattenBooks(exprs(1), exprs(2)))
+        }, "built-in")
+      reg.createOrReplaceTempFunction("pq_decode",
+        exprs => {
+          require(exprs.length == 3,
+            s"pq_decode(codes, flatBooks, nSub) takes 3 arguments, got ${exprs.length}")
+          PqDecodeExpr(exprs(0), unflattenBooks(exprs(1), exprs(2)))
+        }, "built-in")
+      reg.createOrReplaceTempFunction("pq_adc",
+        exprs => {
+          require(exprs.length == 5,
+            s"pq_adc(codes, flatDot, flatNorm, nSub, qNorm) takes 5 arguments, got ${exprs.length}")
+          require(exprs(1).foldable && exprs(2).foldable, "ADC LUTs must be literals")
+          val dot = exprs(1).eval().asInstanceOf[ArrayData].toDoubleArray()
+          val norm = exprs(2).eval().asInstanceOf[ArrayData].toDoubleArray()
+          val m = foldableInt(exprs(3), "nSub")
+          require(m > 0 && dot.length == norm.length && dot.length % m == 0,
+            s"LUT length ${dot.length} is not a multiple of nSub $m")
+          val k = dot.length / m
+          val qNorm = {
+            require(exprs(4).foldable, "qNorm must be a literal")
+            exprs(4).eval().asInstanceOf[Number].doubleValue()
+          }
+          PqAdcExpr(exprs(0), PqLut(dot.grouped(k).map(_.toSeq).toSeq,
+            norm.grouped(k).map(_.toSeq).toSeq, qNorm))
+        }, "built-in")
     }
+  }
+
+  /** flatBooks is M×K×ds row-major; K and ds recover from the PqCodebook the
+    * caller built (column helpers pass equal-K, equal-ds books by
+    * construction — validated here). */
+  private def unflattenBooks(flatE: org.apache.spark.sql.catalyst.expressions.Expression,
+      nSubE: org.apache.spark.sql.catalyst.expressions.Expression): PqCodebook = {
+    require(flatE.foldable, "flatBooks must be a literal")
+    val flat = flatE.eval().asInstanceOf[ArrayData].toFloatArray()
+    // header: first two floats carry K and ds (exact small ints in float)
+    require(flat.length >= 2, "flatBooks missing K/ds header")
+    val k = flat(0).toInt
+    val ds = flat(1).toInt
+    val m = foldableInt(nSubE, "nSub")
+    require(k > 0 && ds > 0 && m > 0 && flat.length == 2 + m * k * ds,
+      s"flatBooks length ${flat.length} != 2 + $m*$k*$ds")
+    val body = flat.drop(2)
+    PqCodebook(body.grouped(k * ds).map(_.grouped(ds).map(_.toSeq).toSeq).toSeq)
   }
 
   private def foldableInt(e: org.apache.spark.sql.catalyst.expressions.Expression, name: String): Int = {
@@ -509,6 +738,66 @@ object VectorFunctions {
     import org.apache.spark.sql.functions.lit
     call_function("lsh_bands", v.cast("array<float>"),
       lit(dim), lit(bands), lit(planesPerBand), lit(seed))
+  }
+
+  private def flattenBooks(books: Array[Array[Array[Float]]]): Seq[Float] = {
+    require(books.nonEmpty, "codebook must be non-empty")
+    val k = books.head.length
+    val ds = books.head.head.length
+    require(books.forall(b => b.length == k && b.forall(_.length == ds)),
+      "all subspaces must share K and ds")
+    Seq(k.toFloat, ds.toFloat) ++ books.flatMap(_.flatMap(_.toSeq)).toSeq
+  }
+
+  /** PQ encode: codes column (one byte per subspace). Codebook rides as an
+    * expression field — plan size independent of M×K×ds. */
+  def pq_encode(v: Column, books: Array[Array[Array[Float]]]): Column = {
+    import org.apache.spark.sql.functions.{lit, typedlit}
+    call_function("pq_encode", v.cast("array<float>"),
+      typedlit(flattenBooks(books)), lit(books.length))
+  }
+
+  /** PQ reconstruction of a codes column. */
+  def pq_decode(codes: Column, books: Array[Array[Array[Float]]]): Column = {
+    import org.apache.spark.sql.functions.{lit, typedlit}
+    call_function("pq_decode", codes.cast("array<tinyint>"),
+      typedlit(flattenBooks(books)), lit(books.length))
+  }
+
+  /** ADC cosine of the fixed query `q` against each codes row: the LUTs are
+    * computed HERE (driver, once per query) and ride as expression fields. */
+  def pq_adc(codes: Column, q: Array[Float], books: Array[Array[Array[Float]]]): Column = {
+    import org.apache.spark.sql.functions.{lit, typedlit}
+    require(books.nonEmpty, "codebook must be non-empty")
+    val k = books.head.length
+    var qn = 0.0d
+    q.foreach(x => qn += x.toDouble * x.toDouble)
+    val dot = new Array[Double](books.length * k)
+    val norm = new Array[Double](books.length * k)
+    var off = 0
+    var s = 0
+    while (s < books.length) {
+      val book = books(s)
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d = 0.0d; var n2 = 0.0d
+        var i = 0
+        while (i < cent.length) {
+          val y = cent(i).toDouble
+          val x = if (off + i < q.length) q(off + i).toDouble else 0.0d
+          d += x * y; n2 += y * y
+          i += 1
+        }
+        dot(s * k + c) = d
+        norm(s * k + c) = n2
+        c += 1
+      }
+      off += book.head.length
+      s += 1
+    }
+    call_function("pq_adc", codes.cast("array<tinyint>"),
+      typedlit(dot.toSeq), typedlit(norm.toSeq), lit(books.length), lit(math.sqrt(qn)))
   }
 
   /** Native IVF cell assignment: the trained centroid matrix rides as an
