@@ -267,6 +267,33 @@ object SparkEntry {
   private def p6Catalog(s: SparkSession, dir: String): graft.sources.CatalogSnapshot =
     sessionMemo("p6cat", s, dir)(pin(tpchCatalog(s, dir, limitOrders = Some(120))))
 
+  /** Bucketed twins of orders/lineitem, written ONCE per (session, sf dir):
+    * both sides bucketBy(8) + sortBy the join key into external-path tables,
+    * so q_bucketed_join reads co-located, pre-sorted buckets and merges with
+    * no exchange and no sort. This is the ingest-time layout investment the
+    * 100 TB story leans on — pay one shuffle at write time, join shuffle-free
+    * forever after. Table names carry a dir tag so sf0.001/sf0.01 fixtures
+    * coexist in one catalog. */
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) =
+    sessionMemo("buckets", s, dir) {
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val base = java.nio.file.Files.createTempDirectory("graft-buckets")
+      val oT = s"orders_bkt_$tag"
+      val lT = s"lineitem_bkt_$tag"
+      // repartition on the bucket key first: ONE file per bucket is what
+      // lets the reader trust the written order and elide the merge sort
+      // (multi-file buckets only guarantee per-file order)
+      t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+        .repartition(8, col("o_orderkey"))
+        .write.mode("overwrite").option("path", base.resolve("o").toString)
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(oT)
+      t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+        .repartition(8, col("l_orderkey"))
+        .write.mode("overwrite").option("path", base.resolve("l").toString)
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lT)
+      (oT, lT)
+    }
+
   /** live_replicate's source catalog, pinned (same hygiene). */
   private def liveCatalog(s: SparkSession, dir: String): graft.sources.CatalogSnapshot =
     sessionMemo("livecat", s, dir)(pin(tpchCatalog(s, dir, limitOrders = Some(400))))
@@ -428,6 +455,20 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
+    }),
+
+    // CO-LOCATED bucketed join: orders and lineitem pre-written bucketBy the
+    // join key (once per session — the ingest-time layout investment), so the
+    // fact-fact join runs with ZERO exchange on either side — the layout move
+    // that turns the biggest recurring shuffle of a 100 TB pipeline into a
+    // local merge (PlanAuditSpec asserts the no-Exchange plan). The only
+    // shuffle left is the tiny priority aggregate.
+    "q_bucketed_join" -> ((s, dir) => {
+      val (oT, lT) = bucketedTables(s, dir)
+      s.table(oT).join(s.table(lT), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     }),
 
     // ===== windows / set ops (audit "latest state per id" — SURVEY §2.5) =====
@@ -1746,6 +1787,23 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.knnJoin(e, e.where(col("vec_id") < 32), k = 5)
         .select(col("q_id"), col("vec_id"), col("sim"), col("rank"))
+    }),
+
+    // kNN CLASSIFICATION: majority label vote among each query's 5 nearest
+    // neighbors (ties → smaller label) — the label-propagation /
+    // weak-labeling composition over the kNN join; the vote aggregate and
+    // argmax window touch only |queries|×5 rows.
+    "e_knn_classify" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val knn = Similarity.knnJoin(e, e.where(col("vec_id") < 32), k = 5)
+      val votes = knn
+        .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .groupBy(col("q_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("votes").desc, col("label").asc)
+      votes.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("q_id"), col("label").cast("int").as("pred_label"), col("votes"))
     })
   )
 
@@ -1787,6 +1845,13 @@ object SparkEntry {
            AND o_orderdate >= TIMESTAMP '1996-01-01'
            AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY n_name""",
+
+    // physical layout differs (bucketed tables), logical result must not
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority""",
 
     "q10_returned_revenue" ->
       """SELECT c_custkey, c_name,
@@ -2812,6 +2877,26 @@ object SparkEntry {
            SELECT q_id, vec_id, sim,
              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
            FROM scored)
-         SELECT q_id, vec_id, sim, rank FROM ranked WHERE rank <= 5"""
+         SELECT q_id, vec_id, sim, rank FROM ranked WHERE rank <= 5""",
+
+    "e_knn_classify" ->
+      """WITH scored AS (
+           SELECT q.vec_id AS q_id, e.vec_id, e.label,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim
+           FROM embeddings e, embeddings q
+           WHERE q.vec_id < 32 AND e.vec_id <> q.vec_id),
+         knn AS (
+           SELECT q_id, vec_id, label FROM (
+             SELECT q_id, vec_id, label,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+             FROM scored)
+           WHERE rn <= 5),
+         votes AS (
+           SELECT q_id, label, count(*) AS votes FROM knn GROUP BY q_id, label)
+         SELECT q_id, label AS pred_label, votes FROM (
+           SELECT q_id, label, votes,
+             row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS rn
+           FROM votes)
+         WHERE rn = 1"""
   )
 }

@@ -408,4 +408,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("Exchange hashpartitioning"),
       s"int8 scan should not shuffle:\n$plan")
   }
+
+  test("bucketed co-located join merges with zero exchange and zero sort") {
+    val base = java.nio.file.Files.createTempDirectory("graft-plan-bkt")
+    // repartition on the bucket key first: one file per bucket is the
+    // precondition for Spark to trust the written sort order and elide the
+    // merge-join Sort (multi-file buckets only guarantee per-file order)
+    spark.range(2000).select(col("id").as("k"), (col("id") % 5).as("pri"))
+      .repartition(4, col("k"))
+      .write.mode("overwrite").option("path", base.resolve("a").toString)
+      .bucketBy(4, "k").sortBy("k").saveAsTable("plan_bkt_a")
+    spark.range(6000).select((col("id") % 2000).as("k"), (col("id") * 3).as("v"))
+      .repartition(4, col("k"))
+      .write.mode("overwrite").option("path", base.resolve("b").toString)
+      .bucketBy(4, "k").sortBy("k").saveAsTable("plan_bkt_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // trusting the written per-bucket sort needs the explicit opt-in since
+    // Spark 3 (sound only with one file per bucket — guaranteed above)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val joined = spark.table("plan_bkt_a")
+        .join(spark.table("plan_bkt_b"), "k")
+      val plan = planString(joined)
+      assert(plan.contains("SortMergeJoin"), s"expected a merge join:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not exchange either side:\n$plan")
+      // sortBy at write time: the merge reads pre-sorted buckets, no Sort node
+      assert(!plan.contains("Sort "), s"bucketed join should skip sorting:\n$plan")
+      assert(joined.count() == 6000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    }
+  }
 }
