@@ -490,6 +490,20 @@ object SparkEntry {
         round(sum(col("l_quantity")).over(w), 2).as("running_qty"))
     }),
 
+    // RANGE-framed window (vs w_running_qty's ROWS frame): per-customer
+    // trailing-30-day spend — the frame is VALUE-based (all orders within 30
+    // days), so same-day orders aggregate together regardless of row order.
+    // One exchange on the customer key, per-partition sort, no global sort.
+    "w_trailing_30d" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("day_num", datediff(col("o_orderdate"), lit("1970-01-01").cast("date")))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_num"))
+        .rangeBetween(-30, 0)
+      o.select(col("o_custkey"), col("o_orderkey"), col("day_num").cast("bigint").as("day_num"),
+        round(sum(col("o_totalprice")).over(w), 2).as("spend_30d"),
+        count(lit(1)).over(w).as("n_orders_30d"))
+    }),
+
     "set_except_customers" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val h1 = o.where(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
@@ -513,6 +527,18 @@ object SparkEntry {
       t(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"), grouping_id().as("gid"))
+    }),
+
+    // Explicit GROUPING SETS (the general form rollup/cube specialize):
+    // status-only and priority-only marginals in ONE Expand + hash agg pass,
+    // not two scans unioned.
+    "agg_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
     }),
 
     // PIVOT: per-status order counts spread to columns — one hash agg with
@@ -1095,6 +1121,36 @@ object SparkEntry {
         q.awaitTermination()
       }
       s.table("s7_state_sink").groupBy("user_id")
+        .agg(max(col("n_sessions")).as("n_sessions"), max(col("n_events")).as("n_events"))
+    }),
+
+    // S7c2: the SAME session fold on Spark 4's transformWithState — the
+    // modern arbitrary-state API (named typed state handles, RocksDB
+    // provider required). Shares fold + oracle with s7_sessions_state; the
+    // drain swaps the state-store provider in for its lifetime.
+    "s7_sessions_tws" -> ((s, dir) => {
+      val streamDir = timeChunkedEventDir(s, dir, "s7tws")
+      val schema = t(s, dir, "events").schema
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.get(provKey,
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try withStatefulShuffle(s, 8) {
+        val stream = graft.functions.EventOps.withTsUs(
+            s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+              .parquet(streamDir))
+          .select(col("user_id"), col("ts_us").as("us"), col("event_id"))
+        val q = graft.streaming.StatefulSessions.sessionCountsTws(stream, gapUs = 1800000000L)
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("update")
+          .format("memory")
+          .queryName("s7_tws_sink")
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set(provKey, prevProv)
+      s.table("s7_tws_sink").groupBy("user_id")
         .agg(max(col("n_sessions")).as("n_sessions"), max(col("n_events")).as("n_events"))
     }),
 
@@ -1876,6 +1932,24 @@ object SparkEntry {
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
          FROM lineitem WHERE l_suppkey % 7 = 0""",
 
+    "w_trailing_30d" ->
+      """WITH d AS (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num
+           FROM orders)
+         SELECT o_custkey, o_orderkey, CAST(day_num AS BIGINT) AS day_num,
+           round(sum(o_totalprice) OVER w, 2) AS spend_30d,
+           count(*) OVER w AS n_orders_30d
+         FROM d
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num
+           RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""",
+
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
+
     "set_except_customers" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
          EXCEPT
@@ -2134,6 +2208,18 @@ object SparkEntry {
 
     // custom-state twin: same per-user truth as the session_window query
     "s7_sessions_state" ->
+      """SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
+             count(*) AS n_events
+         FROM (SELECT user_id,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 0
+                      WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1
+                      ELSE 0 END AS new_session
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         GROUP BY user_id""",
+
+    // transformWithState twin shares s7_sessions_state's truth exactly
+    "s7_sessions_tws" ->
       """SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
              count(*) AS n_events
          FROM (SELECT user_id,

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /**
  * Custom streaming state via `KeyValueGroupedDataset.mapGroupsWithState` /
@@ -70,6 +71,47 @@ object StatefulSessions {
           state.update(st)
           UserSessionCounts(user, st.nSessions, st.nEvents)
       }
+  }
+
+  /**
+   * The SAME session fold on Spark 4's `transformWithState` — the modern
+   * arbitrary-state API (typed named-state handles, TTL, timers) that
+   * supersedes mapGroupsWithState and requires the RocksDB state-store
+   * provider. State layout and semantics are IDENTICAL to [[sessionCounts]]
+   * (one ~40-byte SessionState per user in a named ValueState), so the two
+   * implementations share `fold` and the same batch oracle; what changes is
+   * the operator contract — explicit state declaration in `init`, per-batch
+   * `handleInputRows`, and state-store-native TTL instead of hand-rolled
+   * timeout plumbing. TTLConfig.NONE here: a production deployment bounds
+   * idle-user state with a TTL instead of an event-time timeout.
+   */
+  final class SessionCountsProcessor(gapUs: Long)
+    extends StatefulProcessor[Long, (Long, Long, Long), UserSessionCounts] {
+    @transient private var st: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("session", Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Long)],
+        timerValues: TimerValues): Iterator[UserSessionCounts] = {
+      val evs = rows.toArray.sortBy(e => (e._2, e._3))
+      var s = if (st.exists()) st.get() else emptyState
+      evs.foreach { case (_, us, _) => s = fold(s, us, gapUs)._1 }
+      st.update(s)
+      Iterator.single(UserSessionCounts(user, s.nSessions, s.nEvents))
+    }
+  }
+
+  /** [[sessionCounts]] on transformWithState (see SessionCountsProcessor).
+    * The session must run the RocksDB state-store provider. */
+  def sessionCountsTws(events: DataFrame, gapUs: Long): Dataset[UserSessionCounts] = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    events.select(col("user_id").cast("long"), col("us").cast("long"), col("event_id").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionCountsProcessor(gapUs),
+        TimeMode.None(), OutputMode.Update())
   }
 
   /**

@@ -41,6 +41,35 @@ class StatefulSessionsSpec extends SparkSpec {
     assert(fin(2L) === ((2L, 2L)), s"user 2 gap did not split: $fin")
   }
 
+  test("transformWithState: same fold, RocksDB provider, state survives micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.get(provKey,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Long, Long)](spark)
+      val counts = StatefulSessions.sessionCountsTws(
+        input.toDF().toDF("user_id", "us", "event_id"), GapUs)
+      val q = counts.writeStream.outputMode("update")
+        .format("memory").queryName("ss_tws").start()
+      try {
+        // identical scenario to the mapGroupsWithState test: the open tail
+        // session must survive the batch boundary in the named ValueState
+        input.addData((1L, Base, 0L), (1L, Base + min2us(10), 1L), (2L, Base, 2L))
+        q.processAllAvailable()
+        input.addData((1L, Base + min2us(20), 3L), (2L, Base + min2us(40), 4L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val fin = spark.table("ss_tws").groupBy("user_id")
+        .agg(max("n_sessions").as("s"), max("n_events").as("e"))
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(fin(1L) === ((1L, 3L)), s"user 1 session did not merge across batches: $fin")
+      assert(fin(2L) === ((2L, 2L)), s"user 2 gap did not split: $fin")
+    } finally spark.conf.set(provKey, prevProv)
+  }
+
   test("flatMapGroupsWithState: emits on close-by-event AND on watermark timeout, dropping state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val input = MemoryStream[(Long, Long, Long)](spark)
