@@ -1190,6 +1190,42 @@ object SparkEntry {
         .select(col("user_id"), col("session_start_us"), col("session_end_us"), col("n_events"))
     }),
 
+    // S7d2: closed sessions on transformWithState EVENT-TIME TIMERS — same
+    // infinite-watermark drain posture as s7_closed_sessions (timers never
+    // fire, emitted set = closed-by-later-event), same oracle; the timer
+    // branch (flush + state clear) is spec-driven in StatefulSessionsSpec.
+    "s7_closed_tws" -> ((s, dir) => {
+      val streamDir = timeChunkedEventDir(s, dir, "s7ctws")
+      val schema = t(s, dir, "events").schema
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.get(provKey,
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      try withStatefulShuffle(s, 8) {
+        val stream = graft.functions.EventOps.withTsUs(
+            s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+              .parquet(streamDir))
+          .select(col("user_id"), col("ts_us").as("us"), col("event_id"))
+        val q = graft.streaming.StatefulSessions.closedSessionsTws(stream,
+          gapUs = 1800000000L, watermarkDelay = "3650 days")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("append")
+          .format("memory")
+          .queryName("s7_closed_tws_sink")
+          .start()
+        q.awaitTermination()
+      } finally {
+        s.conf.set(provKey, prevProv)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      }
+      s.table("s7_closed_tws_sink")
+        .select(col("user_id"), col("session_start_us"), col("session_end_us"), col("n_events"))
+    }),
+
     // S8: the message plane consumed as a stream — export → JSON file drop →
     // streaming foreachBatch import with checkpoint → final target plane.
     "s8_stream_import" -> ((s, dir) => {
@@ -2234,6 +2270,24 @@ object SparkEntry {
     // event — all but each user's last session (the infinite-watermark drain
     // never times the tail session out)
     "s7_closed_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+         flg AS (SELECT user_id, us, event_id,
+             CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS ns
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         sess AS (SELECT user_id, us,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+           FROM flg),
+         agg AS (SELECT user_id, sid, min(us) AS session_start_us,
+                   max(us) AS session_end_us, count(*) AS n_events
+                 FROM sess GROUP BY user_id, sid)
+         SELECT user_id, session_start_us, session_end_us, n_events
+         FROM agg
+         WHERE sid < (SELECT max(a2.sid) FROM agg a2 WHERE a2.user_id = agg.user_id)""",
+
+    // transformWithState-timers drain shares the closed-by-event truth
+    "s7_closed_tws" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
          flg AS (SELECT user_id, us, event_id,
              CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000

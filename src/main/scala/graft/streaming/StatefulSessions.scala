@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /**
  * Custom streaming state via `KeyValueGroupedDataset.mapGroupsWithState` /
@@ -112,6 +112,68 @@ object StatefulSessions {
       .groupByKey(_._1)
       .transformWithState(new SessionCountsProcessor(gapUs),
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /**
+   * CLOSED-session emission on `transformWithState` with EVENT-TIME TIMERS —
+   * the modern-API twin of [[closedSessions]]: a session row emits when a
+   * later event opens the next session, or when the registered per-user
+   * timer (end-of-session + gap) fires as the watermark passes it
+   * (`handleExpiredTimer` flushes the open session and CLEARS the state —
+   * bounded by active users, identical to the EventTimeTimeout regime).
+   * Each batch re-arms the single per-user timer: the old one is deleted,
+   * end-of-session + gap registered.
+   */
+  final class ClosedSessionsProcessor(gapUs: Long)
+    extends StatefulProcessor[Long, (Long, Long, Long, java.sql.Timestamp), ClosedSession] {
+    @transient private var st: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("session", Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[ClosedSession] = {
+      val evs = rows.toArray.sortBy(e => (e._2, e._3))
+      var s = if (st.exists()) st.get() else emptyState
+      val out = Seq.newBuilder[ClosedSession]
+      evs.foreach { case (_, us, _, _) =>
+        val (next, isNew) = fold(s, us, gapUs)
+        if (isNew && s.nEvents > 0L)
+          out += ClosedSession(user, s.openStartUs, s.lastUs, s.openEvents)
+        s = next
+      }
+      st.update(s)
+      getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
+      getHandle.registerTimer((s.lastUs + gapUs) / 1000L)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      if (!st.exists()) Iterator.empty
+      else {
+        val s = st.get()
+        st.clear()
+        Iterator.single(ClosedSession(user, s.openStartUs, s.lastUs, s.openEvents))
+      }
+    }
+  }
+
+  /** [[closedSessions]] on transformWithState event-time timers (see
+    * ClosedSessionsProcessor). RocksDB provider required; the input must be
+    * watermarked on `tts` exactly like the flatMapGroupsWithState form. */
+  def closedSessionsTws(events: DataFrame, gapUs: Long,
+      watermarkDelay: String): Dataset[ClosedSession] = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    events.select(col("user_id").cast("long").as("user_id"),
+        col("us").cast("long").as("us"), col("event_id").cast("long").as("event_id"))
+      .withColumn("tts", timestamp_micros(col("us")))
+      .withWatermark("tts", watermarkDelay)
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new ClosedSessionsProcessor(gapUs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /**

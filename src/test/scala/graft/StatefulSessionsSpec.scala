@@ -101,4 +101,39 @@ class StatefulSessionsSpec extends SparkSpec {
     // user 99's session is still open (watermark never passed its end+gap)
     assert(!rows.exists(_._1 == 99L), s"open session leaked: $rows")
   }
+
+  test("transformWithState timers: close-by-event AND timer flush on watermark, clearing state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.get(provKey,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Long, Long)](spark)
+      val closed = StatefulSessions.closedSessionsTws(
+        input.toDF().toDF("user_id", "us", "event_id"), GapUs, watermarkDelay = "1 minute")
+      val q = closed.writeStream.outputMode("append")
+        .format("memory").queryName("ss_closed_tws").start()
+      try {
+        // identical scenario to the flatMapGroupsWithState timeout test
+        input.addData((1L, Base, 0L), (1L, Base + min2us(5), 1L))
+        q.processAllAvailable()
+        assert(spark.table("ss_closed_tws").count() === 0, "open session emitted early")
+        input.addData((1L, Base + min2us(60), 2L))
+        q.processAllAvailable()
+        input.addData((99L, Base + min2us(600), 3L))
+        q.processAllAvailable()
+        input.addData((99L, Base + min2us(601), 4L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("ss_closed_tws")
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(rows.contains((1L, Base, Base + min2us(5), 2L)), s"close-by-event missing: $rows")
+      assert(rows.contains((1L, Base + min2us(60), Base + min2us(60), 1L)),
+        s"timer flush missing: $rows")
+      assert(!rows.exists(_._1 == 99L), s"open session leaked: $rows")
+    } finally spark.conf.set(provKey, prevProv)
+  }
 }
