@@ -144,7 +144,10 @@ object Bench {
       .foreach { case (name, fn) =>
       if (elapsed >= deadline) {
         truncated = true
-        skipped.synchronized { skipped += name }
+        // same monitor as flush(): the shutdown hook reads `skipped` under
+        // results.synchronized, so the append must hold THAT lock — a
+        // different monitor would let the hook iterate a mid-resize buffer
+        results.synchronized { skipped += name }
       } else {
         val times = scala.collection.mutable.ArrayBuffer.empty[Double]
         // A throw anywhere (analysis error, runtime failure) marks the query

@@ -1131,12 +1131,7 @@ object SparkEntry {
     "s7_sessions_tws" -> ((s, dir) => {
       val streamDir = timeChunkedEventDir(s, dir, "s7tws")
       val schema = t(s, dir, "events").schema
-      val provKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProv = s.conf.get(provKey,
-        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
-      s.conf.set(provKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try withStatefulShuffle(s, 8) {
+      graft.streaming.StatefulSessions.withRocksDbStateStore(s) { withStatefulShuffle(s, 8) {
         val stream = graft.functions.EventOps.withTsUs(
             s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
               .parquet(streamDir))
@@ -1149,7 +1144,7 @@ object SparkEntry {
           .queryName("s7_tws_sink")
           .start()
         q.awaitTermination()
-      } finally s.conf.set(provKey, prevProv)
+      } }
       s.table("s7_tws_sink").groupBy("user_id")
         .agg(max(col("n_sessions")).as("n_sessions"), max(col("n_events")).as("n_events"))
     }),
@@ -1197,31 +1192,25 @@ object SparkEntry {
     "s7_closed_tws" -> ((s, dir) => {
       val streamDir = timeChunkedEventDir(s, dir, "s7ctws")
       val schema = t(s, dir, "events").schema
-      val provKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProv = s.conf.get(provKey,
-        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
-      s.conf.set(provKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-      try withStatefulShuffle(s, 8) {
-        val stream = graft.functions.EventOps.withTsUs(
-            s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-              .parquet(streamDir))
-          .select(col("user_id"), col("ts_us").as("us"), col("event_id"))
-        val q = graft.streaming.StatefulSessions.closedSessionsTws(stream,
-          gapUs = 1800000000L, watermarkDelay = "3650 days")
-          .writeStream
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .outputMode("append")
-          .format("memory")
-          .queryName("s7_closed_tws_sink")
-          .start()
-        q.awaitTermination()
-      } finally {
-        s.conf.set(provKey, prevProv)
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
-      }
+      try graft.streaming.StatefulSessions.withRocksDbStateStore(s) {
+        withStatefulShuffle(s, 8) {
+          val stream = graft.functions.EventOps.withTsUs(
+              s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+                .parquet(streamDir))
+            .select(col("user_id"), col("ts_us").as("us"), col("event_id"))
+          val q = graft.streaming.StatefulSessions.closedSessionsTws(stream,
+            gapUs = 1800000000L, watermarkDelay = "3650 days")
+            .writeStream
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .outputMode("append")
+            .format("memory")
+            .queryName("s7_closed_tws_sink")
+            .start()
+          q.awaitTermination()
+        }
+      } finally s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
       s.table("s7_closed_tws_sink")
         .select(col("user_id"), col("session_start_us"), col("session_end_us"), col("n_events"))
     }),
@@ -2372,12 +2361,13 @@ object SparkEntry {
       """SELECT doc_id, source FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '19'""",
 
-    // same A-ES priority key: ln((hash48+1)/2^48)/weight, ranked per source
+    // same A-ES priority key: round(ln((hash48+1)/2^48)/weight, 12) — the
+    // rounding absorbs cross-libm log discrepancy; ties break by doc_id
     "d_weighted_sample" ->
       """WITH keyed AS (
            SELECT source, doc_id, n_chars,
-             ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1)
-                / 281474976710656.0) / n_chars AS key
+             round(ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1)
+                / 281474976710656.0) / n_chars, 12) AS key
            FROM documents),
          ranked AS (
            SELECT source, doc_id, n_chars,

@@ -343,12 +343,15 @@ object TextFunctions {
    * (Efraimidis–Spirakis A-ES): key = ln(u)/w with u = (hash48+1)/2^48 ∈
    * (0, 1] — a monotone transform of the textbook u^(1/w), so taking the
    * top-n by key draws each subset with probability proportional to its
-   * weights. Deterministic (u is the md5 draw), so the SQL oracle replays
-   * the identical ranking.
+   * weights. The md5 draw makes it deterministic; ROUNDING to 12 dp (both
+   * engines tie-break equal keys by id) absorbs the ≤2-ulp discrepancy two
+   * libm `log`s may carry, so the SQL oracle replays the identical ranking
+   * — the round-to-6dp discipline every cosine oracle row uses, applied to
+   * the one transcendental in this key.
    */
   def weightedSampleKey(id: Column, weight: Column): Column =
-    log((hash48(id) + 1).cast("double") / lit(281474976710656.0)) /
-      weight.cast("double")
+    round(log((hash48(id) + 1).cast("double") / lit(281474976710656.0)) /
+      weight.cast("double"), 12)
 
   /**
    * X34: per-stratum weighted top-n sample — the corpus-mixing primitive

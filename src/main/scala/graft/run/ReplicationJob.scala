@@ -175,8 +175,11 @@ object ReplicationJob {
     // neither imported nor dead-lettered — silently lost. Malformed rows
     // reuse the PINNED per-type parse verdicts (dbRaw/twpRaw/largeRaw
     // above) instead of a fourth whole-plane from_json pass.
-    val knownType = col("messageType").isin(
-      MessageType.Database, MessageType.Table, MessageType.LargeTable)
+    // coalesce: a NULL messageType (e.g. a corrupt line that parsed to an
+    // all-null row) makes `isin` NULL, and `where(!NULL)` would DROP the row
+    // — neither imported nor dead-lettered. NULL type is unknown type.
+    val knownType = coalesce(col("messageType").isin(
+      MessageType.Database, MessageType.Table, MessageType.LargeTable), lit(false))
     def asDead(df: DataFrame, error: String): Dataset[DeadLetter] =
       df.select(col("messageType"), col("payload"), col("exportBatchId"),
         col("sourceCatalogId"), lit(error).as("error"),

@@ -27,6 +27,18 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateT
  */
 object StatefulSessions {
 
+  /** Run `body` with the RocksDB state-store provider (transformWithState
+    * requires it), restoring the session's previous provider after — the
+    * withStatefulShuffle pattern applied to the provider knob. */
+  def withRocksDbStateStore[A](s: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.get(key,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Per-user session-fold state: the open session's start/size, the last
     * event time, and running totals. ~40 bytes per user in the state store. */
   final case class SessionState(

@@ -129,11 +129,15 @@ class ReplicationE2ESpec extends SparkSpec {
     val good = ReplicationJob.export(spark, src, cfg)
     val poison = spark.createDataset(Seq(
       CatalogMessage(MessageType.Table, "src", "5", """{"table": {"name": }garbage"""),
-      CatalogMessage(MessageType.Database, "src", "5", """not json at all""")))
+      CatalogMessage(MessageType.Database, "src", "5", """not json at all"""),
+      // NULL messageType (an all-null corrupt parse): three-valued logic on
+      // `isin` must not drop it — NULL type is unknown type, dead-lettered
+      CatalogMessage(null, "src", "5", """{"database": {"name": "dbx"}}""")))
     val res = ReplicationJob.importMessages(spark, good.unionByName(poison),
       CatalogSnapshot.empty(spark, "tgt"), cfg)
-    assert(res.deadLetters.count() == 2)
+    assert(res.deadLetters.count() == 3)
     assert(res.deadLetters.where(col("error") === "malformed payload").count() == 2)
+    assert(res.deadLetters.where(col("error") === "unknown messageType").count() == 1)
     assert(tableKeys(res.target) == tableKeys(src))
   }
 

@@ -43,12 +43,7 @@ class StatefulSessionsSpec extends SparkSpec {
 
   test("transformWithState: same fold, RocksDB provider, state survives micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProv = spark.conf.get(provKey,
-      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
-    spark.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    StatefulSessions.withRocksDbStateStore(spark) {
       val input = MemoryStream[(Long, Long, Long)](spark)
       val counts = StatefulSessions.sessionCountsTws(
         input.toDF().toDF("user_id", "us", "event_id"), GapUs)
@@ -67,7 +62,7 @@ class StatefulSessionsSpec extends SparkSpec {
         .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
       assert(fin(1L) === ((1L, 3L)), s"user 1 session did not merge across batches: $fin")
       assert(fin(2L) === ((2L, 2L)), s"user 2 gap did not split: $fin")
-    } finally spark.conf.set(provKey, prevProv)
+    }
   }
 
   test("flatMapGroupsWithState: emits on close-by-event AND on watermark timeout, dropping state") {
@@ -104,12 +99,7 @@ class StatefulSessionsSpec extends SparkSpec {
 
   test("transformWithState timers: close-by-event AND timer flush on watermark, clearing state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProv = spark.conf.get(provKey,
-      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
-    spark.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    StatefulSessions.withRocksDbStateStore(spark) {
       val input = MemoryStream[(Long, Long, Long)](spark)
       val closed = StatefulSessions.closedSessionsTws(
         input.toDF().toDF("user_id", "us", "event_id"), GapUs, watermarkDelay = "1 minute")
@@ -134,6 +124,6 @@ class StatefulSessionsSpec extends SparkSpec {
       assert(rows.contains((1L, Base + min2us(60), Base + min2us(60), 1L)),
         s"timer flush missing: $rows")
       assert(!rows.exists(_._1 == 99L), s"open session leaked: $rows")
-    } finally spark.conf.set(provKey, prevProv)
+    }
   }
 }
