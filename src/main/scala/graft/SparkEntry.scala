@@ -1610,6 +1610,12 @@ object SparkEntry {
     // the same winners with a row_number over (doc_id, seg_idx).
     "d_segment_dedup" -> ((s, dir) => Dedup.segmentDedup(t(s, dir, "documents"))),
 
+    // X36: exact positional span dedup (overlapping 10-token windows,
+    // stride 1 — the Lee-et-al substring-dedup shape). Output = excision
+    // sites: every (doc, pos) whose window text occurred earlier elsewhere.
+    "d_span_dedup" -> ((s, dir) =>
+      Dedup.spanDedup(t(s, dir, "documents"), spanTokens = 10)),
+
     // Same operator under PLANTED boilerplate skew at bench cadence (the
     // CorpusScaleSmoke hot-key scenario, small enough for the DuckDB oracle
     // to certify row-for-row): every 10th doc gains a shadow twin that is 20
@@ -2704,6 +2710,24 @@ object SparkEntry {
            CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
            CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
          FROM ranked GROUP BY doc_id""",
+
+    // overlapping windows replayed with the word_ngrams tokenization
+    // (trim/lower/\s+); non-winner sites = rn > 1 under the same
+    // (doc_id, pos) lexicographic order the groupBy-MIN struct encodes
+    "d_span_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+           FROM documents),
+         spans AS (
+           SELECT doc_id,
+             unnest(generate_series(1, len(tk) - 9)) - 1 AS pos,
+             unnest(list_transform(generate_series(1, len(tk) - 9),
+               i -> md5(array_to_string(tk[i:i+9], ' ')))) AS digest
+           FROM toks WHERE len(tk) >= 10),
+         r AS (SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY digest ORDER BY doc_id, pos) AS rn
+           FROM spans)
+         SELECT doc_id, CAST(pos AS BIGINT) AS pos FROM r WHERE rn > 1""",
 
     // the same winner computation over the boilerplate-planted corpus: the
     // hot key's 10k occurrences rank under one PARTITION BY seg, keeping the

@@ -678,4 +678,45 @@ object Dedup {
         sum(when(col("keep"), 1).otherwise(0)).cast("bigint").as("n_kept"),
         sum(when(col("keep").isNull, 1).otherwise(0)).cast("bigint").as("n_dropped"))
   }
+
+  /**
+   * X36: exact POSITIONAL span dedup — the exact-substring-deduplication
+   * shape of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+   * Models Better"), on word windows: every OVERLAPPING `spanTokens`-token
+   * window (stride 1) of every document hashes; a window occurring at more
+   * than one (doc, pos) site keeps only its globally-first site (min doc id,
+   * then min position) and every other site is returned as an excision
+   * candidate. Overlap is what separates this from [[segmentDedup]] (X30,
+   * fixed stride-L chunks): a duplicated passage is caught at EVERY
+   * alignment, not only when it lands on a chunk boundary.
+   *
+   * Shuffle discipline: windows ride the exchange as 16-byte md5 digests,
+   * never the window text (the native word_ngrams pass emits the gram, the
+   * projection hashes it before the shuffle); winner selection is the same
+   * skew-safe groupBy-MIN over (doc, pos) structs as X30 — a
+   * million-occurrence boilerplate window partial-aggregates map-side —
+   * and only digests with ≥ 2 sites survive into the (equi-join) marking
+   * pass. Output rows ≈ duplicated-span sites, not the window plane.
+   */
+  def spanDedup(
+      docs: DataFrame,
+      spanTokens: Int = 10,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens $spanTokens")
+    SketchFunctions.register(docs.sparkSession)
+    val spans = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(SketchFunctions.word_ngrams(col(textCol), spanTokens))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), md5(col("gram")).as("digest"))
+    val winners = spans
+      .groupBy("digest")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"), count(lit(1)).as("n_sites"))
+      .where(col("n_sites") >= 2)
+      .select(col("digest"), col("w.doc_id").as("w_doc"), col("w.pos").as("w_pos"))
+    spans.join(winners, Seq("digest"))
+      .where(col("doc_id") =!= col("w_doc") || col("pos") =!= col("w_pos"))
+      .select(col("doc_id"), col("pos").cast("bigint").as("pos"))
+  }
 }

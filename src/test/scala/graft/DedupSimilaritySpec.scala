@@ -353,4 +353,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cents.length == 8)
     assert(cents.forall(_.forall(f => !f.isNaN)))
   }
+
+  test("spanDedup catches a MISALIGNED duplicated passage (overlap vs fixed chunks)") {
+    // A 5-token passage copied into doc 2 at offset 3 — no stride-5 chunk of
+    // doc 2 equals a chunk of doc 1 (the fixed-chunk X30 blind spot), but the
+    // stride-1 window at pos 3 matches doc 1's window at pos 0 exactly.
+    val passage = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, s"$passage tail1 tail2 tail3 tail4 tail5"),
+      (2L, s"pre1 pre2 pre3 $passage post1 post2")).toDF("doc_id", "text")
+    val sites = Dedup.spanDedup(docs, spanTokens = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(sites.contains((2L, 3L)), s"misaligned copy not caught: $sites")
+    // the fixed-chunk pass indeed misses it (nothing dropped): the overlap
+    // is the point of X36
+    val segDropped = Dedup.segmentDedup(docs, segTokens = 5)
+      .agg(org.apache.spark.sql.functions.sum("n_dropped")).head().getLong(0)
+    assert(segDropped == 0L, "fixed chunks unexpectedly caught the misaligned copy")
+    // winner site (doc 1, pos 0) is never excised
+    assert(!sites.contains((1L, 0L)))
+  }
 }
