@@ -294,6 +294,20 @@ object SparkEntry {
       (oT, lT)
     }
 
+  /** Alternate-format twins (CSV / JSON-lines / ORC) of three fixture
+    * tables, written ONCE per (session, sf dir). The reads back are the
+    * §2.1 source-format surface: every read uses an EXPLICIT schema lifted
+    * from the parquet fixture — schema-on-read, never an inference job (at
+    * 100 TB an inferSchema pass is a full extra scan of the corpus). */
+  private def altFormatDir(s: SparkSession, dir: String): String =
+    sessionMemo("altfmt", s, dir) {
+      val base = java.nio.file.Files.createTempDirectory("graft-altfmt").toString
+      t(s, dir, "supplier").write.option("header", "true").csv(s"$base/supplier_csv")
+      t(s, dir, "orders").write.json(s"$base/orders_json")
+      t(s, dir, "lineitem").write.orc(s"$base/lineitem_orc")
+      base
+    }
+
   /** live_replicate's source catalog, pinned (same hygiene). */
   private def liveCatalog(s: SparkSession, dir: String): graft.sources.CatalogSnapshot =
     sessionMemo("livecat", s, dir)(pin(tpchCatalog(s, dir, limitOrders = Some(400))))
@@ -378,6 +392,7 @@ object SparkEntry {
     v2CatalogId(s, dir)
     s8ImportMsgDir(s, dir)
     s8DedupMsgDir(s, dir)
+    altFormatDir(s, dir)
     ()
   }
 
@@ -469,6 +484,122 @@ object SparkEntry {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+
+    // Scan-only aggregate: both range predicates and the numeric band reach
+    // the parquet scan as PushedFilters, so at 100 TB this reads only the
+    // row groups whose shipdate stats overlap the window — no join, no
+    // wide shuffle, one partial+final agg over a single double.
+    "q6_revenue_delta" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    }),
+
+    // EXISTS as a left-semi join with a mixed equi + range condition: the
+    // equi key (orderkey) drives the hash join, the late-shipment range
+    // predicate filters inside it — orders rows survive at most once, no
+    // fan-out, no distinct. The semi join shape is exactly the reference's
+    // shouldExport existence gate (J4) applied to a derived condition.
+    "q4_late_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_late"))
+    }),
+
+    // Conditional aggregation over a broadcast dimension join: part is the
+    // small side (broadcast — no shuffle of lineitem), promo share computed
+    // as one pass of two conditional sums, not two scans.
+    "q14_promo_share" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      val p = t(s, dir, "part")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .agg(round(lit(100) *
+          sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0))) /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("promo_share"))
+    }),
+
+    // COUNT(DISTINCT) under a group: Spark expands to a two-level aggregate
+    // (partial distinct on (brand, type, suppkey), then final count) so the
+    // shuffle carries deduplicated triples, never the raw lineitem rows.
+    "q16_supplier_variety" -> ((s, dir) => {
+      val p = t(s, dir, "part").where(col("p_type") =!= "PROMO")
+      val l = t(s, dir, "lineitem")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // HAVING over a derived aggregate joined back to the fact: the big-order
+    // keys are a tiny post-aggregation frame, so the join back to orders
+    // broadcasts it (AQE) instead of shuffling orders; customer broadcasts
+    // explicitly.
+    "q18_big_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("qty"))
+        .where(col("qty") > 150)
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(big, o("o_orderkey") === big("l_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), round(col("qty"), 2).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(50)
+    }),
+
+    // Scalar subquery + NOT EXISTS: the global average is a one-row frame
+    // cross-broadcast onto the scan (never a collect), the "no recent
+    // orders" gate is a left-anti hash join — the same anti-join plane as
+    // incremental dedup (X26), here over the order log.
+    "q22_idle_rich" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val avgBal = c.where(col("c_acctbal") > 0).agg(avg(col("c_acctbal")).as("ab"))
+      val recent = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      c.crossJoin(broadcast(avgBal)).where(col("c_acctbal") > col("ab"))
+        .join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
+    }),
+
+    // ===== alternate source formats (§2.1): the same logical result must
+    // come off CSV, JSON-lines and ORC layouts. Each read supplies the
+    // parquet fixture's schema explicitly (schema-on-read, no inference
+    // scan); the oracle states truth over the original parquet table, so
+    // the round trip must be value-lossless. =====
+    "src_csv_agg" -> ((s, dir) => {
+      val base = altFormatDir(s, dir)
+      s.read.schema(t(s, dir, "supplier").schema).option("header", "true")
+        .csv(s"$base/supplier_csv")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"), round(sum(col("s_acctbal")), 2).as("total_bal"))
+    }),
+
+    "src_json_agg" -> ((s, dir) => {
+      val base = altFormatDir(s, dir)
+      s.read.schema(t(s, dir, "orders").schema).json(s"$base/orders_json")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total_price"))
+    }),
+
+    // ORC carries min/max stride stats like parquet: the shipdate range
+    // predicate pushes into the ORC reader (searchArgument), so this scan
+    // skips stripes outside the window.
+    "src_orc_agg" -> ((s, dir) => {
+      val base = altFormatDir(s, dir)
+      s.read.orc(s"$base/lineitem_orc")
+        .where(col("l_shipdate") >= lit("1999-01-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     }),
 
     // ===== windows / set ops (audit "latest state per id" — SURVEY §2.5) =====
@@ -1939,6 +2070,75 @@ object SparkEntry {
          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderpriority""",
+
+    // truth over the ORIGINAL parquet tables — certifies the CSV/JSON/ORC
+    // round trips are value-lossless, not just self-consistent
+    "src_csv_agg" ->
+      """SELECT s_nationkey, count(*) AS n_supp,
+                round(sum(s_acctbal), 2) AS total_bal
+         FROM supplier GROUP BY s_nationkey""",
+
+    "src_json_agg" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                round(sum(o_totalprice), 2) AS total_price
+         FROM orders GROUP BY o_orderstatus""",
+
+    "src_orc_agg" ->
+      """SELECT l_returnflag,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+         GROUP BY l_returnflag""",
+
+    "q6_revenue_delta" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""",
+
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_late
+         FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority""",
+
+    "q14_promo_share" ->
+      """SELECT round(100 *
+           sum(CASE WHEN p_type = 'PROMO'
+               THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+           sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1997-04-01'""",
+
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_type <> 'PROMO'
+         GROUP BY p_brand, p_type""",
+
+    "q18_big_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+                round(qty, 2) AS total_qty
+         FROM orders
+         JOIN (SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem
+               GROUP BY l_orderkey HAVING sum(l_quantity) > 150) big
+           ON o_orderkey = big.l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""",
+
+    "q22_idle_rich" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+                round(sum(c_acctbal), 2) AS totacctbal
+         FROM customer c
+         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                            WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+         GROUP BY c_nationkey""",
 
     "q10_returned_revenue" ->
       """SELECT c_custkey, c_name,
