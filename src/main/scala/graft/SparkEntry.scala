@@ -642,6 +642,28 @@ object SparkEntry {
       h1.except(h2)
     }),
 
+    // INTERSECT (the set-op EXCEPT's dual): Spark plans both as a left-semi/
+    // anti join over distinct'd sides — no full materialization of either.
+    "set_intersect_nations" -> ((s, dir) => {
+      val rich_c = t(s, dir, "customer").where(col("c_acctbal") > 9000)
+        .select(col("c_nationkey").as("nationkey"))
+      val rich_s = t(s, dir, "supplier").where(col("s_acctbal") > 9000)
+        .select(col("s_nationkey").as("nationkey"))
+      rich_c.intersect(rich_s)
+    }),
+
+    // Global NTILE over the compacted per-customer aggregate: the single-
+    // partition window is fine BECAUSE it runs on the post-aggregation frame
+    // (|customers| rows, not |orders|) — the same discipline as the top-k
+    // vocabulary ranks (X25). Never ntile the raw fact table.
+    "w_ntile_spend" -> ((s, dir) => {
+      val spend = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("spend"))
+      val w = Window.orderBy(col("spend").desc, col("o_custkey"))
+      spend.withColumn("quartile", ntile(4).over(w))
+    }),
+
     "agg_rollup_customers" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
@@ -1079,6 +1101,16 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
     }),
 
+    // LAG inter-arrival gaps per user: one exchange on user_id, per-partition
+    // sort on the canonical ts_us — the per-key sequential-context shape
+    // (previous event, delta features) a session-feature pipeline emits.
+    "ev_lag_gap" -> ((s, dir) => {
+      val e = events(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      e.select(col("user_id"), col("event_id"), col("ts_us"),
+        (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"))
+    }),
+
     // ===== Structured Streaming (S7/S8, §2.7) =====
     // Real streaming execution, drained with Trigger.AvailableNow so the
     // result is a bounded DataFrame the oracle can check.
@@ -1499,6 +1531,30 @@ object SparkEntry {
         .select(col("content_hash"), col("doc_id"), col("dup_count"))
     }),
 
+    // Corpus-slice KMV sketches via the bottom_k_md5 TypedImperativeAggregate
+    // (SURVEY §2.8): each source collapses to its 32 smallest distinct
+    // 3-gram md5 digests in ONE pass — O(k) mergeable state, map-side
+    // partials, the exchange carries ≤ k digests per (partition, source),
+    // never the shingle stream. Pairwise source overlap then reads off the
+    // sketches with the classic KMV estimator |bottomK(A∪B) ∩ A ∩ B| / k.
+    // The oracle recomputes BOTH stages exactly in SQL (md5 replays), so
+    // sketch contents — not just the estimates — are certified.
+    "d_corpus_sketch" -> ((s, dir) => {
+      val k = 32
+      val sigs = t(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.plans.SketchFunctions.word_ngrams(col("text"), 3)).as("g"))
+        .groupBy(col("source"))
+        .agg(graft.plans.SketchFunctions.bottom_k_md5(col("g"), k).as("sig"))
+      val a = sigs.select(col("source").as("source_a"), col("sig").as("sig_a"))
+      val b = sigs.select(col("source").as("source_b"), col("sig").as("sig_b"))
+      a.crossJoin(b).where(col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"),
+          round(size(array_intersect(array_intersect(
+            slice(array_sort(array_union(col("sig_a"), col("sig_b"))), 1, k),
+            col("sig_a")), col("sig_b"))).cast("double") / k, 6).as("est_jaccard"))
+    }),
+
     // X25: per-source vocabulary heavy hitters (boilerplate/drift detection) —
     // one shuffle of (source, token) pairs, rank window over the aggregated
     // vocab frame only.
@@ -1892,6 +1948,29 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // Matryoshka-style truncated-dim retrieve-then-rerank: coarse-score with
+    // the FIRST 48 of 64 dims (at ingest the prefix would be its own column
+    // so the scan prunes to it — 25% less vector IO; trained MRL embeddings
+    // front-load information so much shorter prefixes work), take a
+    // 200-candidate shortlist (TakeOrderedAndProject = per-partition partial
+    // top-S, the shuffle carries 200 rows per partition max), then re-rank
+    // the shortlist by exact full-dim cosine. Exact top-10 whenever the
+    // shortlist covers the true set — it does at every fixture SF (checked
+    // 0.001/0.01/0.1), which is what lets the plain exact-kNN SQL be the
+    // oracle; MrlKnnSpec pins the coverage at the shipped config.
+    "e_mrl_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 1)
+        .select(col("embedding").as("qv"), expr("slice(embedding, 1, 48)").as("qp"))
+      val short = e.where(col("vec_id") =!= 1).crossJoin(broadcast(q))
+        .select(col("vec_id"), col("embedding"), col("qv"),
+          Similarity.cosine(expr("slice(embedding, 1, 48)"), col("qp")).as("coarse"))
+        .orderBy(col("coarse").desc, col("vec_id")).limit(200)
+      short.select(col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+    }),
+
     // Exact all-pairs near-dup — the oracle-checkable TWIN of
     // e_lsh_neardup_pairs, quadratic by construction, so its input is
     // EXPLICITLY BOUNDED (first 1000 vector ids): a fixed-cost verification
@@ -2180,6 +2259,24 @@ object SparkEntry {
            round(sum(o_totalprice), 2) AS total_price
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
+
+    "set_intersect_nations" ->
+      """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+         INTERSECT
+         SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000""",
+
+    "w_ntile_spend" ->
+      """WITH spend AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+                        FROM orders GROUP BY o_custkey)
+         SELECT o_custkey, spend,
+                ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS quartile
+         FROM spend""",
+
+    "ev_lag_gap" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                epoch_us(ts) - lag(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+         FROM events""",
 
     "set_except_customers" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
@@ -2619,6 +2716,28 @@ object SparkEntry {
          SELECT doc_id, token,
            round((CAST(cnt AS DOUBLE) / doc_len) * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
          FROM w ORDER BY tfidf DESC, doc_id, token LIMIT 100""",
+
+    // replays BOTH sketch stages exactly: per-source bottom-32 distinct
+    // md5(3-gram) via a rank window, then the same KMV estimator
+    "d_corpus_sketch" ->
+      """WITH grams AS (
+           SELECT DISTINCT source,
+             unnest(list_transform(
+               generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2),
+               i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[i:i+2], ' '))) AS g
+           FROM documents
+           WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 3),
+         h AS (SELECT DISTINCT source, md5(g) AS hx FROM grams),
+         r AS (SELECT source, hx,
+                 row_number() OVER (PARTITION BY source ORDER BY hx) AS rn
+               FROM h),
+         sig AS (SELECT source, list(hx ORDER BY hx) AS sig
+                 FROM r WHERE rn <= 32 GROUP BY source)
+         SELECT a.source AS source_a, b.source AS source_b,
+           round(CAST(len(list_intersect(list_intersect(
+               (list_sort(list_distinct(list_concat(a.sig, b.sig))))[1:32],
+               a.sig), b.sig)) AS DOUBLE) / 32, 6) AS est_jaccard
+         FROM sig a, sig b WHERE a.source < b.source""",
 
     "d_doc_freq" ->
       """SELECT token, count(*) AS df FROM (
@@ -3150,6 +3269,15 @@ object SparkEntry {
          round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim
          FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
          WHERE e.vec_id <> 0
+         ORDER BY sim DESC, e.vec_id LIMIT 10""",
+
+    // exact-kNN truth: valid because the 48-dim shortlist provably covers
+    // the true top-10 on every fixture SF (MrlKnnSpec)
+    "e_mrl_topk" ->
+      """SELECT e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim
+         FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 1) q
+         WHERE e.vec_id <> 1
          ORDER BY sim DESC, e.vec_id LIMIT 10""",
 
     "e_neardup_exact" ->

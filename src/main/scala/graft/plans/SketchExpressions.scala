@@ -138,7 +138,7 @@ object SketchOps {
   private val md5Local: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
-  private def md5Hex(s: String): String = {
+  private[plans] def md5Hex(s: String): String = {
     val d = md5Local.get()
     d.reset()
     val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -298,6 +298,10 @@ object SketchFunctions {
         exprs => WordNgramsExpr(exprs(0), foldableInt(exprs(1), "n")), "built-in")
       reg.createOrReplaceTempFunction("min_gram_md5",
         exprs => MinGramMd5(exprs(0), foldableInt(exprs(1), "n")), "built-in")
+      // AggregateFunction builders are legal here: the analyzer wraps a bare
+      // AggregateFunction into Complete-mode AggregateExpression on resolve
+      reg.createOrReplaceTempFunction("bottom_k_md5",
+        exprs => BottomKMd5(exprs(0), foldableInt(exprs(1), "k")), "built-in")
     }
   }
 
@@ -322,6 +326,10 @@ object SketchFunctions {
 
   def word_ngrams(text: Column, n: Int): Column =
     call_function("word_ngrams", text.cast("string"), lit(n))
+
+  /** Corpus-slice KMV sketch (aggregate): k smallest distinct md5 digests. */
+  def bottom_k_md5(value: Column, k: Int): Column =
+    call_function("bottom_k_md5", value.cast("string"), lit(k))
 
   def min_gram_md5(text: Column, n: Int): Column =
     call_function("min_gram_md5", text.cast("string"), lit(n))
