@@ -1075,6 +1075,21 @@ object SparkEntry {
         .select(col("event_id"), col("asof_id").as("asof_view_id"))
     }),
 
+    // The same as-of semantics through the CUSTOM OPERATOR (AsOfJoinPlan →
+    // AsOfJoinStrategy → streaming two-pointer merge exec; SURVEY §2.8/§4):
+    // one hash exchange per side, one sort each, O(1) merge state — no row
+    // inflation, no window buffer, full right payload available. Sharing
+    // ev_asof_join's oracle pins exec ≡ window-composition ≡ SQL truth.
+    "ev_asof_exec" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("us", col("ts_us"))
+        .select(col("user_id"), col("event_id"), col("us"), col("event_type"))
+      val purchases = e.where(col("event_type") === "purchase").drop("event_type")
+      val views = e.where(col("event_type") === "view").drop("event_type")
+      graft.plans.AsOfJoin.asofJoin(purchases, views, Seq("user_id"), "us", "us",
+          tieBreakCols = Seq("event_id"))
+        .select(col("event_id"), col("event_id_r").as("asof_view_id"))
+    }),
+
     // banded time-proximity self-join: same-user event pairs within 60 s,
     // joined on (user, gap-bucket) — factor-2 row inflation instead of the
     // naive per-user product (see EventOps.proximityPairs). The flood cap is
@@ -2472,6 +2487,17 @@ object SparkEntry {
          FROM x GROUP BY 1, 2""",
 
     "ev_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
+         p AS (SELECT event_id AS p_id, user_id, us FROM e WHERE event_type = 'purchase'),
+         v AS (SELECT event_id AS v_id, user_id, us AS v_us FROM e WHERE event_type = 'view')
+         SELECT p.p_id AS event_id,
+           (SELECT v_id FROM v
+            WHERE v.user_id = p.user_id AND v.v_us <= p.us
+            ORDER BY v.v_us DESC, v_id DESC LIMIT 1) AS asof_view_id
+         FROM p""",
+
+    // identical truth as ev_asof_join — the custom exec must agree with SQL
+    "ev_asof_exec" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
          p AS (SELECT event_id AS p_id, user_id, us FROM e WHERE event_type = 'purchase'),
          v AS (SELECT event_id AS v_id, user_id, us AS v_us FROM e WHERE event_type = 'view')

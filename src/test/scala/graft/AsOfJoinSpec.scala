@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.AsOfJoin
+import graft.plans.AsOfJoinPlans.AsOfJoinPlan
+
+/**
+ * Custom as-of join operator (LogicalPlan + Rule + SparkStrategy + SparkPlan):
+ * semantics vs the window-composed EventOps.asofJoin and a hand model,
+ * tolerance, null-padding, the physical plan shape (merge, not window), and
+ * the probe-side-only predicate pushdown rule.
+ */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planted = Seq(
+    // (user, id, time)
+    ("u1", 1L, 100L), ("u1", 2L, 200L), ("u1", 3L, 200L), ("u1", 4L, 500L),
+    ("u2", 5L, 50L),
+    ("u3", 6L, 10L)
+  ).toDF("user_id", "event_id", "us")
+
+  private def probes = Seq(
+    ("u1", 10L, 250L), // latest view <= 250 is t=200; tie → highest id 3
+    ("u1", 11L, 99L),  // before all views → null
+    ("u2", 12L, 50L),  // exact tie at 50 (at-or-before includes ties) → 5
+    ("u4", 13L, 999L)  // user with no views → null
+  ).toDF("user_id", "event_id", "us")
+
+  test("matches the hand model: latest at-or-before, ties to highest id, null when none") {
+    val out = AsOfJoin.asofJoin(probes, planted, Seq("user_id"), "us", "us",
+        tieBreakCols = Seq("event_id"))
+      .select(col("event_id"), col("event_id_r"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == Map(10L -> 3L, 11L -> -1L, 12L -> 5L, 13L -> -1L))
+  }
+
+  test("tolerance drops stale matches") {
+    val out = AsOfJoin.asofJoin(probes, planted, Seq("user_id"), "us", "us",
+        tieBreakCols = Seq("event_id"), tolerance = Some(10L))
+      .select(col("event_id"), col("event_id_r"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // probe 10 at 250: candidate at 200 is 50 > 10 stale → null; probe 12 gap 0 → keeps 5
+    assert(out == Map(10L -> -1L, 11L -> -1L, 12L -> 5L, 13L -> -1L))
+  }
+
+  test("agrees with the window-composed EventOps.asofJoin on the fixture events") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.functions.EventOps.withTsUs(spark.read.parquet(s"$dir/events.parquet"))
+      .withColumn("us", col("ts_us"))
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("us"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("us"))
+    val composed = graft.functions.EventOps.asofJoin(views, purchases)
+      .select(col("event_id"), col("asof_id"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val exec = AsOfJoin.asofJoin(purchases, views, Seq("user_id"), "us", "us",
+        tieBreakCols = Seq("event_id"))
+      .select(col("event_id"), col("event_id_r"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(exec == composed)
+    assert(exec.nonEmpty)
+  }
+
+  test("physical plan is the merge exec: one exchange per side, no Window, no CartesianProduct") {
+    val out = AsOfJoin.asofJoin(probes, planted, Seq("user_id"), "us", "us")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin "), plan) // SparkPlan.nodeName strips "Exec"
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan)
+  }
+
+  test("probe-side filters push below the join; reference-side filters do not") {
+    val joinedDf = AsOfJoin.asofJoin(probes, planted, Seq("user_id"), "us", "us")
+    val probeFiltered = joinedDf.where(col("event_id") === 10L)
+    val opt = probeFiltered.queryExecution.optimizedPlan
+    // after pushdown the AsOfJoinPlan's left subtree carries the condition
+    val asof = opt.collectFirst { case a: AsOfJoinPlan => a }.get
+    assert(asof.left.toString.contains("event_id"),
+      s"probe filter not pushed into left subtree:\n$opt")
+    assert(!opt.toString.startsWith("Filter"), s"filter should be consumed:\n$opt")
+
+    val refFiltered = joinedDf.where(col("event_id_r") === 3L)
+    val opt2 = refFiltered.queryExecution.optimizedPlan
+    val hasTopFilter = opt2.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.child.isInstanceOf[AsOfJoinPlan] => f
+    }.isDefined
+    assert(hasTopFilter, s"reference-side filter must stay above the join:\n$opt2")
+  }
+}
