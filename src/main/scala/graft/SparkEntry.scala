@@ -1556,11 +1556,13 @@ object SparkEntry {
     // sketch contents — not just the estimates — are certified.
     "d_corpus_sketch" -> ((s, dir) => {
       val k = 32
+      // the STREAMED ngram generator (UDTF), not explode(word_ngrams(...)):
+      // grams flow row-at-a-time into the partial aggregate, never
+      // materializing the per-document gram array
       val sigs = t(s, dir, "documents")
-        .select(col("source"),
-          explode(graft.plans.SketchFunctions.word_ngrams(col("text"), 3)).as("g"))
+        .select(col("source"), graft.plans.SketchFunctions.ngram_explode(col("text"), 3))
         .groupBy(col("source"))
-        .agg(graft.plans.SketchFunctions.bottom_k_md5(col("g"), k).as("sig"))
+        .agg(graft.plans.SketchFunctions.bottom_k_md5(col("gram"), k).as("sig"))
       val a = sigs.select(col("source").as("source_a"), col("sig").as("sig_a"))
       val b = sigs.select(col("source").as("source_b"), col("sig").as("sig_b"))
       a.crossJoin(b).where(col("source_a") < col("source_b"))

@@ -102,10 +102,10 @@ object SketchOps {
     * `split(trim(lower(text)), "\\s+")` computes: UTF8String.toLowerCase
     * (locale-independent), UTF8String.trim (space 0x20 only — NOT Java
     * String.trim), Java regex split with limit -1. */
-  private def tokensOf(text: UTF8String): Array[String] =
+  private[plans] def tokensOf(text: UTF8String): Array[String] =
     wsPattern.split(text.toLowerCase.trim().toString, -1)
 
-  private def gramAt(toks: Array[String], i: Int, n: Int): String = {
+  private[plans] def gramAt(toks: Array[String], i: Int, n: Int): String = {
     val sb = new java.lang.StringBuilder
     var j = 0
     while (j < n) {
@@ -302,6 +302,10 @@ object SketchFunctions {
       // AggregateFunction into Complete-mode AggregateExpression on resolve
       reg.createOrReplaceTempFunction("bottom_k_md5",
         exprs => BottomKMd5(exprs(0), foldableInt(exprs(1), "k")), "built-in")
+      // Generator builders are legal too: ExtractGenerator lifts a Generator
+      // in a Project into a Generate node during analysis
+      reg.createOrReplaceTempFunction("ngram_explode",
+        exprs => NgramExplode(exprs(0), foldableInt(exprs(1), "n")), "built-in")
     }
   }
 
@@ -330,6 +334,10 @@ object SketchFunctions {
   /** Corpus-slice KMV sketch (aggregate): k smallest distinct md5 digests. */
   def bottom_k_md5(value: Column, k: Int): Column =
     call_function("bottom_k_md5", value.cast("string"), lit(k))
+
+  /** Streamed word-ngram generator (UDTF): rows (pos, gram), no gram array. */
+  def ngram_explode(text: Column, n: Int): Column =
+    call_function("ngram_explode", text.cast("string"), lit(n))
 
   def min_gram_md5(text: Column, n: Int): Column =
     call_function("min_gram_md5", text.cast("string"), lit(n))

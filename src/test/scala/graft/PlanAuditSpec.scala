@@ -24,6 +24,17 @@ class PlanAuditSpec extends SparkSpec {
   private def planString(df: org.apache.spark.sql.DataFrame): String =
     executedPlan(df).toString
 
+  test("adapted TPC-H plans: q6 filters reach the scan, q14 broadcasts part, q4 is a semi join") {
+    val dir = "/root/testdata/sf0.001"
+    val p6 = planString(SparkEntry.queries("q6_revenue_delta")(spark, dir))
+    assert(p6.contains("PushedFilters") && p6.contains("l_shipdate"),
+      s"q6 range predicate not pushed:\n$p6")
+    val p14 = planString(SparkEntry.queries("q14_promo_share")(spark, dir))
+    assert(p14.contains("BroadcastHashJoin"), s"q14 part dim not broadcast:\n$p14")
+    val p4 = planString(SparkEntry.queries("q4_late_orders")(spark, dir))
+    assert(p4.contains("LeftSemi"), s"q4 EXISTS not planned as semi join:\n$p4")
+  }
+
   test("snapshot partition plane prunes by databaseName from the directory layout") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan-snap").toString
     val parts = (0 until 100).map(i =>

@@ -43,6 +43,29 @@ class SketchAggregateSpec extends SparkSpec {
     assert(got == Seq("x", "y").map(md5hex).sorted)
   }
 
+  test("ngram_explode streams the same grams as explode(word_ngrams), with positions") {
+    val docs = Seq(
+      (1L, "  The quick Brown fox jumps  "),
+      (2L, "one two"),          // fewer than n tokens -> no rows
+      (3L, "a b c")
+    ).toDF("id", "text")
+    val gen = docs.select(col("id"), SketchFunctions.ngram_explode(col("text"), 3))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val arr = docs.select(col("id"),
+        posexplode(SketchFunctions.word_ngrams(col("text"), 3)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(gen == arr)
+    assert(gen.contains((1L, 0, "the quick brown")))
+    assert(!gen.exists(_._1 == 2L))
+  }
+
+  test("ngram_explode in plain SQL via the session registry") {
+    spark.range(0, 1).selectExpr("'x y z w' AS text").createOrReplaceTempView("ngtest")
+    val rows = spark.sql("SELECT pos, gram FROM ngtest LATERAL VIEW ngram_explode(text, 2) t AS pos, gram")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toList
+    assert(rows == List((0, "x y"), (1, "y z"), (2, "z w")))
+  }
+
   test("KMV estimate tracks true Jaccard on controlled overlap") {
     // two sets sharing exactly half their elements: true J = 1/3
     val a = (0 until 600).map(i => ("a", s"e$i"))
