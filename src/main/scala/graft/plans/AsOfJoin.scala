@@ -140,13 +140,43 @@ object AsOfJoinPlans {
         val outProj = UnsafeProjection.create(output, output)
 
         new Iterator[InternalRow] {
-          private var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
+          // right-head key/time are projected ONCE per reference row (at
+          // advance), not once per probe that peeks at it; candidate rows
+          // copy into reusable buffers, so the steady state allocates
+          // nothing per row.
+          private var rHead: InternalRow = null
+          private var rHeadKey: InternalRow = null // projection buffer view
+          private var rHeadTime: Long = 0L
+          private var rHeadTimeNull: Boolean = false
           private var candidate: InternalRow = null
           private var candidateKey: InternalRow = null
           private var candidateTime: Long = 0L
+          private val hasTol = tol.isDefined
+          private val tolV = tol.getOrElse(0L)
 
           private def advance(): Unit =
-            rHead = if (rIter.hasNext) rIter.next() else null
+            if (rIter.hasNext) {
+              rHead = rIter.next()
+              rHeadKey = rKeyProj(rHead)
+              val rtRow = rTimeProj(rHead)
+              rHeadTimeNull = rtRow.isNullAt(0)
+              rHeadTime = if (rHeadTimeNull) 0L else rtRow.getLong(0)
+            } else { rHead = null; rHeadKey = null }
+          advance()
+
+          private def keep(row: InternalRow, key: InternalRow): Unit = {
+            (row, candidate) match {
+              case (u: org.apache.spark.sql.catalyst.expressions.UnsafeRow,
+                    c: org.apache.spark.sql.catalyst.expressions.UnsafeRow) => c.copyFrom(u)
+              case _ => candidate = row.copy()
+            }
+            (key, candidateKey) match {
+              case (u: org.apache.spark.sql.catalyst.expressions.UnsafeRow,
+                    c: org.apache.spark.sql.catalyst.expressions.UnsafeRow) => c.copyFrom(u)
+              case _ => candidateKey = key.copy()
+            }
+            candidateTime = rHeadTime
+          }
 
           override def hasNext: Boolean = lIter.hasNext
 
@@ -158,22 +188,17 @@ object AsOfJoinPlans {
             val lt = if (ltNull) Long.MinValue else ltRow.getLong(0)
             var scanning = rHead != null && !ltNull
             while (scanning) {
-              val cmp = keyOrd.compare(rKeyProj(rHead), lk)
-              if (cmp < 0) { advance(); scanning = rHead != null }
-              else if (cmp == 0) {
-                val rtRow = rTimeProj(rHead)
-                if (rtRow.isNullAt(0)) { advance(); scanning = rHead != null }
-                else if (rtRow.getLong(0) <= lt) {
-                  candidate = rHead.copy()
-                  candidateKey = rKeyProj(rHead).copy()
-                  candidateTime = rtRow.getLong(0)
-                  advance(); scanning = rHead != null
-                } else scanning = false
+              val cmp = keyOrd.compare(rHeadKey, lk)
+              if (cmp < 0 || (cmp == 0 && rHeadTimeNull)) {
+                advance(); scanning = rHead != null
+              } else if (cmp == 0 && rHeadTime <= lt) {
+                keep(rHead, rHeadKey)
+                advance(); scanning = rHead != null
               } else scanning = false
             }
             val matched = !ltNull && candidate != null &&
               keyOrd.compare(candidateKey, lk) == 0 &&
-              tol.forall(t => lt - candidateTime <= t)
+              (!hasTol || lt - candidateTime <= tolV)
             outProj(joined(l, if (matched) candidate else nullRight))
           }
         }
