@@ -1189,6 +1189,74 @@ object SparkEntry {
       s.table("s7_append_sink")
     }),
 
+    // S7j-outer: stream-stream LEFT OUTER interval join — the watermark
+    // CLOSES the null side: an unmatched left event emits (id_b null) only
+    // once the global watermark proves no partner can still arrive. A
+    // far-future sentinel file (processed as its own micro-batch via
+    // maxFilesPerTrigger=1) pushes the final watermark past every real
+    // event, and the no-data micro-batch flushes the remaining state — so
+    // the drained result is COMPLETE and equals the batch LEFT JOIN, which
+    // is exactly what the oracle states. Without the sentinel the last
+    // minute's unmatched rows would sit in state forever: that asymmetry
+    // IS the outer-join watermark contract, pinned here.
+    "s7_stream_joined_outer" -> ((s, dir) => {
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-s7jo")
+      java.nio.file.Files.copy(src, streamDir.resolve("events.parquet"))
+      // sentinel: one row 10 min past the corpus max on BOTH stream sides
+      // (they read the same dir); filtered out of the result by user_id
+      val maxUs = events(s, dir).agg(max(col("ts_us"))).first().getLong(0)
+      val schema = t(s, dir, "events").schema
+      val tsType = schema("ts").dataType
+      // TWO sentinel files, each its own micro-batch: eviction always runs
+      // one batch BEHIND the watermark (batch N evicts with the watermark
+      // committed after batch N-1; AvailableNow does not append a no-data
+      // flush batch), so sentinel #1 advances the watermark past every real
+      // event and sentinel #2's batch performs the final eviction under it.
+      Seq(600000000L, 1200000000L).zipWithIndex.foreach { case (off, i) =>
+        val sentTs =
+          if (tsType == org.apache.spark.sql.types.LongType)
+            lit((maxUs + off) * 1000L) // int64-nanos fixture generations
+          else timestamp_micros(lit(maxUs + off)).cast(tsType)
+        val sentDir = java.nio.file.Files.createTempDirectory("graft-s7jo-sent")
+        t(s, dir, "events").limit(1)
+          .withColumn("event_id", lit(-1L).cast(schema("event_id").dataType))
+          .withColumn("user_id", lit(-1L).cast(schema("user_id").dataType))
+          .withColumn("ts", sentTs)
+          .coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
+        val part = java.nio.file.Files.list(sentDir).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        java.nio.file.Files.copy(part, streamDir.resolve(s"zz_sentinel$i.parquet"))
+      }
+      def side(tag: String) = graft.functions.EventOps.withTsUs(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(streamDir.toString))
+        .select(col("user_id").as(s"u_$tag"), col("event_id").as(s"id_$tag"),
+          timestamp_micros(col("ts_us")).as(s"tts_$tag"))
+        .withWatermark(s"tts_$tag", "1 minute")
+      withStatefulShuffle(s, 8) {
+        // NOTE: the sentinel filter must run on the DRAINED result, not
+        // inside the streaming query — a `u_a != -1` predicate pushes below
+        // the left side's EventTimeWatermark node, the left stream then
+        // never observes the sentinels, and the GLOBAL watermark (min of
+        // both inputs) stays a minute behind the last real event — leaving
+        // exactly the max-ts unmatched row unflushed.
+        val q = side("a").join(side("b"),
+            expr("""u_a = u_b AND tts_b > tts_a
+                    AND tts_b <= tts_a + interval 60 seconds"""), "leftOuter")
+          .select(col("u_a").as("user_id"), col("id_a"), col("id_b"),
+            (unix_micros(col("tts_b")) - unix_micros(col("tts_a"))).as("gap_us"))
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("append")
+          .format("memory")
+          .queryName("s7_joined_outer_sink")
+          .start()
+        q.awaitTermination()
+      }
+      s.table("s7_joined_outer_sink").where(col("user_id") =!= -1)
+    }),
+
     // S7e: STREAM-STATIC enrichment — the standard Structured Streaming
     // dimension join: each micro-batch joins the event stream against a
     // broadcast static dim (no stream state for the join itself; only the
@@ -2552,6 +2620,16 @@ object SparkEntry {
          SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
            b.us - a.us AS gap_us
          FROM e a JOIN e b
+           ON a.user_id = b.user_id
+          AND b.us - a.us > 0 AND b.us - a.us <= 60000000""",
+
+    // the drained outer interval join equals the batch LEFT JOIN — complete
+    // null side included (the sentinel closed the watermark)
+    "s7_stream_joined_outer" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+         SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+           b.us - a.us AS gap_us
+         FROM e a LEFT JOIN e b
            ON a.user_id = b.user_id
           AND b.us - a.us > 0 AND b.us - a.us <= 60000000""",
 
