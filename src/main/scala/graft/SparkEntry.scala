@@ -308,6 +308,29 @@ object SparkEntry {
       base
     }
 
+  /** Z-ORDERED events layout, written ONCE per (session, sf dir): rows
+    * range-partitioned AND sorted by the Morton code of (user_id, relative
+    * seconds), so every parquet file's min/max stats are tight in BOTH
+    * dimensions and a 2-D box predicate prunes row groups on both axes —
+    * the OPTIMIZE ZORDER BY move, done with a native expression + plain
+    * repartitionByRange (see plans/LayoutExpressions.scala; ZOrderSpec
+    * measures the pruning against a time-sorted layout). */
+  private def zorderEventsDir(s: SparkSession, dir: String): String =
+    sessionMemo("zorder", s, dir) {
+      val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+      // dims normalized to comparable bit widths (≈11 bits each): user ids
+      // are ~0..1.5k; a month of seconds (2.59M, 22 bits) scales down by
+      // 1267 — a Morton code over mismatched widths degenerates to a
+      // time-major sort and prunes nothing on the user axis (ZOrderSpec)
+      val zk = graft.plans.LayoutFunctions.zorder2(col("user_id"),
+        (((col("ts_us") / 1000000L).cast("bigint") - lit(1704067200L)) / 1267L).cast("bigint"))
+      events(s, dir).withColumn("zkey", zk)
+        .repartitionByRange(16, col("zkey"))
+        .sortWithinPartitions(col("zkey"))
+        .write.mode("overwrite").parquet(base)
+      base
+    }
+
   /** live_replicate's source catalog, pinned (same hygiene). */
   private def liveCatalog(s: SparkSession, dir: String): graft.sources.CatalogSnapshot =
     sessionMemo("livecat", s, dir)(pin(tpchCatalog(s, dir, limitOrders = Some(400))))
@@ -1114,6 +1137,20 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg((sum(col("new_session")) + 1).cast("bigint").as("n_sessions"),
           count(lit(1)).as("n_events"))
+    }),
+
+    // 2-D box query over the Z-ORDERED layout: both the user band and the
+    // time window reach the parquet scan as PushedFilters, and because the
+    // layout clustered on the Morton code, the row-group stats are tight on
+    // BOTH columns — most of the corpus never leaves the reader. The result
+    // is layout-independent (the oracle reads the raw table); ZOrderSpec
+    // proves the pruning itself.
+    "ev_zorder_box" -> ((s, dir) => {
+      s.read.parquet(zorderEventsDir(s, dir))
+        .where(col("user_id").between(100, 199) &&
+          col("ts_us") >= 1704844800000000L && col("ts_us") < 1705708800000000L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
     }),
 
     // LAG inter-arrival gaps per user: one exchange on user_id, per-partition
@@ -2356,6 +2393,16 @@ object SparkEntry {
          SELECT o_custkey, spend,
                 ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS quartile
          FROM spend""",
+
+    // layout-independent truth over the raw table
+    "ev_zorder_box" ->
+      """SELECT event_type, count(*) AS n_events,
+                round(sum(value), 4) AS sum_value
+         FROM events
+         WHERE user_id BETWEEN 100 AND 199
+           AND epoch_us(ts) >= 1704844800000000
+           AND epoch_us(ts) < 1705708800000000
+         GROUP BY event_type""",
 
     "ev_lag_gap" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,

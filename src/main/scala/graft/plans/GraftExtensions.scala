@@ -60,6 +60,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(ext, "min_gram_md5", exprs => MinGramMd5(exprs(0), foldInt(exprs(1), "n")))
     inject(ext, "bottom_k_md5", exprs => BottomKMd5(exprs(0), foldInt(exprs(1), "k")))
     inject(ext, "ngram_explode", exprs => NgramExplode(exprs(0), foldInt(exprs(1), "n")))
+    inject(ext, "zorder2", exprs => ZOrder2(exprs(0), exprs(1)))
   }
 
   private def foldInt(e: Expression, name: String): Int = {

@@ -306,6 +306,8 @@ object SketchFunctions {
       // in a Project into a Generate node during analysis
       reg.createOrReplaceTempFunction("ngram_explode",
         exprs => NgramExplode(exprs(0), foldableInt(exprs(1), "n")), "built-in")
+      reg.createOrReplaceTempFunction("zorder2",
+        exprs => ZOrder2(exprs(0), exprs(1)), "built-in")
     }
   }
 
