@@ -1677,6 +1677,40 @@ object SparkEntry {
             col("sig_a")), col("sig_b"))).cast("double") / k, 6).as("est_jaccard"))
     }),
 
+    // Per-source KL divergence from the corpus unigram distribution — the
+    // domain-shift diagnostic a mixing pass reads before reweighting. One
+    // (source, token) shuffle builds everything; the global vocabulary frame
+    // (Heaps'-law sublinear) broadcasts back onto it, the corpus total is a
+    // one-row broadcast. No collect, no per-token driver work.
+    "d_source_kl" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      val bySrc = tok.groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).cast("double").as("c"))
+      val srcTot = bySrc.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
+      val global = bySrc.groupBy(col("token")).agg(sum(col("c")).as("g"))
+      val gTot = global.agg(sum(col("g")).as("n_all"))
+      bySrc.join(srcTot, "source").join(broadcast(global), "token")
+        .crossJoin(broadcast(gTot))
+        .groupBy(col("source"))
+        .agg(round(sum((col("c") / col("n_src")) *
+          log((col("c") / col("n_src")) / (col("g") / col("n_all")))), 6).as("kl"))
+    }),
+
+    // Zipf slope per source: regr_slope(ln f, ln rank) over the per-source
+    // frequency table — the sanity stat that catches synthetic/boilerplate
+    // sources (natural text sits near -1). The regression runs on the
+    // aggregated vocab frame; the rank window partitions by source.
+    "d_zipf_slope" -> ((s, dir) => {
+      val freq = t(s, dir, "documents")
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("f"))
+      val w = Window.partitionBy(col("source")).orderBy(col("f").desc, col("token"))
+      freq.withColumn("r", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(round(regr_slope(log(col("f")), log(col("r"))), 6).as("zipf_slope"))
+    }),
+
     // X25: per-source vocabulary heavy hitters (boilerplate/drift detection) —
     // one shuffle of (source, token) pairs, rank window over the aggregated
     // vocab frame only.
@@ -2898,6 +2932,30 @@ object SparkEntry {
              unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS token
            FROM documents)
          GROUP BY token ORDER BY df DESC, token LIMIT 20""",
+
+    "d_source_kl" ->
+      """WITH tok AS (SELECT source,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+           FROM documents),
+         b AS (SELECT source, token, CAST(count(*) AS DOUBLE) AS c
+               FROM tok GROUP BY source, token),
+         st AS (SELECT source, sum(c) AS n_src FROM b GROUP BY source),
+         g AS (SELECT token, sum(c) AS g FROM b GROUP BY token),
+         gt AS (SELECT sum(g) AS n_all FROM g)
+         SELECT b.source, round(sum((c / n_src) * ln((c / n_src) / (g.g / n_all))), 6) AS kl
+         FROM b JOIN st USING (source) JOIN g USING (token) CROSS JOIN gt
+         GROUP BY b.source""",
+
+    "d_zipf_slope" ->
+      """WITH tok AS (SELECT source,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+           FROM documents),
+         f AS (SELECT source, token, count(*) AS f FROM tok GROUP BY source, token),
+         r AS (SELECT source, f,
+                 row_number() OVER (PARTITION BY source ORDER BY f DESC, token) AS r
+               FROM f)
+         SELECT source, round(regr_slope(ln(f), ln(r)), 6) AS zipf_slope
+         FROM r GROUP BY source""",
 
     "d_top_tokens" ->
       """WITH tok AS (
