@@ -308,6 +308,23 @@ object SparkEntry {
       base
     }
 
+  /** Embedded-Derby JDBC twin of supplier, written ONCE per (session, sf
+    * dir) — the §2.1 JDBC source family: Spark's JDBC writer creates the
+    * table through the DerbyDialect, and the read back partitions on
+    * s_suppkey into parallel stripe queries (the distributed-read shape a
+    * warehouse source needs; bounds only stripe, never filter). */
+  private def jdbcSupplierUrl(s: SparkSession, dir: String): String =
+    sessionMemo("jdbc", s, dir) {
+      System.setProperty("derby.stream.error.file",
+        java.nio.file.Files.createTempFile("graft-derby", ".log").toString)
+      val db = java.nio.file.Files.createTempDirectory("graft-derby").resolve("db")
+      val url = s"jdbc:derby:$db;create=true"
+      t(s, dir, "supplier").write.mode("overwrite")
+        .format("jdbc").option("url", url).option("dbtable", "supplier")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").save()
+      url
+    }
+
   /** Z-ORDERED events layout, written ONCE per (session, sf dir): rows
     * range-partitioned AND sorted by the Morton code of (user_id, relative
     * seconds), so every parquet file's min/max stats are tight in BOTH
@@ -416,6 +433,8 @@ object SparkEntry {
     s8ImportMsgDir(s, dir)
     s8DedupMsgDir(s, dir)
     altFormatDir(s, dir)
+    zorderEventsDir(s, dir)
+    bucketedTables(s, dir)
     ()
   }
 
@@ -612,6 +631,22 @@ object SparkEntry {
       s.read.schema(t(s, dir, "orders").schema).json(s"$base/orders_json")
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total_price"))
+    }),
+
+    // JDBC source with PARTITIONED parallel reads: four executor-side stripe
+    // queries on s_suppkey (bounds stripe, never filter), and the acctbal
+    // predicate pushes into each stripe's WHERE clause — the warehouse-
+    // source shape. Embedded Derby stands in for the warehouse.
+    "src_jdbc_agg" -> ((s, dir) => {
+      val url = jdbcSupplierUrl(s, dir)
+      s.read.format("jdbc").option("url", url).option("dbtable", "supplier")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .option("partitionColumn", "s_suppkey").option("lowerBound", "0")
+        .option("upperBound", "4096").option("numPartitions", "4")
+        .load()
+        .where(col("s_acctbal") > 0)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"), round(sum(col("s_acctbal")), 2).as("total_bal"))
     }),
 
     // ORC carries min/max stride stats like parquet: the shipdate range
@@ -1265,8 +1300,13 @@ object SparkEntry {
           .findFirst().get()
         java.nio.file.Files.copy(part, streamDir.resolve(s"zz_sentinel$i.parquet"))
       }
+      // 2 files/batch → exactly two micro-batches: (events + sentinel#1),
+      // then (sentinel#2). The watermark committed after batch 1 already
+      // clears the corpus (sentinel#1 − delay), so batch 2 performs the
+      // full final eviction — one fewer state-store reload cycle than
+      // one-file batches, same completeness.
       def side(tag: String) = graft.functions.EventOps.withTsUs(
-          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 2)
             .parquet(streamDir.toString))
         .select(col("user_id").as(s"u_$tag"), col("event_id").as(s"id_$tag"),
           timestamp_micros(col("ts_us")).as(s"tts_$tag"))
@@ -2317,6 +2357,11 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n_orders,
                 round(sum(o_totalprice), 2) AS total_price
          FROM orders GROUP BY o_orderstatus""",
+
+    "src_jdbc_agg" ->
+      """SELECT s_nationkey, count(*) AS n_supp,
+                round(sum(s_acctbal), 2) AS total_bal
+         FROM supplier WHERE s_acctbal > 0 GROUP BY s_nationkey""",
 
     "src_orc_agg" ->
       """SELECT l_returnflag,
