@@ -308,6 +308,39 @@ object SparkEntry {
       base
     }
 
+  /** Drop TWO far-future sentinel rows (corpus max + 10 min / + 20 min)
+    * into a streaming source dir, as separate parquet files. With
+    * maxFilesPerTrigger=2 the drain runs exactly two micro-batches —
+    * (real data + sentinel #1), then (sentinel #2): eviction always runs
+    * one batch BEHIND the committed watermark and AvailableNow appends no
+    * flush batch, so sentinel #1 advances the watermark past every real
+    * event and sentinel #2's batch performs the final eviction. Sentinel
+    * rows carry user_id/event_id −1 and event_type "zz_sentinel"; filter
+    * them from the DRAINED result — a filter inside the stream pushes
+    * below the EventTimeWatermark node and the watermark never advances. */
+  private def writeWatermarkSentinels(s: SparkSession, dir: String,
+      streamDir: java.nio.file.Path): Unit = {
+    val maxUs = events(s, dir).agg(max(col("ts_us"))).first().getLong(0)
+    val schema = t(s, dir, "events").schema
+    val tsType = schema("ts").dataType
+    Seq(600000000L, 1200000000L).zipWithIndex.foreach { case (off, i) =>
+      val sentTs =
+        if (tsType == org.apache.spark.sql.types.LongType)
+          lit((maxUs + off) * 1000L) // int64-nanos fixture generations
+        else timestamp_micros(lit(maxUs + off)).cast(tsType)
+      val sentDir = java.nio.file.Files.createTempDirectory("graft-sent")
+      t(s, dir, "events").limit(1)
+        .withColumn("event_id", lit(-1L).cast(schema("event_id").dataType))
+        .withColumn("user_id", lit(-1L).cast(schema("user_id").dataType))
+        .withColumn("event_type", lit("zz_sentinel").cast(schema("event_type").dataType))
+        .withColumn("ts", sentTs)
+        .coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
+      val part = java.nio.file.Files.list(sentDir).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.copy(part, streamDir.resolve(s"zz_sentinel$i.parquet"))
+    }
+  }
+
   /** Embedded-Derby JDBC twin of supplier, written ONCE per (session, sf
     * dir) — the §2.1 JDBC source family: Spark's JDBC writer creates the
     * table through the DerbyDialect, and the read back partitions on
@@ -1275,31 +1308,10 @@ object SparkEntry {
       val src = java.nio.file.Paths.get(s"$dir/events.parquet")
       val streamDir = java.nio.file.Files.createTempDirectory("graft-s7jo")
       java.nio.file.Files.copy(src, streamDir.resolve("events.parquet"))
-      // sentinel: one row 10 min past the corpus max on BOTH stream sides
-      // (they read the same dir); filtered out of the result by user_id
-      val maxUs = events(s, dir).agg(max(col("ts_us"))).first().getLong(0)
+      // sentinels: rows far past the corpus max on BOTH stream sides (they
+      // read the same dir); filtered out of the result by user_id
       val schema = t(s, dir, "events").schema
-      val tsType = schema("ts").dataType
-      // TWO sentinel files, each its own micro-batch: eviction always runs
-      // one batch BEHIND the watermark (batch N evicts with the watermark
-      // committed after batch N-1; AvailableNow does not append a no-data
-      // flush batch), so sentinel #1 advances the watermark past every real
-      // event and sentinel #2's batch performs the final eviction under it.
-      Seq(600000000L, 1200000000L).zipWithIndex.foreach { case (off, i) =>
-        val sentTs =
-          if (tsType == org.apache.spark.sql.types.LongType)
-            lit((maxUs + off) * 1000L) // int64-nanos fixture generations
-          else timestamp_micros(lit(maxUs + off)).cast(tsType)
-        val sentDir = java.nio.file.Files.createTempDirectory("graft-s7jo-sent")
-        t(s, dir, "events").limit(1)
-          .withColumn("event_id", lit(-1L).cast(schema("event_id").dataType))
-          .withColumn("user_id", lit(-1L).cast(schema("user_id").dataType))
-          .withColumn("ts", sentTs)
-          .coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
-        val part = java.nio.file.Files.list(sentDir).filter(_.toString.endsWith(".parquet"))
-          .findFirst().get()
-        java.nio.file.Files.copy(part, streamDir.resolve(s"zz_sentinel$i.parquet"))
-      }
+      writeWatermarkSentinels(s, dir, streamDir)
       // 2 files/batch → exactly two micro-batches: (events + sentinel#1),
       // then (sentinel#2). The watermark committed after batch 1 already
       // clears the corpus (sentinel#1 − delay), so batch 2 performs the
@@ -1332,6 +1344,43 @@ object SparkEntry {
         q.awaitTermination()
       }
       s.table("s7_joined_outer_sink").where(col("user_id") =!= -1)
+    }),
+
+    // S7f: FILE-SINK drain with exactly-once manifest — the windowed agg
+    // lands as parquet through the streaming file sink, whose
+    // _spark_metadata commit log is what makes re-reads see only committed
+    // files (a killed-mid-batch drain leaves orphans the batch reader
+    // ignores). Append mode only emits watermark-closed windows, so the
+    // sentinels close the corpus; the batch read-back then equals the full
+    // tumbling aggregation — the same oracle as s7_stream_tumbling.
+    "s7_stream_filesink" -> ((s, dir) => {
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-s7f")
+      java.nio.file.Files.copy(src, streamDir.resolve("events.parquet"))
+      val schema = t(s, dir, "events").schema
+      writeWatermarkSentinels(s, dir, streamDir)
+      val outDir = java.nio.file.Files.createTempDirectory("graft-s7f-out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-s7f-ckpt").toString
+      withStatefulShuffle(s, 8) {
+        val q = graft.functions.EventOps.withTsUs(
+            s.readStream.schema(schema).option("maxFilesPerTrigger", 2)
+              .parquet(streamDir.toString))
+          .withColumn("tts", timestamp_micros(col("ts_us")))
+          .withWatermark("tts", "1 minute")
+          .groupBy(window(col("tts"), "5 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+          .select(unix_timestamp(col("window.start")).as("bucket_s"), col("event_type"),
+            col("n_events"), col("sum_value"))
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("append")
+          .format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(outDir).where(col("event_type") =!= "zz_sentinel")
     }),
 
     // S7e: STREAM-STATIC enrichment — the standard Structured Streaming
@@ -2758,6 +2807,12 @@ object SparkEntry {
          FROM e a LEFT JOIN e b
            ON a.user_id = b.user_id
           AND b.us - a.us > 0 AND b.us - a.us <= 60000000""",
+
+    // the file-sink drain, sentinel-closed, equals the full tumbling agg
+    "s7_stream_filesink" ->
+      """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s, event_type,
+         count(*) AS n_events, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1, 2""",
 
     // the drained stream-static join equals the batch join
     "s7_stream_enrich" ->
