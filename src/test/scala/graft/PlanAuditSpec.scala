@@ -35,6 +35,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p4.contains("LeftSemi"), s"q4 EXISTS not planned as semi join:\n$p4")
   }
 
+  test("JDBC source reads in 4 stripes with the filter pushed to the database") {
+    val q = SparkEntry.queries("src_jdbc_agg")(spark, "/root/testdata/sf0.001")
+    val plan = planString(q)
+    assert(plan.contains("JDBCRelation(supplier) [numPartitions=4]"),
+      s"JDBC scan not striped:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.toUpperCase.contains("S_ACCTBAL"),
+      s"acctbal filter not pushed into the stripe queries:\n$plan")
+  }
+
   test("snapshot partition plane prunes by databaseName from the directory layout") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan-snap").toString
     val parts = (0 until 100).map(i =>
