@@ -46,6 +46,44 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a planted skewed join partition (skew=true in the final plan)") {
+    import spark.implicits._
+    // 95% of the fact rows share one key; the dim side is uniform. With the
+    // skew thresholds lowered to fixture scale, OptimizeSkewedJoin must
+    // split the hot partition into parallel sub-reads instead of letting
+    // one task sort-merge the whole hot key.
+    val conf = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      // the post-join aggregation needs its own exchange either way; without
+      // force, AQE vetoes the split for "introducing" that exchange
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(200000)
+        .select(when(col("id") % 20 =!= 0, lit(7L)).otherwise(col("id") % 1000).as("k"),
+          // incompressible ~128-byte payload so the map-output statistics
+          // actually see the hot partition's bytes
+          concat(md5(col("id").cast("string")), md5((col("id") + 1).cast("string")),
+            md5((col("id") + 2).cast("string")), md5((col("id") + 3).cast("string"))).as("pay"))
+      val dim = spark.range(1000).select(col("id").as("k"), col("id").cast("string").as("v"))
+      // the agg must consume `pay`, or column pruning strips the payload
+      // before the shuffle and no partition is skewed by bytes
+      val j = fact.join(dim, "k").groupBy(col("v"))
+        .agg(count(lit(1)).as("n"), max(length(col("pay"))).as("w"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not mark the skewed join:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("j3 reconcile of a 90%-skewed 100k-partition catalog balances: no task holds > 2x the mean") {
     val coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
     // AQE's small-partition coalescing would legally fold this small fixture
