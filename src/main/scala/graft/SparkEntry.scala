@@ -2147,6 +2147,30 @@ object SparkEntry {
     // grid (pixel i = text byte ^ position noise) and the same floor-mean
     // boxes in SQL — the resize math itself is oracle-checked, not just row
     // counts.
+    // μ-LAW WAV round-trip (X9b, lossy-format oracle closure): per-doc audio
+    // synthesized FROM the G.711 codebook (sample_i = decodeTable(0x80 |
+    // ascii_i)), encoded as a format-7 μ-law WAV, decoded back through the
+    // format-aware canonical decoder — lossy in general, bit-exact ON the
+    // codebook, so the position-weighted sample checksum is SQL-stateable:
+    // the oracle carries the 128-entry positive codebook as a literal and
+    // recomputes the same sum from the text. Executor-side Dataset.map,
+    // no UDF registry, no driver bytes.
+    "m_mulaw_checksum" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents")
+        .where(col("n_chars") < 300)
+        .where(length(encode(col("text"), "UTF-8")) === length(col("text"))) // ascii-only
+        .where(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"))
+      base.as[(Long, String)].map { case (id, text) =>
+        val samples = text.getBytes("US-ASCII").map(b => graft.functions.MuLaw.decodeTable(0x80 | (b & 0x7F)))
+        val wav = graft.functions.MuLaw.encodeWavMuLaw(samples)
+        val decoded = graft.functions.MuLaw.decodeWavSamples16(wav).get
+        val ck = decoded.iterator.zipWithIndex.map { case (v, i) => v.toLong * (i + 1) }.sum
+        (id, decoded.length.toLong, ck)
+      }.toDF("doc_id", "n_samples", "checksum")
+    }),
+
     "m_resize_half" -> ((s, dir) => {
       import s.implicits._
       val base = t(s, dir, "documents")
@@ -3431,6 +3455,22 @@ object SparkEntry {
     // and the same 2x2 floor-mean boxes — ascii-only docs make ascii() the
     // byte value, even L makes both dims even (w = 16 + L mod 64,
     // h = 16 + 7L mod 64).
+    // the 128-entry positive μ-law codebook rides as a literal: the oracle
+    // replays synth → encode → decode arithmetic without knowing G.711
+    "m_mulaw_checksum" -> {
+      val tbl = (0 until 128)
+        .map(j => graft.functions.MuLaw.decodeTable(0x80 | j)).mkString(", ")
+      s"""WITH t AS (SELECT [$tbl] AS tbl),
+         d AS (SELECT doc_id, text FROM documents
+               WHERE n_chars < 300
+                 AND octet_length(encode(text)) = length(text)
+                 AND length(text) > 0)
+         SELECT doc_id, CAST(length(text) AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(generate_series(1, length(text)),
+             i -> CAST(tbl[(ascii(substr(text, i::INT, 1)) % 128) + 1] AS BIGINT) * i)) AS BIGINT) AS checksum
+         FROM d CROSS JOIN t"""
+    },
+
     "m_resize_half" ->
       """WITH d AS (
            SELECT doc_id, text, octet_length(encode(text))::INT AS L
