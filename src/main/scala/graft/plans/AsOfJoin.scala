@@ -83,6 +83,33 @@ object AsOfJoinPlans {
     }
   }
 
+  /** Column pruning through the as-of join: a Project above it needs only
+    * some output columns, so each child shrinks to (needed ∩ its output) ∪
+    * (its join keys/time/tiebreak) — the inserted child Projects then
+    * cascade through Catalyst's own pruning all the way into the scans
+    * (ReadSchema). The generic ColumnPruning rule cannot do this for a
+    * foreign node; without it a wide reference table is scanned in full to
+    * enrich two columns. */
+  object PruneAsOfJoinColumns extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      case p @ Project(_, a: AsOfJoinPlan) =>
+        val needed = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+          p.references.toSeq ++
+            a.leftKeys.flatMap(_.references) ++ a.rightKeys.flatMap(_.references) ++
+            a.leftTime.references ++ a.rightTime.references ++
+            a.rightTieBreak.flatMap(_.references))
+        def prune(child: LogicalPlan): LogicalPlan = {
+          val keep = child.output.filter(needed.contains)
+          if (keep.length == child.output.length) child
+          else Project(keep, child)
+        }
+        val l2 = prune(a.left)
+        val r2 = prune(a.right)
+        if ((l2 eq a.left) && (r2 eq a.right)) p
+        else p.copy(child = a.copy(left = l2, right = r2))
+    }
+  }
+
   // --------------------------------------------------------------- strategy
 
   object AsOfJoinStrategy extends SparkStrategy {
@@ -225,6 +252,9 @@ object AsOfJoin {
     if (!spark.experimental.extraOptimizations.contains(PushProbeFilterThroughAsOfJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ PushProbeFilterThroughAsOfJoin
+    if (!spark.experimental.extraOptimizations.contains(PruneAsOfJoinColumns))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PruneAsOfJoinColumns
   }
 
   /**

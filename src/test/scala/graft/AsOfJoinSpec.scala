@@ -73,6 +73,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan)
   }
 
+  test("column pruning reaches the reference scan: unused wide columns never leave parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof-wide").toString
+    planted
+      .withColumn("wide_payload", concat(lit("x"), col("event_id")))
+      .withColumn("wide_extra", col("us") * 2)
+      .write.mode("overwrite").parquet(dir)
+    val wideRef = spark.read.parquet(dir)
+    val out = AsOfJoin.asofJoin(probes, wideRef, Seq("user_id"), "us", "us",
+        tieBreakCols = Seq("event_id"))
+      .select(col("event_id"), col("event_id_r")) // wide_* never referenced
+    out.collect()
+    val scan = out.queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: [^\\n]*".r.findAllIn(scan).mkString("\n")
+    assert(readSchema.nonEmpty && !readSchema.contains("wide_payload") &&
+      !readSchema.contains("wide_extra"),
+      s"wide columns not pruned at the scan:\n$scan")
+  }
+
   test("probe-side filters push below the join; reference-side filters do not") {
     val joinedDf = AsOfJoin.asofJoin(probes, planted, Seq("user_id"), "us", "us")
     val probeFiltered = joinedDf.where(col("event_id") === 10L)
