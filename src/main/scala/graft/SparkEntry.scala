@@ -693,6 +693,56 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     }),
 
+    // Scalar MAX over a derived view joined back (TPC-H q15 shape): the
+    // revenue frame computes once, its max is a one-row broadcast, and the
+    // winner filter never re-aggregates. Ties surface every winner.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("total_revenue"))
+      val maxRev = rev.agg(max(col("total_revenue")).as("mr"))
+      rev.join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .crossJoin(broadcast(maxRev))
+        .where(col("total_revenue") === col("mr"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Correlated per-group average (TPC-H q17 shape): the per-part 20%-of-
+    // average threshold is a tiny aggregated frame broadcast back onto the
+    // fact — never a correlated rescan per row.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val target = t(s, dir, "part")
+        .where(col("p_brand") === "Brand#3" && col("p_size") < 15)
+        .select(col("p_partkey"))
+      val l = t(s, dir, "lineitem")
+      val avgq = l.groupBy(col("l_partkey"))
+        .agg((avg(col("l_quantity")) * 0.2).as("limit_q"))
+      l.join(broadcast(target), l("l_partkey") === target("p_partkey"))
+        .join(avgq, "l_partkey")
+        .where(col("l_quantity") < col("limit_q"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    }),
+
+    // Disjunction of conjunctive bands (TPC-H q19 shape): the OR-of-ANDs
+    // predicate stays ONE broadcast hash join + one filter — Catalyst
+    // extracts the common p_partkey equi-key; no union of three scans.
+    "q19_banded_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+
     // ===== windows / set ops (audit "latest state per id" — SURVEY §2.5) =====
     "w_latest_order" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -2481,6 +2531,37 @@ object SparkEntry {
            ON o_orderkey = big.l_orderkey
          JOIN customer ON o_custkey = c_custkey
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""",
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1997-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         ORDER BY s_suppkey""",
+
+    "q17_small_qty_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_brand = 'Brand#3' AND p_size < 15
+           AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                             WHERE l2.l_partkey = lineitem.l_partkey)""",
+
+    "q19_banded_revenue" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30)""",
 
     "q22_idle_rich" ->
       """SELECT c_nationkey, count(*) AS numcust,
