@@ -2312,6 +2312,56 @@ object SparkEntry {
         nPlanes = 8, probeHamming = 8)
     }),
 
+    // STREAM-MAINTAINED ANN index: vector arrivals drain through
+    // foreachBatch into an LSH-bucket-PARTITIONED parquet index (two
+    // micro-batches here — the index grows incrementally, no rebuild), and
+    // the probe then reads the bucket directories. At partial probe the
+    // directory layout prunes the scan to the probed buckets (the
+    // PlanAuditSpec LSH-layout assert); this row probes ALL buckets
+    // (Hamming 8 of 8 planes), where bucketed-index top-k ≡ exact top-k —
+    // which is what lets the brute-force SQL be the oracle.
+    "e_stream_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-vstream")
+      // two arrival files → two incremental index batches
+      Seq(0, 1).foreach { par =>
+        val half = java.nio.file.Files.createTempDirectory("graft-vhalf")
+        e.where(col("vec_id") % 2 === par).coalesce(1)
+          .write.mode("overwrite").parquet(half.toString)
+        val part = java.nio.file.Files.list(half)
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        java.nio.file.Files.copy(part, streamDir.resolve(s"arrivals$par.parquet"))
+      }
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-vidx").toString
+      val q = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+        .withColumn("bucket", graft.plans.VectorFunctions.lsh_bucket(col("embedding"), 64, 8, 42L))
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").partitionBy("bucket").parquet(idxDir)
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-vidx-ckpt").toString)
+        .start()
+      q.awaitTermination()
+      // the probe path: enumerate the probed buckets, let the directory
+      // layout prune the scan to them (PartitionFilters on `bucket`), exact
+      // cosine inside. Hamming 8 probes every bucket → exact top-k.
+      val qvec = e.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      val planes = Similarity.hyperplanes(64, 8, 42L)
+      val probes = Similarity.probeSet(Similarity.bucketOf(qvec, planes), 8, 8)
+      val qv = e.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      s.read.parquet(idxDir)
+        .where(col("bucket").isin(probes: _*) && col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // Banded-LSH candidates + exact-cosine verify at 0.999, against a corpus
     // with planted exact-duplicate vectors (vec_id+10M). A duplicate vector
     // buckets identically in EVERY band, so recall at this bar is structural
@@ -3757,6 +3807,14 @@ object SparkEntry {
          SELECT label, count(*) AS n_vecs, i - 1 AS pos,
            round(avg(CAST(v AS DOUBLE)), 6) AS c
          FROM flat GROUP BY label, i""",
+
+    // stream-built bucket index at full probe ≡ exact brute force
+    "e_stream_index" ->
+      """SELECT e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim
+         FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         WHERE e.vec_id <> 0
+         ORDER BY sim DESC, e.vec_id LIMIT 10""",
 
     "e_lsh_topk" ->
       """SELECT e.vec_id,
