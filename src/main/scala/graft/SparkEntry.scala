@@ -717,11 +717,16 @@ object SparkEntry {
       val target = t(s, dir, "part")
         .where(col("p_brand") === "Brand#3" && col("p_size") < 15)
         .select(col("p_partkey"))
-      val l = t(s, dir, "lineitem")
-      val avgq = l.groupBy(col("l_partkey"))
+      // restrict lineitem to target parts BEFORE the per-part average: the
+      // threshold frame aggregates ~1% of the fact instead of building the
+      // full per-part vocabulary (the correlated subquery only ever reads
+      // target parts, so the restricted average is identical)
+      val lt = t(s, dir, "lineitem")
+        .join(broadcast(target), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val avgq = lt.groupBy(col("l_partkey"))
         .agg((avg(col("l_quantity")) * 0.2).as("limit_q"))
-      l.join(broadcast(target), l("l_partkey") === target("p_partkey"))
-        .join(avgq, "l_partkey")
+      lt.join(broadcast(avgq), "l_partkey")
         .where(col("l_quantity") < col("limit_q"))
         .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
     }),
