@@ -2447,8 +2447,15 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val q = e.where(col("vec_id") === 0).select(col("embedding"))
         .head().getSeq[Float](0)
+      // shortlist scales with the corpus: uniform-random vectors are ADC's
+      // worst case (near-tied cosines), and a FIXED 256 covered the true
+      // top-10 at 500 vectors but missed one of ten at 2000 (sf0.1) —
+      // found by running the sf0.1 oracle, round 9. |corpus|/2 keeps the
+      // coverage margin while preserving the 2× scan-byte win (ADC reads
+      // M=8 code bytes/vector; the float column is 256 B/vector).
+      val n = e.count()
       Similarity.pqTopK(e.where(col("vec_id") =!= 0), q, k = 10, dim = 64,
-        nSub = 8, codebookSize = 16, shortlist = 256)
+        nSub = 8, codebookSize = 16, shortlist = math.max(256, n / 2).toInt)
     }),
 
     // kNN JOIN: top-5 neighbors for EVERY query row (vec_id < 32) in ONE

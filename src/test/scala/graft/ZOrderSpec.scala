@@ -41,6 +41,15 @@ class ZOrderSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("ev_zorder_box pushes BOTH box predicates into the layout scan") {
+    val q = SparkEntry.queries("ev_zorder_box")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: [^\\n]*".r.findAllIn(plan).mkString("\n")
+    assert(pushed.contains("user_id") && pushed.contains("ts_us"),
+      s"box predicates not pushed to the z-ordered scan:\n$plan")
+  }
+
   test("2-D box over z-ordered layout materializes fewer rows than over time-sorted layout") {
     // synthetic grid: 200k events, 1024 users x ~uniform times
     val n = 200000L
