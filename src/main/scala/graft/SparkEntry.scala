@@ -693,6 +693,32 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     }),
 
+    // FULL OUTER join of two yearly activity snapshots — the drift-report
+    // shape (present-in-either, null where absent) as one shuffled join of
+    // two pre-aggregated frames; the fact table never joins raw.
+    "q_full_outer_activity" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val y96 = o.where(year(col("o_orderdate")) === 1996)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n96"))
+      val y00 = o.where(year(col("o_orderdate")) === 2000)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n00"))
+      y96.join(y00, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"), col("n96"), col("n00"))
+    }),
+
+    // PERCENT_RANK within nation over the compacted per-customer spend —
+    // rank fractions are tie-stable (equal spend ⇒ equal percent_rank), so
+    // the row is oracle-exact without a tiebreak column.
+    "w_percent_rank" -> ((s, dir) => {
+      val spend = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(round(sum(col("o_totalprice")), 2).as("spend"))
+      val c = t(s, dir, "customer")
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("spend"))
+      spend.join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("o_custkey"), col("spend"),
+          round(percent_rank().over(w), 6).as("pr"))
+    }),
+
     // Scalar MAX over a derived view joined back (TPC-H q15 shape): the
     // revenue frame computes once, its max is a one-row broadcast, and the
     // winner filter never re-aggregates. Ties surface every winner.
@@ -2338,13 +2364,18 @@ object SparkEntry {
         java.nio.file.Files.copy(part, streamDir.resolve(s"arrivals$par.parquet"))
       }
       val idxDir = java.nio.file.Files.createTempDirectory("graft-vidx").toString
+      // 4 planes → 16 bucket directories (8 planes would mean 256 dirs ×
+      // tasks × batches of tiny files — measured 3× slower on pure
+      // filesystem churn at this corpus size; at billions of vectors the
+      // knob turns back up), and each micro-batch compacts to one file per
+      // bucket before the append
       val q = s.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
-        .withColumn("bucket", graft.plans.VectorFunctions.lsh_bucket(col("embedding"), 64, 8, 42L))
+        .withColumn("bucket", graft.plans.VectorFunctions.lsh_bucket(col("embedding"), 64, 4, 42L))
         .writeStream
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").partitionBy("bucket").parquet(idxDir)
+          batch.coalesce(1).write.mode("append").partitionBy("bucket").parquet(idxDir)
         }
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory("graft-vidx-ckpt").toString)
@@ -2355,8 +2386,8 @@ object SparkEntry {
       // cosine inside. Hamming 8 probes every bucket → exact top-k.
       val qvec = e.where(col("vec_id") === 0).select(col("embedding"))
         .head().getSeq[Float](0)
-      val planes = Similarity.hyperplanes(64, 8, 42L)
-      val probes = Similarity.probeSet(Similarity.bucketOf(qvec, planes), 8, 8)
+      val planes = Similarity.hyperplanes(64, 4, 42L)
+      val probes = Similarity.probeSet(Similarity.bucketOf(qvec, planes), 4, 4)
       val qv = e.where(col("vec_id") === 0).select(col("embedding").as("qv"))
       s.read.parquet(idxDir)
         .where(col("bucket").isin(probes: _*) && col("vec_id") =!= 0)
@@ -2593,6 +2624,21 @@ object SparkEntry {
            ON o_orderkey = big.l_orderkey
          JOIN customer ON o_custkey = c_custkey
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""",
+
+    "q_full_outer_activity" ->
+      """WITH y96 AS (SELECT o_custkey, count(*) AS n96 FROM orders
+                      WHERE year(o_orderdate) = 1996 GROUP BY o_custkey),
+            y00 AS (SELECT o_custkey, count(*) AS n00 FROM orders
+                      WHERE year(o_orderdate) = 2000 GROUP BY o_custkey)
+         SELECT coalesce(y96.o_custkey, y00.o_custkey) AS o_custkey, n96, n00
+         FROM y96 FULL JOIN y00 ON y96.o_custkey = y00.o_custkey""",
+
+    "w_percent_rank" ->
+      """WITH spend AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+                        FROM orders GROUP BY o_custkey)
+         SELECT c_nationkey, o_custkey, spend,
+                round(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY spend), 6) AS pr
+         FROM spend JOIN customer ON o_custkey = c_custkey""",
 
     "q15_top_supplier" ->
       """WITH rev AS (
