@@ -2489,6 +2489,26 @@ object SparkEntry {
         nSub = 8, codebookSize = 16, shortlist = math.max(256, n / 2).toInt)
     }),
 
+    // HARD-NEGATIVE MINING (contrastive-training pair selection): for each
+    // anchor, the top-3 most-similar vectors from a DIFFERENT class — the
+    // filter runs BEFORE the rank window (top-k among negatives, not
+    // negatives among top-k), the class predicate lives in the broadcast
+    // join condition so positives never enter the score plane, and
+    // WindowGroupLimit caps the per-partition buffers at k. Class is the
+    // deterministic vec_id % 4 so the oracle replays it exactly.
+    "e_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val anchors = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_v"),
+          (col("vec_id") % 4).as("a_cls"))
+      val scored = e
+        .join(broadcast(anchors), (col("vec_id") % 4) =!= col("a_cls"))
+        .select(col("a_id"), col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("a_v")), 6).as("sim"))
+      val w = Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+    }),
+
     // kNN JOIN: top-5 neighbors for EVERY query row (vec_id < 32) in ONE
     // corpus scan — broadcast probe batch, rank window collapsed to a
     // per-partition partial top-k by WindowGroupLimit before the exchange.
@@ -3896,6 +3916,18 @@ object SparkEntry {
          FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
          WHERE e.vec_id <> 0
          ORDER BY sim DESC, e.vec_id LIMIT 10""",
+
+    "e_hard_negatives" ->
+      """WITH scored AS (
+           SELECT a.vec_id AS a_id, e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])), 6) AS sim
+           FROM embeddings e, embeddings a
+           WHERE a.vec_id < 16 AND e.vec_id % 4 <> a.vec_id % 4),
+         ranked AS (
+           SELECT a_id, vec_id, sim,
+             row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, vec_id) AS rank
+           FROM scored)
+         SELECT a_id, vec_id, sim, rank FROM ranked WHERE rank <= 3""",
 
     "e_knn_join" ->
       """WITH scored AS (
