@@ -1797,6 +1797,11 @@ object SparkEntry {
     "d_mix_rebalance" -> ((s, dir) =>
       TextFunctions.rebalanceSources(t(s, dir, "documents"))),
 
+    // temperature-0.5 mixing: geometric-mean targets instead of the flat
+    // minimum — the α-sampling compromise; same broadcast-threshold plan
+    "d_mix_temperature" -> ((s, dir) =>
+      TextFunctions.temperatureMixSources(t(s, dir, "documents"))),
+
     // Token-budget sequence packing per source shard (training batch packing)
     "d_pack_sequences" -> ((s, dir) =>
       TextFunctions.packSequences(t(s, dir, "documents"),
@@ -3206,6 +3211,20 @@ object SparkEntry {
          rates AS (
            SELECT source,
              CAST(floor(CAST((SELECT min(n_src) FROM counts) AS DOUBLE)
+               * 281474976710656.0 / CAST(n_src AS DOUBLE)) AS BIGINT) AS keep_below
+           FROM counts)
+         SELECT d.source, d.doc_id
+         FROM documents d JOIN rates r ON d.source = r.source
+         WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+               < r.keep_below""",
+
+    "d_mix_temperature" ->
+      """WITH counts AS (
+           SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+         rates AS (
+           SELECT source,
+             CAST(floor(floor(sqrt(CAST(n_src AS DOUBLE)
+                 * CAST((SELECT min(n_src) FROM counts) AS DOUBLE)))
                * 281474976710656.0 / CAST(n_src AS DOUBLE)) AS BIGINT) AS keep_below
            FROM counts)
          SELECT d.source, d.doc_id

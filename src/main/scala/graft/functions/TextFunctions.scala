@@ -402,4 +402,29 @@ object TextFunctions {
       .where(hash48(col(idCol)) < col("keep_below"))
       .select(col(srcCol), col(idCol))
   }
+
+  /**
+   * TEMPERATURE-0.5 source mixing ([[rebalanceSources]] is the α→0 limit):
+   * each source downsamples toward the GEOMETRIC MEAN of its own size and
+   * the smallest source's — `m_src = floor(sqrt(n_src · n_min))` — the
+   * standard α-sampling compromise that up-weights small sources without
+   * flattening the mix entirely. Same deterministic machinery: the target
+   * size becomes an integer keep-threshold `floor(m_src · 2^48 / n_src)`
+   * on the shared 48-bit md5 draw, broadcast onto the scan — every
+   * arithmetic step (IEEE sqrt/·,/, floor) is bit-determined, so the SQL
+   * oracle replays document fates exactly; the corpus never shuffles.
+   */
+  def temperatureMixSources(docs: org.apache.spark.sql.DataFrame,
+      srcCol: String = "source", idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    val counts = docs.groupBy(col(srcCol)).agg(count(lit(1)).as("n_src"))
+    val rates = counts.crossJoin(counts.agg(min(col("n_src")).as("n_min")))
+      .select(col(srcCol),
+        floor(floor(sqrt(col("n_src").cast("double") * col("n_min").cast("double"))) *
+          lit(281474976710656.0) / col("n_src").cast("double"))
+          .cast("bigint").as("keep_below"))
+    docs
+      .join(broadcast(rates), Seq(srcCol))
+      .where(hash48(col(idCol)) < col("keep_below"))
+      .select(col(srcCol), col(idCol))
+  }
 }

@@ -142,6 +142,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(kept === Set(11L, 12L))
   }
 
+  test("temperatureMixSources lands each source near its geometric-mean target on a skewed corpus") {
+    // 1600 / 400 / 100 docs: targets are sqrt(1600·100)=400, sqrt(400·100)=200, 100
+    val docs = ((0 until 1600).map(i => ("big", i.toLong)) ++
+      (0 until 400).map(i => ("mid", 10000L + i)) ++
+      (0 until 100).map(i => ("small", 20000L + i)))
+      .toDF("source", "doc_id")
+    val kept = TextFunctions.temperatureMixSources(docs)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // md5-threshold sampling: expected counts hit the target in expectation;
+    // allow 4-sigma binomial slack
+    def near(src: String, target: Double): Unit = {
+      val n = kept(src).toDouble
+      val sd = math.sqrt(target)
+      assert(math.abs(n - target) < 4 * sd + 1, s"$src kept $n, target $target")
+    }
+    near("big", 400.0); near("mid", 200.0)
+    assert(kept("small") == 100L) // smallest source keeps everything exactly
+    // deterministic: a second run keeps the identical document set
+    val a = TextFunctions.temperatureMixSources(docs).collect().map(_.toSeq).toSet
+    val b = TextFunctions.temperatureMixSources(docs).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("heavyHitterTokens stays exact under eviction pressure (k far below vocab)") {
     // 400 distinct rare tokens + 'hot' x200: N=600, k=8 counters, so MG
     // evicts constantly — but freq(hot)=200 > N/(k+1)≈67 guarantees hot
