@@ -341,6 +341,25 @@ object SparkEntry {
     }
   }
 
+  /** Evolving-schema parquet dir, written ONCE per (session, sf dir): batch
+    * 1 holds even-key suppliers WITHOUT the later `s_tier` column, batch 2
+    * holds odd-key suppliers WITH it — the upstream-writer-added-a-column
+    * reality every long-lived dataset hits (the reference's own
+    * schema-on-read discipline, §1.2, applied to our lake files). */
+  private def evolvedSupplierDir(s: SparkSession, dir: String): String =
+    sessionMemo("evolved", s, dir) {
+      val base = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+      val sup = t(s, dir, "supplier")
+      sup.where(col("s_suppkey") % 2 === 0)
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+        .write.mode("append").parquet(base)
+      sup.where(col("s_suppkey") % 2 === 1)
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"),
+          (col("s_acctbal") > 5000).as("s_tier"))
+        .write.mode("append").parquet(base)
+      base
+    }
+
   /** Embedded-Derby JDBC twin of supplier, written ONCE per (session, sf
     * dir) — the §2.1 JDBC source family: Spark's JDBC writer creates the
     * table through the DerbyDialect, and the read back partitions on
@@ -664,6 +683,17 @@ object SparkEntry {
       s.read.schema(t(s, dir, "orders").schema).json(s"$base/orders_json")
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total_price"))
+    }),
+
+    // SCHEMA EVOLUTION read: mergeSchema unions the footers of batches
+    // written before and after a column was added — old rows surface the
+    // new column as NULL, no rewrite of historical files. (mergeSchema is
+    // a per-read opt-in because footer-merging every scan is a real cost
+    // at 100 TB; production pins the merged schema in a catalog instead.)
+    "src_evolving_schema" -> ((s, dir) => {
+      s.read.option("mergeSchema", "true").parquet(evolvedSupplierDir(s, dir))
+        .groupBy(col("s_tier"))
+        .agg(count(lit(1)).as("n_supp"), round(sum(col("s_acctbal")), 2).as("total_bal"))
     }),
 
     // JDBC source with PARTITIONED parallel reads: four executor-side stripe
@@ -2598,6 +2628,12 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n_orders,
                 round(sum(o_totalprice), 2) AS total_price
          FROM orders GROUP BY o_orderstatus""",
+
+    // old-batch rows carry NULL for the later-added column
+    "src_evolving_schema" ->
+      """SELECT CASE WHEN s_suppkey % 2 = 1 THEN s_acctbal > 5000 END AS s_tier,
+                count(*) AS n_supp, round(sum(s_acctbal), 2) AS total_bal
+         FROM supplier GROUP BY 1""",
 
     "src_jdbc_agg" ->
       """SELECT s_nationkey, count(*) AS n_supp,
