@@ -844,6 +844,16 @@ object SparkEntry {
       h1.except(h2)
     }),
 
+    // EXCEPT ALL (multiset difference): each 1996 order slot survives only
+    // as many times as it exceeds the customer's 1997 count — Spark plans
+    // it as a count-compare generate over the union, not a distinct.
+    "set_except_all_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val h1 = o.where(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+      val h2 = o.where(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+      h1.exceptAll(h2)
+    }),
+
     // INTERSECT (the set-op EXCEPT's dual): Spark plans both as a left-semi/
     // anti join over distinct'd sides — no full materialization of either.
     "set_intersect_nations" -> ((s, dir) => {
@@ -2783,6 +2793,11 @@ object SparkEntry {
            round(sum(o_totalprice), 2) AS total_price
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
+
+    "set_except_all_orders" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         EXCEPT ALL
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997""",
 
     "set_intersect_nations" ->
       """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
