@@ -580,6 +580,21 @@ object SparkEntry {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     }),
 
+    // Datetime scalar breadth (§2.6): extraction + truncation in the scan
+    // projection. dayofweek is normalized to ISO-Monday=1 explicitly —
+    // Spark counts 1=Sunday, DuckDB 0=Sunday, so the portable form states
+    // the convention instead of inheriting either engine's.
+    "f_datetime_pack" -> ((s, dir) => {
+      t(s, dir, "orders").orderBy(col("o_orderkey")).limit(2000)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          ((dayofweek(col("o_orderdate")) + 5) % 7 + 1).as("iso_dow"),
+          date_trunc("month", col("o_orderdate")).as("month_start"))
+    }),
+
     // Scan-only aggregate: both range predicates and the numeric band reach
     // the parquet scan as PushedFilters, so at 100 TB this reads only the
     // row groups whose shipdate stats overlap the window — no join, no
@@ -2655,6 +2670,16 @@ object SparkEntry {
                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
          FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01'
          GROUP BY l_returnflag""",
+
+    "f_datetime_pack" ->
+      """SELECT o_orderkey,
+                CAST(year(o_orderdate) AS INT) AS y,
+                CAST(quarter(o_orderdate) AS INT) AS q,
+                CAST(month(o_orderdate) AS INT) AS m,
+                CAST(day(o_orderdate) AS INT) AS d,
+                CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+                CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+         FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 2000)""",
 
     "q6_revenue_delta" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
