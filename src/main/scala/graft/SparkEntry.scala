@@ -680,6 +680,210 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
     }),
 
+    // Correlated MIN over a dimension chain (TPC-H q2 shape, adapted: offers
+    // derive from lineitem since the fixtures carry no partsupp). The
+    // correlated `cost = (SELECT min(cost) WHERE partkey = ...)` subquery is
+    // a window MIN over the offers frame — one extra pass over the already-
+    // aggregated (part, supplier) plane, never a re-scan of lineitem — and
+    // the dimension chain (supplier→nation→region) broadcasts.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").where(col("r_name") === "EUROPE")
+      val euroSupp = sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val offers = t(s, dir, "lineitem")
+        .join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(round(min(col("l_extendedprice") / col("l_quantity")), 4).as("unit_cost"))
+      val best = offers.withColumn("min_cost",
+          min(col("unit_cost")).over(Window.partitionBy(col("l_partkey"))))
+        .where(col("unit_cost") === col("min_cost"))
+      val p = t(s, dir, "part").where(col("p_size") < 10)
+      best.join(broadcast(p), col("l_partkey") === p("p_partkey"))
+        .join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+          col("p_name"), col("unit_cost"))
+        .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_name"))
+        .limit(100)
+    }),
+
+    // Bidirectional nation-pair volume (q7 shape): the pair predicate sits in
+    // the join output as a filter over two broadcast nation lookups; lineitem
+    // shuffles once for the orders join, everything else broadcasts.
+    "q7_nation_volume" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      val l = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+               (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+
+    // Market-share conditional aggregate (q8 shape): numerator and
+    // denominator in ONE pass — sum(CASE supplier-nation) / sum(all) — never
+    // two scans; the customer-region gate and part-type filter prune before
+    // the aggregate.
+    "q8_market_share" -> ((s, dir) => {
+      val r = t(s, dir, "region").where(col("r_name") === "ASIA")
+      val n2 = t(s, dir, "nation")
+      val asiaCust = t(s, dir, "customer")
+        .join(broadcast(n2), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val sup = t(s, dir, "supplier")
+      val p = t(s, dir, "part").where(col("p_type") === "STANDARD")
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .withColumn("volume", col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", col("volume")).otherwise(lit(0.0))) /
+          sum(col("volume")), 6).as("mkt_share"))
+    }),
+
+    // Like-filtered multi-way profit rollup (q9 shape, adapted supply cost =
+    // 10% of retail price since no partsupp): the p_name LIKE filter prunes
+    // part BEFORE broadcast, so only matching partkeys reach the fact join.
+    "q9_product_profit" -> ((s, dir) => {
+      val p = t(s, dir, "part").where(col("p_name").like("%bolt%"))
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          lit(0.1) * col("p_retailprice") * col("l_quantity")), 2).as("sum_profit"))
+    }),
+
+    // Group filter vs global scalar (q11 shape): per-part value HAVING
+    // value > fraction * global total. The global total is a one-row frame
+    // cross-broadcast onto the per-part aggregate (q22's scalar-subquery
+    // move) — the nation-filtered fact is aggregated ONCE and reused for
+    // both sides via a cached frame, not re-scanned.
+    "q11_important_parts" -> ((s, dir) => {
+      val n = t(s, dir, "nation").where(col("n_name") === "NATION_5")
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val natValue = t(s, dir, "lineitem")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice")).as("value"))
+      val total = natValue.agg((sum(col("value")) * 0.002).as("threshold"))
+      natValue.crossJoin(broadcast(total))
+        .where(col("value") > col("threshold"))
+        .select(col("l_partkey"), round(col("value"), 2).as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
+    // Two-bucket CASE aggregate over a fact join (q12 shape; l_returnflag
+    // stands in for shipmode, o_orderpriority for the urgency CASE). One
+    // shuffle on orderkey, one tiny group — both conditional counts in a
+    // single pass.
+    "q12_priority_class" -> ((s, dir) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      val l = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      t(s, dir, "orders").join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(hi, 1).otherwise(0)).as("high_line_count"),
+          sum(when(!hi, 1).otherwise(0)).as("low_line_count"))
+    }),
+
+    // Left-outer count distribution (q13 shape — the classic skew query).
+    // orders is aggregated to per-customer counts BEFORE the outer join, so
+    // the join fans no rows and a hot customer costs one row, not millions;
+    // the aggregated frame is broadcast, so the customer side never
+    // shuffles (PlanAuditSpec pins both properties).
+    "q13_order_distribution" -> ((s, dir) => {
+      val perCust = t(s, dir, "orders")
+        .where(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      t(s, dir, "customer")
+        .join(broadcast(perCust), col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Nested semi-join chain (q20 shape): supplier ⋉ (lineitem ⋉ part-LIKE,
+    // aggregated per (supplier, part) HAVING qty > 50). Each stage is a
+    // semi join — no fan-out, no distinct; part prunes first and
+    // broadcasts into the fact.
+    "q20_part_supply_chain" -> ((s, dir) => {
+      val red = t(s, dir, "part").where(col("p_name").like("red%")).select(col("p_partkey"))
+      val heavy = t(s, dir, "lineitem")
+        .join(broadcast(red), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .where(col("qty") > 50)
+        .select(col("l_suppkey"))
+      val n = t(s, dir, "nation").where(col("n_name") === "NATION_7")
+      t(s, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Double EXISTS / NOT-EXISTS composite (q21 shape — the hardest plan in
+    // the suite): "suppliers who were the ONLY supplier with a returned item
+    // on a multi-supplier finished order". EXISTS(other supplier on the
+    // order) → ONE left-semi hash join; NOT EXISTS(other supplier returned)
+    // → ONE left-anti hash join — both equi on orderkey with the
+    // supplier-inequality as a residual inside the hash match, never a
+    // cartesian (PlanAuditSpec pins semi+anti and no nested-loop). The
+    // returned-flag is intra-row, so no orders re-join inside the
+    // subqueries; lineitem feeds three column-pruned passes (orderkey,
+    // suppkey[, returnflag]) — the same three passes the SQL states.
+    "q21_waiting_supplier" -> ((s, dir) => {
+      val o = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val n = t(s, dir, "nation").where(col("n_name") === "NATION_3")
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      val l1 = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      val l2 = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2"))
+      val l3 = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("sk3"))
+      l1.join(l2, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("sk2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("sk3"), "left_anti")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
     // ===== alternate source formats (§2.1): the same logical result must
     // come off CSV, JSON-lines and ORC layouts. Each read supplies the
     // parquet fixture's schema explicitly (schema-on-read, no inference
@@ -2777,6 +2981,136 @@ object SparkEntry {
                            WHERE o.o_custkey = c.c_custkey
                              AND o.o_orderdate >= TIMESTAMP '2001-01-01')
          GROUP BY c_nationkey""",
+
+    "q2_min_cost_supplier" ->
+      """WITH offers AS (
+           SELECT l_partkey, l_suppkey,
+                  round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE'
+           GROUP BY l_partkey, l_suppkey)
+         SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+         FROM offers
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_size < 10
+           AND unit_cost = (SELECT min(o2.unit_cost) FROM offers o2
+                            WHERE o2.l_partkey = p_partkey)
+         ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 100""",
+
+    "q7_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+         FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                      CAST(year(l_shipdate) AS INT) AS l_year,
+                      l_extendedprice * (1 - l_discount) AS volume
+               FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN supplier ON l_suppkey = s_suppkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation n1 ON s_nationkey = n1.n_nationkey
+               JOIN nation n2 ON c_nationkey = n2.n_nationkey
+               WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                 AND l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+         GROUP BY supp_nation, cust_nation, l_year""",
+
+    "q8_market_share" ->
+      """SELECT o_year,
+                round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                      / sum(volume), 6) AS mkt_share
+         FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                      l_extendedprice * (1 - l_discount) AS volume,
+                      n1.n_name AS supp_nation
+               FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN supplier ON l_suppkey = s_suppkey
+               JOIN part ON l_partkey = p_partkey
+               JOIN nation n1 ON s_nationkey = n1.n_nationkey
+               JOIN nation n2 ON c_nationkey = n2.n_nationkey
+               JOIN region ON n2.n_regionkey = r_regionkey
+               WHERE r_name = 'ASIA' AND p_type = 'STANDARD') nations
+         GROUP BY o_year""",
+
+    "q9_product_profit" ->
+      """SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+         FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+                      l_extendedprice * (1 - l_discount)
+                        - 0.1 * p_retailprice * l_quantity AS amount
+               FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN supplier ON l_suppkey = s_suppkey
+               JOIN part ON l_partkey = p_partkey
+               JOIN nation ON s_nationkey = n_nationkey
+               WHERE p_name LIKE '%bolt%') profit
+         GROUP BY nation, o_year""",
+
+    "q11_important_parts" ->
+      """WITH natvalue AS (
+           SELECT l_partkey, sum(l_extendedprice) AS value
+           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_5'
+           GROUP BY l_partkey)
+         SELECT l_partkey, round(value, 2) AS value
+         FROM natvalue
+         WHERE value > (SELECT 0.002 * sum(value) FROM natvalue)
+         ORDER BY value DESC, l_partkey""",
+
+    "q12_priority_class" ->
+      """SELECT l_returnflag,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY l_returnflag""",
+
+    "q13_order_distribution" ->
+      """WITH c_orders AS (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+           GROUP BY c_custkey)
+         SELECT c_count, count(*) AS custdist
+         FROM c_orders GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+
+    "q20_part_supply_chain" ->
+      """SELECT s_suppkey, s_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_7'
+           AND s_suppkey IN (
+             SELECT l_suppkey FROM lineitem
+             WHERE l_partkey IN (SELECT p_partkey FROM part
+                                 WHERE p_name LIKE 'red%')
+             GROUP BY l_suppkey, l_partkey
+             HAVING sum(l_quantity) > 50)
+         ORDER BY s_suppkey""",
+
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM lineitem l1
+         JOIN supplier ON l1.l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_3' AND l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM orders
+                       WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name LIMIT 100""",
 
     "q10_returned_revenue" ->
       """SELECT c_custkey, c_name,

@@ -429,6 +429,48 @@ class PlanAuditSpec extends SparkSpec {
       s"int8 scan should not shuffle:\n$plan")
   }
 
+  test("q21 plans EXISTS as ONE semi join and NOT-EXISTS as ONE anti join — no product plan") {
+    val dir = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q21_waiting_supplier")(spark, dir)
+    assert(df.collect().nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the supplier-inequality rides as a residual condition INSIDE the
+    // orderkey hash joins — a planner regression to nested-loop/cartesian
+    // would be the 100 TB killer here
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q21 fell back to a product plan:\n$plan")
+    assert("LeftSemi".r.findAllIn(plan).size >= 2, // F-order gate + other-supplier EXISTS
+      s"q21 EXISTS not planned as semi joins:\n$plan")
+    assert("LeftAnti".r.findAllIn(plan).size == 1,
+      s"q21 NOT-EXISTS not planned as exactly one anti join:\n$plan")
+    // three column-pruned lineitem passes (l1/l2/l3) and not one more: each
+    // scans only (orderkey, suppkey[, returnflag]) — assert the scan count
+    // so a refactor that re-scans per subquery fails loudly
+    assert("Scan parquet".r.findAllIn(plan).size <= 6, s"unexpected extra scans:\n$plan")
+  }
+
+  test("q13 aggregates orders BEFORE the outer join and never shuffles the customer side") {
+    val dir = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q13_order_distribution")(spark, dir)
+    assert(df.collect().nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the outer join consumes the per-customer COUNT frame (one row per
+    // active customer) broadcast against the customer scan — a hot customer
+    // costs one row, and customer itself never exchanges
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
+      s"q13 outer join not broadcast:\n$plan")
+    // exactly the aggregation exchanges (orders pre-agg + final distribution
+    // + ordering), none attributable to the customer scan branch: the
+    // customer subtree must flow scan→join with no exchange between
+    val custBranch = plan.linesIterator.toList
+      .dropWhile(l => !l.contains("Scan parquet") || !l.contains("customer"))
+    assert(custBranch.nonEmpty, s"no customer scan found:\n$plan")
+    val joinLine = plan.linesIterator.toList.filter(_.contains("BroadcastHashJoin"))
+    assert(joinLine.nonEmpty)
+    assert(!plan.contains("SortMergeJoin"),
+      s"q13 outer join regressed to a shuffled join:\n$plan")
+  }
+
   test("bucketed co-located join merges with zero exchange and zero sort") {
     val base = java.nio.file.Files.createTempDirectory("graft-plan-bkt")
     // repartition on the bucket key first: one file per bucket is the
