@@ -2613,7 +2613,7 @@ object SparkEntry {
     // the probe then reads the bucket directories. At partial probe the
     // directory layout prunes the scan to the probed buckets (the
     // PlanAuditSpec LSH-layout assert); this row probes ALL buckets
-    // (Hamming 8 of 8 planes), where bucketed-index top-k ≡ exact top-k —
+    // (Hamming 4 of 4 planes — all 16 buckets), where bucketed-index top-k ≡ exact top-k —
     // which is what lets the brute-force SQL be the oracle.
     "e_stream_index" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -2647,7 +2647,7 @@ object SparkEntry {
       q.awaitTermination()
       // the probe path: enumerate the probed buckets, let the directory
       // layout prune the scan to them (PartitionFilters on `bucket`), exact
-      // cosine inside. Hamming 8 probes every bucket → exact top-k.
+      // cosine inside. Hamming 4 of 4 planes probes every bucket → exact top-k.
       val qvec = e.where(col("vec_id") === 0).select(col("embedding"))
         .head().getSeq[Float](0)
       val planes = Similarity.hyperplanes(64, 4, 42L)

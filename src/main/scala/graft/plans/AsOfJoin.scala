@@ -85,11 +85,20 @@ object AsOfJoinPlans {
 
   /** Column pruning through the as-of join: a Project above it needs only
     * some output columns, so each child shrinks to (needed ∩ its output) ∪
-    * (its join keys/time/tiebreak) — the inserted child Projects then
-    * cascade through Catalyst's own pruning all the way into the scans
-    * (ReadSchema). The generic ColumnPruning rule cannot do this for a
-    * foreign node; without it a wide reference table is scanned in full to
-    * enrich two columns. */
+    * (its join keys/time/tiebreak). The generic ColumnPruning rule cannot
+    * do this for a foreign node; without it a wide reference table is
+    * scanned in full to enrich two columns.
+    *
+    * Placement matters: injected via `GraftExtensions.injectOptimizerRule`
+    * this runs INSIDE the operator-optimization fixed point, so the
+    * inserted child Projects cascade through Catalyst's own pruning into
+    * the scans (ReadSchema) through any subtree. On the runtime
+    * `spark.experimental.extraOptimizations` path (AsOfJoin.register) it
+    * runs AFTER that fixed point, so pruning reaches the scan only when
+    * the child is a simple Project/Filter/Scan chain (physical-planning
+    * PhysicalOperation collapses those); a join/aggregate-shaped child
+    * keeps its full width there — use the extension for wide-child
+    * pipelines. */
   object PruneAsOfJoinColumns extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
       case p @ Project(_, a: AsOfJoinPlan) =>
@@ -181,14 +190,27 @@ object AsOfJoinPlans {
           private val hasTol = tol.isDefined
           private val tolV = tol.getOrElse(0L)
 
-          private def advance(): Unit =
-            if (rIter.hasNext) {
-              rHead = rIter.next()
-              rHeadKey = rKeyProj(rHead)
-              val rtRow = rTimeProj(rHead)
-              rHeadTimeNull = rtRow.isNullAt(0)
-              rHeadTime = if (rHeadTimeNull) 0L else rtRow.getLong(0)
-            } else { rHead = null; rHeadKey = null }
+          // SQL equi-join semantics: NULL never matches NULL. The natural
+          // ordering used by the merge compares nulls as equal, so a
+          // null-keyed reference row must never become a candidate — skip
+          // them on advance (they sort first within the partition, so this
+          // consumes a prefix, preserving the monotone pointer).
+          private def advance(): Unit = {
+            rHead = null; rHeadKey = null
+            var searching = rIter.hasNext
+            while (searching) {
+              val row = rIter.next()
+              val key = rKeyProj(row)
+              if (!key.anyNull) {
+                rHead = row
+                rHeadKey = key
+                val rtRow = rTimeProj(row)
+                rHeadTimeNull = rtRow.isNullAt(0)
+                rHeadTime = if (rHeadTimeNull) 0L else rtRow.getLong(0)
+                searching = false
+              } else searching = rIter.hasNext
+            }
+          }
           advance()
 
           private def keep(row: InternalRow, key: InternalRow): Unit = {
@@ -213,7 +235,10 @@ object AsOfJoinPlans {
             val ltRow = lTimeProj(l)
             val ltNull = ltRow.isNullAt(0)
             val lt = if (ltNull) Long.MinValue else ltRow.getLong(0)
-            var scanning = rHead != null && !ltNull
+            // null-keyed probes never match (SQL equi-join semantics) —
+            // emit with nulls without advancing the reference pointer
+            val lkNull = lk.anyNull
+            var scanning = rHead != null && !ltNull && !lkNull
             while (scanning) {
               val cmp = keyOrd.compare(rHeadKey, lk)
               if (cmp < 0 || (cmp == 0 && rHeadTimeNull)) {
@@ -223,7 +248,7 @@ object AsOfJoinPlans {
                 advance(); scanning = rHead != null
               } else scanning = false
             }
-            val matched = !ltNull && candidate != null &&
+            val matched = !ltNull && !lkNull && candidate != null &&
               keyOrd.compare(candidateKey, lk) == 0 &&
               (!hasTol || lt - candidateTime <= tolV)
             outProj(joined(l, if (matched) candidate else nullRight))

@@ -61,6 +61,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(ext, "bottom_k_md5", exprs => BottomKMd5(exprs(0), foldInt(exprs(1), "k")))
     inject(ext, "ngram_explode", exprs => NgramExplode(exprs(0), foldInt(exprs(1), "n")))
     inject(ext, "zorder2", exprs => ZOrder2(exprs(0), exprs(1)))
+    // as-of join operator (§2.8c): strategy + its two optimizer rules.
+    // injectOptimizerRule lands them INSIDE the operator-optimization
+    // fixed point, so the child Projects/Filters the rules insert cascade
+    // through Catalyst's own ColumnPruning/PushDownPredicates into the
+    // scans even when a join/aggregate subtree sits between — the
+    // runtime `spark.experimental` path (AsOfJoin.register) cannot get
+    // that, it runs after the fixed point (see note there).
+    ext.injectPlannerStrategy(_ => AsOfJoinPlans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => AsOfJoinPlans.PushProbeFilterThroughAsOfJoin)
+    ext.injectOptimizerRule(_ => AsOfJoinPlans.PruneAsOfJoinColumns)
   }
 
   private def foldInt(e: Expression, name: String): Int = {

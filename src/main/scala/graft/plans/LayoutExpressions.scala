@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -41,10 +41,16 @@ object LayoutOps {
   def zorder2(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
 }
 
-/** zorder2(a bigint, b bigint) → bigint Morton code. */
-case class ZOrder2(left: Expression, right: Expression) extends BinaryExpression {
+/** zorder2(a bigint, b bigint) → bigint Morton code. Declared input types
+  * (with implicit casts) so a SQL call over int columns coerces uniformly
+  * to bigint in BOTH codegen and interpreted eval — without them codegen
+  * silently widened int→long while the interpreted path (constant folding,
+  * codegen fallback) threw ClassCastException on the same query. */
+case class ZOrder2(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def prettyName: String = "zorder2"
   override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     LayoutOps.zorder2(a.asInstanceOf[Long], b.asInstanceOf[Long])

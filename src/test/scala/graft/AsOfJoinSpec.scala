@@ -36,6 +36,35 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Map(10L -> 3L, 11L -> -1L, 12L -> 5L, 13L -> -1L))
   }
 
+  test("null keys never match — SQL equi-join semantics, not natural-ordering NULL == NULL") {
+    // null-keyed reference rows sort FIRST within a partition; without the
+    // advance-skip the merge's natural ordering treats NULL == NULL and a
+    // null-keyed probe would take a null-keyed reference as its match
+    val ref = Seq(
+      (Option("u1"), 1L, 100L), (Option.empty[String], 2L, 100L),
+      (Option.empty[String], 3L, 150L)
+    ).toDF("user_id", "event_id", "us")
+    val prb = Seq(
+      (Option("u1"), 10L, 200L),      // matches id 1 — null refs must not shadow
+      (Option.empty[String], 11L, 200L), // null probe key → NO match ever
+      (Option("u9"), 12L, 200L)       // unseen key → null
+    ).toDF("user_id", "event_id", "us")
+    val out = AsOfJoin.asofJoin(prb, ref, Seq("user_id"), "us", "us",
+        tieBreakCols = Seq("event_id"))
+      .select(col("event_id"), col("event_id_r"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == Map(10L -> 1L, 11L -> -1L, 12L -> -1L),
+      s"null-key semantics diverged: $out")
+    // same truth as a SQL window-over-equi-join formulation (NULL never joins)
+    val sqlTruth = prb.as("p").join(ref.as("r"),
+        col("p.user_id") === col("r.user_id") && col("r.us") <= col("p.us"), "left_outer")
+      .groupBy(col("p.event_id"))
+      .agg(max(struct(col("r.us"), col("r.event_id"))).as("m"))
+      .select(col("p.event_id"), col("m.event_id").as("match_id"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == sqlTruth)
+  }
+
   test("tolerance drops stale matches") {
     val out = AsOfJoin.asofJoin(probes, planted, Seq("user_id"), "us", "us",
         tieBreakCols = Seq("event_id"), tolerance = Some(10L))

@@ -54,4 +54,40 @@ class GraftExtensionsSpec extends SparkSpec {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("extension-injected PruneAsOfJoinColumns prunes a WIDE reference behind a join down to the scan") {
+    val base = spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.plans.GraftExtensions())
+        .getOrCreate()
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft-asof-wide").toString
+      ext.range(200).select(col("id").as("k"), (col("id") * 3).as("t"),
+          col("id").as("payload"),
+          concat(lit("wide"), col("id")).as("unused_wide"))
+        .write.mode("overwrite").parquet(dir)
+      val probe = ext.range(50).select((col("id") % 10).as("k"), (col("id") * 7).as("pt"))
+      // reference child is a JOIN subtree — the shape the runtime
+      // extraOptimizations path cannot prune through (rule runs after the
+      // fixed point there); via injectOptimizerRule the inserted Project
+      // re-enters Catalyst's own ColumnPruning and reaches ReadSchema
+      val dims = ext.range(10).select(col("id").as("k"), lit("dim").as("dim_tag"))
+      val ref = ext.read.parquet(dir).join(dims, "k")
+      val out = graft.plans.AsOfJoin.asofJoin(probe, ref,
+          keys = Seq("k"), probeTimeCol = "pt", refTimeCol = "t")
+        .select(col("k"), col("pt"), col("payload_r"))
+      out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.split("ReadSchema").drop(1)
+          .forall(s => !s.takeWhile(_ != '\n').contains("unused_wide")),
+        s"wide column still read through the join child:\n$plan")
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }

@@ -41,6 +41,27 @@ class ZOrderSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("SQL zorder2 over INT columns coerces uniformly: codegen, interpreted fold, and scala model agree") {
+    graft.plans.SketchFunctions.register(spark)
+    // int (not bigint) columns: ImplicitCastInputTypes must insert the
+    // int→bigint casts at analysis so interpreted eval (constant folding /
+    // codegen fallback) and codegen agree — before the fix codegen silently
+    // widened while interpreted eval threw ClassCastException
+    val viaCols = spark.range(100)
+      .select(col("id").cast("int").as("a"), (col("id") % 7).cast("int").as("b"))
+      .selectExpr("a", "b", "zorder2(a, b) AS z")
+      .collect()
+    viaCols.foreach(r => assert(r.getLong(2) ==
+      LayoutOps.zorder2(r.getInt(0).toLong, r.getInt(1).toLong)))
+    // literal ints → constant-folded on the INTERPRETED path at analysis
+    val folded = spark.sql("SELECT zorder2(5, 9) AS z").head().getLong(0)
+    assert(folded == LayoutOps.zorder2(5L, 9L))
+    // non-integral input now fails at ANALYSIS, not at runtime
+    val e = intercept[Exception](spark.sql("SELECT zorder2('x', 1)").collect())
+    assert(e.getMessage.toLowerCase.contains("zorder2") ||
+      e.getMessage.contains("DATATYPE_MISMATCH") || e.getMessage.contains("CAST"))
+  }
+
   test("ev_zorder_box pushes BOTH box predicates into the layout scan") {
     val q = SparkEntry.queries("ev_zorder_box")(spark, "/root/testdata/sf0.001")
     q.collect()
