@@ -1951,6 +1951,31 @@ object SparkEntry {
       tgt.tables.select(col("name").cast("bigint").as("o_orderkey"))
     }),
 
+    // S8 TWIN over the REAL DataSourceV2 MicroBatchStream connector
+    // (graft-queue): the same message plane and the same import fold, but
+    // the source implements the full streaming contract itself — sequence
+    // offsets pinned by a file log under the checkpoint, per-MESSAGE
+    // admission control (the cap below splits the ~15k-message backlog into
+    // three checkpointed micro-batches — the reference's SQS batch-size
+    // knob, scaled), and the commit/ack queue-deletion hook. Same oracle as
+    // s8_stream_import: two implementations of §2.10's source surface must
+    // converge to the same target plane.
+    "s8_stream_import_v2" -> ((s, dir) => {
+      import graft.run.ReplicationConfig
+      import graft.sources.CatalogSnapshot
+      import graft.streaming.MessageStream
+      val cfg = ReplicationConfig(runId = 510L)
+      val msgDir = s8ImportMsgDir(s, dir)
+      val tgt = withStatefulShuffle(s, 8) {
+        MessageStream.runImport(s, msgDir,
+          java.nio.file.Files.createTempDirectory("graft-s8v2-state").toString,
+          java.nio.file.Files.createTempDirectory("graft-s8v2-ckpt").toString,
+          CatalogSnapshot.empty(s, "tgt"), cfg,
+          queueMaxMessagesPerTrigger = Some(6000L))
+      }
+      tgt.tables.select(col("name").cast("bigint").as("o_orderkey"))
+    }),
+
     // §2.7 at-least-once semantics: every message delivered TWICE (the SQS
     // visibility-timeout redelivery), drained through streaming stateful
     // dedup — per-type counts must equal the single-delivery export, which
@@ -3543,6 +3568,10 @@ object SparkEntry {
          GROUP BY user_id""",
 
     "s8_stream_import" ->
+      """SELECT o_orderkey FROM orders""",
+
+    // DSv2 connector twin — identical truth by construction
+    "s8_stream_import_v2" ->
       """SELECT o_orderkey FROM orders""",
 
     "s8_stream_dedup" ->

@@ -52,6 +52,21 @@ object MessageStream {
     r.json(messagesDir).as[CatalogMessage]
   }
 
+  /** The message plane through the REAL DataSourceV2 MicroBatchStream
+    * connector ([[MessageQueueSource]]) — explicit sequence offsets, an
+    * offset-stability file log under the checkpoint, per-MESSAGE admission
+    * control (`maxOffsetsPerTrigger`, the reference's SQS batch-size knob,
+    * template.yaml:275), and the commit/ack queue-deletion hook. Same rows
+    * as [[readMessages]] over the same directory (MessageQueueSourceSpec
+    * pins the equivalence); corrupt lines surface with null `messageType`
+    * and the raw bytes in `payload` for P6 DLQ routing. */
+  def readMessagesQueue(spark: SparkSession, messagesDir: String,
+      maxMessagesPerTrigger: Option[Long] = None): Dataset[CatalogMessage] = {
+    val r = spark.readStream.format("graft-queue").option("path", messagesDir)
+    maxMessagesPerTrigger.foreach(n => r.option("maxOffsetsPerTrigger", n.toString))
+    r.load().as[CatalogMessage]
+  }
+
   /** At-least-once redelivery dedup: SQS visibility-timeout redelivery
     * (template.yaml:124) re-enqueues the SAME message; collapsing copies
     * avoids re-running the apply work (the apply itself stays idempotent
@@ -219,9 +234,11 @@ object MessageStream {
         * O(batch) delta. Deterministic in batchId, so a replayed batch makes
         * the same full-vs-delta choice. Batch 0 always compacts — the chain
         * has a materialized base even when `initial` is an expensive frame. */
-      compactEvery: Int = 8): CatalogSnapshot = {
+      compactEvery: Int = 8,
+      queueMaxMessagesPerTrigger: Option[Long] = None): CatalogSnapshot = {
     val q = startImport(spark, messagesDir, stateDir, checkpointDir, initial, cfg,
-      maxFilesPerTrigger, dedupRedelivered, None, compactEvery, Trigger.AvailableNow())
+      maxFilesPerTrigger, dedupRedelivered, None, compactEvery, Trigger.AvailableNow(),
+      queueMaxMessagesPerTrigger)
     q.awaitTermination()
     latestState(spark, stateDir, initial)
   }
@@ -251,10 +268,18 @@ object MessageStream {
         * `dedupRedelivered`. */
       dedupWatermark: Option[String] = None,
       compactEvery: Int = 8,
-      trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      /** When set, read through the DSv2 [[MessageQueueSource]] connector
+        * with this per-MESSAGE admission cap instead of the file-drop json
+        * source (Some(Long.MaxValue) for the connector with no cap). */
+      queueMaxMessagesPerTrigger: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
 
-    val source = readMessages(spark, messagesDir, maxFilesPerTrigger)
+    val source = queueMaxMessagesPerTrigger match {
+      case Some(cap) => readMessagesQueue(spark, messagesDir,
+        Some(cap).filter(_ != Long.MaxValue))
+      case None => readMessages(spark, messagesDir, maxFilesPerTrigger)
+    }
     val deduped = dedupWatermark match {
       case Some(delay) => dedupMessagesWithinWatermark(source, delay)
       case None if dedupRedelivered => dedupMessages(source)
