@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics => V2Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics => V2Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull, StringStartsWith}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -207,9 +208,18 @@ private[sources] final class GluePlaneScanBuilder(options: CaseInsensitiveString
 }
 
 /** One planned slice of the scan. `dbName = None` means "the databases plane's
-  * single listing chain"; partitions-plane slices carry their segment. */
+  * single listing chain"; partitions-plane slices carry their segment.
+  *
+  * `HasPartitionKey`: a per-db slice IS a key group of `databaseName` — the
+  * storage-partitioned-join handle. Reporting it lets Spark group slices by
+  * key and co-locate two catalog planes without exchanging either (the B1
+  * bucketed-join win applied to the connector). */
 private[sources] final case class GlueScanSlice(
-    dbName: Option[String], segNo: Int, totalSegs: Int) extends InputPartition
+    dbName: Option[String], segNo: Int, totalSegs: Int)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(dbName.getOrElse("")))
+}
 
 private[sources] final class GluePlaneScan(
     options: CaseInsensitiveStringMap,
@@ -217,7 +227,7 @@ private[sources] final class GluePlaneScan(
     compileTimeFilters: Array[Filter],
     prunedSchema: StructType,
     limit: Option[Int]) extends Scan with Batch with SupportsRuntimeFiltering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsReportPartitioning {
 
   private val factory = GlueCatalogV2.buildFactory(options)
   private val (maxRetry, retryDelayMs) = GlueCatalogV2.retryOf(options)
@@ -245,8 +255,10 @@ private[sources] final class GluePlaneScan(
     .filter(a => prunedSchema.fieldNames.exists(_.equalsIgnoreCase(a)))
     .map(Expressions.column).toArray
 
-  override def filter(fs: Array[Filter]): Unit =
+  override def filter(fs: Array[Filter]): Unit = {
     runtimeFilters = fs.filter(GlueCatalogV2.isPushable(_, GlueCatalogV2.pushableAttrs(plane)))
+    planned = null // runtime filters shrink the fan-out — re-plan
+  }
 
   override def readSchema(): StructType = prunedSchema
   override def toBatch: Batch = this
@@ -297,7 +309,17 @@ private[sources] final class GluePlaneScan(
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] = plane match {
+  /** Planned once per scan (planInputPartitions AND outputPartitioning need
+    * the db fan-out; runtime filters arriving later re-plan via the
+    * invalidation in filter()). */
+  @volatile private var planned: Array[InputPartition] = _
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (planned == null) planned = doPlan()
+    planned
+  }
+
+  private def doPlan(): Array[InputPartition] = plane match {
     case "databases" =>
       // One listing chain; name-equality collapses to point gets reader-side.
       Array(GlueScanSlice(None, 0, 1))
@@ -318,6 +340,26 @@ private[sources] final class GluePlaneScan(
       val total = if (plane == "partitions") segments else 1
       (for (db <- dbNames; s <- segs) yield GlueScanSlice(Some(db), s, total)).toArray
   }
+
+  /**
+   * Storage-partitioned-join surface (`SupportsReportPartitioning`): the
+   * tables and partitions planes are planned as per-database slices, so the
+   * scan's output IS key-grouped on `databaseName`. Reporting that lets a
+   * tables⨝partitions (or any catalog-plane self-join) whose join keys
+   * include `databaseName` plan with ZERO exchange on either side — the
+   * service-call layout is the co-partitioning, exactly the B1 ingest-time
+   * bucketing win applied to the connector. Requires
+   * `spark.sql.sources.v2.bucketing.enabled=true` (Spark groups the
+   * per-(db, segment) slices into key groups); `GlueSourceV2Spec` pins the
+   * no-Exchange plan. Not reported when `databaseName` was pruned away (the
+   * partitioning expression must resolve against readSchema).
+   */
+  override def outputPartitioning(): Partitioning =
+    if (plane != "databases" &&
+        prunedSchema.fieldNames.exists(_.equalsIgnoreCase("databaseName"))) {
+      val uniqueDbs = planInputPartitions().map(_.asInstanceOf[GlueScanSlice].dbName).distinct.length
+      new KeyGroupedPartitioning(Array(Expressions.identity("databaseName")), uniqueDbs)
+    } else new UnknownPartitioning(0)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GluePlaneReaderFactory(plane, factory, maxRetry, retryDelayMs, filters, prunedSchema, limit)

@@ -270,6 +270,54 @@ class GlueSourceV2Spec extends SparkSpec {
       || e.getMessage.toLowerCase.contains("overwrite"), e.getMessage)
   }
 
+  test("storage-partitioned join: tables ⨝ partitions co-locates on databaseName with ZERO exchange") {
+    val mock = freshCatalog("v2-spj")
+    val prevBkt = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevReq = spark.conf.getOption("spark.sql.requireAllClusterKeysForCoPartition")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the planes key-group on databaseName while the join also equates the
+    // table name — partition keys ⊂ join keys is exactly what this knob
+    // admits (co-location on a prefix of the join keys is still correct;
+    // the residual key equality evaluates inside the merge)
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      // partitionSegments=2: several slices per db — Spark must GROUP them
+      // into key groups before matching the sides
+      val tables = read("v2-spj", "tables")
+        .select(col("databaseName"), col("name"), col("owner"))
+      val parts = read("v2-spj", "partitions", "partitionSegments" -> "2")
+        .select(col("databaseName").as("p_db"), col("tableName"), col("values"))
+      val joined = tables.join(parts,
+        col("databaseName") === col("p_db") && col("name") === col("tableName"))
+        .groupBy(col("databaseName"), col("name"))
+        .agg(count(lit(1)).as("n_parts"))
+      val rows = joined.collect()
+      assert(rows.length === 12 && rows.forall(_.getAs[Long]("n_parts") == 5L))
+      val plan = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      // the join itself must consume the reported KeyGroupedPartitioning:
+      // no Exchange below the join — the only exchange allowed is the
+      // final aggregation's (over the tiny grouped frame)
+      val joinSection = plan.linesIterator.dropWhile(l => !l.contains("SortMergeJoin")).mkString("\n")
+      assert(plan.contains("SortMergeJoin"), s"expected a merge join:\n$plan")
+      assert(!joinSection.contains("Exchange"),
+        s"catalog-plane join still exchanges below the join:\n$plan")
+      // both planes were fetched with their normal service fan-out
+      assert(mock.callCount("GetPartitions") > 0)
+    } finally {
+      prevBkt match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      prevReq match {
+        case Some(v) => spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", v)
+        case None => spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("unsupported filters are left for Spark to evaluate (and results stay correct)") {
     freshCatalog("v2-resid")
     // owner is not a pushable attribute; retention>=0 is a non-string filter.
