@@ -2091,6 +2091,29 @@ object SparkEntry {
       TextFunctions.packSequences(t(s, dir, "documents"),
         budgetTokens = 2048L, shardCol = "source")),
 
+    // X44 BPE-encode the corpus (native codegen'd expression, merge table as
+    // a plan reference object). The FIXED seed-trained merge table makes the
+    // truth replayable: the DuckDB oracle carries the same 48 merges as
+    // literals and re-derives every doc's subword stream with a recursive
+    // CTE implementing the identical lowest-rank merge loop (the X34/X35
+    // exact-replay discipline). Corpus-trained tables (bpeTrainOn) are
+    // pinned by BpeSpec; the encode path here is what runs at 100 TB — one
+    // codegen'd projection, no shuffle, no UDF boundary.
+    "d_bpe_encode" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.bpeEncode(col("text"), TextFunctions.BpeSeedMerges).as("arr"))
+        .select(col("doc_id"), size(col("arr")).cast("bigint").as("n_bpe"),
+          array_join(col("arr"), " ").as("toks"))),
+
+    // X15 sequence packing over REAL subword counts (the budget every
+    // training pipeline actually packs to) — same per-shard window plan as
+    // d_pack_sequences, the token counter swapped for bpe_encode's size.
+    "d_pack_bpe" -> ((s, dir) =>
+      TextFunctions.packSequences(t(s, dir, "documents"),
+        budgetTokens = 4096L, shardCol = "source",
+        tokenCounter = c => TextFunctions.bpeTokenCount(c, TextFunctions.BpeSeedMerges))),
+
     // TF-IDF relevance scores per (doc, token) — X12's per-document extension
     "d_tfidf" -> ((s, dir) => {
       TextFunctions.tfIdf(t(s, dir, "documents"))
@@ -3680,6 +3703,80 @@ object SparkEntry {
            FROM d)
          SELECT shard, doc_id, n_tokens,
            CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id FROM w""",
+
+    // recursive-CTE replay of the SAME 48-merge table (literals) and the
+    // SAME lowest-rank merge-all loop the native expression runs; BpeSpec
+    // pins bpeTrain(BpeSeedVocab, 48) == exactly this table
+    "d_bpe_encode" ->
+      """WITH RECURSIVE
+           dwords AS (
+             SELECT DISTINCT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+             FROM documents),
+           enc AS (
+             SELECT word,
+               chr(2) || array_to_string(list_transform(range(1, length(word)+1),
+                 i -> word[i]), chr(2) || chr(2)) || chr(2) AS s
+             FROM dwords WHERE word <> ''
+             UNION ALL
+             SELECT word,
+               replace(s,
+                 chr(2) || split_part(main.list_value(('e' || chr(1) || 'r'), ('t' || chr(1) || 'a'), ('o' || chr(1) || 'w'), ('i' || chr(1) || 'n'), ('b' || chr(1) || 'l'), ('bl' || chr(1) || 'e'), ('ta' || chr(1) || 'ble'), ('l' || chr(1) || 'u'), ('r' || chr(1) || 'ow'), ('s' || chr(1) || 't'), ('a' || chr(1) || 'ta'), ('d' || chr(1) || 'ata'), ('er' || chr(1) || 'y'), ('q' || chr(1) || 'u'), ('qu' || chr(1) || 'ery'), ('a' || chr(1) || 'lu'), ('alu' || chr(1) || 'e'), ('v' || chr(1) || 'alue'), ('a' || chr(1) || 't'), ('at' || chr(1) || 'c'), ('atc' || chr(1) || 'h'), ('b' || chr(1) || 'atch'), ('d' || chr(1) || 'ow'), ('in' || chr(1) || 'dow'), ('w' || chr(1) || 'indow'), ('a' || chr(1) || 'm'), ('e' || chr(1) || 'am'), ('r' || chr(1) || 'eam'), ('st' || chr(1) || 'ream'), ('m' || chr(1) || 'er'), ('f' || chr(1) || 'i'), ('fi' || chr(1) || 'l'), ('fil' || chr(1) || 't'), ('filt' || chr(1) || 'er'), ('r' || chr(1) || 't'), ('p' || chr(1) || 'a'), ('g' || chr(1) || 'e'), ('mer' || chr(1) || 'ge'), ('j' || chr(1) || 'o'), ('jo' || chr(1) || 'in'), ('a' || chr(1) || 's'), ('as' || chr(1) || 'h'), ('h' || chr(1) || 'ash'), ('a' || chr(1) || 'n'), ('c' || chr(1) || 'an'), ('s' || chr(1) || 'can'), ('o' || chr(1) || 'rt'), ('s' || chr(1) || 'ort'))[best], chr(1), 1) || chr(2) ||
+                 chr(2) || split_part(main.list_value(('e' || chr(1) || 'r'), ('t' || chr(1) || 'a'), ('o' || chr(1) || 'w'), ('i' || chr(1) || 'n'), ('b' || chr(1) || 'l'), ('bl' || chr(1) || 'e'), ('ta' || chr(1) || 'ble'), ('l' || chr(1) || 'u'), ('r' || chr(1) || 'ow'), ('s' || chr(1) || 't'), ('a' || chr(1) || 'ta'), ('d' || chr(1) || 'ata'), ('er' || chr(1) || 'y'), ('q' || chr(1) || 'u'), ('qu' || chr(1) || 'ery'), ('a' || chr(1) || 'lu'), ('alu' || chr(1) || 'e'), ('v' || chr(1) || 'alue'), ('a' || chr(1) || 't'), ('at' || chr(1) || 'c'), ('atc' || chr(1) || 'h'), ('b' || chr(1) || 'atch'), ('d' || chr(1) || 'ow'), ('in' || chr(1) || 'dow'), ('w' || chr(1) || 'indow'), ('a' || chr(1) || 'm'), ('e' || chr(1) || 'am'), ('r' || chr(1) || 'eam'), ('st' || chr(1) || 'ream'), ('m' || chr(1) || 'er'), ('f' || chr(1) || 'i'), ('fi' || chr(1) || 'l'), ('fil' || chr(1) || 't'), ('filt' || chr(1) || 'er'), ('r' || chr(1) || 't'), ('p' || chr(1) || 'a'), ('g' || chr(1) || 'e'), ('mer' || chr(1) || 'ge'), ('j' || chr(1) || 'o'), ('jo' || chr(1) || 'in'), ('a' || chr(1) || 's'), ('as' || chr(1) || 'h'), ('h' || chr(1) || 'ash'), ('a' || chr(1) || 'n'), ('c' || chr(1) || 'an'), ('s' || chr(1) || 'can'), ('o' || chr(1) || 'rt'), ('s' || chr(1) || 'ort'))[best], chr(1), 2) || chr(2),
+                 chr(2) || replace(main.list_value(('e' || chr(1) || 'r'), ('t' || chr(1) || 'a'), ('o' || chr(1) || 'w'), ('i' || chr(1) || 'n'), ('b' || chr(1) || 'l'), ('bl' || chr(1) || 'e'), ('ta' || chr(1) || 'ble'), ('l' || chr(1) || 'u'), ('r' || chr(1) || 'ow'), ('s' || chr(1) || 't'), ('a' || chr(1) || 'ta'), ('d' || chr(1) || 'ata'), ('er' || chr(1) || 'y'), ('q' || chr(1) || 'u'), ('qu' || chr(1) || 'ery'), ('a' || chr(1) || 'lu'), ('alu' || chr(1) || 'e'), ('v' || chr(1) || 'alue'), ('a' || chr(1) || 't'), ('at' || chr(1) || 'c'), ('atc' || chr(1) || 'h'), ('b' || chr(1) || 'atch'), ('d' || chr(1) || 'ow'), ('in' || chr(1) || 'dow'), ('w' || chr(1) || 'indow'), ('a' || chr(1) || 'm'), ('e' || chr(1) || 'am'), ('r' || chr(1) || 'eam'), ('st' || chr(1) || 'ream'), ('m' || chr(1) || 'er'), ('f' || chr(1) || 'i'), ('fi' || chr(1) || 'l'), ('fil' || chr(1) || 't'), ('filt' || chr(1) || 'er'), ('r' || chr(1) || 't'), ('p' || chr(1) || 'a'), ('g' || chr(1) || 'e'), ('mer' || chr(1) || 'ge'), ('j' || chr(1) || 'o'), ('jo' || chr(1) || 'in'), ('a' || chr(1) || 's'), ('as' || chr(1) || 'h'), ('h' || chr(1) || 'ash'), ('a' || chr(1) || 'n'), ('c' || chr(1) || 'an'), ('s' || chr(1) || 'can'), ('o' || chr(1) || 'rt'), ('s' || chr(1) || 'ort'))[best], chr(1), '') || chr(2)) AS s
+             FROM (SELECT word, s, list_min(list_filter(list_transform(range(1, len(list_filter(string_split(s, chr(2)), x -> x <> ''))), i -> list_position(main.list_value(('e' || chr(1) || 'r'), ('t' || chr(1) || 'a'), ('o' || chr(1) || 'w'), ('i' || chr(1) || 'n'), ('b' || chr(1) || 'l'), ('bl' || chr(1) || 'e'), ('ta' || chr(1) || 'ble'), ('l' || chr(1) || 'u'), ('r' || chr(1) || 'ow'), ('s' || chr(1) || 't'), ('a' || chr(1) || 'ta'), ('d' || chr(1) || 'ata'), ('er' || chr(1) || 'y'), ('q' || chr(1) || 'u'), ('qu' || chr(1) || 'ery'), ('a' || chr(1) || 'lu'), ('alu' || chr(1) || 'e'), ('v' || chr(1) || 'alue'), ('a' || chr(1) || 't'), ('at' || chr(1) || 'c'), ('atc' || chr(1) || 'h'), ('b' || chr(1) || 'atch'), ('d' || chr(1) || 'ow'), ('in' || chr(1) || 'dow'), ('w' || chr(1) || 'indow'), ('a' || chr(1) || 'm'), ('e' || chr(1) || 'am'), ('r' || chr(1) || 'eam'), ('st' || chr(1) || 'ream'), ('m' || chr(1) || 'er'), ('f' || chr(1) || 'i'), ('fi' || chr(1) || 'l'), ('fil' || chr(1) || 't'), ('filt' || chr(1) || 'er'), ('r' || chr(1) || 't'), ('p' || chr(1) || 'a'), ('g' || chr(1) || 'e'), ('mer' || chr(1) || 'ge'), ('j' || chr(1) || 'o'), ('jo' || chr(1) || 'in'), ('a' || chr(1) || 's'), ('as' || chr(1) || 'h'), ('h' || chr(1) || 'ash'), ('a' || chr(1) || 'n'), ('c' || chr(1) || 'an'), ('s' || chr(1) || 'can'), ('o' || chr(1) || 'rt'), ('s' || chr(1) || 'ort')), list_filter(string_split(s, chr(2)), x -> x <> '')[i] || chr(1) || list_filter(string_split(s, chr(2)), x -> x <> '')[i+1])), p -> p IS NOT NULL AND p > 0)) AS best FROM enc) t
+             WHERE best IS NOT NULL),
+           done AS (
+             SELECT word, list_filter(string_split(s, chr(2)), x -> x <> '') AS toks
+             FROM (SELECT word, s, list_min(list_filter(list_transform(range(1, len(list_filter(string_split(s, chr(2)), x -> x <> ''))), i -> list_position(main.list_value(('e' || chr(1) || 'r'), ('t' || chr(1) || 'a'), ('o' || chr(1) || 'w'), ('i' || chr(1) || 'n'), ('b' || chr(1) || 'l'), ('bl' || chr(1) || 'e'), ('ta' || chr(1) || 'ble'), ('l' || chr(1) || 'u'), ('r' || chr(1) || 'ow'), ('s' || chr(1) || 't'), ('a' || chr(1) || 'ta'), ('d' || chr(1) || 'ata'), ('er' || chr(1) || 'y'), ('q' || chr(1) || 'u'), ('qu' || chr(1) || 'ery'), ('a' || chr(1) || 'lu'), ('alu' || chr(1) || 'e'), ('v' || chr(1) || 'alue'), ('a' || chr(1) || 't'), ('at' || chr(1) || 'c'), ('atc' || chr(1) || 'h'), ('b' || chr(1) || 'atch'), ('d' || chr(1) || 'ow'), ('in' || chr(1) || 'dow'), ('w' || chr(1) || 'indow'), ('a' || chr(1) || 'm'), ('e' || chr(1) || 'am'), ('r' || chr(1) || 'eam'), ('st' || chr(1) || 'ream'), ('m' || chr(1) || 'er'), ('f' || chr(1) || 'i'), ('fi' || chr(1) || 'l'), ('fil' || chr(1) || 't'), ('filt' || chr(1) || 'er'), ('r' || chr(1) || 't'), ('p' || chr(1) || 'a'), ('g' || chr(1) || 'e'), ('mer' || chr(1) || 'ge'), ('j' || chr(1) || 'o'), ('jo' || chr(1) || 'in'), ('a' || chr(1) || 's'), ('as' || chr(1) || 'h'), ('h' || chr(1) || 'ash'), ('a' || chr(1) || 'n'), ('c' || chr(1) || 'an'), ('s' || chr(1) || 'can'), ('o' || chr(1) || 'rt'), ('s' || chr(1) || 'ort')), list_filter(string_split(s, chr(2)), x -> x <> '')[i] || chr(1) || list_filter(string_split(s, chr(2)), x -> x <> '')[i+1])), p -> p IS NOT NULL AND p > 0)) AS best FROM enc) t
+             WHERE best IS NULL),
+           docw AS (
+             SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+             FROM documents),
+           pos AS (
+             SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS i FROM docw)
+         SELECT doc_id,
+           CAST(sum(len(toks)) AS BIGINT) AS n_bpe,
+           string_agg(array_to_string(toks, ' '), ' ' ORDER BY i) AS toks
+         FROM pos JOIN done USING (word)
+         GROUP BY doc_id""",
+
+    "d_pack_bpe" ->
+      """WITH RECURSIVE
+           dwords AS (
+             SELECT DISTINCT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+             FROM documents),
+           enc AS (
+             SELECT word,
+               chr(2) || array_to_string(list_transform(range(1, length(word)+1),
+                 i -> word[i]), chr(2) || chr(2)) || chr(2) AS s
+             FROM dwords WHERE word <> ''
+             UNION ALL
+             SELECT word,
+               replace(s,
+                 chr(2) || split_part(main.list_value(('e' || chr(1) || 'r'), ('t' || chr(1) || 'a'), ('o' || chr(1) || 'w'), ('i' || chr(1) || 'n'), ('b' || chr(1) || 'l'), ('bl' || chr(1) || 'e'), ('ta' || chr(1) || 'ble'), ('l' || chr(1) || 'u'), ('r' || chr(1) || 'ow'), ('s' || chr(1) || 't'), ('a' || chr(1) || 'ta'), ('d' || chr(1) || 'ata'), ('er' || chr(1) || 'y'), ('q' || chr(1) || 'u'), ('qu' || chr(1) || 'ery'), ('a' || chr(1) || 'lu'), ('alu' || chr(1) || 'e'), ('v' || chr(1) || 'alue'), ('a' || chr(1) || 't'), ('at' || chr(1) || 'c'), ('atc' || chr(1) || 'h'), ('b' || chr(1) || 'atch'), ('d' || chr(1) || 'ow'), ('in' || chr(1) || 'dow'), ('w' || chr(1) || 'indow'), ('a' || chr(1) || 'm'), ('e' || chr(1) || 'am'), ('r' || chr(1) || 'eam'), ('st' || chr(1) || 'ream'), ('m' || chr(1) || 'er'), ('f' || chr(1) || 'i'), ('fi' || chr(1) || 'l'), ('fil' || chr(1) || 't'), ('filt' || chr(1) || 'er'), ('r' || chr(1) || 't'), ('p' || chr(1) || 'a'), ('g' || chr(1) || 'e'), ('mer' || chr(1) || 'ge'), ('j' || chr(1) || 'o'), ('jo' || chr(1) || 'in'), ('a' || chr(1) || 's'), ('as' || chr(1) || 'h'), ('h' || chr(1) || 'ash'), ('a' || chr(1) || 'n'), ('c' || chr(1) || 'an'), ('s' || chr(1) || 'can'), ('o' || chr(1) || 'rt'), ('s' || chr(1) || 'ort'))[best], chr(1), 1) || chr(2) ||
+                 chr(2) || split_part(main.list_value(('e' || chr(1) || 'r'), ('t' || chr(1) || 'a'), ('o' || chr(1) || 'w'), ('i' || chr(1) || 'n'), ('b' || chr(1) || 'l'), ('bl' || chr(1) || 'e'), ('ta' || chr(1) || 'ble'), ('l' || chr(1) || 'u'), ('r' || chr(1) || 'ow'), ('s' || chr(1) || 't'), ('a' || chr(1) || 'ta'), ('d' || chr(1) || 'ata'), ('er' || chr(1) || 'y'), ('q' || chr(1) || 'u'), ('qu' || chr(1) || 'ery'), ('a' || chr(1) || 'lu'), ('alu' || chr(1) || 'e'), ('v' || chr(1) || 'alue'), ('a' || chr(1) || 't'), ('at' || chr(1) || 'c'), ('atc' || chr(1) || 'h'), ('b' || chr(1) || 'atch'), ('d' || chr(1) || 'ow'), ('in' || chr(1) || 'dow'), ('w' || chr(1) || 'indow'), ('a' || chr(1) || 'm'), ('e' || chr(1) || 'am'), ('r' || chr(1) || 'eam'), ('st' || chr(1) || 'ream'), ('m' || chr(1) || 'er'), ('f' || chr(1) || 'i'), ('fi' || chr(1) || 'l'), ('fil' || chr(1) || 't'), ('filt' || chr(1) || 'er'), ('r' || chr(1) || 't'), ('p' || chr(1) || 'a'), ('g' || chr(1) || 'e'), ('mer' || chr(1) || 'ge'), ('j' || chr(1) || 'o'), ('jo' || chr(1) || 'in'), ('a' || chr(1) || 's'), ('as' || chr(1) || 'h'), ('h' || chr(1) || 'ash'), ('a' || chr(1) || 'n'), ('c' || chr(1) || 'an'), ('s' || chr(1) || 'can'), ('o' || chr(1) || 'rt'), ('s' || chr(1) || 'ort'))[best], chr(1), 2) || chr(2),
+                 chr(2) || replace(main.list_value(('e' || chr(1) || 'r'), ('t' || chr(1) || 'a'), ('o' || chr(1) || 'w'), ('i' || chr(1) || 'n'), ('b' || chr(1) || 'l'), ('bl' || chr(1) || 'e'), ('ta' || chr(1) || 'ble'), ('l' || chr(1) || 'u'), ('r' || chr(1) || 'ow'), ('s' || chr(1) || 't'), ('a' || chr(1) || 'ta'), ('d' || chr(1) || 'ata'), ('er' || chr(1) || 'y'), ('q' || chr(1) || 'u'), ('qu' || chr(1) || 'ery'), ('a' || chr(1) || 'lu'), ('alu' || chr(1) || 'e'), ('v' || chr(1) || 'alue'), ('a' || chr(1) || 't'), ('at' || chr(1) || 'c'), ('atc' || chr(1) || 'h'), ('b' || chr(1) || 'atch'), ('d' || chr(1) || 'ow'), ('in' || chr(1) || 'dow'), ('w' || chr(1) || 'indow'), ('a' || chr(1) || 'm'), ('e' || chr(1) || 'am'), ('r' || chr(1) || 'eam'), ('st' || chr(1) || 'ream'), ('m' || chr(1) || 'er'), ('f' || chr(1) || 'i'), ('fi' || chr(1) || 'l'), ('fil' || chr(1) || 't'), ('filt' || chr(1) || 'er'), ('r' || chr(1) || 't'), ('p' || chr(1) || 'a'), ('g' || chr(1) || 'e'), ('mer' || chr(1) || 'ge'), ('j' || chr(1) || 'o'), ('jo' || chr(1) || 'in'), ('a' || chr(1) || 's'), ('as' || chr(1) || 'h'), ('h' || chr(1) || 'ash'), ('a' || chr(1) || 'n'), ('c' || chr(1) || 'an'), ('s' || chr(1) || 'can'), ('o' || chr(1) || 'rt'), ('s' || chr(1) || 'ort'))[best], chr(1), '') || chr(2)) AS s
+             FROM (SELECT word, s, list_min(list_filter(list_transform(range(1, len(list_filter(string_split(s, chr(2)), x -> x <> ''))), i -> list_position(main.list_value(('e' || chr(1) || 'r'), ('t' || chr(1) || 'a'), ('o' || chr(1) || 'w'), ('i' || chr(1) || 'n'), ('b' || chr(1) || 'l'), ('bl' || chr(1) || 'e'), ('ta' || chr(1) || 'ble'), ('l' || chr(1) || 'u'), ('r' || chr(1) || 'ow'), ('s' || chr(1) || 't'), ('a' || chr(1) || 'ta'), ('d' || chr(1) || 'ata'), ('er' || chr(1) || 'y'), ('q' || chr(1) || 'u'), ('qu' || chr(1) || 'ery'), ('a' || chr(1) || 'lu'), ('alu' || chr(1) || 'e'), ('v' || chr(1) || 'alue'), ('a' || chr(1) || 't'), ('at' || chr(1) || 'c'), ('atc' || chr(1) || 'h'), ('b' || chr(1) || 'atch'), ('d' || chr(1) || 'ow'), ('in' || chr(1) || 'dow'), ('w' || chr(1) || 'indow'), ('a' || chr(1) || 'm'), ('e' || chr(1) || 'am'), ('r' || chr(1) || 'eam'), ('st' || chr(1) || 'ream'), ('m' || chr(1) || 'er'), ('f' || chr(1) || 'i'), ('fi' || chr(1) || 'l'), ('fil' || chr(1) || 't'), ('filt' || chr(1) || 'er'), ('r' || chr(1) || 't'), ('p' || chr(1) || 'a'), ('g' || chr(1) || 'e'), ('mer' || chr(1) || 'ge'), ('j' || chr(1) || 'o'), ('jo' || chr(1) || 'in'), ('a' || chr(1) || 's'), ('as' || chr(1) || 'h'), ('h' || chr(1) || 'ash'), ('a' || chr(1) || 'n'), ('c' || chr(1) || 'an'), ('s' || chr(1) || 'can'), ('o' || chr(1) || 'rt'), ('s' || chr(1) || 'ort')), list_filter(string_split(s, chr(2)), x -> x <> '')[i] || chr(1) || list_filter(string_split(s, chr(2)), x -> x <> '')[i+1])), p -> p IS NOT NULL AND p > 0)) AS best FROM enc) t
+             WHERE best IS NOT NULL),
+           done AS (
+             SELECT word, list_filter(string_split(s, chr(2)), x -> x <> '') AS toks
+             FROM (SELECT word, s, list_min(list_filter(list_transform(range(1, len(list_filter(string_split(s, chr(2)), x -> x <> ''))), i -> list_position(main.list_value(('e' || chr(1) || 'r'), ('t' || chr(1) || 'a'), ('o' || chr(1) || 'w'), ('i' || chr(1) || 'n'), ('b' || chr(1) || 'l'), ('bl' || chr(1) || 'e'), ('ta' || chr(1) || 'ble'), ('l' || chr(1) || 'u'), ('r' || chr(1) || 'ow'), ('s' || chr(1) || 't'), ('a' || chr(1) || 'ta'), ('d' || chr(1) || 'ata'), ('er' || chr(1) || 'y'), ('q' || chr(1) || 'u'), ('qu' || chr(1) || 'ery'), ('a' || chr(1) || 'lu'), ('alu' || chr(1) || 'e'), ('v' || chr(1) || 'alue'), ('a' || chr(1) || 't'), ('at' || chr(1) || 'c'), ('atc' || chr(1) || 'h'), ('b' || chr(1) || 'atch'), ('d' || chr(1) || 'ow'), ('in' || chr(1) || 'dow'), ('w' || chr(1) || 'indow'), ('a' || chr(1) || 'm'), ('e' || chr(1) || 'am'), ('r' || chr(1) || 'eam'), ('st' || chr(1) || 'ream'), ('m' || chr(1) || 'er'), ('f' || chr(1) || 'i'), ('fi' || chr(1) || 'l'), ('fil' || chr(1) || 't'), ('filt' || chr(1) || 'er'), ('r' || chr(1) || 't'), ('p' || chr(1) || 'a'), ('g' || chr(1) || 'e'), ('mer' || chr(1) || 'ge'), ('j' || chr(1) || 'o'), ('jo' || chr(1) || 'in'), ('a' || chr(1) || 's'), ('as' || chr(1) || 'h'), ('h' || chr(1) || 'ash'), ('a' || chr(1) || 'n'), ('c' || chr(1) || 'an'), ('s' || chr(1) || 'can'), ('o' || chr(1) || 'rt'), ('s' || chr(1) || 'ort')), list_filter(string_split(s, chr(2)), x -> x <> '')[i] || chr(1) || list_filter(string_split(s, chr(2)), x -> x <> '')[i+1])), p -> p IS NOT NULL AND p > 0)) AS best FROM enc) t
+             WHERE best IS NULL),
+           docw AS (
+             SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+             FROM documents),
+           pos AS (
+             SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS i FROM docw),
+           counts AS (
+             SELECT p.doc_id, CAST(sum(len(d.toks)) AS BIGINT) AS n_tokens
+             FROM pos p JOIN done d USING (word) GROUP BY p.doc_id),
+           sh AS (
+             SELECT dw.source AS shard, c.doc_id, c.n_tokens,
+               sum(c.n_tokens) OVER (PARTITION BY dw.source ORDER BY c.doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+             FROM counts c JOIN docw dw USING (doc_id))
+         SELECT shard, doc_id, n_tokens,
+           CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS pack_id FROM sh""",
 
     "d_tfidf" ->
       """WITH toks AS (

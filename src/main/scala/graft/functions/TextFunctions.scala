@@ -27,6 +27,53 @@ object TextFunctions {
   /** Token count (whitespace tokenization). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  // ------------------------------------------------------------- BPE (X44)
+
+  /** Deterministic seed vocabulary for the FIXED merge table: sf-independent
+    * (embedded here, not derived from a fixture), so the DuckDB oracle can
+    * replay the exact table as literals at every scale factor. Frequencies
+    * shaped like the fixture corpus vocabulary. `BpeSpec` pins
+    * `bpeTrain(BpeSeedVocab, 48)` == the table the oracles embed. */
+  val BpeSeedVocab: Seq[(String, Long)] = Seq(
+    "table" -> 40L, "row" -> 35L, "data" -> 30L, "query" -> 28L, "value" -> 26L,
+    "batch" -> 24L, "window" -> 22L, "stream" -> 20L, "filter" -> 18L,
+    "merge" -> 16L, "join" -> 15L, "hash" -> 14L, "scan" -> 13L, "sort" -> 12L,
+    "spark" -> 11L, "column" -> 10L, "small" -> 9L, "fast" -> 8L, "slow" -> 7L,
+    "part" -> 6L, "order" -> 5L, "line" -> 4L, "customer" -> 3L, "agg" -> 2L,
+    "big" -> 2L, "key" -> 2L, "the" -> 2L, "a" -> 1L)
+
+  /** The fixed 48-merge table trained from [[BpeSeedVocab]]. */
+  lazy val BpeSeedMerges: Seq[(String, String)] =
+    graft.plans.BpeOps.train(BpeSeedVocab, 48)
+
+  /** Train a merge table from a corpus, Spark-first: ONE shuffle into the
+    * word-frequency table, top-`vocabCap` rows (count desc, word — a
+    * deterministic, bounded driver pool, the IVF/PQ discipline) feed the
+    * driver-side merge loop. BPE statistics saturate far below corpus size,
+    * so the cap costs nothing at 100 TB and bounds driver memory hard. */
+  def bpeTrainOn(docs: org.apache.spark.sql.DataFrame, numMerges: Int,
+      vocabCap: Int = 4096, textCol: String = "text"): Seq[(String, String)] = {
+    val vocab = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.plans.BpeOps.train(vocab, numMerges)
+  }
+
+  /** bpe_encode(text) → array<string> subword stream (native codegen'd
+    * expression; merge table rides as a reference object). Requires
+    * SketchFunctions.register on the session. */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    call_function("bpe_encode", text.cast("string"),
+      typedlit(merges.map { case (a, b) => a + "\u0001" + b }))
+
+  /** Subword token count under a merge table. */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    size(bpeEncode(text, merges))
+
   /** BPE-ish subword count: word pieces + digits + punctuation as separate
     * tokens, the usual pre-tokenizer regex shape. */
   def subwordCount(text: Column): Column =
@@ -148,13 +195,16 @@ object TextFunctions {
     * shard key (packing is per-worker in a real loader), so no global
     * single-partition window — scales with shard count. */
   def packSequences(docs: org.apache.spark.sql.DataFrame, budgetTokens: Long,
-      shardCol: String, idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+      shardCol: String, idCol: String = "doc_id", textCol: String = "text",
+      /** Token counter for the budget — defaults to whitespace tokens; pass
+        * [[bpeTokenCount]] to pack on real subword counts (d_pack_bpe). */
+      tokenCounter: Column => Column = tokenCount): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(col(shardCol).as("shard"), col(idCol).as("doc_id"),
-        tokenCount(col(textCol)).cast("bigint").as("n_tokens"))
+        tokenCounter(col(textCol)).cast("bigint").as("n_tokens"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .withColumn("pack_id", floor((col("cum_tokens") - col("n_tokens")) / budgetTokens))
       .select(col("shard"), col("doc_id"), col("n_tokens"), col("pack_id"))

@@ -61,6 +61,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(ext, "bottom_k_md5", exprs => BottomKMd5(exprs(0), foldInt(exprs(1), "k")))
     inject(ext, "ngram_explode", exprs => NgramExplode(exprs(0), foldInt(exprs(1), "n")))
     inject(ext, "zorder2", exprs => ZOrder2(exprs(0), exprs(1)))
+    inject(ext, "bpe_encode", exprs => {
+      require(exprs.length == 2,
+        s"bpe_encode(text, merges) takes 2 arguments, got ${exprs.length}")
+      BpeEncode(exprs(0), SketchFunctions.foldableMerges(exprs(1)))
+    })
     // as-of join operator (§2.8c): strategy + its two optimizer rules.
     // injectOptimizerRule lands them INSIDE the operator-optimization
     // fixed point, so the child Projects/Filters the rules insert cascade

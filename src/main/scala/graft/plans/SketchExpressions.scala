@@ -308,12 +308,33 @@ object SketchFunctions {
         exprs => NgramExplode(exprs(0), foldableInt(exprs(1), "n")), "built-in")
       reg.createOrReplaceTempFunction("zorder2",
         exprs => ZOrder2(exprs(0), exprs(1)), "built-in")
+      // the merge-table literal is consumed at resolution and folded into an
+      // expression FIELD (the nearest_centroid move) — the resolved plan
+      // carries a reference object, not hundreds of string literals
+      reg.createOrReplaceTempFunction("bpe_encode",
+        exprs => {
+          require(exprs.length == 2,
+            s"bpe_encode(text, merges) takes 2 arguments, got ${exprs.length}")
+          BpeEncode(exprs(0), foldableMerges(exprs(1)))
+        }, "built-in")
     }
   }
 
   private def foldableInt(e: Expression, name: String): Int = {
     require(e.foldable, s"$name must be a literal")
     e.eval().asInstanceOf[Number].intValue()
+  }
+
+  /** Fold a literal array<string> of a-SOH-b pair encodings into merges. */
+  private[plans] def foldableMerges(e: Expression): Seq[(String, String)] = {
+    require(e.foldable, "merges must be a literal array")
+    val arr = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until arr.numElements()).map { i =>
+      val s = arr.getUTF8String(i).toString
+      val cut = s.indexOf('\u0001')
+      require(cut > 0, s"merge entry '$s' is not a-SOH-b encoded")
+      (s.substring(0, cut), s.substring(cut + 1))
+    }
   }
 
   /** Column API (requires register() on the session — the Dedup entry points
