@@ -69,10 +69,15 @@ object Bench {
     val results = new scala.collection.mutable.LinkedHashMap[String, (Double, Double)]
     val failed = new scala.collection.mutable.LinkedHashMap[String, String]
     val skipped = new scala.collection.mutable.ArrayBuffer[String]
+    // full repeat history per query — the load-suspect pass re-examines it
+    val timesMap = new scala.collection.mutable.LinkedHashMap[String, Seq[Double]]
+    // queries whose min stayed UNCONFIRMED after the suspect re-run pass
+    val loadSuspect = new scala.collection.mutable.ArrayBuffer[String]
     val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
 
     def flush(truncated: Boolean): Unit = if (printed.compareAndSet(false, true)) {
-      val (qs, qsMax, total, totalMax, failedJson, failedNames, skippedJson, nSkipped) =
+      val (qs, qsMax, total, totalMax, failedJson, failedNames, skippedJson, nSkipped,
+           suspectJson, nSuspect) =
         results.synchronized {
         (results.map { case (k, (mn, _)) => s"\"" + k + "\":" + mn }.mkString("{", ",", "}"),
          results.map { case (k, (_, mx)) => s"\"" + k + "\":" + mx }.mkString("{", ",", "}"),
@@ -81,7 +86,9 @@ object Bench {
          failed.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}"),
          failed.keys.toList,
          skipped.map("\"" + _ + "\"").mkString("[", ",", "]"),
-         skipped.length)
+         skipped.length,
+         loadSuspect.map("\"" + _ + "\"").mkString("[", ",", "]"),
+         loadSuspect.length)
       }
       val wall = elapsed
       val loadAfter = loadAvg1()
@@ -91,7 +98,7 @@ object Bench {
       // Pre-existing load is the strongest tell: we sample BEFORE creating the
       // session, so >50% of the cores already busy means a contended box.
       val contended = (loadBefore > 0.5 * cores) || loadRatio > 3.0 || spreadRatio > 3.0
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"failed":$failedJson,"repeats":$repeats,"wall":$wall,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cores":$cores,"load_ratio":${f"$loadRatio%.3f"},"spread_ratio":${f"$spreadRatio%.3f"},"contended":$contended,"truncated":$truncated,"skipped":$skippedJson,"deadline":$deadline,"sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"failed":$failedJson,"repeats":$repeats,"wall":$wall,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cores":$cores,"load_ratio":${f"$loadRatio%.3f"},"spread_ratio":${f"$spreadRatio%.3f"},"contended":$contended,"truncated":$truncated,"skipped":$skippedJson,"load_suspect":$suspectJson,"deadline":$deadline,"sf":"$sfDir"}""")
       // Compact SECOND line (<500 bytes): the full line above is ~6 KB and
       // round artifacts keep only the last 2,000 chars of output, which
       // beheads it — five rounds of BENCH artifacts were unparseable for
@@ -104,7 +111,7 @@ object Bench {
           .mkString("{", ",", "}")
       }
       val failedList = failedNames.take(12).map("\"" + _ + "\"").mkString("[", ",", "]")
-      println(s"""{"bench_summary":1,"total":${f"$total%.2f"},"n":${results.size},"n_failed":${failedNames.length},"failed":$failedList,"repeats":$repeats,"wall":${f"$wall%.1f"},"contended":$contended,"truncated":$truncated,"n_skipped":$nSkipped,"top5":$top5,"sf":"$sfDir"}""")
+      println(s"""{"bench_summary":1,"total":${f"$total%.2f"},"n":${results.size},"n_failed":${failedNames.length},"failed":$failedList,"repeats":$repeats,"wall":${f"$wall%.1f"},"contended":$contended,"truncated":$truncated,"n_skipped":$nSkipped,"n_suspect":$nSuspect,"top5":$top5,"sf":"$sfDir"}""")
       System.out.flush()
     }
     val hook = new Thread(() => flush(truncated = true))
@@ -180,13 +187,61 @@ object Bench {
             results.synchronized { failed(name) = e.getClass.getName }
             System.err.println(s"""{"bench_query":"$name","failed":"${e.getClass.getName}","elapsed":${f"$elapsed%.1f"}}""")
           case None =>
-            results.synchronized { results(name) = (times.min, times.max) }
+            results.synchronized {
+              results(name) = (times.min, times.max)
+              timesMap(name) = times.toSeq
+            }
             // streamed per-query record: survives any kill after this point
             System.err.println(s"""{"bench_query":"$name","min":${times.min},"max":${times.max},"n":${times.length},"elapsed":${f"$elapsed%.1f"}}""")
         }
         System.err.flush()
       }
       }
+
+    // LOAD-SUSPECT RE-RUN PASS (round-9 verdict #1: five queries recorded
+    // 2–5× their quiet cost because a co-tenant burst hit every repeat and
+    // the suite-level `contended` flag, sampled before/after the whole run,
+    // missed it). A per-query max/min spread > 2.5× that never SETTLED (two
+    // fastest within 10%) is the tell; those queries — and exactly those —
+    // get extra repeats while budget remains. A min confirmed by a second
+    // run within 10% is reproducible no matter how slow the worst repeat
+    // was; a query still unconfirmed after the pass is recorded in
+    // `load_suspect` so a comparer discounts it instead of reading a
+    // phantom regression.
+    val suspectSpread = 2.5
+    if (!truncated) {
+      def settledOf(ts: Seq[Double]): Boolean = {
+        val s = ts.sorted
+        s.length >= 2 && (s(1) - s(0)) <= 0.10 * s(1)
+      }
+      val suspects = results.synchronized {
+        timesMap.toList.collect { case (n, ts)
+          if ts.max / ts.min > suspectSpread && !settledOf(ts) => n }
+      }
+      suspects.foreach { name =>
+        var ts = results.synchronized(timesMap(name))
+        var extra = 0
+        while (!settledOf(ts) && extra < 3 && elapsed < 0.9 * deadline) {
+          val t0 = System.nanoTime()
+          try {
+            SparkEntry.queries(name)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            ts = ts :+ (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] suspect re-run of $name failed: $e")
+            extra = 3 // keep the original numbers; do not loop on a failure
+          }
+          extra += 1
+        }
+        results.synchronized {
+          timesMap(name) = ts
+          results(name) = (ts.min, ts.max)
+          if (!settledOf(ts)) loadSuspect += name
+        }
+        System.err.println(s"""{"bench_query":"$name","min":${ts.min},"max":${ts.max},"n":${ts.length},"rerun":true,"settled":${settledOf(ts)},"elapsed":${f"$elapsed%.1f"}}""")
+        System.err.flush()
+      }
+    }
     flush(truncated)
     Runtime.getRuntime.removeShutdownHook(hook)
     spark.stop()

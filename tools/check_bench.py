@@ -162,6 +162,23 @@ def main():
     src = " (from compact summary line)" if d.get("summary_only") else ""
     print(f"OK: {sys.argv[1]}{src}: {n} queries, sum-of-mins {total:.1f}s, "
           f"wall {d.get('wall', 0):.0f}s, contended=false, truncated=false, failed=0")
+    # Per-query load guard (round-9 verdict #1): a min whose repeat spread
+    # exceeded 2.5x and never settled is load-suspect — the harness re-ran
+    # exactly those before flushing and records the survivors in
+    # `load_suspect`; older artifacts without the field fall back to the
+    # max/min spread heuristic. Suspects stay in the artifact (an honest
+    # partial beats a dropped row) but a comparer must discount them rather
+    # than read a phantom regression.
+    suspects = d.get("load_suspect")
+    if suspects is None and d.get("queries_max"):
+        qmax = d["queries_max"]
+        suspects = [q for q, mn in d["queries"].items()
+                    if mn > 0.05 and qmax.get(q, mn) > 2.5 * mn]
+    for q in sorted(suspects or []):
+        mx = (d.get("queries_max") or {}).get(q)
+        print(f"  LOAD-SUSPECT {q}: min {d['queries'].get(q, float('nan')):.2f}s"
+              + (f", max {mx:.2f}s" if mx else "")
+              + " — unsettled under repeat; discount in round-over-round compares")
     if len(sys.argv) > 2:
         b, berr = load(sys.argv[2])
         if berr:
