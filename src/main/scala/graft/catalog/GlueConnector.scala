@@ -374,21 +374,40 @@ object GlueReplication {
         * runLiveImport turns it on so each micro-batch costs O(batch) service
         * calls; bulk replicateLive keeps the full snapshot, whose one crawl
         * amortizes over the whole run. */
-      pruneFetchToMessages: Boolean = false): LiveReplicationResult = {
+      pruneFetchToMessages: Boolean = false,
+      /** Hard bound on the pruned fetch's driver materialization: when the
+        * batch names more than this many DISTINCT identities, the point-get
+        * plan would put that many tuples on the driver (a 1M-table backlog
+        * drained as ONE AvailableNow batch), and at that scale the full
+        * crawl is the cheaper, constant-driver-memory plan anyway — fall
+        * back to it. Checked with a pair of count aggregates over the
+        * pinned batch BEFORE any collect, so the cap engages without ever
+        * materializing the keys it refuses. */
+      pruneFetchMaxKeys: Int = 100000): LiveReplicationResult = {
     val pinned = messages.localCheckpoint(true)
+    def overKeyCap(keyed: org.apache.spark.sql.DataFrame): Boolean = {
+      val nDb = keyed.select(col("dbName").as("n")).where(col("n").isNotNull)
+        .unionByName(keyed.select(col("tDb").as("n")).where(col("n").isNotNull))
+        .distinct().count()
+      val nTab = keyed.select(col("tDb"), col("tName"))
+        .where(col("tDb").isNotNull && col("tName").isNotNull)
+        .distinct().count()
+      nDb + nTab > pruneFetchMaxKeys
+    }
+    // Identities named by this message set, aggregated to DISTINCT keys
+    // executor-side BEFORE the collect — the driver holds one row per
+    // distinct entity, never one per message (an AvailableNow drain can
+    // deliver the entire backlog as one batch, and redelivered floods
+    // repeat the same identities thousands of times). Table messages' db
+    // names are included so implicit-db existence checks see them.
+    lazy val keyed = pinned.select(
+      get_json_object(col("payload"), "$.name").as("dbName"),
+      get_json_object(col("payload"), "$.table.databaseName").as("tDb"),
+      get_json_object(col("payload"), "$.table.name").as("tName"))
     val tgt =
-      if (!pruneFetchToMessages) GlueCatalogSource.snapshot(spark, factory, sinkCfg, partitionSegments)
+      if (!pruneFetchToMessages || overKeyCap(keyed))
+        GlueCatalogSource.snapshot(spark, factory, sinkCfg, partitionSegments)
       else {
-        // Identities named by this message set, aggregated to DISTINCT keys
-        // executor-side BEFORE the collect — the driver holds one row per
-        // distinct entity, never one per message (an AvailableNow drain can
-        // deliver the entire backlog as one batch, and redelivered floods
-        // repeat the same identities thousands of times). Table messages' db
-        // names are included so implicit-db existence checks see them.
-        val keyed = pinned.select(
-          get_json_object(col("payload"), "$.name").as("dbName"),
-          get_json_object(col("payload"), "$.table.databaseName").as("tDb"),
-          get_json_object(col("payload"), "$.table.name").as("tName"))
         val dbNames = keyed.select(col("dbName").as("n")).where(col("n").isNotNull)
           .unionByName(keyed.select(col("tDb").as("n")).where(col("n").isNotNull))
           .distinct().collect().map(_.getString(0))

@@ -308,6 +308,44 @@ class GlueConnectorSpec extends SparkSpec {
     assert(mock.allPartitions.size === 6)
   }
 
+  test("pruned fetch caps its driver collect: a batch naming 10k identities falls back to the crawl, same result") {
+    // 10,000 DISTINCT table identities in ONE batch: the point-get plan
+    // would put 10k tuples on the driver; over the cap the fetch must fall
+    // back to the full snapshot (constant driver memory, one listing crawl)
+    // and produce the IDENTICAL catalog state and statuses.
+    val n = 10000
+    val src = CatalogSnapshot.inMemory(spark, "src",
+      Seq(db("wide")), (0 until n).map(i => tbl("wide", s"t$i")), Seq.empty)
+    val msgs = ReplicationJob.export(spark, src, cfg)
+
+    val mockCapped = InMemoryGlueCatalog.fresh("live-cap-on")
+    val capped = GlueReplication.applyMessagesLive(spark, msgs,
+      InMemoryClientFactory("live-cap-on"), cfg,
+      pruneFetchToMessages = true, pruneFetchMaxKeys = 1000)
+    val cappedOk = capped.statuses.collect()
+    // cap engaged: the crawl ran (GetDatabases listing — the target is
+    // empty, so no per-db GetTables chains follow), zero point GetTable
+    assert(mockCapped.callCount("GetDatabases") >= 1,
+      s"cap did not engage — calls: ${mockCapped.calls.distinct}")
+    assert(mockCapped.callCount("GetTable") === 0)
+
+    val mockPruned = InMemoryGlueCatalog.fresh("live-cap-off")
+    val pruned = GlueReplication.applyMessagesLive(spark, msgs,
+      InMemoryClientFactory("live-cap-off"), cfg,
+      pruneFetchToMessages = true, pruneFetchMaxKeys = 1000000)
+    val prunedOk = pruned.statuses.collect()
+    // under the cap the point plan ran: no table-listing crawl at all
+    assert(mockPruned.callCount("GetTable") > 0)
+
+    // identical converged state and identical per-entity outcomes
+    assert(mockCapped.allTables.map(_.name).toSet === mockPruned.allTables.map(_.name).toSet)
+    assert(mockCapped.allTables.map(_.name).size === n)
+    assert(cappedOk.map(s => (s.entityKind, s.databaseName, s.tableName, s.action, s.ok))
+        .sorted.toSeq ===
+      prunedOk.map(s => (s.entityKind, s.databaseName, s.tableName, s.action, s.ok))
+        .sorted.toSeq)
+  }
+
   test("ProcessingTime live tail: newly dropped message files keep draining into the service") {
     // the reference's always-armed SQS→Lambda→Glue wiring (template.yaml:275):
     // the import is a LONG-LIVED stream and the queue grows underneath it
