@@ -18,7 +18,10 @@ import graft.sources.CatalogSnapshot
  * streaming source over the exported-message dataset:
  *
  *  - **source**: `readStream.json` on a message directory (the SQS queue
- *    analogue — exporters append files, the stream discovers them);
+ *    analogue — exporters append files, the stream discovers them), or the
+ *    REAL DataSourceV2 `MicroBatchStream` connector ([[MessageQueueSource]],
+ *    `readMessagesQueue` / `queueMaxMessagesPerTrigger`) with explicit
+ *    sequence offsets, per-message admission control and a commit/ack hook;
  *  - **trigger**: `Trigger.AvailableNow` drains the current backlog then
  *    stops — the reference's cron-kicked daily run; a `ProcessingTime`
  *    trigger gives the long-lived tail-the-queue mode;
