@@ -2091,6 +2091,26 @@ object SparkEntry {
       TextFunctions.packSequences(t(s, dir, "documents"),
         budgetTokens = 2048L, shardCol = "source")),
 
+    // X45 Naive Bayes document classifier — the fastText-style curation
+    // classifier, trained Spark-first on a deterministic seed split
+    // (doc_id % 5 = 0, labels = lang) and scored over the full corpus. No
+    // iterative fitting: counts + closed-form smoothing, so DuckDB replays
+    // training AND classification exactly. Scores round to 4dp BEFORE the
+    // argmax so both engines pick the winner from identical values (ties →
+    // smallest label, stated in both). Plan: one shuffle into the model
+    // counts, model broadcasts (vocab-bounded), one per-(doc,label) partial
+    // sum — the 100 TB shape where the corpus streams against a tiny model.
+    "d_nb_classify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.where(col("doc_id") % 5 === 0)
+      val (model, stats) = TextFunctions.naiveBayesTrain(train, "lang")
+      val scores = TextFunctions.naiveBayesClassify(docs, model, stats)
+        .withColumn("score", round(col("score"), 4))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("label"))
+      scores.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("doc_id"), col("label").as("pred_lang"), col("score"))
+    }),
+
     // X44 BPE-encode the corpus (native codegen'd expression, merge table as
     // a plan reference object). The FIXED seed-trained merge table makes the
     // truth replayable: the DuckDB oracle carries the same 48 merges as
@@ -3703,6 +3723,50 @@ object SparkEntry {
            FROM d)
          SELECT shard, doc_id, n_tokens,
            CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id FROM w""",
+
+    // full replay of Naive Bayes training (counts + closed-form smoothing)
+    // and classification; scores rounded to 4dp before the shared
+    // (score DESC, label) argmax so both engines pick from identical values
+    "d_nb_classify" ->
+      """WITH ttoks AS (
+           SELECT lang AS label,
+                  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+           FROM documents WHERE doc_id % 5 = 0),
+         counts AS (SELECT label, token, count(*) AS cnt
+                    FROM ttoks WHERE token <> '' GROUP BY 1, 2),
+         totals AS (SELECT label, sum(cnt) AS total FROM counts GROUP BY 1),
+         vocab AS (SELECT count(DISTINCT token) AS v FROM counts),
+         model AS (SELECT label, token, ln((cnt + 1.0) / (total + 1.0 * v)) AS logp
+                   FROM counts JOIN totals USING (label) CROSS JOIN vocab),
+         stats AS (SELECT t.label,
+                     ln(n_label * 1.0 / n) AS logprior,
+                     ln(1.0 / (total + 1.0 * v)) AS logdefault
+                   FROM (SELECT lang AS label, count(*) AS n_label FROM documents
+                         WHERE doc_id % 5 = 0 GROUP BY 1) t
+                   CROSS JOIN (SELECT count(*) AS n FROM documents WHERE doc_id % 5 = 0)
+                   JOIN totals ON t.label = totals.label
+                   CROSS JOIN vocab),
+         dtoks AS (
+           SELECT doc_id,
+                  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+           FROM documents),
+         matched AS (SELECT doc_id, label, sum(logp) AS s_matched,
+                            count(*) AS n_matched
+                     FROM (SELECT doc_id, token FROM dtoks WHERE token <> '') d
+                     JOIN model USING (token) GROUP BY 1, 2),
+         ntoks AS (SELECT doc_id,
+                     len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x <> '')) AS n_toks
+                   FROM documents),
+         scores AS (SELECT n.doc_id, s.label,
+                      round(s.logprior + coalesce(m.s_matched, 0) +
+                        (n.n_toks - coalesce(m.n_matched, 0)) * s.logdefault, 4) AS score
+                    FROM ntoks n CROSS JOIN stats s
+                    LEFT JOIN matched m ON m.doc_id = n.doc_id AND m.label = s.label)
+         SELECT doc_id, label AS pred_lang, score
+         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, label) AS rn FROM scores)
+         WHERE rn = 1""",
 
     // recursive-CTE replay of the SAME 48-merge table (literals) and the
     // SAME lowest-rank merge-all loop the native expression runs; BpeSpec

@@ -74,6 +74,67 @@ object TextFunctions {
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     size(bpeEncode(text, merges))
 
+  // --------------------------------------------- Naive Bayes classifier (X45)
+
+  /** Train a multinomial Naive Bayes token model — the fastText-style
+    * quality/domain/language classifier every curation pipeline keeps
+    * around, built Spark-first and fully SQL-replayable (counts + closed-
+    * form smoothing, no iterative fitting):
+    *  - ONE shuffle into (label, token) counts (map-side combined);
+    *  - per-label totals and the shared train vocabulary size are tiny
+    *    aggregate frames;
+    *  - `log P(token|label) = ln((cnt + α) / (total_label + α·|V|))`,
+    *    unseen-token default `ln(α / (total_label + α·|V|))`, prior
+    *    `ln(n_label_docs / n_docs)`.
+    * Returns (model: label, token, logp) and (labelStats: label, logprior,
+    * logdefault). Model size is |labels|×|vocab| — broadcastable, the
+    * classifier's whole point at 100 TB. */
+  def naiveBayesTrain(docs: org.apache.spark.sql.DataFrame, labelCol: String,
+      alpha: Double = 1.0, textCol: String = "text")
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val toks = docs.select(col(labelCol).as("label"),
+        explode(tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+    val counts = toks.groupBy(col("label"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("label")).agg(sum(col("cnt")).as("total"))
+    val vocabN = counts.select(col("token")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val model = counts.join(totals, "label").crossJoin(broadcast(vocabN))
+      .select(col("label"), col("token"),
+        log((col("cnt") + alpha) / (col("total") + lit(alpha) * col("v"))).as("logp"))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val stats = docs.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("n_label"))
+      .crossJoin(broadcast(nDocs))
+      .join(totals, "label").crossJoin(broadcast(vocabN))
+      .select(col("label"),
+        log(col("n_label") / col("n")).as("logprior"),
+        log(lit(alpha) / (col("total") + lit(alpha) * col("v"))).as("logdefault"))
+    (model, stats)
+  }
+
+  /** Score every document against every label:
+    * `score(doc, label) = logprior + Σ_matched logp + n_unmatched·logdefault`.
+    * The model broadcasts (vocab-bounded); the only shuffle is the
+    * per-(doc, label) partial-sum aggregate. Returns (idCol, label, score). */
+  def naiveBayesClassify(docs: org.apache.spark.sql.DataFrame,
+      model: org.apache.spark.sql.DataFrame, labelStats: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val docToks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+    val matched = docToks.join(broadcast(model), "token")
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("logp")).as("s_matched"), count(lit(1)).as("n_matched"))
+    val nToks = docs.select(col(idCol),
+      size(filter(tokens(col(textCol)), t => t =!= "")).cast("bigint").as("n_toks"))
+    nToks.crossJoin(broadcast(labelStats))
+      .join(matched, Seq(idCol, "label"), "left_outer")
+      .select(col(idCol), col("label"),
+        (col("logprior") + coalesce(col("s_matched"), lit(0.0)) +
+          (col("n_toks") - coalesce(col("n_matched"), lit(0L))) * col("logdefault"))
+          .as("score"))
+  }
+
   /** BPE-ish subword count: word pieces + digits + punctuation as separate
     * tokens, the usual pre-tokenizer regex shape. */
   def subwordCount(text: Column): Column =

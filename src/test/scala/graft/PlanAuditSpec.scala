@@ -429,6 +429,24 @@ class PlanAuditSpec extends SparkSpec {
       s"int8 scan should not shuffle:\n$plan")
   }
 
+  test("Naive Bayes classify broadcasts the model — the corpus never shuffles against it") {
+    val docs = spark.range(300).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma doc "), col("id") % 7).as("text"),
+      (col("id") % 3).cast("string").as("lang"))
+    val (model, stats) = graft.functions.TextFunctions.naiveBayesTrain(
+      docs.where(col("doc_id") % 5 === 0), "lang")
+    val scored = graft.functions.TextFunctions.naiveBayesClassify(docs, model, stats)
+    // AQE's toString keeps the pre-adaptive plan under "== Initial Plan ==";
+    // audit the FINAL section only
+    val plan = planString(scored).split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model/stats not broadcast into the corpus scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus shuffled against the vocab-bounded model:\n$plan")
+    // every (doc, label) pair scored — left-outer keeps zero-match labels
+    assert(scored.count() === 300L * 3)
+  }
+
   test("q21 plans EXISTS as ONE semi join and NOT-EXISTS as ONE anti join — no product plan") {
     val dir = "/root/testdata/sf0.001"
     val df = SparkEntry.queries("q21_waiting_supplier")(spark, dir)
