@@ -155,6 +155,33 @@ class MessageQueueSourceSpec extends SparkSpec {
     assert(corrupt.map(_._2) == Seq("{not json at all"))
   }
 
+  test("ProcessingTime tail: files dropped while the query runs are discovered, admitted, and drained in order") {
+    val dir = Files.createTempDirectory("mq-tail").toString
+    writeQueueFile(dir, "w0.jsonl", (0 until 4).map(msg))
+    val got = mutable.ArrayBuffer.empty[String]
+    val q = readQueue(dir, maxPerTrigger = Some(3))
+      .writeStream
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .option("checkpointLocation", Files.createTempDirectory("mq-tail-ckpt").toString)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        got.synchronized { got ++= b.collect().map(_.getString(2)) }; ()
+      }.start()
+    try {
+      val deadline0 = System.currentTimeMillis() + 30000
+      while (got.synchronized(got.size) < 4 && System.currentTimeMillis() < deadline0)
+        Thread.sleep(50)
+      assert(got.synchronized(got.toList).sorted == (0 until 4).map(i => s"batch$i").sorted)
+      // live drop while the query is running
+      writeQueueFile(dir, "w1.jsonl", (10 until 17).map(msg))
+      val deadline1 = System.currentTimeMillis() + 30000
+      while (got.synchronized(got.size) < 11 && System.currentTimeMillis() < deadline1)
+        Thread.sleep(50)
+      assert(got.synchronized(got.toList).sorted ==
+        ((0 until 4) ++ (10 until 17)).map(i => s"batch$i").sorted,
+        s"tail missed or duplicated live-dropped messages: $got")
+    } finally q.stop()
+  }
+
   test("the DSv2 drain equals MessageStream's file-drop drain on an exported message plane") {
     // same import, two source implementations — the v2 row twin's contract
     val dir = Files.createTempDirectory("mq-twin").toString
