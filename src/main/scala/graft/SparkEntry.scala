@@ -884,6 +884,42 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // q21's AGGREGATE twin: fold the two EXISTS predicates into ONE
+    // per-order aggregate pass — distinct suppliers (EXISTS other-supplier
+    // ⇔ n_supp > 1) and distinct returned suppliers (NOT EXISTS
+    // other-returned ⇔ n_ret_supp = 1, since the probe row's supplier is
+    // itself returned) — then one semi join back. Trades the semi/anti
+    // twin's two extra lineitem probe scans for one count-distinct expand:
+    // wins when scan I/O dominates (the fact read twice less); loses when
+    // the nation filter is selective enough that the probes run over a
+    // pruned stream (measured sf0.1: 1.50 s vs 0.74 s for the probe form).
+    // Same oracle as q21_waiting_supplier: two plan shapes, one truth —
+    // which is the point.
+    "q21_waiting_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val n = t(s, dir, "nation").where(col("n_name") === "NATION_3")
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      val perOrder = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("k"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+            .as("n_ret_supp"))
+        .where(col("n_supp") > 1 && col("n_ret_supp") === 1)
+        .select(col("k"))
+      t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(perOrder, col("l_orderkey") === col("k"), "left_semi")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
     // ===== alternate source formats (§2.1): the same logical result must
     // come off CSV, JSON-lines and ORC layouts. Each read supplies the
     // parquet fixture's schema explicitly (schema-on-read, no inference
@@ -1966,12 +2002,23 @@ object SparkEntry {
       import graft.streaming.MessageStream
       val cfg = ReplicationConfig(runId = 510L)
       val msgDir = s8ImportMsgDir(s, dir)
+      // Admission cap sized to the BACKLOG, not a constant: ceil(total/3)
+      // always drains in exactly three checkpointed micro-batches. A fixed
+      // cap is the wrong knob across scale factors — 6000 meant 3 batches
+      // at sf0.01 but 25 at sf0.1, and each batch pays the full
+      // plan+state-write floor (~2–4 s), so the row cost 44× its file-drop
+      // twin on batch-count alone. Per-batch work is what admission control
+      // bounds; batch COUNT is the lever the caller must own.
+      val cap = sessionMemo("s8cap", s, dir) {
+        val n = s.read.schema(Codecs.messageEncoder.schema).json(msgDir).count()
+        java.lang.Long.valueOf(math.max(1L, (n + 2) / 3))
+      }
       val tgt = withStatefulShuffle(s, 8) {
         MessageStream.runImport(s, msgDir,
           java.nio.file.Files.createTempDirectory("graft-s8v2-state").toString,
           java.nio.file.Files.createTempDirectory("graft-s8v2-ckpt").toString,
           CatalogSnapshot.empty(s, "tgt"), cfg,
-          queueMaxMessagesPerTrigger = Some(6000L))
+          queueMaxMessagesPerTrigger = Some(cap.longValue()))
       }
       tgt.tables.select(col("name").cast("bigint").as("o_orderkey"))
     }),
@@ -3163,6 +3210,26 @@ object SparkEntry {
          ORDER BY s_suppkey""",
 
     "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM lineitem l1
+         JOIN supplier ON l1.l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_3' AND l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM orders
+                       WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name LIMIT 100""",
+
+    // identical truth to q21_waiting_supplier — the aggregate formulation
+    // must converge to the same answer
+    "q21_waiting_agg" ->
       """SELECT s_name, count(*) AS numwait
          FROM lineitem l1
          JOIN supplier ON l1.l_suppkey = s_suppkey
