@@ -1583,6 +1583,37 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
     }),
 
+    // The BUILT-IN session_window aggregation (the declarative twin of the
+    // lag/island sessionizer above and the stateful streaming sessionizers
+    // in §2.7): one groupBy over (user, session_window) — Spark merges
+    // overlapping gap-windows inside the aggregate, no window function, no
+    // explicit island arithmetic. Same >= gap-boundary semantics, end =
+    // last event + gap; the oracle restates it via the island form.
+    "ev_session_window" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.groupBy(col("user_id"),
+          session_window(timestamp_micros(col("ts_us")), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start_us"),
+          unix_micros(col("sw.end")).as("session_end_us"),
+          col("n_events"))
+    }),
+
+    // UNPIVOT (§2.5 breadth): the wide per-status aggregate melted into
+    // (status, metric, value) rows — the standard reshape between
+    // reporting layouts, a zero-shuffle Expand over the tiny aggregate.
+    "agg_unpivot_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(round(count(lit(1)).cast("double"), 2).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"),
+          round(avg(col("o_totalprice")), 2).as("avg_price"))
+        .unpivot(Array(col("o_orderstatus")),
+          Array(col("n_orders"), col("total_price"), col("avg_price")),
+          "metric", "value")
+    }),
+
     // 2-D box query over the Z-ORDERED layout: both the user band and the
     // time window reach the parquet scan as PushedFilters, and because the
     // layout clustered on the Morton code, the row-group stats are tight on
@@ -3545,6 +3576,33 @@ object SparkEntry {
                FROM events
                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
          GROUP BY user_id""",
+
+    // island restatement of the built-in session_window aggregate:
+    // same >= gap boundary, end = last event + gap
+    "ev_session_window" ->
+      """WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+                      WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1
+                      ELSE 0 END AS ns
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         g AS (SELECT user_id, us,
+                 sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+               FROM m)
+         SELECT user_id, min(us) AS session_start_us,
+                max(us) + 1800000000 AS session_end_us,
+                count(*) AS n_events
+         FROM g GROUP BY user_id, sid""",
+
+    "agg_unpivot_orders" ->
+      """UNPIVOT (SELECT o_orderstatus,
+                    round(CAST(count(*) AS DOUBLE), 2) AS n_orders,
+                    round(sum(o_totalprice), 2) AS total_price,
+                    round(avg(o_totalprice), 2) AS avg_price
+                  FROM orders GROUP BY o_orderstatus)
+         ON n_orders, total_price, avg_price
+         INTO NAME metric VALUE value""",
 
     "ev_proximity_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
