@@ -467,6 +467,24 @@ class PlanAuditSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(plan).size <= 6, s"unexpected extra scans:\n$plan")
   }
 
+  test("every adapted TPC-H row plans without a CartesianProduct") {
+    // blanket regression guard over the full 22-shape suite (+ twins): a
+    // refactor that breaks an equi-join condition silently degrades to a
+    // product plan — the canonical 100 TB killer. (One-row scalar frames
+    // legitimately cross-broadcast as BroadcastNestedLoopJoin; an unbounded
+    // CartesianProduct is never legitimate here.)
+    val dir = "/root/testdata/sf0.001"
+    val tpch = SparkEntry.queries.keys.filter(_.startsWith("q")).toList.sorted
+    assert(tpch.size >= 24, s"expected the full suite, found $tpch")
+    tpch.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name degraded to a cartesian product:\n$plan")
+    }
+  }
+
   test("q13 aggregates orders BEFORE the outer join and never shuffles the customer side") {
     val dir = "/root/testdata/sf0.001"
     val df = SparkEntry.queries("q13_order_distribution")(spark, dir)
