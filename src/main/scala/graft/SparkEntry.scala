@@ -1241,6 +1241,32 @@ object SparkEntry {
         .select(col("name").cast("bigint").as("o_orderkey"), col("databaseName"))
     }),
 
+    // S3/SPJ: tables ⨝ partitions THROUGH the connector as a
+    // storage-partitioned join — both planes report KeyGroupedPartitioning
+    // on databaseName (the per-db service-call layout IS the
+    // co-partitioning), so with v2 bucketing enabled and the merge hint the
+    // join runs with ZERO exchange on either side (GlueSourceV2Spec pins
+    // the plan; this row pins the RESULTS under that plan). The two session
+    // knobs are relax-only (they enable shuffle elision, never change
+    // semantics) and stay set — the same session-level arming t() does for
+    // nanosAsLong.
+    "s3_spj_counts" -> ((s, dir) => {
+      val id = v2CatalogId(s, dir)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      val tables = s.read.format("glue-catalog")
+        .option("plane", "tables").option("catalogId", id).load()
+        .select(col("databaseName"), col("name"))
+      val parts = s.read.format("glue-catalog")
+        .option("plane", "partitions").option("catalogId", id).load()
+        .select(col("databaseName").as("p_db"), col("tableName"))
+      tables.hint("merge")
+        .join(parts, col("databaseName") === col("p_db") && col("name") === col("tableName"))
+        .groupBy(col("databaseName"))
+        .agg(countDistinct(col("name")).as("n_tables"),
+          count(lit(1)).as("n_partitions"))
+    }),
+
     // P4 (+P5): Partition→PartitionInput writable projection via the real
     // operator (GlueUtil.addPartitions, java:406-413): values + SD survive,
     // creation/lastAccess times and partition parameters are dropped; the
@@ -1555,6 +1581,22 @@ object SparkEntry {
       graft.plans.AsOfJoin.asofJoin(purchases, views, Seq("user_id"), "us", "us",
           tieBreakCols = Seq("event_id"))
         .select(col("event_id"), col("event_id_r").as("asof_view_id"))
+    }),
+
+    // FORWARD as-of through the same custom exec (round 10): for each
+    // purchase, the EARLIEST view at-or-after — the "next maintenance
+    // window after the event" direction, ties to the lowest id. One
+    // operator serves both directions: forward negates the time/tiebreak
+    // expressions into the identical two-pointer merge (no second exec,
+    // no plan duplication).
+    "ev_asof_forward" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("us", col("ts_us"))
+        .select(col("user_id"), col("event_id"), col("us"), col("event_type"))
+      val purchases = e.where(col("event_type") === "purchase").drop("event_type")
+      val views = e.where(col("event_type") === "view").drop("event_type")
+      graft.plans.AsOfJoin.asofJoin(purchases, views, Seq("user_id"), "us", "us",
+          tieBreakCols = Seq("event_id"), direction = "forward")
+        .select(col("event_id"), col("event_id_r").as("next_view_id"))
     }),
 
     // banded time-proximity self-join: same-user event pairs within 60 s,
@@ -3408,6 +3450,21 @@ object SparkEntry {
          SELECT o_orderkey, CAST(o_custkey % 25 AS VARCHAR) AS databaseName
          FROM o WHERE o_custkey % 25 = 7""",
 
+    // truth over the fixture frames the mock catalog was seeded from —
+    // the SPJ plan must not change what the join computes
+    "s3_spj_counts" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 400),
+         t AS (SELECT CAST(o_orderkey AS VARCHAR) AS tname,
+                      CAST(o_custkey % 25 AS VARCHAR) AS db FROM o),
+         p AS (SELECT DISTINCT CAST(oo.o_custkey % 25 AS VARCHAR) AS db,
+                      CAST(l.l_orderkey AS VARCHAR) AS tname,
+                      l.l_orderkey, l.l_linenumber
+               FROM lineitem l JOIN o oo ON l.l_orderkey = oo.o_orderkey)
+         SELECT t.db AS databaseName, count(DISTINCT t.tname) AS n_tables,
+                count(*) AS n_partitions
+         FROM t JOIN p ON t.db = p.db AND t.tname = p.tname
+         GROUP BY t.db""",
+
     "s1_snapshot_scan" ->
       """WITH t AS (SELECT o_orderkey, CAST(o_custkey % 25 AS VARCHAR) AS databaseName FROM orders),
          tt AS (SELECT databaseName, count(*) AS n_tables FROM t GROUP BY databaseName),
@@ -3564,6 +3621,17 @@ object SparkEntry {
            (SELECT v_id FROM v
             WHERE v.user_id = p.user_id AND v.v_us <= p.us
             ORDER BY v.v_us DESC, v_id DESC LIMIT 1) AS asof_view_id
+         FROM p""",
+
+    // forward direction: earliest at-or-after, ties to the LOWEST id
+    "ev_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
+         p AS (SELECT event_id AS p_id, user_id, us FROM e WHERE event_type = 'purchase'),
+         v AS (SELECT event_id AS v_id, user_id, us AS v_us FROM e WHERE event_type = 'view')
+         SELECT p.p_id AS event_id,
+           (SELECT v_id FROM v
+            WHERE v.user_id = p.user_id AND v.v_us >= p.us
+            ORDER BY v.v_us ASC, v_id ASC LIMIT 1) AS next_view_id
          FROM p""",
 
     "ev_sessionize" ->

@@ -289,6 +289,14 @@ object AsOfJoin {
    * self-joins are safe (the suffix projection re-aliases with fresh
    * attribute ids, the same dedup the analyzer does for plain joins).
    * Time columns must be integral (use the canonical `ts_us`).
+   *
+   * `direction = "forward"` flips the semantics to the EARLIEST
+   * `refTimeCol >= probeTimeCol` (the "next maintenance window after the
+   * event" lookup), ties to the SMALLEST (time, tieBreakCols…).
+   * Implemented by negating the time (and tiebreak) expressions into the
+   * SAME merge exec — no second operator, no plan duplication; forward
+   * tiebreak columns must therefore be integral. `tolerance` bounds
+   * `refTime - probeTime` in the forward direction.
    */
   def asofJoin(
       probe: DataFrame,
@@ -298,7 +306,11 @@ object AsOfJoin {
       refTimeCol: String,
       tieBreakCols: Seq[String] = Nil,
       tolerance: Option[Long] = None,
-      refSuffix: String = "_r"): DataFrame = {
+      refSuffix: String = "_r",
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin: direction must be backward|forward, got '$direction'")
+    val forward = direction == "forward"
     val spark = probe.sparkSession
     register(spark)
     val lplan = GraftSqlBridge.analyzed(probe)
@@ -309,13 +321,24 @@ object AsOfJoin {
         throw new IllegalArgumentException(s"asofJoin: no column '$n' in [${out.map(_.name).mkString(", ")}]"))
     def asLong(a: Attribute): Expression =
       if (a.dataType == LongType) a else Cast(a, LongType)
+    def oriented(a: Attribute): Expression = {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val integral = Set[org.apache.spark.sql.types.DataType](
+        ByteType, ShortType, IntegerType, LongType)
+      require(!forward || integral.contains(a.dataType),
+        s"asofJoin forward: column '${a.name}' must be integral (its ordering is negated)")
+      val base = asLong(a)
+      if (forward) org.apache.spark.sql.catalyst.expressions.UnaryMinus(base) else base
+    }
     val plan = AsOfJoinPlan(
       lplan, rplan,
       keys.map(k => attr(lplan.output, k)),
       keys.map(k => attr(rplan.output, k + refSuffix)),
-      asLong(attr(lplan.output, probeTimeCol)),
-      asLong(attr(rplan.output, refTimeCol + refSuffix)),
-      tieBreakCols.map(c => attr(rplan.output, c + refSuffix)),
+      oriented(attr(lplan.output, probeTimeCol)),
+      oriented(attr(rplan.output, refTimeCol + refSuffix)),
+      tieBreakCols.map(c =>
+        if (forward) oriented(attr(rplan.output, c + refSuffix))
+        else attr(rplan.output, c + refSuffix)),
       tolerance)
     GraftSqlBridge.ofRows(spark, plan)
   }

@@ -65,6 +65,39 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == sqlTruth)
   }
 
+  test("forward direction: earliest at-or-after, ties to the LOWEST id, tolerance bounds ref - probe") {
+    val fwd = AsOfJoin.asofJoin(probes, planted, Seq("user_id"), "us", "us",
+        tieBreakCols = Seq("event_id"), direction = "forward")
+      .select(col("event_id"), col("event_id_r"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // probe 10 @250 → next view at 500 (id 4); probe 11 @99 → 100 (id 1);
+    // probe 12 @50 → tie at 50 (at-or-after includes ties) → id 5;
+    // probe 13 user u4 → null
+    assert(fwd == Map(10L -> 4L, 11L -> 1L, 12L -> 5L, 13L -> -1L))
+    // forward TIE within equal times picks the LOWEST id: u1 has ids 2 AND 3
+    // at t=200 — a probe at 150 must take id 2 (backward at 250 takes 3)
+    val fwdTie = AsOfJoin.asofJoin(
+        Seq(("u1", 20L, 150L)).toDF("user_id", "event_id", "us"),
+        planted, Seq("user_id"), "us", "us",
+        tieBreakCols = Seq("event_id"), direction = "forward")
+      .select(col("event_id_r")).head().getLong(0)
+    assert(fwdTie == 2L)
+    // tolerance bounds refTime - probeTime in the forward direction
+    val tol = AsOfJoin.asofJoin(probes, planted, Seq("user_id"), "us", "us",
+        tieBreakCols = Seq("event_id"), tolerance = Some(10L), direction = "forward")
+      .select(col("event_id"), col("event_id_r"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // probe 10: next at 500 is 250 > 10 away → null; probe 11: 100-99=1 ≤ 10 → 1
+    assert(tol == Map(10L -> -1L, 11L -> 1L, 12L -> 5L, 13L -> -1L))
+    // non-integral tiebreak is rejected up front in forward mode
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(probes,
+        planted.withColumn("tag", col("event_id").cast("string")),
+        Seq("user_id"), "us", "us", tieBreakCols = Seq("tag"), direction = "forward")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("tolerance drops stale matches") {
     val out = AsOfJoin.asofJoin(probes, planted, Seq("user_id"), "us", "us",
         tieBreakCols = Seq("event_id"), tolerance = Some(10L))
