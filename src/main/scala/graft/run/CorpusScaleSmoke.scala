@@ -99,6 +99,18 @@ object CorpusScaleSmoke {
       graft.functions.Dedup.minhashPairs(corpus, threshold = 0.9).count()
     }
     println(s"[corpus-smoke] minhash pair surface: $pairSurface")
+
+    // BPE tokenization throughput (X44): the hot loop of every real data
+    // pipeline — one codegen'd projection over the corpus, merge table as a
+    // reference object, per-task word memo. Reported as tokens/sec.
+    graft.plans.SketchFunctions.register(spark)
+    val bpeTokens = timed("bpe-encode") {
+      corpus.select(graft.functions.TextFunctions.bpeTokenCount(
+          col("text"), graft.functions.TextFunctions.BpeSeedMerges).as("n"))
+        .agg(sum(col("n"))).head().getLong(0)
+    }
+    println(s"[corpus-smoke] bpe tokens: $bpeTokens over $n docs")
+    assert(bpeTokens > n, "BPE must emit more tokens than documents")
     corpus.unpersist()
     println("[corpus-smoke] PASS")
     spark.stop()
