@@ -1970,6 +1970,36 @@ object SparkEntry {
         .agg(max(col("n_sessions")).as("n_sessions"), max(col("n_events")).as("n_events"))
     }),
 
+    // S7 MapState/ListState (round 10): per-user activity summary on
+    // transformWithState with the COMPOSITE state types — MapState per-key
+    // increments for event-type counts (an event touches exactly its type's
+    // entry, never a whole-value rewrite) and ListState for the running
+    // top-3 event ids (order-independent merge, so cross-batch arrival
+    // order cannot change it). All three outputs are monotone under
+    // accumulation, so the drained Update-mode sink's per-user MAX row is
+    // the final state — exactly what the oracle states in SQL.
+    "s7_activity_tws" -> ((s, dir) => {
+      val streamDir = timeChunkedEventDir(s, dir, "s7act")
+      val schema = t(s, dir, "events").schema
+      graft.streaming.StatefulSessions.withRocksDbStateStore(s) { withStatefulShuffle(s, 8) {
+        val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(streamDir)
+          .select(col("user_id"), col("event_type"), col("event_id"))
+        val q = graft.streaming.StatefulSessions.activitySummaryTws(stream, topK = 3)
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("update")
+          .format("memory")
+          .queryName("s7_act_sink")
+          .start()
+        q.awaitTermination()
+      } }
+      s.table("s7_act_sink").groupBy("user_id")
+        .agg(max(col("n_types")).as("n_types"),
+          max(col("n_events")).as("n_events"),
+          max(col("top_ids")).as("top_ids"))
+    }),
+
     // S7d: flatMapGroupsWithState closed-session emission (Append mode +
     // EventTimeTimeout). The effectively-infinite watermark delay means
     // timeouts never fire during the drain, so the emitted set is exactly
@@ -3753,6 +3783,19 @@ object SparkEntry {
                FROM events
                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
          GROUP BY user_id""",
+
+    // MapState counts + ListState top-k truth — batch restatement of the
+    // accumulated per-user state
+    "s7_activity_tws" ->
+      """WITH top3 AS (
+           SELECT user_id, (list(event_id ORDER BY event_id DESC))[1:3] AS top_ids
+           FROM events GROUP BY user_id),
+         agg AS (
+           SELECT user_id, count(DISTINCT event_type) AS n_types,
+                  count(*) AS n_events
+           FROM events GROUP BY user_id)
+         SELECT a.user_id, a.n_types, a.n_events, t.top_ids
+         FROM agg a JOIN top3 t USING (user_id)""",
 
     // flatMapGroupsWithState emission truth: every session CLOSED by a later
     // event — all but each user's last session (the infinite-watermark drain

@@ -238,4 +238,66 @@ object StatefulSessions {
           }
       }
   }
+
+  // ------------------------------------------------ MapState/ListState (r10)
+
+  final case class UserActivitySummary(
+      user_id: Long, n_types: Long, n_events: Long, top_ids: Seq[Long])
+
+  /**
+   * Per-user activity summary on `transformWithState` with the two COMPOSITE
+   * state types the ValueState sessions above don't exercise:
+   *  - `MapState[event_type → count]`: per-key INCREMENTS — a new event
+   *    touches exactly its type's entry, never rewrites the whole map (the
+   *    state-store point of MapState: a user with 1000 distinct types costs
+   *    one key update per event, not a 1000-entry value rewrite);
+   *  - `ListState[top event ids]`: the running top-`k` ids, merged per batch
+   *    and written back bounded (order-independent, so cross-batch arrival
+   *    order cannot change the result).
+   * Emits the user's current (n_types, n_events, top_ids) each batch
+   * (Update mode); all three are monotone under accumulation, so the drained
+   * sink's per-user MAX row is the final state — which is what the oracle
+   * states in SQL.
+   */
+  final class ActivitySummaryProcessor(topK: Int)
+    extends StatefulProcessor[Long, (Long, String, Long), UserActivitySummary] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    @transient private var topIds: org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState("typeCounts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      topIds = getHandle.getListState("topIds", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, String, Long)],
+        timerValues: TimerValues): Iterator[UserActivitySummary] = {
+      val evs = rows.toArray
+      evs.foreach { case (_, tpe, _) =>
+        val cur = if (counts.containsKey(tpe)) counts.getValue(tpe) else 0L
+        counts.updateValue(tpe, cur + 1L)
+      }
+      val merged = (topIds.get().toSeq ++ evs.map(_._3))
+        .sorted(Ordering[Long].reverse).take(topK)
+      topIds.put(merged.toArray)
+      var nTypes = 0L
+      var nEvents = 0L
+      counts.iterator().foreach { p => nTypes += 1; nEvents += p._2 }
+      Iterator.single(UserActivitySummary(user, nTypes, nEvents, merged))
+    }
+  }
+
+  /** Per-user (n_types, n_events, top-k ids) via [[ActivitySummaryProcessor]]
+    * (RocksDB state store required). Input columns: user_id, event_type,
+    * event_id. */
+  def activitySummaryTws(events: DataFrame, topK: Int): Dataset[UserActivitySummary] = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    events.select(col("user_id").cast("long"), col("event_type").cast("string"),
+        col("event_id").cast("long"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new ActivitySummaryProcessor(topK),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -65,6 +65,30 @@ class StatefulSessionsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState MapState/ListState: per-key increments and the top-k list persist across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    StatefulSessions.withRocksDbStateStore(spark) {
+      val input = MemoryStream[(Long, String, Long)](spark)
+      val out = StatefulSessions.activitySummaryTws(
+        input.toDF().toDF("user_id", "event_type", "event_id"), topK = 3)
+      val q = out.writeStream.outputMode("update")
+        .format("memory").queryName("ss_act").start()
+      try {
+        input.addData((1L, "view", 10L), (1L, "view", 7L), (1L, "click", 3L))
+        q.processAllAvailable()
+        // second batch: the click count must INCREMENT the map entry (not
+        // restart at 1), a new type must add a key, and id 20 must displace
+        // 3 from the top-3 list carried over in ListState
+        input.addData((1L, "click", 20L), (1L, "error", 1L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("ss_act").as[(Long, Long, Long, Seq[Long])].collect()
+      val fin = rows.filter(_._1 == 1L).maxBy(_._3)
+      assert(fin === ((1L, 3L, 5L, Seq(20L, 10L, 7L))),
+        s"composite state did not accumulate across batches: ${rows.toSeq}")
+    }
+  }
+
   test("flatMapGroupsWithState: emits on close-by-event AND on watermark timeout, dropping state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val input = MemoryStream[(Long, Long, Long)](spark)
