@@ -1795,6 +1795,45 @@ object SparkEntry {
       s.table("s7_joined_outer_sink").where(col("user_id") =!= -1)
     }),
 
+    // S7 FULL OUTER stream-stream interval join (round 10): both sides'
+    // unmatched rows must emit — left rows with no successor inside the
+    // window AND right rows with no predecessor — each side closing via its
+    // own watermark (state bounded by rate × window per side, final
+    // eviction driven by the sentinels exactly like the left-outer row).
+    // user_id comes back as coalesce(u_a, u_b): a right-unmatched row has
+    // a null left side.
+    "s7_stream_joined_full" -> ((s, dir) => {
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-s7jf")
+      java.nio.file.Files.copy(src, streamDir.resolve("events.parquet"))
+      val schema = t(s, dir, "events").schema
+      writeWatermarkSentinels(s, dir, streamDir)
+      def side(tag: String) = graft.functions.EventOps.withTsUs(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 2)
+            .parquet(streamDir.toString))
+        .select(col("user_id").as(s"u_$tag"), col("event_id").as(s"id_$tag"),
+          timestamp_micros(col("ts_us")).as(s"tts_$tag"))
+        .withWatermark(s"tts_$tag", "1 minute")
+      withStatefulShuffle(s, 8) {
+        // sentinel filter on the DRAINED result only (see the left-outer
+        // row's watermark-stall note)
+        val q = side("a").join(side("b"),
+            expr("""u_a = u_b AND tts_b > tts_a
+                    AND tts_b <= tts_a + interval 60 seconds"""), "fullOuter")
+          .select(coalesce(col("u_a"), col("u_b")).as("user_id"),
+            col("id_a"), col("id_b"),
+            (unix_micros(col("tts_b")) - unix_micros(col("tts_a"))).as("gap_us"))
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("append")
+          .format("memory")
+          .queryName("s7_joined_full_sink")
+          .start()
+        q.awaitTermination()
+      }
+      s.table("s7_joined_full_sink").where(col("user_id") =!= -1)
+    }),
+
     // S7f: FILE-SINK drain with exactly-once manifest — the windowed agg
     // lands as parquet through the streaming file sink, whose
     // _spark_metadata commit log is what makes re-reads see only committed
@@ -3744,6 +3783,16 @@ object SparkEntry {
          SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
            b.us - a.us AS gap_us
          FROM e a LEFT JOIN e b
+           ON a.user_id = b.user_id
+          AND b.us - a.us > 0 AND b.us - a.us <= 60000000""",
+
+    // full outer = matched pairs + left-unmatched + right-unmatched
+    "s7_stream_joined_full" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+         SELECT coalesce(a.user_id, b.user_id) AS user_id,
+           a.event_id AS id_a, b.event_id AS id_b,
+           b.us - a.us AS gap_us
+         FROM e a FULL JOIN e b
            ON a.user_id = b.user_id
           AND b.us - a.us > 0 AND b.us - a.us <= 60000000""",
 
