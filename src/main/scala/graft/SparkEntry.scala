@@ -305,6 +305,8 @@ object SparkEntry {
       t(s, dir, "supplier").write.option("header", "true").csv(s"$base/supplier_csv")
       t(s, dir, "orders").write.json(s"$base/orders_json")
       t(s, dir, "lineitem").write.orc(s"$base/lineitem_orc")
+      // Spark 4's built-in XML source (spark-xml merged into core)
+      t(s, dir, "nation").write.option("rowTag", "nation").xml(s"$base/nation_xml")
       base
     }
 
@@ -940,6 +942,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total_price"))
     }),
 
+    // XML round trip (round 10 — Spark 4's built-in XML source, spark-xml
+    // merged into core): schema-on-read like the other format rows, truth
+    // over the original parquet. The join closes the loop: XML-read nations
+    // enrich a parquet aggregate.
+    "src_xml_agg" -> ((s, dir) => {
+      val base = altFormatDir(s, dir)
+      val nations = s.read.schema(t(s, dir, "nation").schema)
+        .option("rowTag", "nation").xml(s"$base/nation_xml")
+      t(s, dir, "supplier")
+        .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_supp"), round(sum(col("s_acctbal")), 2).as("total_bal"))
+    }),
+
     // SCHEMA EVOLUTION read: mergeSchema unions the footers of batches
     // written before and after a column was added — old rows surface the
     // new column as NULL, no rewrite of historical files. (mergeSchema is
@@ -1107,6 +1123,16 @@ object SparkEntry {
       val h1 = o.where(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
       val h2 = o.where(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
       h1.exceptAll(h2)
+    }),
+
+    // INTERSECT ALL (multiset intersect, round 10): per-key multiplicities
+    // MIN across the two halves — planned as a counted join, never a
+    // row-by-row pairing.
+    "set_intersect_all_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val h1 = o.where(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+      val h2 = o.where(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+      h1.intersectAll(h2)
     }),
 
     // INTERSECT (the set-op EXCEPT's dual): Spark plans both as a left-semi/
@@ -3126,6 +3152,14 @@ object SparkEntry {
                 round(sum(s_acctbal), 2) AS total_bal
          FROM supplier WHERE s_acctbal > 0 GROUP BY s_nationkey""",
 
+    // XML-read nations enriching the parquet supplier aggregate — truth
+    // over the ORIGINAL parquet tables (round trip must be value-lossless)
+    "src_xml_agg" ->
+      """SELECT n_name, count(*) AS n_supp,
+                round(sum(s_acctbal), 2) AS total_bal
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name""",
+
     "src_orc_agg" ->
       """SELECT l_returnflag,
                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -3433,6 +3467,11 @@ object SparkEntry {
     "set_except_all_orders" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
          EXCEPT ALL
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997""",
+
+    "set_intersect_all_orders" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         INTERSECT ALL
          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997""",
 
     "set_intersect_nations" ->
