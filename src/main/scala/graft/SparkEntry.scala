@@ -1125,6 +1125,19 @@ object SparkEntry {
       h1.exceptAll(h2)
     }),
 
+    // Ordered string aggregation (round 10): the reporting staple —
+    // deterministic because the collected list is SORTED before joining
+    // (bare collect_list order is partition-arrival nondeterministic, the
+    // classic trap; sort_array makes the result a pure function of the set).
+    "agg_string_concat_regions" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n_nations"))
+    }),
+
     // INTERSECT ALL (multiset intersect, round 10): per-key multiplicities
     // MIN across the two halves — planned as a counted join, never a
     // row-by-row pairing.
@@ -3468,6 +3481,12 @@ object SparkEntry {
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
          EXCEPT ALL
          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997""",
+
+    "agg_string_concat_regions" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+                count(*) AS n_nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
 
     "set_intersect_all_orders" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996

@@ -34,6 +34,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BPE: encode∘decode is the identity and training is order-insensitive over random corpora") {
+    import graft.plans.BpeOps
+    val r = rng
+    def randWord(len: Int): String =
+      (1 to len).map(_ => ('a' + r.nextInt(6)).toChar).mkString // small alphabet → real merges
+    for (_ <- 1 to 50) {
+      val vocab = (1 to 30).map(_ => randWord(1 + r.nextInt(10)) -> (1L + r.nextInt(20)))
+        .groupBy(_._1).map { case (w, fs) => w -> fs.map(_._2).sum }.toSeq
+      val merges = BpeOps.train(vocab, numMerges = 25)
+      val ranks = BpeOps.rankMap(merges)
+      val mArr = merges.toIndexedSeq
+      // identity: concatenating the subwords reconstructs every word —
+      // including words NOT in the training vocabulary
+      val probes = vocab.map(_._1) ++ (1 to 20).map(_ => randWord(1 + r.nextInt(12)))
+      probes.foreach { w =>
+        val toks = BpeOps.encodeWord(w, mArr, ranks)
+        assert(toks.mkString == w, s"decode broke for '$w': $toks")
+        assert(toks.forall(_.nonEmpty))
+      }
+      // training is a pure function of the vocabulary SET (input order free)
+      assert(BpeOps.train(scala.util.Random.javaRandomToRandom(
+        new java.util.Random(7)).shuffle(vocab), 25) == merges)
+    }
+  }
+
   test("zorder2 orders quadrants: strictly higher in both dims -> strictly larger code") {
     val r = rng
     for (_ <- 1 to Trials) {
