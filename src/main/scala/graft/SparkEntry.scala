@@ -1573,6 +1573,22 @@ object SparkEntry {
         .where(col("k") > 50)
     }),
 
+    // Spark 4 VARIANT (round 10): the semi-structured type — props parses
+    // ONCE into a binary variant (shredded, not re-tokenized per access),
+    // typed path extraction follows. At 100 TB the difference is real:
+    // get_json_object re-parses the string per expression; a variant column
+    // parses at ingest and every downstream access is a binary path walk.
+    // Same truth as the JSON-string oracle — the representation must not
+    // change the values.
+    "f_variant_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+          try_variant_get(col("v"), "$.k", "bigint").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+    }),
+
     // ===== streaming-shaped analytics over events =====
     "ev_tumbling_5m" -> ((s, dir) => {
       // ts_us is canonical epoch micros (see events()); integer div is exact.
@@ -3714,6 +3730,13 @@ object SparkEntry {
     "f2_json_extract" ->
       """SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
          FROM events WHERE CAST(props->>'k' AS BIGINT) > 50""",
+
+    // variant representation must not change the extracted values
+    "f_variant_extract" ->
+      """SELECT CAST(props->>'k' AS BIGINT) % 10 AS k_mod,
+                count(*) AS n,
+                CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+         FROM events GROUP BY 1""",
 
     "ev_tumbling_5m" ->
       """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s, event_type,
