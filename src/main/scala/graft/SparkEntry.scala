@@ -2483,6 +2483,42 @@ object SparkEntry {
         .select(col("doc_id"), col("lang_pred"), col("n_tokens"))
     }),
 
+    // X28v2 (round 10): the MODERN curation pipeline composed from this
+    // round's operators — NB language gate (broadcast model) → exact-dedup
+    // winners (one hash window) → BPE subword budget gate (codegen'd
+    // encode) → per-shard sequence packing on the REAL token counts. Four
+    // stages, two shuffles total (the dedup hash window and the shard pack
+    // window; the NB join broadcasts, the BPE gate is a projection). The
+    // oracle replays every stage: the NB train+classify CTEs, the md5
+    // dedup, the recursive-CTE BPE counts, and the pack window.
+    "d_curate_pipeline_v2" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (model, stats) = TextFunctions.naiveBayesTrain(
+        docs.where(col("doc_id") % 5 === 0), "lang")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("label"))
+      val pred = TextFunctions.naiveBayesClassify(docs, model, stats)
+        .withColumn("score", round(col("score"), 4))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("doc_id"), col("label").as("pred_lang"))
+      val gated = docs.join(pred, "doc_id").where(col("pred_lang") === "en")
+      val deduped = gated
+        .withColumn("content_hash", TextFunctions.contentFingerprint(col("text")))
+        .withColumn("_rk", row_number().over(
+          Window.partitionBy("content_hash").orderBy("doc_id")))
+        .where(col("_rk") === 1)
+      val budgeted = deduped
+        .withColumn("n_tokens",
+          TextFunctions.bpeTokenCount(col("text"), TextFunctions.BpeSeedMerges)
+            .cast("bigint"))
+        .where(col("n_tokens") >= 40)
+      val pw = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      budgeted
+        .withColumn("cum", sum(col("n_tokens")).over(pw))
+        .select(col("source").as("shard"), col("doc_id"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / 4096.0).cast("bigint").as("pack_id"))
+    }),
+
     // X27: per-source duplicate rate (dedup observability) — the corpus-health
     // stat checked before/after a dedup pass; one shuffle on (source, hash)
     // via the distinct-count partial aggregation.
@@ -3730,6 +3766,89 @@ object SparkEntry {
     "f2_json_extract" ->
       """SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
          FROM events WHERE CAST(props->>'k' AS BIGINT) > 50""",
+
+    // the full v2 curation replay: NB train+classify CTEs -> 'en' gate ->
+    // md5 dedup winners -> recursive-CTE BPE counts -> budget gate -> pack
+    "d_curate_pipeline_v2" ->
+      """WITH RECURSIVE
+           dwords AS (
+             SELECT DISTINCT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+             FROM documents),
+           enc AS (
+             SELECT word,
+               chr(2) || array_to_string(list_transform(range(1, length(word)+1),
+                 i -> word[i]), chr(2) || chr(2)) || chr(2) AS s
+             FROM dwords WHERE word <> ''
+             UNION ALL
+             SELECT word,
+               replace(s,
+                 chr(2) || split_part(main.list_value(('e' || chr(1) || 'r'), ('t' || chr(1) || 'a'), ('o' || chr(1) || 'w'), ('i' || chr(1) || 'n'), ('b' || chr(1) || 'l'), ('bl' || chr(1) || 'e'), ('ta' || chr(1) || 'ble'), ('l' || chr(1) || 'u'), ('r' || chr(1) || 'ow'), ('s' || chr(1) || 't'), ('a' || chr(1) || 'ta'), ('d' || chr(1) || 'ata'), ('er' || chr(1) || 'y'), ('q' || chr(1) || 'u'), ('qu' || chr(1) || 'ery'), ('a' || chr(1) || 'lu'), ('alu' || chr(1) || 'e'), ('v' || chr(1) || 'alue'), ('a' || chr(1) || 't'), ('at' || chr(1) || 'c'), ('atc' || chr(1) || 'h'), ('b' || chr(1) || 'atch'), ('d' || chr(1) || 'ow'), ('in' || chr(1) || 'dow'), ('w' || chr(1) || 'indow'), ('a' || chr(1) || 'm'), ('e' || chr(1) || 'am'), ('r' || chr(1) || 'eam'), ('st' || chr(1) || 'ream'), ('m' || chr(1) || 'er'), ('f' || chr(1) || 'i'), ('fi' || chr(1) || 'l'), ('fil' || chr(1) || 't'), ('filt' || chr(1) || 'er'), ('r' || chr(1) || 't'), ('p' || chr(1) || 'a'), ('g' || chr(1) || 'e'), ('mer' || chr(1) || 'ge'), ('j' || chr(1) || 'o'), ('jo' || chr(1) || 'in'), ('a' || chr(1) || 's'), ('as' || chr(1) || 'h'), ('h' || chr(1) || 'ash'), ('a' || chr(1) || 'n'), ('c' || chr(1) || 'an'), ('s' || chr(1) || 'can'), ('o' || chr(1) || 'rt'), ('s' || chr(1) || 'ort'))[best], chr(1), 1) || chr(2) ||
+                 chr(2) || split_part(main.list_value(('e' || chr(1) || 'r'), ('t' || chr(1) || 'a'), ('o' || chr(1) || 'w'), ('i' || chr(1) || 'n'), ('b' || chr(1) || 'l'), ('bl' || chr(1) || 'e'), ('ta' || chr(1) || 'ble'), ('l' || chr(1) || 'u'), ('r' || chr(1) || 'ow'), ('s' || chr(1) || 't'), ('a' || chr(1) || 'ta'), ('d' || chr(1) || 'ata'), ('er' || chr(1) || 'y'), ('q' || chr(1) || 'u'), ('qu' || chr(1) || 'ery'), ('a' || chr(1) || 'lu'), ('alu' || chr(1) || 'e'), ('v' || chr(1) || 'alue'), ('a' || chr(1) || 't'), ('at' || chr(1) || 'c'), ('atc' || chr(1) || 'h'), ('b' || chr(1) || 'atch'), ('d' || chr(1) || 'ow'), ('in' || chr(1) || 'dow'), ('w' || chr(1) || 'indow'), ('a' || chr(1) || 'm'), ('e' || chr(1) || 'am'), ('r' || chr(1) || 'eam'), ('st' || chr(1) || 'ream'), ('m' || chr(1) || 'er'), ('f' || chr(1) || 'i'), ('fi' || chr(1) || 'l'), ('fil' || chr(1) || 't'), ('filt' || chr(1) || 'er'), ('r' || chr(1) || 't'), ('p' || chr(1) || 'a'), ('g' || chr(1) || 'e'), ('mer' || chr(1) || 'ge'), ('j' || chr(1) || 'o'), ('jo' || chr(1) || 'in'), ('a' || chr(1) || 's'), ('as' || chr(1) || 'h'), ('h' || chr(1) || 'ash'), ('a' || chr(1) || 'n'), ('c' || chr(1) || 'an'), ('s' || chr(1) || 'can'), ('o' || chr(1) || 'rt'), ('s' || chr(1) || 'ort'))[best], chr(1), 2) || chr(2),
+                 chr(2) || replace(main.list_value(('e' || chr(1) || 'r'), ('t' || chr(1) || 'a'), ('o' || chr(1) || 'w'), ('i' || chr(1) || 'n'), ('b' || chr(1) || 'l'), ('bl' || chr(1) || 'e'), ('ta' || chr(1) || 'ble'), ('l' || chr(1) || 'u'), ('r' || chr(1) || 'ow'), ('s' || chr(1) || 't'), ('a' || chr(1) || 'ta'), ('d' || chr(1) || 'ata'), ('er' || chr(1) || 'y'), ('q' || chr(1) || 'u'), ('qu' || chr(1) || 'ery'), ('a' || chr(1) || 'lu'), ('alu' || chr(1) || 'e'), ('v' || chr(1) || 'alue'), ('a' || chr(1) || 't'), ('at' || chr(1) || 'c'), ('atc' || chr(1) || 'h'), ('b' || chr(1) || 'atch'), ('d' || chr(1) || 'ow'), ('in' || chr(1) || 'dow'), ('w' || chr(1) || 'indow'), ('a' || chr(1) || 'm'), ('e' || chr(1) || 'am'), ('r' || chr(1) || 'eam'), ('st' || chr(1) || 'ream'), ('m' || chr(1) || 'er'), ('f' || chr(1) || 'i'), ('fi' || chr(1) || 'l'), ('fil' || chr(1) || 't'), ('filt' || chr(1) || 'er'), ('r' || chr(1) || 't'), ('p' || chr(1) || 'a'), ('g' || chr(1) || 'e'), ('mer' || chr(1) || 'ge'), ('j' || chr(1) || 'o'), ('jo' || chr(1) || 'in'), ('a' || chr(1) || 's'), ('as' || chr(1) || 'h'), ('h' || chr(1) || 'ash'), ('a' || chr(1) || 'n'), ('c' || chr(1) || 'an'), ('s' || chr(1) || 'can'), ('o' || chr(1) || 'rt'), ('s' || chr(1) || 'ort'))[best], chr(1), '') || chr(2)) AS s
+             FROM (SELECT word, s, list_min(list_filter(list_transform(range(1, len(list_filter(string_split(s, chr(2)), x -> x <> ''))), i -> list_position(main.list_value(('e' || chr(1) || 'r'), ('t' || chr(1) || 'a'), ('o' || chr(1) || 'w'), ('i' || chr(1) || 'n'), ('b' || chr(1) || 'l'), ('bl' || chr(1) || 'e'), ('ta' || chr(1) || 'ble'), ('l' || chr(1) || 'u'), ('r' || chr(1) || 'ow'), ('s' || chr(1) || 't'), ('a' || chr(1) || 'ta'), ('d' || chr(1) || 'ata'), ('er' || chr(1) || 'y'), ('q' || chr(1) || 'u'), ('qu' || chr(1) || 'ery'), ('a' || chr(1) || 'lu'), ('alu' || chr(1) || 'e'), ('v' || chr(1) || 'alue'), ('a' || chr(1) || 't'), ('at' || chr(1) || 'c'), ('atc' || chr(1) || 'h'), ('b' || chr(1) || 'atch'), ('d' || chr(1) || 'ow'), ('in' || chr(1) || 'dow'), ('w' || chr(1) || 'indow'), ('a' || chr(1) || 'm'), ('e' || chr(1) || 'am'), ('r' || chr(1) || 'eam'), ('st' || chr(1) || 'ream'), ('m' || chr(1) || 'er'), ('f' || chr(1) || 'i'), ('fi' || chr(1) || 'l'), ('fil' || chr(1) || 't'), ('filt' || chr(1) || 'er'), ('r' || chr(1) || 't'), ('p' || chr(1) || 'a'), ('g' || chr(1) || 'e'), ('mer' || chr(1) || 'ge'), ('j' || chr(1) || 'o'), ('jo' || chr(1) || 'in'), ('a' || chr(1) || 's'), ('as' || chr(1) || 'h'), ('h' || chr(1) || 'ash'), ('a' || chr(1) || 'n'), ('c' || chr(1) || 'an'), ('s' || chr(1) || 'can'), ('o' || chr(1) || 'rt'), ('s' || chr(1) || 'ort')), list_filter(string_split(s, chr(2)), x -> x <> '')[i] || chr(1) || list_filter(string_split(s, chr(2)), x -> x <> '')[i+1])), p -> p IS NOT NULL AND p > 0)) AS best FROM enc) t
+             WHERE best IS NOT NULL),
+           done AS (
+             SELECT word, list_filter(string_split(s, chr(2)), x -> x <> '') AS toks
+             FROM (SELECT word, s, list_min(list_filter(list_transform(range(1, len(list_filter(string_split(s, chr(2)), x -> x <> ''))), i -> list_position(main.list_value(('e' || chr(1) || 'r'), ('t' || chr(1) || 'a'), ('o' || chr(1) || 'w'), ('i' || chr(1) || 'n'), ('b' || chr(1) || 'l'), ('bl' || chr(1) || 'e'), ('ta' || chr(1) || 'ble'), ('l' || chr(1) || 'u'), ('r' || chr(1) || 'ow'), ('s' || chr(1) || 't'), ('a' || chr(1) || 'ta'), ('d' || chr(1) || 'ata'), ('er' || chr(1) || 'y'), ('q' || chr(1) || 'u'), ('qu' || chr(1) || 'ery'), ('a' || chr(1) || 'lu'), ('alu' || chr(1) || 'e'), ('v' || chr(1) || 'alue'), ('a' || chr(1) || 't'), ('at' || chr(1) || 'c'), ('atc' || chr(1) || 'h'), ('b' || chr(1) || 'atch'), ('d' || chr(1) || 'ow'), ('in' || chr(1) || 'dow'), ('w' || chr(1) || 'indow'), ('a' || chr(1) || 'm'), ('e' || chr(1) || 'am'), ('r' || chr(1) || 'eam'), ('st' || chr(1) || 'ream'), ('m' || chr(1) || 'er'), ('f' || chr(1) || 'i'), ('fi' || chr(1) || 'l'), ('fil' || chr(1) || 't'), ('filt' || chr(1) || 'er'), ('r' || chr(1) || 't'), ('p' || chr(1) || 'a'), ('g' || chr(1) || 'e'), ('mer' || chr(1) || 'ge'), ('j' || chr(1) || 'o'), ('jo' || chr(1) || 'in'), ('a' || chr(1) || 's'), ('as' || chr(1) || 'h'), ('h' || chr(1) || 'ash'), ('a' || chr(1) || 'n'), ('c' || chr(1) || 'an'), ('s' || chr(1) || 'can'), ('o' || chr(1) || 'rt'), ('s' || chr(1) || 'ort')), list_filter(string_split(s, chr(2)), x -> x <> '')[i] || chr(1) || list_filter(string_split(s, chr(2)), x -> x <> '')[i+1])), p -> p IS NOT NULL AND p > 0)) AS best FROM enc) t
+             WHERE best IS NULL),
+           docw AS (
+             SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+             FROM documents),
+           pos AS (
+             SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS i FROM docw),
+           ttoks AS (
+             SELECT lang AS label,
+                    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+             FROM documents WHERE doc_id % 5 = 0),
+           counts AS (SELECT label, token, count(*) AS cnt
+                      FROM ttoks WHERE token <> '' GROUP BY 1, 2),
+           totals AS (SELECT label, sum(cnt) AS total FROM counts GROUP BY 1),
+           vocab AS (SELECT count(DISTINCT token) AS v FROM counts),
+           model AS (SELECT label, token, ln((cnt + 1.0) / (total + 1.0 * v)) AS logp
+                     FROM counts JOIN totals USING (label) CROSS JOIN vocab),
+           stats AS (SELECT t.label,
+                       ln(n_label * 1.0 / n) AS logprior,
+                       ln(1.0 / (total + 1.0 * v)) AS logdefault
+                     FROM (SELECT lang AS label, count(*) AS n_label FROM documents
+                           WHERE doc_id % 5 = 0 GROUP BY 1) t
+                     CROSS JOIN (SELECT count(*) AS n FROM documents WHERE doc_id % 5 = 0)
+                     JOIN totals ON t.label = totals.label
+                     CROSS JOIN vocab),
+           nbtoks AS (
+             SELECT doc_id,
+                    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+             FROM documents),
+           matched AS (SELECT doc_id, label, sum(logp) AS s_matched,
+                              count(*) AS n_matched
+                       FROM (SELECT doc_id, token FROM nbtoks WHERE token <> '') d
+                       JOIN model USING (token) GROUP BY 1, 2),
+           nbn AS (SELECT doc_id,
+                     len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x <> '')) AS n_toks
+                   FROM documents),
+           scores AS (SELECT n.doc_id, s.label,
+                        round(s.logprior + coalesce(m.s_matched, 0) +
+                          (n.n_toks - coalesce(m.n_matched, 0)) * s.logdefault, 4) AS score
+                      FROM nbn n CROSS JOIN stats s
+                      LEFT JOIN matched m ON m.doc_id = n.doc_id AND m.label = s.label),
+           pred AS (SELECT doc_id FROM (SELECT doc_id, label, row_number() OVER
+                      (PARTITION BY doc_id ORDER BY score DESC, label) AS rn FROM scores)
+                    WHERE rn = 1 AND label = 'en'),
+           bpecnt AS (SELECT p.doc_id, CAST(sum(len(d.toks)) AS BIGINT) AS n_tokens
+                      FROM pos p JOIN done d USING (word) GROUP BY p.doc_id),
+           gated AS (SELECT d.doc_id, d.source, d.text FROM documents d
+                     JOIN pred USING (doc_id)),
+           dedup AS (SELECT *, row_number() OVER (PARTITION BY
+                       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                       ORDER BY doc_id) AS rk FROM gated),
+           surv AS (SELECT g.doc_id, g.source, b.n_tokens
+                    FROM dedup g JOIN bpecnt b USING (doc_id)
+                    WHERE g.rk = 1 AND b.n_tokens >= 40),
+           packed AS (SELECT source AS shard, doc_id, n_tokens,
+                        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum FROM surv)
+         SELECT shard, doc_id, n_tokens,
+           CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS pack_id FROM packed""",
 
     // variant representation must not change the extracted values
     "f_variant_extract" ->
