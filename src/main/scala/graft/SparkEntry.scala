@@ -1573,6 +1573,22 @@ object SparkEntry {
         .where(col("k") > 50)
     }),
 
+    // Statistical aggregates (§2.4 breadth, round 10): stddev / median /
+    // correlation per group — the profiling pass every numeric column gets.
+    // median is the exact interpolated percentile (both engines agree on
+    // R-7); corr between value and the json-extracted k ties the numeric
+    // plane to the semi-structured one.
+    "ev_value_stats" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("value")), 4).as("avg_value"),
+          round(stddev_samp(col("value")), 4).as("sd_value"),
+          round(median(col("value")), 4).as("med_value"),
+          round(corr(col("value"), col("k")), 4).as("corr_vk"))
+    }),
+
     // Spark 4 VARIANT (round 10): the semi-structured type — props parses
     // ONCE into a binary variant (shredded, not re-tokenized per access),
     // typed path extraction follows. At 100 TB the difference is real:
@@ -3849,6 +3865,14 @@ object SparkEntry {
                           ROWS UNBOUNDED PRECEDING) AS cum FROM surv)
          SELECT shard, doc_id, n_tokens,
            CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS pack_id FROM packed""",
+
+    "ev_value_stats" ->
+      """SELECT event_type, count(*) AS n,
+                round(avg(value), 4) AS avg_value,
+                round(stddev_samp(value), 4) AS sd_value,
+                round(median(value), 4) AS med_value,
+                round(corr(value, CAST(props->>'k' AS DOUBLE)), 4) AS corr_vk
+         FROM events GROUP BY event_type""",
 
     // variant representation must not change the extracted values
     "f_variant_extract" ->
