@@ -2104,10 +2104,15 @@ object SparkEntry {
           .start()
         q.awaitTermination()
       } }
+      // top_ids stays an ARRAY through the max (element-wise ordering; the
+      // top-3 set only improves as events accumulate, so the array max IS
+      // the final state) and is canonicalized to a comma-joined scalar only
+      // at the end — the driver's pandas comparator cannot hash array
+      // columns (round-10 red row), and Verify now rejects them outright.
       s.table("s7_act_sink").groupBy("user_id")
         .agg(max(col("n_types")).as("n_types"),
           max(col("n_events")).as("n_events"),
-          max(col("top_ids")).as("top_ids"))
+          array_join(max(col("top_ids")).cast("array<string>"), ",").as("top_ids"))
     }),
 
     // S7d: flatMapGroupsWithState closed-session emission (Append mode +
@@ -4061,7 +4066,8 @@ object SparkEntry {
     // accumulated per-user state
     "s7_activity_tws" ->
       """WITH top3 AS (
-           SELECT user_id, (list(event_id ORDER BY event_id DESC))[1:3] AS top_ids
+           SELECT user_id,
+                  array_to_string((list(event_id ORDER BY event_id DESC))[1:3], ',') AS top_ids
            FROM events GROUP BY user_id),
          agg AS (
            SELECT user_id, count(DISTINCT event_type) AS n_types,

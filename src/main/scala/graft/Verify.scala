@@ -21,8 +21,24 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // The driver's pandas comparator sorts/hashes every output column;
+        // array/map/struct columns crash it (round-10 s7_activity_tws).
+        // Reject them at the source so the failure is a loud builder error,
+        // never a silent driver-side comparator crash.
+        import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+        val complex = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] => f.name
+        }
+        if (complex.nonEmpty)
+          throw new IllegalStateException(
+            s"non-atomic output columns ${complex.mkString("[", ",", "]")} — " +
+              "canonicalize to scalars (e.g. array_join) before returning")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         errors(name) = s"${e.getClass.getName}: ${e.getMessage}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

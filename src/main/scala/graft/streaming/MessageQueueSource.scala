@@ -129,6 +129,16 @@ private[streaming] class MessageQueueStream(
     }
   }
 
+  /** Atomic swap of tmp over dst. delete-then-rename would leave a window
+    * where a crash loses the file entirely — for the offset-stability log
+    * that means a restart rebuilds file order by lexical discovery, and a
+    * late-arriving file that sorts earlier would remap already-committed
+    * [start,end) sequence ranges to different messages. FileContext.rename
+    * with OVERWRITE is the HDFS-contract atomic replace. */
+  private def atomicSwap(tmp: Path, dst: Path): Unit =
+    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, hadoopConf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+
   private def persistLog(): Unit = {
     val f = fs
     val tmp = new Path(checkpointLocation, "graft-queue-files.log.tmp")
@@ -136,8 +146,7 @@ private[streaming] class MessageQueueStream(
     try out.write(files.map { case (p, n) => s"$n\t$p" }.mkString("", "\n", "\n")
       .getBytes("UTF-8"))
     finally out.close()
-    if (f.exists(logPath)) f.delete(logPath, false)
-    f.rename(tmp, logPath)
+    atomicSwap(tmp, logPath)
   }
 
   /** Count non-empty lines (the parse-side contract skips empty lines too). */
@@ -236,8 +245,7 @@ private[streaming] class MessageQueueStream(
     val tmp = new Path(checkpointLocation, "graft-queue-ack.tmp")
     val out = f.create(tmp, true)
     try out.write(end.json().getBytes("UTF-8")) finally out.close()
-    if (f.exists(ackPath)) f.delete(ackPath, false)
-    f.rename(tmp, ackPath)
+    atomicSwap(tmp, ackPath)
   }
 
   override def stop(): Unit = ()
