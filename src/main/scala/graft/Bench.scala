@@ -98,7 +98,27 @@ object Bench {
       // Pre-existing load is the strongest tell: we sample BEFORE creating the
       // session, so >50% of the cores already busy means a contended box.
       val contended = (loadBefore > 0.5 * cores) || loadRatio > 3.0 || spreadRatio > 3.0
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"failed":$failedJson,"repeats":$repeats,"wall":$wall,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cores":$cores,"load_ratio":${f"$loadRatio%.3f"},"spread_ratio":${f"$spreadRatio%.3f"},"contended":$contended,"truncated":$truncated,"skipped":$skippedJson,"load_suspect":$suspectJson,"deadline":$deadline,"sf":"$sfDir"}""")
+      val bigLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"failed":$failedJson,"repeats":$repeats,"wall":$wall,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cores":$cores,"load_ratio":${f"$loadRatio%.3f"},"spread_ratio":${f"$spreadRatio%.3f"},"contended":$contended,"truncated":$truncated,"skipped":$skippedJson,"load_suspect":$suspectJson,"deadline":$deadline,"sf":"$sfDir"}"""
+      println(bigLine)
+      // The artifact capture keeps only an output TAIL, and the ~6 KB line
+      // above beheads itself inside any 2 KB window — two rounds of driver
+      // artifacts recorded `"parsed": null` for exactly this. Persist the
+      // full line to a file too, so round-over-round per-query diffs never
+      // depend on capture length (the compact summary below still serves
+      // the tail window).
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"), bigLine + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] artifact file write failed: $e") }
+      // Per-query map in SHORT chunked stdout lines (≤ ~1 KB each) ahead of
+      // the compact summary — each parses standalone, so however the capture
+      // slices the stream, whole chunks survive.
+      results.synchronized {
+        val entries = results.toList.map { case (k, (mn, _)) => s"\"" + k + s"""\":${f"$mn%.3f"}""" }
+        val nParts = math.max(1, (entries.length + 11) / 12)
+        entries.grouped(12).zipWithIndex.foreach { case (chunk, i) =>
+          println(s"""{"bench_queries":1,"part":${i + 1},"of":$nParts,"q":${chunk.mkString("{", ",", "}")}}""")
+        }
+      }
       // Compact SECOND line (<500 bytes): the full line above is ~6 KB and
       // round artifacts keep only the last 2,000 chars of output, which
       // beheads it — five rounds of BENCH artifacts were unparseable for

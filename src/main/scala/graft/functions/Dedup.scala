@@ -719,4 +719,150 @@ object Dedup {
       .where(col("doc_id") =!= col("w_doc") || col("pos") =!= col("w_pos"))
       .select(col("doc_id"), col("pos").cast("bigint").as("pos"))
   }
+
+  // ===================================================================
+  // X46: incremental NEAR-dup dedup against a PERSISTED MinHash band index.
+  //
+  // X26/X26b cover cross-run EXACT dedup (hash / Bloom planes); this is the
+  // near-dup twin: a nightly batch must find which of its docs
+  // near-duplicate an already-ingested corpus WITHOUT re-pairing the
+  // corpus. The corpus's banding plane persists once; each batch signs
+  // itself, bands itself, and equi-joins the index on (band, bucket) — only
+  // colliding buckets produce candidate rows, so per-run cost is
+  // O(batch + collisions), never O(corpus) and never all-pairs. The X41
+  // stream-maintained ANN index, applied to text.
+
+  /** Persist the near-dup index for `docs` under `path`: three planes —
+    *  - `bands`   (band, bucket, id): REP-level banding rows, hot buckets
+    *    capped at BUILD time (the probe must not re-aggregate the whole
+    *    index every run to find them). Identical signatures collapse to
+    *    their min-id rep first, so a flood of N identical docs contributes
+    *    one banding row per band and the cap only ever drops buckets of
+    *    genuinely distinct signatures (hash pile-ups), never dup floods;
+    *  - `sigs`    (id, sig): rep-level signatures for the estimate gate;
+    *  - `members` (id, rep): expansion plane back to every corpus doc.
+    * Layout: bands is repartitioned on (band, bucket) so each probe-side
+    * shuffle partition reads a contiguous bucket range; at 100 TB the
+    * corpus pays this shuffle ONCE at build, and every nightly probe
+    * shuffles only its own batch. */
+  def writeNearDupIndex(
+      docs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 64,
+      bands: Int = 32,
+      shingleN: Int = 3,
+      maxBucketSize: Int = 1000): Unit = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    SketchFunctions.register(docs.sparkSession)
+    val signed = signatures(docs, idCol, textCol, k, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (members, reps) = sigGroups(signed)
+    val banded = reps.select(col("id"),
+      posexplode(SketchFunctions.minhash_bands(col("sig"), bands)).as(Seq("band", "bucket")))
+    val hot = banded.groupBy("band", "bucket").agg(count(lit(1)).as("_bsz"))
+      .where(col("_bsz") > maxBucketSize).select("band", "bucket")
+    banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+      .repartition(col("band"), col("bucket"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    reps.write.mode("overwrite").parquet(s"$path/sigs")
+    members.write.mode("overwrite").parquet(s"$path/members")
+    signed.unpersist()
+  }
+
+  /** Probe a [[writeNearDupIndex]] index with a new batch: returns the
+    * exact-verified cross-run near-dup matches
+    * (`id_new`, `id_base`, `jaccard`), jaccard computed EXACTLY on n-gram
+    * sets (the sketch supplies recall, the verify supplies precision — same
+    * contract as [[minhashVerifiedPairs]], so the output is
+    * oracle-comparable against all-pairs SQL truth). `baseDocs` supplies
+    * the corpus text for the verify join; only docs that appear in some
+    * candidate pair are ever re-read, and the join is an equi-join on id.
+    *
+    * Scale shape: the batch signs and bands itself (one narrow projection),
+    * the index `bands` plane streams through ONE equi-join on
+    * (band, bucket) — a non-colliding bucket contributes zero rows and no
+    * downstream work — and the gram verify touches only candidate ids.
+    * Nothing aggregates or re-shuffles the corpus-sized planes. */
+  def probeNearDupIndex(
+      newDocs: DataFrame,
+      indexPath: String,
+      baseDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 64,
+      bands: Int = 32,
+      shingleN: Int = 3,
+      candidateThreshold: Double = 0.2,
+      verifyThreshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    val spark = newDocs.sparkSession
+    SketchFunctions.register(spark)
+    val idxBands = spark.read.parquet(s"$indexPath/bands")
+      .select(col("band"), col("bucket"), col("id").as("_rb"))
+    val idxSigs = spark.read.parquet(s"$indexPath/sigs")
+      .select(col("id").as("_rb"), col("sig").as("sig_b"))
+    val idxMembers = spark.read.parquet(s"$indexPath/members")
+      .select(col("id").as("id_base"), col("rep").as("_rb"))
+
+    val newSigned = signatures(newDocs, idCol, textCol, k, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (newMembers, newReps) = sigGroups(newSigned)
+    val newBanded = newReps.select(col("id").as("_ra"),
+      posexplode(SketchFunctions.minhash_bands(col("sig"), bands)).as(Seq("band", "bucket")))
+
+    // THE probe: one equi-join on (band, bucket). Candidates collapse to
+    // rep-level id pairs before anything signature- or text-sized joins in.
+    val repCands0 = newBanded.join(idxBands, Seq("band", "bucket"))
+      .select(col("_ra"), col("_rb")).dropDuplicates("_ra", "_rb")
+    val repCands =
+      if (candidateThreshold <= 0) repCands0
+      else repCands0
+        .join(newSigned.select(col("id").as("_ra"), col("sig").as("sig_a")), Seq("_ra"))
+        .join(idxSigs, Seq("_rb"))
+        .where(SketchFunctions.sig_agreement(col("sig_a"), col("sig_b")) >= candidateThreshold)
+        .select("_ra", "_rb")
+
+    // Expand rep pairs to member pairs on both sides (identical-signature
+    // groups share their rep's signature exactly, so the gate generalizes).
+    val cands = repCands
+      .join(newMembers.select(col("rep").as("_ra"), col("id").as("id_new")), Seq("_ra"))
+      .join(idxMembers, Seq("_rb"))
+      .select(col("id_new"), col("id_base"))
+      .dropDuplicates("id_new", "id_base")
+
+    def grams(df: DataFrame, out: String) = df
+      .select(col(idCol).as(out),
+        array_distinct(wordNgrams(col(textCol), shingleN)).as(s"g_$out"))
+      .where(size(col(s"g_$out")) > 0)
+      .withColumn(s"n_$out", size(col(s"g_$out")))
+    val result = cands
+      .join(grams(newDocs, "id_new"), Seq("id_new"))
+      .join(grams(baseDocs, "id_base"), Seq("id_base"))
+      .withColumn("inter", size(array_intersect(col("g_id_new"), col("g_id_base"))))
+      .withColumn("jaccard",
+        col("inter") / (col("n_id_new") + col("n_id_base") - col("inter")))
+      .where(col("jaccard") >= verifyThreshold)
+      .select(col("id_new"), col("id_base"), round(col("jaccard"), 6).as("jaccard"))
+      .localCheckpoint(true)
+    newSigned.unpersist()
+    result
+  }
+
+  /** Survivors of an incremental near-dup pass: `newDocs` minus every doc
+    * with an exact-verified near-dup already in the indexed corpus. One
+    * anti-join on id over [[probeNearDupIndex]]'s (small) match set. */
+  def nearDupSurvivors(
+      newDocs: DataFrame,
+      indexPath: String,
+      baseDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      verifyThreshold: Double = 0.8): DataFrame = {
+    val doomed = probeNearDupIndex(newDocs, indexPath, baseDocs, idCol, textCol,
+      verifyThreshold = verifyThreshold)
+      .select(col("id_new").as(idCol)).distinct()
+    newDocs.join(doomed, Seq(idCol), "left_anti")
+  }
 }

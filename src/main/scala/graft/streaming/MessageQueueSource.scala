@@ -59,6 +59,29 @@ import graft.codec.Codecs
  * slice, so a wide batch fans across the cluster. Message payloads never
  * touch the driver.
  */
+object MessageQueueSource {
+  /** Queue-depth metadata: total messages currently in `dir`, from the same
+    * file-listing + non-empty-line count the stream's own discovery uses —
+    * NOT a Spark JSON scan. This is the `ApproximateNumberOfMessages`
+    * attribute a real SQS binding would read to size admission; callers use
+    * it to pick a per-trigger cap (e.g. ceil(depth/3) for a 3-batch drain)
+    * without paying a parse job over the whole backlog first. */
+  def backlogCount(spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(dir)
+    val f = p.getFileSystem(conf)
+    if (!f.exists(p)) return 0L
+    f.listStatus(p).iterator
+      .filter(s => s.isFile && !s.getPath.getName.startsWith(".")
+        && !s.getPath.getName.startsWith("_"))
+      .map { s =>
+        val in = f.open(s.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().count(_.nonEmpty).toLong
+        finally in.close()
+      }.sum
+  }
+}
+
 class MessageQueueSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-queue"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
