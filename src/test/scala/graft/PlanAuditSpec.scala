@@ -540,4 +540,97 @@ class PlanAuditSpec extends SparkSpec {
       spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
     }
   }
+
+  // ---- table-driven broadcast audit over the full adapted TPC-H suite ----
+  //
+  // Dimension sides must arrive at their joins as broadcasts: a Spark
+  // upgrade (changed stats, changed AQE thresholds, changed join reorder)
+  // that silently ships a dimension through a shuffle turns a map-side join
+  // into an exchange over the FACT side at 100 TB. The walk flags any
+  // SortMergeJoin / ShuffledHashJoin whose one input is purely a
+  // (filtered/projected) scan of an always-small-relative-to-fact table —
+  // region, nation, supplier, part. A dim subtree containing its own
+  // aggregation or join is exempt (it is a derived frame, judged by its own
+  // stats), and customer is exempt (fact-sized at scale: q13/q18 shapes
+  // legitimately shuffle it).
+  private val broadcastDims = Set("region", "nation", "supplier", "part")
+
+  /** Unwrap AQE/stage/codegen wrappers to the real operator children. */
+  private def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      Seq(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(s.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+    case other => other.children
+  }
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] =
+    p +: kids(p).flatMap(collectAll)
+
+  private def scannedTables(p: SparkPlan): Set[String] =
+    collectAll(p).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        "(region|nation|customer|supplier|part|orders|lineitem|events|documents|embeddings)\\.parquet".r
+          .findFirstMatchIn(s.relation.location.rootPaths.mkString(","))
+          .map(_.group(1)).toSeq
+    }.flatten.toSet
+
+  /** True when the subtree is nothing but scan→filter→project plumbing
+    * (incl. the exchange/sort a merge join inserts) — i.e. a raw table side
+    * whose size Spark could have known statically. */
+  private def pureScanBranch(p: SparkPlan): Boolean = collectAll(p).forall {
+    case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+    case _: org.apache.spark.sql.execution.FilterExec => true
+    case _: org.apache.spark.sql.execution.ProjectExec => true
+    case _: org.apache.spark.sql.execution.SortExec => true
+    case _: org.apache.spark.sql.execution.ColumnarToRowExec => true
+    case _: org.apache.spark.sql.execution.InputAdapter => true
+    case _: org.apache.spark.sql.execution.WholeStageCodegenExec => true
+    case _: org.apache.spark.sql.execution.CoalesceExec => true
+    case _: org.apache.spark.sql.execution.adaptive.QueryStageExec => true
+    case _: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => true
+    case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => true
+    case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => true
+    case _ => false
+  }
+
+  test("every adapted TPC-H row ships its dimension sides as broadcasts, never through a shuffle") {
+    val dir = "/root/testdata/sf0.001"
+    val tpch = SparkEntry.queries.keys.filter(_.startsWith("q")).toList.sorted
+    assert(tpch.size >= 24, s"expected the full suite, found $tpch")
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    tpch.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect() // finalize AQE
+      val shuffledJoins = collectAll(df.queryExecution.executedPlan).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      shuffledJoins.foreach { j =>
+        j.children.foreach { side =>
+          val tables = scannedTables(side)
+          if (tables.nonEmpty && tables.subsetOf(broadcastDims) && pureScanBranch(side))
+            offenders += s"$name: ${tables.mkString("+")} side of ${j.nodeName} shuffled"
+        }
+      }
+    }
+    assert(offenders.isEmpty, s"dimension sides shuffled:\n${offenders.mkString("\n")}")
+
+    // Negative self-check: the walk must actually CATCH a shuffled dim —
+    // force one and assert detection, so the guard can never pass vacuously.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bad = spark.read.parquet(s"$dir/orders.parquet")
+        .join(spark.read.parquet(s"$dir/nation.parquet"),
+          col("o_custkey") % 25 === col("n_nationkey"))
+      bad.collect()
+      val caught = collectAll(bad.queryExecution.executedPlan).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }.flatMap(_.children).exists(side =>
+        scannedTables(side) == Set("nation") && pureScanBranch(side))
+      assert(caught, "the dim-shuffle detector failed to flag a forced nation shuffle")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
