@@ -850,6 +850,39 @@ object Dedup {
     result
   }
 
+  /** Append a batch's planes to an existing [[writeNearDupIndex]] index —
+    * the production cycle: probe, keep the survivors, APPEND them so the
+    * next batch dedups against corpus+batch without ever rebuilding.
+    * Append-only parquet writes of batch-sized frames; the corpus planes
+    * are untouched. Within-batch identical signatures still collapse to a
+    * rep (a batch flood costs one banding row per band); a batch sig that
+    * matches an existing index rep simply adds a second rep to the same
+    * buckets — probes match both and member expansion stays correct. The
+    * hot-bucket cap is enforced at build; a bucket that crosses the cap
+    * only through appends degrades gradually until the next
+    * [[writeNearDupIndex]] rebuild (the compaction analogue, same cadence
+    * call as any LSM-style index). */
+  def appendNearDupIndex(
+      docs: DataFrame,
+      indexPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 64,
+      bands: Int = 32,
+      shingleN: Int = 3): Unit = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    SketchFunctions.register(docs.sparkSession)
+    val signed = signatures(docs, idCol, textCol, k, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (members, reps) = sigGroups(signed)
+    reps.select(col("id"),
+      posexplode(SketchFunctions.minhash_bands(col("sig"), bands)).as(Seq("band", "bucket")))
+      .write.mode("append").parquet(s"$indexPath/bands")
+    reps.write.mode("append").parquet(s"$indexPath/sigs")
+    members.write.mode("append").parquet(s"$indexPath/members")
+    signed.unpersist()
+  }
+
   /** Survivors of an incremental near-dup pass: `newDocs` minus every doc
     * with an exact-verified near-dup already in the indexed corpus. One
     * anti-join on id over [[probeNearDupIndex]]'s (small) match set. */

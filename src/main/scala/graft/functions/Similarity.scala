@@ -157,8 +157,24 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       bands: Int = 8,
+      /** BUCKET RESOLUTION — the scale knob. 2^planesPerBand buckets per
+        * band must dominate corpus size / target occupancy, or every bucket
+        * fills linearly with the corpus and the self-join goes quadratic
+        * (caught by the round-11 sf1 artifact: the old fixed default of 2 →
+        * 4 buckets/band meant 60k-vector buckets at 240k vectors and a
+        * ~1e10-row candidate plane). Recall cost of more planes is
+        * per-band collision (1−θ/π)^p: negligible at near-1 thresholds
+        * (θ→0 — at 0.999, p=16 still misses a true pair with p≈4e-17
+        * across 8 bands), material at mid thresholds — so the 0.999 dedup
+        * call sites pass 16 and small-corpus mid-threshold uses keep 2. */
       planesPerBand: Int = 2,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      /** Cap on a (band, bucket) before it enters the self-join — identical
+        * vectors collapse to reps FIRST, so the cap only ever drops buckets
+        * of genuinely distinct vectors (a projection pile-up), never the
+        * duplicate floods dedup exists to catch (same discipline as
+        * Dedup.bandedCandidates). */
+      maxBucketSize: Int = 10000): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     VectorFunctions.register(vectors.sparkSession)
     // The embedding scan materializes ONCE: `ids` (id → vector) feeds the
@@ -174,16 +190,49 @@ object Similarity {
     val ids = vectors
       .select(col(idCol).as("id"), col(vecCol).cast("array<float>").as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = ids.select(
+    // Identical-vector groups collapse to their min-id rep before banding
+    // (round 11): a flood of N byte-identical vectors — the exact-duplicate
+    // shape this operator hunts — otherwise contributes N rows to the SAME
+    // bucket in EVERY band and the self-join goes quadratic in the flood,
+    // and the hot-bucket cap below would otherwise drop exactly those true
+    // floods. One rep banding row per band instead; the pairwise closure
+    // expands groups back afterwards, quadratic exactly where the ground
+    // truth is. The window keys on a 128-bit content digest (not the raw
+    // float array) so the one extra vector-plane shuffle sorts 32-char
+    // keys; a digest collision between distinct vectors is ~2^-128.
+    val withRep = ids.withColumn("rep",
+      min(col("id")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("v").cast("string")))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val members = withRep.select(col("id"), col("rep"))
+    val reps = withRep.where(col("id") === col("rep")).select(col("id"), col("v"))
+    val banded = reps.select(
       col("id"),
       posexplode(VectorFunctions.lsh_bands(col("v"), dim, bands, planesPerBand, seed))
         .as(Seq("band", "bucket")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val candidates = l.join(r, Seq("band", "bucket"))
+    // hot-bucket cap: tiny over-cap key set via partial agg → broadcast anti
+    val hot = banded.groupBy("band", "bucket").agg(count(lit(1)).as("_bsz"))
+      .where(col("_bsz") > maxBucketSize).select("band", "bucket")
+    val capped = banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val l = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = capped.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val repCands = l.join(r, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    // expand rep pairs to member pairs + within-group cliques (identical
+    // vectors are mutual near-dups at ANY threshold); the verify join below
+    // recomputes the actual cosine for every expanded pair, so emitted sims
+    // are exact values, never assumed 1.0
+    val groupSelf = members.groupBy("rep").agg(count(lit(1)).as("_m")).where(col("_m") > 1)
+      .select(col("rep").as("id_a"), col("rep").as("id_b"))
+    val candidates = repCands.unionByName(groupSelf)
+      .join(members.select(col("rep").as("id_a"), col("id").as("_ma")), Seq("id_a"))
+      .join(members.select(col("rep").as("id_b"), col("id").as("_mb")), Seq("id_b"))
+      .select(least(col("_ma"), col("_mb")).as("id_a"),
+        greatest(col("_ma"), col("_mb")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
     // Eager localCheckpoint materializes the (small) pair output while the
     // big intermediates are still cached, then everything cached is released
@@ -197,6 +246,7 @@ object Similarity {
       .where(col("sim") >= threshold)
       .localCheckpoint(true)
     banded.unpersist()
+    withRep.unpersist()
     ids.unpersist()
     result
   }
@@ -216,8 +266,10 @@ object Similarity {
    * keep-best.
    */
   def semanticDedup(vectors: DataFrame, threshold: Double = 0.999, dim: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val pairs = cosineNearDupPairs(vectors, threshold, dim, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      planesPerBand: Int = 16): DataFrame = {
+    val pairs = cosineNearDupPairs(vectors, threshold, dim, idCol, vecCol,
+      planesPerBand = planesPerBand)
     vectors.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
   }
 

@@ -91,6 +91,27 @@ class NearDupIndexSpec extends SparkSpec {
     assert(prePlan.contains("Join") || prePlan.contains("HashJoin"), s"no join found:\n$prePlan")
   }
 
+  test("append grows the index without a rebuild: gen-2 probes match both generations") {
+    val idx = freshIndexDir()
+    Dedup.writeNearDupIndex(corpus, idx, k = 64, bands = 32)
+    val gen1 = Seq(
+      (2100L, "completely new ga gb gc gd ge gf gg gh gi gj material"),
+      (2200L, "another new ha hb hc hd he hf hg hh hi hj chapter")).toDF("doc_id", "text")
+    // gen1 is all-fresh: probe finds nothing, then the survivors append
+    assert(Dedup.probeNearDupIndex(gen1, idx, corpus).count() === 0L)
+    Dedup.appendNearDupIndex(gen1, idx, k = 64, bands = 32)
+    val gen2 = Seq(
+      (3100L, "completely new ga gb gc gd ge gf gg gh gi gj material extra"), // ~gen1 2100
+      (3200L, base1.replace("today", "tonight"))                              // ~corpus 100
+    ).toDF("doc_id", "text")
+    val matches = Dedup.probeNearDupIndex(gen2, idx, corpus.unionByName(gen1),
+      verifyThreshold = 0.5)
+      .select("id_new", "id_base").as[(Long, Long)].collect().toSet
+    assert(matches === Set((3100L, 2100L), (3200L, 100L)), s"got $matches")
+    // append added exactly gen1's planes: 2 reps × 32 bands, 2 sigs, 2 members
+    assert(spark.read.parquet(s"$idx/members").count() === corpus.count() + 2)
+  }
+
   test("identical-signature flood collapses to one index row per band; hot buckets capped at build") {
     val idx = freshIndexDir()
     val flood = (0 until 500).map(i => (i.toLong, base1)).toDF("doc_id", "text")
