@@ -239,6 +239,11 @@ object Bench {
           if ts.max / ts.min > suspectSpread && !settledOf(ts) => n }
       }
       suspects.foreach { name =>
+        // The re-run executes right after the main pass on the same box: if
+        // the co-tenant burst is still active these repeats can't settle
+        // either. Sampling loadavg here and recording it in the rerun line
+        // lets a comparer see whether the re-runs themselves were contended.
+        val rerunLoad = loadAvg1()
         var ts = results.synchronized(timesMap(name))
         var extra = 0
         while (!settledOf(ts) && extra < 3 && elapsed < 0.9 * deadline) {
@@ -258,7 +263,7 @@ object Bench {
           results(name) = (ts.min, ts.max)
           if (!settledOf(ts)) loadSuspect += name
         }
-        System.err.println(s"""{"bench_query":"$name","min":${ts.min},"max":${ts.max},"n":${ts.length},"rerun":true,"settled":${settledOf(ts)},"elapsed":${f"$elapsed%.1f"}}""")
+        System.err.println(s"""{"bench_query":"$name","min":${ts.min},"max":${ts.max},"n":${ts.length},"rerun":true,"settled":${settledOf(ts)},"loadavg":$rerunLoad,"elapsed":${f"$elapsed%.1f"}}""")
         System.err.flush()
       }
     }

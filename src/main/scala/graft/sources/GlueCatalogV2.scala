@@ -257,7 +257,17 @@ private[sources] final class GluePlaneScan(
 
   override def filter(fs: Array[Filter]): Unit = {
     runtimeFilters = fs.filter(GlueCatalogV2.isPushable(_, GlueCatalogV2.pushableAttrs(plane)))
-    planned = null // runtime filters shrink the fan-out — re-plan
+    // Runtime filters shrink the fan-out — re-plan. This is legal even
+    // while the scan reports KeyGroupedPartitioning (v2 bucketing defaults
+    // ON in Spark 4, so SPJ may be planned around this scan):
+    // BatchScanExec's runtime-filtering validation explicitly permits "a
+    // subset of partition values from the original" and backfills EMPTY
+    // partitions for the pruned keys — it only throws when NEW values
+    // appear or a partition stops implementing HasPartitionKey. A re-plan
+    // here can only shrink the db set (filters narrow, never widen) and
+    // every GlueScanSlice carries its partition key, so both throw
+    // conditions are structurally unreachable.
+    planned = null
   }
 
   override def readSchema(): StructType = prunedSchema

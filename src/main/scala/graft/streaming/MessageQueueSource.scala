@@ -127,8 +127,8 @@ private[streaming] class MessageQueueStream(
     org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration
   private def fs: FileSystem = new Path(dir).getFileSystem(hadoopConf)
 
-  /** Discovery-ordered (path, messageCount) — the offset-stability log. */
-  private val files = mutable.ArrayBuffer.empty[(String, Long)]
+  /** Discovery-ordered per-file records — the offset-stability log. */
+  private val files = mutable.ArrayBuffer.empty[QueueFileMeta]
   private val known = mutable.HashSet.empty[String]
   private var availableNowTarget: Option[Long] = None
 
@@ -142,11 +142,16 @@ private[streaming] class MessageQueueStream(
     if (f.exists(logPath)) {
       val in = f.open(logPath)
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().foreach { line =>
-        val i = line.indexOf('\t')
-        if (i > 0) {
-          val n = line.substring(0, i).toLong
-          val p = line.substring(i + 1)
-          if (!known.contains(p)) { files += ((p, n)); known += p }
+        // `count \t path [\t sync,sync,...]` — the third field (byte-offset
+        // sync points) is absent in logs written before syncs existed; such
+        // files simply read from byte 0 (the pre-sync behavior).
+        val parts = line.split('\t')
+        if (parts.length >= 2 && parts(0).nonEmpty) {
+          val n = parts(0).toLong
+          val p = parts(1)
+          val syncs = if (parts.length >= 3 && parts(2).nonEmpty)
+            parts(2).split(',').map(_.toLong) else Array.empty[Long]
+          if (!known.contains(p)) { files += QueueFileMeta(p, n, syncs); known += p }
         }
       } finally in.close()
     }
@@ -166,17 +171,36 @@ private[streaming] class MessageQueueStream(
     val f = fs
     val tmp = new Path(checkpointLocation, "graft-queue-files.log.tmp")
     val out = f.create(tmp, true)
-    try out.write(files.map { case (p, n) => s"$n\t$p" }.mkString("", "\n", "\n")
-      .getBytes("UTF-8"))
+    try out.write(files.map(m => s"${m.n}\t${m.path}\t${m.syncs.mkString(",")}")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     atomicSwap(tmp, logPath)
   }
 
-  /** Count non-empty lines (the parse-side contract skips empty lines too). */
-  private def countMessages(f: FileSystem, p: Path): Long = {
+  /** Count non-empty lines (the parse-side contract skips empty lines too),
+    * recording a byte-offset sync point every [[QueueLines.SyncEvery]]
+    * messages: the discovery pass reads the file once anyway, and the sync
+    * points let a reader assigned rows deep inside a large file seek near
+    * its slice instead of re-scanning from byte 0 — without them a wide
+    * batch over one big file is O(file) PER PARTITION. */
+  private def countMessages(f: FileSystem, p: Path): QueueFileMeta = {
     val in = f.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().count(_.nonEmpty)
-    finally in.close()
+    try {
+      val lr = new QueueLines(in, 0L)
+      var n = 0L
+      val syncs = mutable.ArrayBuffer.empty[Long]
+      var done = false
+      while (!done) {
+        val start = lr.bytePos
+        val line = lr.nextLine()
+        if (line == null) done = true
+        else if (line.nonEmpty) {
+          if (n > 0 && n % QueueLines.SyncEvery == 0) syncs += start
+          n += 1
+        }
+      }
+      QueueFileMeta(p.toString, n, syncs.toArray)
+    } finally in.close()
   }
 
   /** List the queue dir; append files never seen before (sorted among
@@ -192,12 +216,12 @@ private[streaming] class MessageQueueStream(
       .filterNot(q => known.contains(q.toString))
       .sortBy(_.getName)
     if (fresh.nonEmpty) {
-      fresh.foreach { q => files += ((q.toString, countMessages(f, q))); known += q.toString }
+      fresh.foreach { q => files += countMessages(f, q); known += q.toString }
       persistLog()
     }
   }
 
-  private def totalAvailable: Long = files.iterator.map(_._2).sum
+  private def totalAvailable: Long = files.iterator.map(_.n).sum
 
   // ------------------------------------------------------------ the contract
 
@@ -246,19 +270,34 @@ private[streaming] class MessageQueueStream(
       s"graft-queue: offset $to beyond known messages $totalAvailable — file log out of sync")
     val parts = mutable.ArrayBuffer.empty[InputPartition]
     var cum = 0L
-    files.foreach { case (path, n) =>
+    files.foreach { m =>
       val fileStart = cum
-      val fileEnd = cum + n
+      val fileEnd = cum + m.n
       val s = math.max(from, fileStart)
       val e = math.min(to, fileEnd)
-      if (s < e) parts += MessageFilePartition(path, s - fileStart, e - fileStart)
+      if (s < e) {
+        val relStart = s - fileStart
+        // Seek target: the sync point at or below relStart, so the reader
+        // skips at most SyncEvery lines. A log generation written before
+        // sync points (empty syncs) falls back to byte 0.
+        val block = relStart / QueueLines.SyncEvery
+        val (seekPos, seekRow) =
+          if (block > 0 && m.syncs.length >= block)
+            (m.syncs((block - 1).toInt), block * QueueLines.SyncEvery)
+          else (0L, 0L)
+        parts += MessageFilePartition(m.path, relStart, e - fileStart, seekPos, seekRow)
+      }
       cum = fileEnd
     }
     parts.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new MessageQueueReaderFactory(schema)
+    // the session's Hadoop configuration must travel to the executor-side
+    // readers — a bare `new Configuration()` there would drop any FS
+    // settings (s3a credentials, custom schemes) the driver discovered with
+    new MessageQueueReaderFactory(schema,
+      new org.apache.spark.util.SerializableConfiguration(hadoopConf))
 
   /** The queue-deletion hook: record the acknowledged sequence (a real SQS
     * binding deletes messages < end here). Never read back on the read
@@ -274,11 +313,52 @@ private[streaming] class MessageQueueStream(
   override def stop(): Unit = ()
 }
 
-/** One contiguous message slice [startRow, endRow) of one queue file. */
-case class MessageFilePartition(path: String, startRow: Long, endRow: Long)
-  extends InputPartition
+/** Per-file discovery record persisted in the offset-stability log:
+  * non-empty-line count plus byte-offset sync points — `syncs(i)` is the
+  * byte offset of the line holding non-empty row `(i+1) * SyncEvery`. */
+private[streaming] case class QueueFileMeta(path: String, n: Long, syncs: Array[Long])
 
-private[streaming] class MessageQueueReaderFactory(schema: StructType)
+/** One contiguous message slice [startRow, endRow) of one queue file.
+  * `seekPos`/`seekRow`: the sync point at or below `startRow` — the reader
+  * seeks there and skips `startRow - seekRow` (≤ SyncEvery) lines, so a
+  * wide batch split across one large file costs O(slice) per partition,
+  * not O(file). All offsets are Long: a file may hold more than 2^31
+  * messages. */
+case class MessageFilePartition(path: String, startRow: Long, endRow: Long,
+    seekPos: Long = 0L, seekRow: Long = 0L) extends InputPartition
+
+/** Byte-exact line iteration shared by the discovery (count + sync points)
+  * and read paths. `scala.io.Source` cannot serve here: it counts AFTER
+  * UTF-8 decode and newline folding, so it can't report the raw byte offset
+  * a reader must `seek()` to. Splits on '\n' and strips one trailing '\r'
+  * (the `Source.getLines` contract the parse side was written against). */
+private[streaming] object QueueLines {
+  val SyncEvery: Long = 4096L
+}
+
+private[streaming] final class QueueLines(in: java.io.InputStream, startPos: Long) {
+  private val buf = new java.io.BufferedInputStream(in, 1 << 16)
+  private var pos = startPos
+  private val bytes = new java.io.ByteArrayOutputStream(256)
+
+  /** Byte offset of the next unread line's first byte. */
+  def bytePos: Long = pos
+
+  /** Next line (terminators stripped), or null at end of stream. */
+  def nextLine(): String = {
+    bytes.reset()
+    var b = buf.read()
+    if (b < 0) return null
+    while (b >= 0 && b != '\n') { bytes.write(b); b = buf.read() }
+    pos += bytes.size() + (if (b == '\n') 1L else 0L)
+    val arr = bytes.toByteArray
+    val len = if (arr.nonEmpty && arr(arr.length - 1) == '\r') arr.length - 1 else arr.length
+    new String(arr, 0, len, java.nio.charset.StandardCharsets.UTF_8)
+  }
+}
+
+private[streaming] class MessageQueueReaderFactory(schema: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
   extends PartitionReaderFactory {
 
   private val payloadIdx = schema.fieldIndex("payload")
@@ -286,28 +366,38 @@ private[streaming] class MessageQueueReaderFactory(schema: StructType)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MessageFilePartition]
     new PartitionReader[InternalRow] {
-      private val conf = new org.apache.hadoop.conf.Configuration()
-      private val in = new Path(p.path).getFileSystem(conf).open(new Path(p.path))
-      private val lines = scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().filter(_.nonEmpty)
-        .slice(p.startRow.toInt, p.endRow.toInt)
+      private val in = {
+        val s = new Path(p.path).getFileSystem(conf.value).open(new Path(p.path))
+        s.seek(p.seekPos) // sync points are line starts — clean UTF-8 boundary
+        s
+      }
+      private val lines = new QueueLines(in, p.seekPos)
+      private var rowIdx: Long = p.seekRow // non-empty lines consumed so far
       private val parse = GraftSqlBridge.jsonLineParser(schema)
       private var row: InternalRow = _
 
-      override def next(): Boolean =
-        if (!lines.hasNext) false
-        else {
-          val line = lines.next()
-          row = parse(line)
-          if (row == null) {
-            // corrupt line → null-typed row carrying the raw bytes; the
-            // dispatch stage (P6) routes it to the DLQ
-            val r = new GenericInternalRow(schema.length)
-            r.update(payloadIdx, UTF8String.fromString(line))
-            row = r
-          }
-          true
+      override def next(): Boolean = {
+        // bounded skip from the sync point to the slice start
+        while (rowIdx < p.startRow) {
+          val l = lines.nextLine()
+          if (l == null) return false
+          if (l.nonEmpty) rowIdx += 1
         }
+        if (rowIdx >= p.endRow) return false
+        var line = lines.nextLine()
+        while (line != null && line.isEmpty) line = lines.nextLine()
+        if (line == null) return false
+        rowIdx += 1
+        row = parse(line)
+        if (row == null) {
+          // corrupt line → null-typed row carrying the raw bytes; the
+          // dispatch stage (P6) routes it to the DLQ
+          val r = new GenericInternalRow(schema.length)
+          r.update(payloadIdx, UTF8String.fromString(line))
+          row = r
+        }
+        true
+      }
 
       override def get(): InternalRow = row
       override def close(): Unit = in.close()

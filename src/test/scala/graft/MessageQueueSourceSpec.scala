@@ -201,4 +201,63 @@ class MessageQueueSourceSpec extends SparkSpec {
     assert(viaV2.map(_.exportBatchId).sorted == viaFileDrop.map(_.exportBatchId).sorted.toSeq)
     assert(viaV2.toSet == viaFileDrop.toSet)
   }
+
+  test("sync points: slices deep in one large file seek instead of re-scanning, CRLF + blank lines exact") {
+    // One 10k-message file (> 2 × SyncEvery=4096) with CRLF endings and
+    // interleaved blank lines — the byte-offset sync math must survive both.
+    // maxOffsetsPerTrigger=3000 slices it at rows 3000/6000/9000, so batches
+    // 2 and 3 start inside sync blocks 1 and 2 and exercise the seek path.
+    val dir = Files.createTempDirectory("mq-sync").toString
+    val lines = (0 until 10000).flatMap { i =>
+      val m = msg(i)
+      val l = s"""{"messageType":"${m.messageType}","sourceCatalogId":"${m.sourceCatalogId}",""" +
+        s""""exportBatchId":"${m.exportBatchId}","payload":${ujsonEscape(m.payload)}}"""
+      if (i % 97 == 0) Seq("", l) else Seq(l) // blank lines must not shift rows
+    }
+    Files.write(java.nio.file.Paths.get(dir, "big.jsonl"),
+      lines.mkString("", "\r\n", "\r\n").getBytes("UTF-8"))
+    val ckpt = Files.createTempDirectory("mq-sync-ckpt").toString
+    val seen = mutable.ArrayBuffer.empty[String]
+    val q = readQueue(dir, maxPerTrigger = Some(3000))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen.synchronized { seen ++= b.collect().map(_.getString(2)) }; ()
+      }.start()
+    q.awaitTermination()
+    assert(seen.size == 10000, s"lost/duplicated rows across sync-seek slices: ${seen.size}")
+    assert(seen.sorted == (0 until 10000).map(i => s"batch$i").sorted)
+    // the persisted log carries the sync points, and each one is an exact
+    // line start (the seek contract): the byte at that offset opens a JSON line
+    val log = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(ckpt, "sources", "0", "graft-queue-files.log")), "UTF-8")
+    val fields = log.trim.split('\t')
+    assert(fields.length == 3 && fields(2).nonEmpty, s"log missing sync points: $log")
+    val syncs = fields(2).split(',').map(_.toLong)
+    assert(syncs.length == 2, s"10k rows / 4096 => 2 sync points, got ${syncs.toSeq}")
+    val raw = Files.readAllBytes(java.nio.file.Paths.get(dir, "big.jsonl"))
+    syncs.foreach(o => assert(raw(o.toInt) == '{',
+      s"sync $o is not a line start: byte=${raw(o.toInt).toChar}"))
+  }
+
+  test("a pre-sync-era log (count<TAB>path, no sync field) still reads — seek falls back to byte 0") {
+    val dir = Files.createTempDirectory("mq-oldlog").toString
+    writeQueueFile(dir, "f0.jsonl", (0 until 10).map(msg))
+    val ckpt = Files.createTempDirectory("mq-oldlog-ckpt").toString
+    // pre-seed the source's private state dir with an old-generation log
+    val srcDir = java.nio.file.Paths.get(ckpt, "sources", "0")
+    Files.createDirectories(srcDir)
+    Files.write(srcDir.resolve("graft-queue-files.log"),
+      s"10\tfile:${new java.io.File(dir, "f0.jsonl").getAbsolutePath}\n".getBytes("UTF-8"))
+    val seen = mutable.ArrayBuffer.empty[String]
+    val q = readQueue(dir, maxPerTrigger = Some(4))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen.synchronized { seen ++= b.collect().map(_.getString(2)) }; ()
+      }.start()
+    q.awaitTermination()
+    assert(seen.sorted == (0 until 10).map(i => s"batch$i").sorted,
+      s"old-format log broke the read path: $seen")
+  }
 }
