@@ -777,8 +777,17 @@ object SparkEntry {
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
-          lit(0.1) * col("p_retailprice") * col("l_quantity")), 2).as("sum_profit"))
+        // sum in DECIMAL: each group folds ~340k doubles at sf1 and a
+        // double-precision sum is summation-order-dependent — Spark's
+        // partial-agg order vs DuckDB's flipped a half-cent rounding
+        // boundary at sf1 (2332557.67 vs .66). The per-row double amount is
+        // deterministic in both engines; casting IT to decimal(30,6) and
+        // summing exactly makes the aggregate order-independent, so the row
+        // hash-matches at any scale with no float tolerance.
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")) -
+            lit(0.1) * col("p_retailprice") * col("l_quantity"))
+            .cast("decimal(30,6)")), 2)
+          .cast("double").as("sum_profit"))
     }),
 
     // Group filter vs global scalar (q11 shape): per-part value HAVING
@@ -3603,7 +3612,8 @@ object SparkEntry {
          GROUP BY o_year""",
 
     "q9_product_profit" ->
-      """SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+      """SELECT nation, o_year,
+                CAST(round(sum(CAST(amount AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_profit
          FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
                       l_extendedprice * (1 - l_discount)
                         - 0.1 * p_retailprice * l_quantity AS amount

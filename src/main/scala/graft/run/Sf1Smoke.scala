@@ -25,8 +25,8 @@ import org.apache.spark.sql.functions._
  *    per-replica perturbation, so ANN candidates spread instead of
  *    producing 10-way exact ties.
  *
- * Usage: Sf1Smoke [src] [replicas] [dumpDir]. With a dumpDir, every
- * selected query's result is written to dumpDir/<name>/ plus
+ * Usage: Sf1Smoke [src] [replicas] [dumpDir] [only,names]. With a dumpDir,
+ * every selected query's result is written to dumpDir/<name>/ plus
  * oracle_sql.json / declared_queries.json / sf1_times.json / sf1_dir.txt —
  * the same layout graft.Verify produces, so the oracle tooling applies
  * unchanged. Without one, it behaves as the original timed smoke.
@@ -81,13 +81,16 @@ object Sf1Smoke {
     // five for the bare smoke. Streaming rows (s7/s8) stay out — their cost
     // is the documented per-batch state floor, not a scale question, and
     // the full-surface run is a batch-plan artifact.
-    val selected = dumpDir match {
+    // optional 4th arg: comma-separated query names — reproduce one sf1 row
+    // without re-running the whole surface
+    val only = args.lift(3).map(_.split(',').toSet)
+    val selected = (dumpDir match {
       case Some(_) => graft.SparkEntry.queries.keys
         .filter(n => n.startsWith("q") || n.startsWith("d_") || n.startsWith("e_"))
         .toList.sorted
       case None => List("q1_pricing_summary", "q18_big_orders",
         "d_minhash_pairs", "d_segment_dedup", "e_knn_join")
-    }
+    }).filter(n => only.forall(_.contains(n)))
     dumpDir.foreach(d => new java.io.File(d).mkdirs())
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
