@@ -2463,6 +2463,26 @@ object SparkEntry {
             col("sig_a")), col("sig_b"))).cast("double") / k, 6).as("est_jaccard"))
     }),
 
+    // X47: per-source distinct-vocabulary cardinality via the hll_md5
+    // HyperLogLog TypedImperativeAggregate — THE mergeable distinct sketch
+    // of a 100 TB pipeline. Where the countDistinct column shuffles every
+    // distinct (source, token) to its group, the HLL state is a fixed 256
+    // bytes per (partition, source) merged by elementwise max: map-side
+    // partials, a bounded exchange, and per-shard sketches union to corpus
+    // cardinality for free. The exact column rides along as the accuracy
+    // certificate (expected |err| ~ 1.04/√256 ≈ 6.5%); the oracle replays
+    // the ESTIMATE bit-for-bit — register assignment, Σ2^-M[j], α_m m²/Z,
+    // and the small-range linear-counting correction are all integer /
+    // power-of-two arithmetic over the shared 48-bit md5 draw.
+    "d_hll_distinct" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      val tok = t(s, dir, "documents")
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      tok.groupBy(col("source"))
+        .agg(graft.plans.SketchFunctions.hll_md5(col("token"), 8).as("est_distinct"),
+          countDistinct(col("token")).as("exact_distinct"))
+    }),
+
     // Per-source KL divergence from the corpus unigram distribution — the
     // domain-shift diagnostic a mixing pass reads before reweighting. One
     // (source, token) shuffle builds everything; the global vocabulary frame
@@ -4598,6 +4618,34 @@ object SparkEntry {
              unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS token
            FROM documents)
          GROUP BY token ORDER BY df DESC, token LIMIT 20""",
+
+    // HLL replay: j = hash>>40 (// 2^40), rho = 41 - bitLength(rest) via
+    // bin(); Z sums exact binary fractions (order-independent in double);
+    // the estimator constants compute to identical doubles in both engines
+    // (power-of-two scaling is exact), so only ln() needs the 4dp round.
+    "d_hll_distinct" ->
+      """WITH tok AS (SELECT source,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+           FROM documents),
+         h AS (SELECT DISTINCT source,
+             CAST(concat('0x', substr(md5(token), 1, 12)) AS BIGINT) AS hash
+           FROM tok),
+         reg AS (SELECT source, hash // 1099511627776 AS j,
+             max(CASE WHEN hash % 1099511627776 = 0 THEN 41
+                  ELSE 41 - length(bin(hash % 1099511627776)) END) AS rho
+           FROM h GROUP BY source, j),
+         zs AS (SELECT source,
+             sum(1.0 / (CAST(1 AS BIGINT) << rho)) + (256 - count(*)) AS z,
+             256 - count(*) AS v
+           FROM reg GROUP BY source),
+         ex AS (SELECT source, count(DISTINCT token) AS exact_distinct
+                FROM tok GROUP BY source)
+         SELECT zs.source,
+           round(CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 65536 / z <= 640 AND v > 0
+                 THEN 256 * ln(256.0 / v)
+                 ELSE (0.7213 / (1 + 1.079 / 256)) * 65536 / z END, 4) AS est_distinct,
+           exact_distinct
+         FROM zs JOIN ex USING (source)""",
 
     "d_source_kl" ->
       """WITH tok AS (SELECT source,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -103,5 +103,111 @@ case class BottomKMd5(
   override def withNewInputAggBufferOffset(newOffset: Int): BottomKMd5 =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): BottomKMd5 =
+    copy(child = newChild)
+}
+
+/**
+ * hll_md5(value, p) — HyperLogLog distinct-count estimate over a string
+ * column: m = 2^p one-byte registers, hash = the corpus-wide 48-bit md5 draw
+ * (first 12 hex chars — the same `hash48` every sampling operator shares, so
+ * DuckDB replays the hash EXACTLY). THE mergeable distinct sketch of a
+ * 100 TB pipeline: where `count(distinct token)` shuffles every distinct
+ * value to one partition per group, the HLL state is a fixed 2^p bytes per
+ * (partition, group), merges by elementwise max (map-side partials, a
+ * 256-byte exchange at p=8), and unions across corpus slices for free —
+ * per-shard sketches roll up to the corpus cardinality without touching the
+ * token stream again.
+ *
+ * Everything downstream of the hash is integer/power-of-two arithmetic, so
+ * the SQL oracle replays the ESTIMATE bit-for-bit, not just approximately:
+ *  - register j = hash >> (48-p); rho = leading zeros of the remaining
+ *    (48-p)-bit field + 1 = (48-p) + 1 - bitLength(rest) (rest = 0 → max);
+ *  - Z = Σ 2^-M[j] sums exact binary fractions spanning < 53 bits — the sum
+ *    is order-independent in IEEE double, so partial-agg order can't flip it
+ *    (the q9 lesson applied at design time);
+ *  - E = α_m·m²/Z, with the standard small-range correction
+ *    E ≤ 2.5m ∧ V>0 → m·ln(m/V) (V = empty registers). The one
+ *    transcendental (ln) rounds to 4dp — the weighted-sample discipline.
+ *
+ * Flajolet–Fuss–Gandouet–Meunier 2007 constants: α_16=.673, α_32=.697,
+ * α_64=.709, else .7213/(1+1.079/m). 48 hash bits bound the no-collision
+ * range to ~2^24 distinct per group — far above any per-source vocabulary
+ * here; the 100 TB variant swaps in 16 hex chars (64-bit) unchanged.
+ */
+case class HllMd5(
+    child: Expression,
+    p: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]]
+  with UnaryLike[Expression] {
+
+  require(p >= 4 && p <= 12, s"p must be in [4, 12], got $p")
+  private val m = 1 << p
+  private val restBits = 48 - p
+  private val restMask = (1L << restBits) - 1
+
+  override def prettyName: String = "hll_md5"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hll_md5 needs a string input, got ${child.dataType.catalogString}")
+  override def nullable: Boolean = false
+  override def dataType: DataType = DoubleType
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val hex = SketchOps.md5Hex(v.asInstanceOf[UTF8String].toString)
+      val hash = java.lang.Long.parseLong(hex.substring(0, 12), 16)
+      val j = (hash >>> restBits).toInt
+      val rest = hash & restMask
+      val rho = if (rest == 0L) restBits + 1
+        else restBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+      if (rho > buf(j)) buf(j) = rho.toByte
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var j = 0
+    while (j < m) { if (other(j) > buf(j)) buf(j) = other(j); j += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    var z = 0.0
+    var v = 0
+    var j = 0
+    while (j < m) {
+      val r = buf(j).toInt
+      if (r == 0) v += 1
+      z += 1.0 / (1L << r).toDouble // 2^-r exactly; r=0 contributes 1.0
+      j += 1
+    }
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val e = alpha * m * m / z
+    val corrected =
+      if (e <= 2.5 * m && v > 0) m * math.log(m.toDouble / v) else e
+    // one transcendental may differ across libm — 4dp absorbs it
+    math.rint(corrected * 1e4) / 1e4
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllMd5 =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllMd5 =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllMd5 =
     copy(child = newChild)
 }

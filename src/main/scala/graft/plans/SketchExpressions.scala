@@ -302,6 +302,8 @@ object SketchFunctions {
       // AggregateFunction into Complete-mode AggregateExpression on resolve
       reg.createOrReplaceTempFunction("bottom_k_md5",
         exprs => BottomKMd5(exprs(0), foldableInt(exprs(1), "k")), "built-in")
+      reg.createOrReplaceTempFunction("hll_md5",
+        exprs => HllMd5(exprs(0), foldableInt(exprs(1), "p")), "built-in")
       // Generator builders are legal too: ExtractGenerator lifts a Generator
       // in a Project into a Generate node during analysis
       reg.createOrReplaceTempFunction("ngram_explode",
@@ -357,6 +359,11 @@ object SketchFunctions {
   /** Corpus-slice KMV sketch (aggregate): k smallest distinct md5 digests. */
   def bottom_k_md5(value: Column, k: Int): Column =
     call_function("bottom_k_md5", value.cast("string"), lit(k))
+
+  /** HLL distinct-count estimate (aggregate): 2^p registers, 48-bit md5
+    * hash, estimate replayable exactly in SQL. */
+  def hll_md5(value: Column, p: Int): Column =
+    call_function("hll_md5", value.cast("string"), lit(p))
 
   /** Streamed word-ngram generator (UDTF): rows (pos, gram), no gram array. */
   def ngram_explode(text: Column, n: Int): Column =

@@ -78,4 +78,64 @@ class SketchAggregateSpec extends SparkSpec {
     val est = union.count(h => sigs("a").contains(h) && sigs("b").contains(h)).toDouble / k
     assert(math.abs(est - 1.0 / 3.0) < 0.15, s"estimate $est too far from 1/3")
   }
+
+  // ----------------------------------------------------- hll_md5 (X47)
+
+  /** Reference HLL: the exact algorithm the aggregate implements, rebuilt
+    * independently here from the 48-bit md5 draw. */
+  private def hllRef(values: Seq[String], p: Int = 8): Double = {
+    val m = 1 << p
+    val restBits = 48 - p
+    val regs = new Array[Int](m)
+    values.distinct.foreach { v =>
+      val hash = java.lang.Long.parseLong(md5hex(v).substring(0, 12), 16)
+      val j = (hash >>> restBits).toInt
+      val rest = hash & ((1L << restBits) - 1)
+      val rho = if (rest == 0L) restBits + 1
+        else restBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+      if (rho > regs(j)) regs(j) = rho
+    }
+    val z = regs.map(r => 1.0 / (1L << r).toDouble).sum
+    val v0 = regs.count(_ == 0)
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val e = alpha * m * m / z
+    val corrected = if (e <= 2.5 * m && v0 > 0) m * math.log(m.toDouble / v0) else e
+    math.rint(corrected * 1e4) / 1e4
+  }
+
+  private def hllEst(df: org.apache.spark.sql.DataFrame): Double =
+    df.agg(SketchFunctions.hll_md5(col("v"), 8).as("e")).collect()(0).getDouble(0)
+
+  test("hll_md5 is partition-invariant (merge = elementwise max) and matches the reference") {
+    val values = (0 until 5000).map(i => s"token$i")
+    val one = hllEst(values.toDF("v").coalesce(1))
+    val many = hllEst(values.toDF("v").repartition(16))
+    assert(one == many, s"merge changed the estimate: $one vs $many")
+    assert(one == hllRef(values), s"aggregate $one != reference ${hllRef(values)}")
+    // 5k distinct at p=8 runs the RAW estimator branch; std err 1.04/sqrt(256)
+    assert(math.abs(one - 5000) / 5000 < 0.15, s"estimate $one too far from 5000")
+  }
+
+  test("duplicates and nulls do not move the estimate (set semantics)") {
+    val base = (0 until 400).map(i => s"w$i")
+    val noisy = (base ++ base ++ base).map(Option(_)) ++ Seq(None, None)
+    assert(hllEst(noisy.toDF("v")) == hllEst(base.toDF("v")))
+  }
+
+  test("small groups take the linear-counting branch exactly") {
+    val values = (0 until 10).map(i => s"rare$i")
+    val est = hllEst(values.toDF("v").repartition(4))
+    assert(est == hllRef(values))
+    // at 10 distinct the correction must fire: estimate lands near truth
+    assert(math.abs(est - 10) < 1.0, s"linear counting gave $est for 10 distinct")
+  }
+
+  test("hll_md5 per-group in plain SQL via the session registry") {
+    (0 until 300).map(i => (s"g${i % 2}", s"v${i % (if (i % 2 == 0) 30 else 120)}"))
+      .toDF("g", "v").createOrReplaceTempView("hlltest")
+    val rows = spark.sql("SELECT g, hll_md5(v, 8) AS e FROM hlltest GROUP BY g")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.size == 2 && rows.values.forall(_ > 0))
+    assert(rows("g1") > rows("g0"), s"120-distinct group must estimate above 30-distinct: $rows")
+  }
 }
