@@ -2748,6 +2748,22 @@ object SparkEntry {
         window = 4, n = 3, threshold = 0.5)
     }),
 
+    // X48: PassJoin edit-distance fuzzy-dup pairs over a 40-char title key —
+    // segment-pigeonhole candidates (GUARANTEED recall: one of d+1 segments
+    // survives ≤d edits verbatim, shifted ≤d) through a plain hash equi-join,
+    // exact levenshtein verify. Planted single-substitution typo copies must
+    // all surface; the oracle states the FULL all-pairs truth, so row
+    // equality proves precision and recall at once.
+    "d_fuzzy_pairs" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("key"))
+      val planted = base.where(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          concat(substring(col("key"), 1, 2), lit("q"),
+            substring(col("key"), 4, 37)).as("key"))
+      Dedup.editDistancePairs(base.unionByName(planted), d = 2)
+    }),
+
     "d_minhash_pairs" -> ((s, dir) => {
       val base = t(s, dir, "documents").where(col("n_chars") < 300)
         .select(col("doc_id"), col("text"))
@@ -4896,6 +4912,24 @@ object SparkEntry {
          JOIN g gb ON gb.id = c.id_b
          WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
              (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) >= 0.5""",
+
+    // full all-pairs edit-distance truth (the length-difference prefilter is
+    // a levenshtein lower bound, not an approximation)
+    "d_fuzzy_pairs" ->
+      """WITH keyed AS (SELECT doc_id, substr(text, 1, 40) AS key FROM documents),
+         corpus AS (
+           SELECT doc_id, key FROM keyed
+           UNION ALL
+           SELECT doc_id + 30000000,
+             concat(substr(key, 1, 2), 'q', substr(key, 4, 37))
+           FROM keyed WHERE doc_id % 15 = 0)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.key, b.key) AS INT) AS edit_distance
+         FROM corpus a JOIN corpus b
+           ON a.doc_id < b.doc_id
+          AND abs(length(a.key) - length(b.key)) <= 2
+         WHERE length(a.key) >= 3 AND length(b.key) >= 3
+           AND levenshtein(a.key, b.key) <= 2""",
 
     "d_minhash_pairs" ->
       """WITH corpus AS (

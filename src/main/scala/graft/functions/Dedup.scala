@@ -635,6 +635,101 @@ object Dedup {
   }
 
   /**
+   * X48: all pairs within edit distance `d` over a short string key —
+   * fuzzy-duplicate detection for titles, names, URLs, and other near-fixed
+   * strings where MinHash shingles are too coarse. Candidate generation is
+   * the PassJoin segment pigeonhole (Li, Deng, Feng — ICDE 2011 family),
+   * which GUARANTEES recall: partition every indexed key of length ls into
+   * d+1 contiguous segments (first (d+1)-rem of ⌊ls/(d+1)⌋ chars, the rest
+   * one longer); if ed(s,t) ≤ d then ≤ d edits touch ≤ d segments, so some
+   * segment of s survives VERBATIM in t, displaced by at most d positions
+   * (each insertion/deletion before it shifts it by one). The probe side
+   * therefore enumerates, per key, every (candidate length ls ∈ lt±d,
+   * slot i, shift ∈ ±d) substring — a CONSTANT ≤ (2d+1)²(d+1) keys per row
+   * (75 at d=2) — and candidates fall out of a plain hash equi-join on
+   * (ls, slot, substring). Never an all-pairs product, never a
+   * similarity-join nested loop; survivors re-verify with exact
+   * levenshtein. Output: (id_a < id_b, edit_distance ≤ d), ed 0 included
+   * (exact key dupes are still dupes).
+   *
+   * 100 TB shape: both planes are linear in the corpus with constant
+   * fan-out; the join shuffles 16-byte-ish segment keys; the verify join
+   * carries only candidate ids back to the key frame. Hot segment buckets
+   * (low-entropy keys: empty-ish titles, boilerplate prefixes) are capped
+   * like every other pair family — keys whose (ls, slot, segment) bucket
+   * exceeds `maxDocsPerSegment` on the INDEX side leave candidate
+   * generation (bounded recall loss, only on flooded buckets; None
+   * disables). Keys shorter than d+1 (zero-length segments would match
+   * everywhere) are excluded — route them to an exact group-by, they have
+   * at most d+1 characters.
+   */
+  def editDistancePairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      keyCol: String = "key",
+      d: Int = 2,
+      maxDocsPerSegment: Option[Int] = Some(1000)): DataFrame = {
+    require(d >= 1 && d <= 4, s"edit distance bound $d out of [1,4]")
+    val k = d + 1
+    val keyed = docs
+      .select(col(idCol).cast("long").as("id"), col(keyCol).cast("string").as("key"))
+      .where(col("key").isNotNull && length(col("key")) >= k)
+      .withColumn("len", length(col("key")))
+
+    // segment geometry as expressions over a length column
+    def segLen(i: Column, ls: Column): Column =
+      ((ls / k).cast("int") + when(i >= lit(k) - pmod(ls, lit(k)), 1).otherwise(0))
+    def segStart(i: Column, ls: Column): Column =
+      (i * (ls / k).cast("int") +
+        greatest(lit(0), i - (lit(k) - pmod(ls, lit(k))))).cast("int")
+
+    // index plane: each key's own d+1 segments
+    val slots = sequence(lit(0), lit(d))
+    val indexPlane = keyed.select(col("id"), col("key"), col("len"),
+        posexplode(transform(slots, i =>
+          col("key").substr(segStart(i, col("len")) + 1, segLen(i, col("len"))))))
+      .select(col("id").as("id_i"), col("len").as("ls"),
+        col("pos").as("slot"), col("col").as("seg"))
+
+    val cappedIndex = maxDocsPerSegment match {
+      case None => indexPlane
+      case Some(cap) =>
+        val hot = indexPlane.groupBy("ls", "slot", "seg")
+          .agg(count(lit(1)).as("_n")).where(col("_n") > cap)
+          .select("ls", "slot", "seg")
+        indexPlane.join(broadcast(hot), Seq("ls", "slot", "seg"), "left_anti")
+    }
+
+    // probe plane: every (ls, slot, shifted position) substring that a
+    // within-d partner's segment could occupy — constant fan-out per key
+    val probeCands = flatten(flatten(transform(
+      sequence(col("len") - d, col("len") + d), ls =>
+        transform(slots, i =>
+          transform(sequence(lit(-d), lit(d)), sh =>
+            struct(ls.as("ls"), i.as("slot"),
+              (segStart(i, ls) + sh).as("p"), segLen(i, ls).as("l")))))))
+    val probePlane = keyed
+      .select(col("id"), col("key"), col("len"), explode(probeCands).as("c"))
+      .where(col("c.ls") >= k && col("c.p") >= 0 &&
+        col("c.p") + col("c.l") <= col("len"))
+      .select(col("id").as("id_p"), col("c.ls").as("ls"), col("c.slot").as("slot"),
+        col("key").substr(col("c.p") + 1, col("c.l")).as("seg"))
+
+    val candidates = cappedIndex.join(probePlane, Seq("ls", "slot", "seg"))
+      .where(col("id_i") =!= col("id_p"))
+      .select(least(col("id_i"), col("id_p")).as("id_a"),
+        greatest(col("id_i"), col("id_p")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .join(keyed.select(col("id").as("id_a"), col("key").as("ka")), Seq("id_a"))
+      .join(keyed.select(col("id").as("id_b"), col("key").as("kb")), Seq("id_b"))
+      .withColumn("edit_distance", levenshtein(col("ka"), col("kb")))
+      .where(col("edit_distance") <= d)
+      .select(col("id_a"), col("id_b"), col("edit_distance"))
+  }
+
+  /**
    * Sub-document (segment-level) dedup — the paragraph-dedup pass of a web
    * pipeline, degraded to fixed `segTokens`-token windows for corpora with
    * no paragraph separators: boilerplate repeated ACROSS documents is
