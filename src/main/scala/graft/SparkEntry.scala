@@ -2717,6 +2717,16 @@ object SparkEntry {
       TextFunctions.unigramLogProb(t(s, dir, "documents"))
     }),
 
+    // X49: interpolated bigram-LM quality score (the KenLM-shaped filter one
+    // rung up): P(w2|w1) = 0.75·c(w1w2)/c(w1·) + 0.25·c(w2)/N, bigram term
+    // from the top-64 bigram table only — the sub-cap mass exercises the
+    // backoff path on this corpus while the broadcast side stays fixed-size
+    // at any scale. Model frames broadcast onto the bigram stream; the only
+    // full shuffle is the per-document mean.
+    "d_bigram_lm" -> ((s, dir) => {
+      TextFunctions.bigramLmScore(t(s, dir, "documents"), topK = 64)
+    }),
+
     // corpus-level hot n-grams (boilerplate detector input): raw 3-gram
     // frequency, partial-aggregated map-side, tiny top-k merge at the end
     "d_top_ngrams" -> ((s, dir) => {
@@ -5333,6 +5343,33 @@ object SparkEntry {
            count(*) AS n_tokens
          FROM toks JOIN cnt USING (token), tot
          GROUP BY doc_id""",
+
+    // interpolated bigram LM replay: integer-ratio arithmetic with the
+    // exactly-representable 0.75/0.25 split — only log2 needs the 6dp round
+    "d_bigram_lm" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+           FROM documents),
+         bi AS (
+           SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+             i -> array_to_string(tk[i:i+1], ' '))) AS gram
+           FROM toks WHERE len(tk) >= 2),
+         uni AS (SELECT unnest(tk) AS tok FROM toks),
+         cu AS (SELECT tok, count(*) AS cu FROM uni GROUP BY tok),
+         nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_all FROM uni),
+         cb AS (SELECT gram, count(*) AS cb FROM bi GROUP BY gram),
+         topb AS (SELECT gram, cb FROM cb ORDER BY cb DESC, gram LIMIT 64),
+         lt AS (SELECT split_part(gram, ' ', 1) AS w1, CAST(sum(cb) AS DOUBLE) AS cl
+                FROM cb GROUP BY 1),
+         sc AS (SELECT doc_id,
+             0.75 * coalesce(CAST(t.cb AS DOUBLE) / lt.cl, 0.0)
+               + 0.25 * CAST(cu.cu AS DOUBLE) / nt.n_all AS p
+           FROM bi LEFT JOIN topb t USING (gram)
+           JOIN lt ON lt.w1 = split_part(bi.gram, ' ', 1)
+           JOIN cu ON cu.tok = split_part(bi.gram, ' ', 2), nt)
+         SELECT doc_id, round(avg(-log2(p)), 6) AS bits_per_bigram,
+           count(*) AS n_bigrams
+         FROM sc GROUP BY doc_id""",
 
     "d_top_ngrams" ->
       """WITH base AS (

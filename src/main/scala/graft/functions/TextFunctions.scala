@@ -371,6 +371,50 @@ object TextFunctions {
         sum(col("cnt")).as("n_tokens"))
   }
 
+  /** X49: per-document bits-per-bigram under an INTERPOLATED bigram LM —
+    * the KenLM-shaped quality filter one rung up from [[unigramLogProb]]:
+    * P(w2|w1) = λ·c(w1 w2)/c(w1 ·) + (1−λ)·c(w2)/N, with the bigram term
+    * coming from the top-`topK` bigram table only (everything below the cap
+    * backs off to the unigram floor — the bounded-model move that keeps the
+    * broadcast side fixed-size at any corpus). λ defaults to 0.75: exactly
+    * representable in binary, so the interpolation arithmetic is
+    * bit-identical across engines and only log2 needs the 6dp round.
+    *
+    * Shuffle shape for 100 TB: the corpus tokenizes into bigrams once; the
+    * bigram-count, left-context-total, and unigram frames are vocabulary-
+    * sized (Heaps-sublinear) and BROADCAST back onto the stream together
+    * with the scalar N, so scoring lives in the scan projection and the
+    * only full shuffle is the per-document mean (map-side partial). Natural
+    * text scores low (its bigrams are in the table); shuffled/synthetic
+    * text pays the backoff penalty — the Wenzek-style LM filter signal. */
+  def bigramLmScore(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      topK: Int = 4096, lambda: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    graft.plans.SketchFunctions.register(docs.sparkSession)
+    val bi = docs.select(col(idCol).as("doc_id"),
+      explode(wordNgrams(col(textCol), 2)).as("gram"))
+    val uni = docs.select(explode(tokens(col(textCol))).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("cu"))
+    val nTot = docs.agg(sum(tokenCount(col(textCol))).cast("double").as("n_all"))
+    val cb = bi.groupBy("gram").agg(count(lit(1)).as("cb"))
+    val topB = cb.orderBy(col("cb").desc, col("gram")).limit(topK)
+    val leftTot = cb.groupBy(substring_index(col("gram"), " ", 1).as("w1"))
+      .agg(sum(col("cb")).as("cl"))
+    bi.join(broadcast(topB), Seq("gram"), "left")
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .withColumn("w2", substring_index(col("gram"), " ", -1))
+      .join(broadcast(leftTot), Seq("w1"))
+      .join(broadcast(uni), Seq("w2"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("p",
+        lit(lambda) * coalesce(col("cb").cast("double") / col("cl"), lit(0.0)) +
+          lit(1.0 - lambda) * col("cu").cast("double") / col("n_all"))
+      .groupBy("doc_id")
+      .agg(round(avg(-log2(col("p"))), 6).as("bits_per_bigram"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** Per-source top-k vocabulary heavy hitters by DOCUMENT frequency (how
     * many of the source's documents contain the token) — the corpus-drift /
     * boilerplate-detection statistic: a crawl source whose top tokens are

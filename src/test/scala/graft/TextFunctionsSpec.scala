@@ -182,4 +182,39 @@ class TextFunctionsSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(top == Seq(("d", 5L), ("c", 4L), ("a", 3L)))
   }
+
+  test("bigramLmScore matches a hand-computed interpolated model on a tiny corpus") {
+    // corpus: "a b a b" (bigrams: a·b ×2, b·a ×1) + "c c" (c·c ×1)
+    // unigrams: a×2 b×2 c×2, N=6. Full table (topK=64, no cap binding):
+    //   P(b|a)=0.75·(2/2)+0.25·(2/6);  P(a|b)=0.75·(1/1)+0.25·(2/6)
+    //   P(c|c)=0.75·(1/1)+0.25·(2/6)
+    val docs = Seq((1L, "a b a b"), (2L, "c c")).toDF("doc_id", "text")
+    val got = graft.functions.TextFunctions.bigramLmScore(docs, topK = 64)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    def b(p: Double) = -math.log(p) / math.log(2.0)
+    val pAB = 0.75 * (2.0 / 2.0) + 0.25 * (2.0 / 6.0)
+    val pBA = 0.75 * (1.0 / 1.0) + 0.25 * (2.0 / 6.0)
+    val pCC = 0.75 * (1.0 / 1.0) + 0.25 * (2.0 / 6.0)
+    assert(got(1L)._2 == 3 && got(2L)._2 == 1)
+    assert(math.abs(got(1L)._1 - (b(pAB) * 2 + b(pBA)) / 3) < 1e-6)
+    assert(math.abs(got(2L)._1 - b(pCC)) < 1e-6)
+  }
+
+  test("bigramLmScore backoff: below-cap bigrams pay the unigram floor") {
+    // 20 docs of one hot bigram + 1 doc of a singleton bigram; topK=1 keeps
+    // only the hot bigram, so the singleton doc backs off to 0.25·P_uni and
+    // must score strictly worse (higher bits) than the hot docs
+    val docs = ((1 to 20).map(i => (i.toLong, "x y")) :+ (99L, "p q")).toDF("doc_id", "text")
+    val got = graft.functions.TextFunctions.bigramLmScore(docs, topK = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(99L) > got(1L) + 1.0,
+      s"backoff doc must score well above in-table docs: $got")
+  }
+
+  test("bigramLmScore model frames broadcast — the corpus stream never sort-merge-joins") {
+    val docs = (1 to 50).map(i => (i.toLong, s"tok$i common tail")).toDF("doc_id", "text")
+    val plan = graft.functions.TextFunctions.bigramLmScore(docs)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
 }
