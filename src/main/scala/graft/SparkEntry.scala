@@ -2375,6 +2375,14 @@ object SparkEntry {
       TextFunctions.packSequences(t(s, dir, "documents"),
         budgetTokens = 2048L, shardCol = "source")),
 
+    // X50: fixed-context-window example carving — per-shard concatenated
+    // token streams cut into exactly-512-token examples ACROSS document
+    // boundaries (the stage packSequences stops short of). Integer
+    // arithmetic end-to-end; interior examples provably carry 512 tokens.
+    "d_context_windows" -> ((s, dir) =>
+      TextFunctions.carveContextWindows(t(s, dir, "documents"),
+        ctxTokens = 512L, shardCol = "source")),
+
     // X45 Naive Bayes document classifier — the fastText-style curation
     // classifier, trained Spark-first on a deterministic seed split
     // (doc_id % 5 = 0, labels = lang) and scored over the full corpus. No
@@ -4483,6 +4491,24 @@ object SparkEntry {
            FROM d)
          SELECT shard, doc_id, n_tokens,
            CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id FROM w""",
+
+    // integer replay of the context-window carve: cumsum window, per-doc
+    // spanned-example expansion, overlap sums
+    "d_context_windows" ->
+      """WITH d AS (SELECT source AS shard, doc_id,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         w AS (SELECT shard, doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_tok
+           FROM d WHERE n_tokens > 0),
+         sp AS (SELECT shard, doc_id, end_tok, end_tok - n_tokens AS start_tok,
+           unnest(generate_series((end_tok - n_tokens) // 512, (end_tok - 1) // 512)) AS example_id
+           FROM w)
+         SELECT shard, example_id, min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+           count(*) AS n_docs,
+           CAST(sum(least(end_tok, (example_id + 1) * 512)
+             - greatest(start_tok, example_id * 512)) AS BIGINT) AS n_tokens
+         FROM sp GROUP BY shard, example_id""",
 
     // full replay of Naive Bayes training (counts + closed-form smoothing)
     // and classification; scores rounded to 4dp before the shared

@@ -271,6 +271,46 @@ object TextFunctions {
       .select(col("shard"), col("doc_id"), col("n_tokens"), col("pack_id"))
   }
 
+  /** X50: fixed-context-window example carving — the final pre-training
+    * data-prep stage [[packSequences]] stops short of: per shard, documents
+    * concatenate in doc_id order into one token stream that is cut into
+    * examples of EXACTLY `ctxTokens` tokens, crossing document boundaries
+    * (the last example of a shard may run short). Returns one row per
+    * (shard, example_id) with the first/last document feeding it, how many
+    * documents it spans, and its token count — the manifest a tokenize-and-
+    * shard writer materializes examples from.
+    *
+    * Shuffle shape for 100 TB: one per-shard cumulative-sum window over
+    * (shard, doc, count) — never the text — then each doc EXPLODES only to
+    * the examples it overlaps (≤ tokens/ctx + 1 rows, total fan-out =
+    * corpus_tokens/ctx + docs), and one partially-aggregated groupBy folds
+    * the example manifest. All integer arithmetic: the SQL replay is exact.
+    * Per-example n_tokens sums each doc's overlap with the example interval,
+    * so every interior example provably carries exactly ctxTokens. */
+  def carveContextWindows(docs: org.apache.spark.sql.DataFrame, ctxTokens: Long,
+      shardCol: String, idCol: String = "doc_id", textCol: String = "text",
+      tokenCounter: Column => Column = tokenCount): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ctxTokens >= 1, s"ctxTokens must be >= 1, got $ctxTokens")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(shardCol).as("shard"), col(idCol).as("doc_id"),
+        tokenCounter(col(textCol)).cast("bigint").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("end_tok", sum(col("n_tokens")).over(w))
+      .withColumn("start_tok", col("end_tok") - col("n_tokens"))
+      .withColumn("example_id", explode(sequence(
+        floor(col("start_tok") / ctxTokens).cast("bigint"),
+        floor((col("end_tok") - 1) / ctxTokens).cast("bigint"))))
+      .groupBy(col("shard"), col("example_id"))
+      .agg(min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        count(lit(1)).as("n_docs"),
+        sum(least(col("end_tok"), (col("example_id") + 1) * ctxTokens) -
+          greatest(col("start_tok"), col("example_id") * ctxTokens)).as("n_tokens"))
+  }
+
   // Patterns chosen to parse identically under Java regex (Spark) and RE2
   // (DuckDB): character classes, bounded quantifiers, \b word boundaries —
   // no lookarounds, no backreferences.

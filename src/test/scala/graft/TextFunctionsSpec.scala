@@ -183,6 +183,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(top == Seq(("d", 5L), ("c", 4L), ("a", 3L)))
   }
 
+  test("carveContextWindows cuts exact-ctx examples across document boundaries") {
+    // shard A: docs of 3, 4, 2 tokens; ctx=4 → examples [0,4)=docs 1+2,
+    // [4,8)=docs 2+3, [8,9)=doc 3 (1 token, final partial)
+    // (an empty text still counts 1 token — tokens("") = [""], the corpus-
+    // wide tokenizer convention every oracle shares; the n_tokens>0 guard
+    // exists for counters that can return 0, e.g. BPE over empty docs)
+    val docs = Seq(
+      (1L, "a", "t1 t2 t3"), (2L, "a", "u1 u2 u3 u4"), (3L, "a", "v1 v2"),
+      (4L, "b", "w1 w2 w3 w4 w5"), (5L, "b", "x1"))
+      .toDF("doc_id", "shard", "text")
+    val got = graft.functions.TextFunctions
+      .carveContextWindows(docs, ctxTokens = 4L, shardCol = "shard")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got(("a", 0L)) == (1L, 2L, 2L, 4L)) // 3 from doc1 + 1 from doc2
+    assert(got(("a", 1L)) == (2L, 3L, 2L, 4L)) // 3 from doc2 + 1 from doc3
+    assert(got(("a", 2L)) == (3L, 3L, 1L, 1L)) // final partial
+    assert(got(("b", 0L)) == (4L, 4L, 1L, 4L)) // first 4 of doc4
+    assert(got(("b", 1L)) == (4L, 5L, 2L, 2L)) // doc4 tail + doc5, crossing
+    assert(got.size == 5)
+    // conservation: example token counts sum to the corpus token count
+    assert(got.values.map(_._4).sum == 3 + 4 + 2 + 5 + 1)
+  }
+
   test("bigramLmScore matches a hand-computed interpolated model on a tiny corpus") {
     // corpus: "a b a b" (bigrams: a·b ×2, b·a ×1) + "c c" (c·c ×1)
     // unigrams: a×2 b×2 c×2, N=6. Full table (topK=64, no cap binding):
