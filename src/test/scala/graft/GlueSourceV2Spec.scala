@@ -159,6 +159,42 @@ class GlueSourceV2Spec extends SparkSpec {
     assert(plan.contains("runtime=["), s"runtime filters invisible in:\n$plan")
   }
 
+  test("runtime-filter pruning stays legal while the scan reports KeyGroupedPartitioning") {
+    // The ADVICE-flagged interaction: s3_spj_counts arms v2 bucketing for
+    // the rest of the session, so a later query can plan SPJ around this
+    // scan AND prune it with a DPP/runtime filter. BatchScanExec's
+    // runtime-filtering validation permits a SUBSET of the reported
+    // partition values (pruned keys backfill as empty groups) — it throws
+    // only if NEW values appear. This pins that the prune path executes,
+    // answers correctly, and still fans out to one database only.
+    val mock = freshCatalog("v2-rtspj")
+    val prevBkt = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevReq = spark.conf.getOption("spark.sql.requireAllClusterKeysForCoPartition")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      val dim = spark.range(2)
+        .select(when(col("id") === 0, "ops").otherwise("absent_db").as("dbname"),
+          col("id").as("flag"))
+      val q = read("v2-rtspj", "tables")
+        .join(dim.where(col("flag") === 0), col("databaseName") === col("dbname"))
+      val got = q.collect()
+      assert(got.length === 4 && got.forall(_.getAs[String]("databaseName") == "ops"))
+      assert(mock.callCount("GetTables") === 2, s"calls: ${mock.calls}")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("runtime=["), s"runtime filters invisible in:\n$plan")
+    } finally {
+      prevBkt match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      prevReq match {
+        case Some(v) => spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", v)
+        case None => spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+      }
+    }
+  }
+
   test("point-lookup statistics broadcast the pinned scan at plan time (no AQE rescue needed)") {
     freshCatalog("v2-stats")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
