@@ -2491,6 +2491,43 @@ object SparkEntry {
           countDistinct(col("token")).as("exact_distinct"))
     }),
 
+    // X51: per-source token-frequency estimation via the cms_md5 Count–Min
+    // TypedImperativeAggregate — the FREQUENCY twin of d_hll_distinct's
+    // cardinality sketch. The exact per-(source, token) table shuffles a
+    // row per distinct pair; the CMS state is a fixed d·w longs per
+    // (partition, source) merged by elementwise sum — map-side partials, a
+    // 1 KB exchange at d=4/w=16 regardless of vocabulary — and answers
+    // point queries for ANY key afterwards: est = min_i sketch[i·w+h_i].
+    // Probes are the 10 globally hottest tokens (count desc, token asc —
+    // deterministic); the exact frequency rides along as the certificate
+    // (CMS guarantees est ≥ exact; w=16 under a ~40-token vocabulary
+    // forces real collisions so the overestimate branch is exercised, and
+    // d=4 row-minima shave most of it back). The oracle rebuilds every
+    // (row, bucket) counter with a GROUP BY over the same salted 48-bit
+    // md5 draw — integer arithmetic end-to-end, bit-exact replay.
+    "d_cms_freq" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      val d = 4
+      val w = 16
+      val tok = t(s, dir, "documents")
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      val sketches = tok.groupBy(col("source"))
+        .agg(graft.plans.SketchFunctions.cms_md5(col("token"), d, w).as("sketch"))
+      val probes = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(10).select(col("token"))
+      val exact = tok.groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("exact_freq"))
+      sketches.crossJoin(broadcast(probes))
+        .withColumn("est_freq",
+          array_min(transform(sequence(lit(0), lit(d - 1)), i =>
+            element_at(col("sketch"),
+              (conv(substring(md5(concat(i.cast("string"), lit(":"), col("token"))),
+                1, 12), 16, 10).cast("bigint") % w + i * w + 1).cast("int")))))
+        .join(exact, Seq("source", "token"), "left")
+        .select(col("source"), col("token"), col("est_freq"),
+          coalesce(col("exact_freq"), lit(0L)).as("exact_freq"))
+    }),
+
     // Per-source KL divergence from the corpus unigram distribution — the
     // domain-shift diagnostic a mixing pass reads before reweighting. One
     // (source, token) shuffle builds everything; the global vocabulary frame
@@ -3023,6 +3060,24 @@ object SparkEntry {
         .select((col("doc_id") + 1000000L).as("doc_id"),
           lit(((boiler + " ") * 20).trim).as("text"))
       Dedup.segmentDedup(docs.unionByName(planted))
+    }),
+
+    // X52: boilerplate scrub — the document-frequency-threshold cousin of
+    // d_segment_dedup: a segment in MORE THAN maxDocFreq distinct documents
+    // is boilerplate and is dropped from EVERY document including the
+    // first (X30 keeps one winner; a cleaning pass keeps none). Planted
+    // over the d_segment_skew corpus so the hot segment (one digest in
+    // ~n/10 docs) exercises both the within-doc (digest, doc) collapse —
+    // whose keys are per-doc distinct, so the flood spreads instead of
+    // hot-keying winner selection — and the drop-everywhere semantics:
+    // every planted doc scrubs to empty, originals keep their text.
+    "d_boilerplate_scrub" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val boiler = (0 until 10).map(i => s"boil$i").mkString(" ")
+      val planted = docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit(((boiler + " ") * 20).trim).as("text"))
+      Dedup.boilerplateScrub(docs.unionByName(planted))
     }),
 
     // X10 connected components over a DETERMINISTIC planted edge set: chain
@@ -4699,6 +4754,38 @@ object SparkEntry {
            exact_distinct
          FROM zs JOIN ex USING (source)""",
 
+    // CMS replay: counters = GROUP BY (source, row, bucket) over the same
+    // salted 48-bit md5 draw; est = min over rows of coalesce(counter, 0)
+    // (the LEFT JOIN keeps zero-counter rows a plain join would drop).
+    "d_cms_freq" ->
+      """WITH tok AS (SELECT source,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+           FROM documents),
+         rows_i AS (SELECT unnest(range(4)) AS i),
+         plane AS (SELECT source, i,
+             CAST(concat('0x', substr(md5(concat(CAST(i AS VARCHAR), ':', token)),
+               1, 12)) AS BIGINT) % 16 AS bucket,
+             count(*) AS c
+           FROM tok CROSS JOIN rows_i GROUP BY source, i, bucket),
+         probes AS (SELECT token FROM (
+             SELECT token, count(*) AS n FROM tok GROUP BY token
+             ORDER BY n DESC, token LIMIT 10)),
+         pb AS (SELECT token, i,
+             CAST(concat('0x', substr(md5(concat(CAST(i AS VARCHAR), ':', token)),
+               1, 12)) AS BIGINT) % 16 AS bucket
+           FROM probes CROSS JOIN rows_i),
+         srcs AS (SELECT DISTINCT source FROM tok),
+         est AS (SELECT s.source, pb.token, min(coalesce(plane.c, 0)) AS est_freq
+           FROM pb CROSS JOIN srcs s
+           LEFT JOIN plane ON plane.source = s.source AND plane.i = pb.i
+             AND plane.bucket = pb.bucket
+           GROUP BY s.source, pb.token),
+         exact AS (SELECT source, token, count(*) AS exact_freq
+           FROM tok GROUP BY source, token)
+         SELECT est.source, est.token, est.est_freq,
+           coalesce(exact.exact_freq, 0) AS exact_freq
+         FROM est LEFT JOIN exact USING (source, token)""",
+
     "d_source_kl" ->
       """WITH tok AS (SELECT source,
              unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
@@ -5163,6 +5250,30 @@ object SparkEntry {
            CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
            CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
          FROM ranked GROUP BY doc_id""",
+
+    // same planted corpus; truth = doc-frequency per segment, drop from
+    // EVERY doc when df > 2 (no winner — that's what separates it from
+    // d_segment_skew's rank-1 survivor)
+    "d_boilerplate_scrub" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000,
+             trim(repeat('boil0 boil1 boil2 boil3 boil4 boil5 boil6 boil7 boil8 boil9 ', 20))
+           FROM documents WHERE doc_id % 10 = 0),
+         base AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus),
+         idx AS (SELECT doc_id, tokens,
+             unnest(generate_series(0, CAST(ceil(len(tokens)/10.0) AS INT) - 1)) AS seg_idx
+           FROM base),
+         segs AS (SELECT doc_id, seg_idx,
+             array_to_string(tokens[seg_idx*10+1 : seg_idx*10+10], ' ') AS seg
+           FROM idx),
+         freq AS (SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
+         SELECT doc_id,
+           coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE df <= 2), '') AS text_clean,
+           CAST(count(*) FILTER (WHERE df <= 2) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE df > 2) AS BIGINT) AS n_dropped
+         FROM segs JOIN freq USING (seg) GROUP BY doc_id""",
 
     // overlapping windows replayed with the word_ngrams tokenization
     // (trim/lower/\s+); non-winner sites = rn > 1 under the same

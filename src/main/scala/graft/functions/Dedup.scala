@@ -775,6 +775,56 @@ object Dedup {
   }
 
   /**
+   * X52: boilerplate scrub — the DOCUMENT-FREQUENCY-threshold cousin of
+   * [[segmentDedup]] (X30) and the other standard sub-document pass of a
+   * web pipeline (CCNet's "remove frequent lines"): a segment occurring in
+   * MORE THAN `maxDocFreq` DISTINCT documents is boilerplate (nav bars,
+   * cookie banners, license footers) and is removed from EVERY document —
+   * including the first. X30 answers "keep one copy of each segment"
+   * (dedup); this answers "no copy of a too-common segment is content"
+   * (cleaning) — different production stages, different survivors.
+   *
+   * Scale shape: the doc-frequency table first collapses (digest, doc)
+   * repeats WITHIN a document — that groupBy's keys are distinct per doc,
+   * so a million-document boilerplate segment spreads over the cluster
+   * instead of hot-keying one partition — then counts documents per digest
+   * with map-side partials. Segments ride every exchange as md5 digests,
+   * never text; the hot set joins back as a plain digest equi-join (its
+   * size is data-dependent, so no broadcast assumption), and reassembly is
+   * the same one groupBy over the doc key as X30.
+   */
+  def boilerplateScrub(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      segTokens: Int = 10,
+      maxDocFreq: Int = 2): DataFrame = {
+    require(segTokens >= 1, s"segTokens $segTokens")
+    require(maxDocFreq >= 1, s"maxDocFreq $maxDocFreq")
+    val toks = split(col(textCol), " ")
+    val nSeg = ((size(toks) + lit(segTokens - 1)) / lit(segTokens.toDouble)).cast("int")
+    val segs = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(transform(sequence(lit(0), nSeg - 1),
+          i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " ")))
+          .as(Seq("seg_idx", "seg")))
+      .withColumn("h", md5(col("seg")))
+    val hot = segs.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDocFreq)
+      .select(col("h"), lit(true).as("boiler"))
+    segs.join(hot, Seq("h"), "left_outer")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("boiler").isNull, struct(col("seg_idx"), col("seg"))))),
+          s => s.getField("seg"))).as("text_clean"),
+        sum(when(col("boiler").isNull, 1).otherwise(0)).cast("bigint").as("n_kept"),
+        sum(when(col("boiler"), 1).otherwise(0)).cast("bigint").as("n_dropped"))
+  }
+
+  /**
    * X36: exact POSITIONAL span dedup — the exact-substring-deduplication
    * shape of Lee et al. 2021 ("Deduplicating Training Data Makes Language
    * Models Better"), on word windows: every OVERLAPPING `spanTokens`-token

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -134,6 +134,91 @@ case class BottomKMd5(
  * range to ~2^24 distinct per group — far above any per-source vocabulary
  * here; the 100 TB variant swaps in 16 hex chars (64-bit) unchanged.
  */
+/**
+ * cms_md5(value, d, w) — Count–Min frequency sketch over a string column:
+ * d independent hash rows of w counters, returned as one array<long> of
+ * length d·w (row-major). The frequency twin of [[HllMd5]]: where an exact
+ * per-key frequency table shuffles every (group, key) pair, the CMS state
+ * is a FIXED d·w longs per (partition, group), merges by elementwise sum
+ * (map-side partials — a 1 KB exchange at d=4, w=16, any corpus size), and
+ * answers point-frequency queries for ANY key after the fact:
+ * est(key) = min_i sketch[i·w + h_i(key)], with est ≥ exact always and
+ * P[est > exact + εN] ≤ (1/2)^d at w = e/ε (Cormode–Muthukrishnan 2005).
+ * Complements the Misra–Gries pass (X13, exact top-k identities): MG names
+ * the heavy hitters, the CMS bounds the frequency of every key it was
+ * never asked about — the pair a mixing/contamination pass wants.
+ *
+ * Row hashes stay inside the corpus-wide md5 discipline so DuckDB replays
+ * the sketch BIT-FOR-BIT, counters and all: h_i(v) = the 48-bit draw of
+ * the salted string "i:v" (first 12 hex chars of md5), mod w. Counter
+ * arithmetic is integer end-to-end — the oracle rebuilds every (row,
+ * bucket) counter with a GROUP BY and takes the same min.
+ */
+case class CmsMd5(
+    child: Expression,
+    d: Int,
+    w: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression] {
+
+  require(d >= 1 && d <= 8, s"depth d must be in [1, 8], got $d")
+  require(w >= 2 && w <= 65536, s"width w must be in [2, 65536], got $w")
+
+  override def prettyName: String = "cms_md5"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cms_md5 needs a string input, got ${child.dataType.catalogString}")
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](d * w)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String].toString
+      var i = 0
+      while (i < d) {
+        val hex = SketchOps.md5Hex(i.toString + ":" + s)
+        val hash = java.lang.Long.parseLong(hex.substring(0, 12), 16)
+        buf(i * w + (hash % w).toInt) += 1L
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var j = 0
+    while (j < buf.length) { buf(j) += other(j); j += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(buf.map(x => x: Any))
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsMd5 =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsMd5 =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CmsMd5 =
+    copy(child = newChild)
+}
+
 case class HllMd5(
     child: Expression,
     p: Int,

@@ -304,6 +304,9 @@ object SketchFunctions {
         exprs => BottomKMd5(exprs(0), foldableInt(exprs(1), "k")), "built-in")
       reg.createOrReplaceTempFunction("hll_md5",
         exprs => HllMd5(exprs(0), foldableInt(exprs(1), "p")), "built-in")
+      reg.createOrReplaceTempFunction("cms_md5",
+        exprs => CmsMd5(exprs(0), foldableInt(exprs(1), "d"),
+          foldableInt(exprs(2), "w")), "built-in")
       // Generator builders are legal too: ExtractGenerator lifts a Generator
       // in a Project into a Generate node during analysis
       reg.createOrReplaceTempFunction("ngram_explode",
@@ -364,6 +367,11 @@ object SketchFunctions {
     * hash, estimate replayable exactly in SQL. */
   def hll_md5(value: Column, p: Int): Column =
     call_function("hll_md5", value.cast("string"), lit(p))
+
+  /** Count–Min frequency sketch (aggregate): d×w counters as a row-major
+    * array<long>, bit-exact replayable in SQL. */
+  def cms_md5(value: Column, d: Int, w: Int): Column =
+    call_function("cms_md5", value.cast("string"), lit(d), lit(w))
 
   /** Streamed word-ngram generator (UDTF): rows (pos, gram), no gram array. */
   def ngram_explode(text: Column, n: Int): Column =

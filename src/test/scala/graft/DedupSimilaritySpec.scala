@@ -136,6 +136,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(3L) == ((3L, "", 0L, 1L)), "a fully-boilerplate doc keeps an empty row, not no row")
   }
 
+  test("boilerplateScrub drops over-threshold segments from EVERY doc, threshold-inclusive") {
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ") // in exactly 2 docs
+    val uniq = (id: Int) => (1 to 10).map(i => s"u${id}w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$boiler ${uniq(1)} $shared"), // boiler df=3 > 2: dropped even here
+      (2L, s"${uniq(2)} $boiler"),
+      (3L, s"$boiler $shared"),            // shared df=2 <= 2: kept in both
+      (4L, uniq(4)))
+      .toDF("doc_id", "text")
+    val out = graft.functions.Dedup.boilerplateScrub(corpus, maxDocFreq = 2)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, s"${uniq(1)} $shared", 2L, 1L)),
+      "the FIRST occurrence must be scrubbed too (no winner)")
+    assert(out(2L) == ((2L, uniq(2), 1L, 1L)))
+    assert(out(3L) == ((3L, shared, 1L, 1L)))
+    assert(out(4L) == ((4L, uniq(4), 1L, 0L)))
+  }
+
+  test("boilerplateScrub counts DISTINCT docs: within-doc repetition is not boilerplate") {
+    val seg = (1 to 10).map(i => s"r$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$seg $seg $seg $seg"), // 4 occurrences, ONE doc: df=1, all kept
+      (2L, (1 to 10).map(i => s"o$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.functions.Dedup.boilerplateScrub(corpus, maxDocFreq = 2)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._3 == 4L && out(1L)._4 == 0L,
+      s"within-doc repeats must not count toward doc frequency: ${out(1L)}")
+  }
+
   test("minhashDedupComponents keeps exactly one doc per transitive near-dup chain") {
     // A ≈ B ≈ C chain on a base disjoint from every other planted family:
     // B is the base, A and C are small DIFFERENT edits of B (A ≈ C only

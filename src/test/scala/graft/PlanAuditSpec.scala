@@ -406,6 +406,31 @@ class PlanAuditSpec extends SparkSpec {
       || plan.contains("SortAggregate"), s"no aggregate for winner min:\n$plan")
   }
 
+  test("cms_md5 sketches aggregate map-side (ObjectHashAggregate partials, bounded exchange)") {
+    graft.plans.SketchFunctions.register(spark)
+    val tok = (0 until 500).map(i => (s"src${i % 4}", s"tok${i % 23}")).toDF("source", "token")
+    val out = tok.groupBy("source")
+      .agg(graft.plans.SketchFunctions.cms_md5(col("token"), 4, 16).as("sketch"))
+    val plan = planString(out)
+    // the whole point of the sketch: the exchange carries d*w longs per
+    // (partition, group), so the aggregate MUST split partial/final around
+    // the shuffle instead of shipping the token stream to its group
+    assert(plan.contains("ObjectHashAggregate"), s"no object-hash aggregate:\n$plan")
+    assert(plan.contains("partial_cms_md5") || plan.contains("partial cms_md5")
+      || plan.split("ObjectHashAggregate").length > 2,
+      s"cms_md5 did not plan map-side partials:\n$plan")
+  }
+
+  test("boilerplateScrub doc-frequency folds in aggregates — no Window over the segment plane") {
+    val docs = (0 until 200).map(i => (i.toLong,
+      (1 to 25).map(j => s"t${(i * 31 + j) % 40}").mkString(" "))).toDF("doc_id", "text")
+    val out = graft.functions.Dedup.boilerplateScrub(docs)
+    val plan = planString(out)
+    assert(!plan.contains("Window"), s"df counting regressed to a window:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate")
+      || plan.contains("SortAggregate"), s"no aggregate for doc frequency:\n$plan")
+  }
+
   test("heavyHitterTokens recount gates through a broadcast semi-join, never a shuffled one") {
     val docs = (0 until 100).map(i => (i.toLong,
       (1 to 20).map(j => s"w${(i + j) % 30}").mkString(" "))).toDF("doc_id", "text")

@@ -130,6 +130,67 @@ class SketchAggregateSpec extends SparkSpec {
     assert(math.abs(est - 10) < 1.0, s"linear counting gave $est for 10 distinct")
   }
 
+  // ----------------------------------------------------- cms_md5 (X51)
+
+  /** Reference CMS sketch: the exact algorithm the aggregate implements. */
+  private def cmsRef(values: Seq[String], d: Int, w: Int): Array[Long] = {
+    val buf = new Array[Long](d * w)
+    values.foreach { v =>
+      (0 until d).foreach { i =>
+        val hash = java.lang.Long.parseLong(md5hex(s"$i:$v").substring(0, 12), 16)
+        buf(i * w + (hash % w).toInt) += 1L
+      }
+    }
+    buf
+  }
+
+  private def cmsEst(sketch: Seq[Long], key: String, d: Int, w: Int): Long =
+    (0 until d).map { i =>
+      val hash = java.lang.Long.parseLong(md5hex(s"$i:$key").substring(0, 12), 16)
+      sketch(i * w + (hash % w).toInt)
+    }.min
+
+  test("cms_md5 is partition-invariant (merge = elementwise sum) and matches the reference") {
+    val values = (0 until 4000).map(i => s"tok${i % 37}") // skewed multiset
+    val one = values.toDF("v").coalesce(1)
+      .agg(SketchFunctions.cms_md5(col("v"), 4, 16).as("s"))
+      .collect()(0).getSeq[Long](0)
+    val many = values.toDF("v").repartition(16)
+      .agg(SketchFunctions.cms_md5(col("v"), 4, 16).as("s"))
+      .collect()(0).getSeq[Long](0)
+    assert(one == many, "merge changed the sketch")
+    assert(one == cmsRef(values, 4, 16).toSeq, "sketch differs from reference")
+    // conservation: every row of counters sums to the stream length
+    (0 until 4).foreach { i =>
+      assert(one.slice(i * 16, (i + 1) * 16).sum == values.length.toLong)
+    }
+  }
+
+  test("cms point estimates dominate exact counts; collisions only overestimate") {
+    val values = (0 until 4000).map(i => s"tok${i % 37}")
+    val sketch = values.toDF("v").repartition(8)
+      .agg(SketchFunctions.cms_md5(col("v"), 4, 16).as("s"))
+      .collect()(0).getSeq[Long](0)
+    val exact = values.groupBy(identity).map { case (k, vs) => k -> vs.length.toLong }
+    exact.foreach { case (k, n) =>
+      val est = cmsEst(sketch, k, 4, 16)
+      assert(est >= n, s"CMS underestimated $k: $est < $n")
+    }
+    // an absent key estimates only its collision mass — bounded well below
+    // the hottest real key at this load factor
+    assert(cmsEst(sketch, "never-seen", 4, 16) < exact.values.max)
+  }
+
+  test("cms_md5 nulls are skipped and per-group SQL registry use works") {
+    Seq(("a", Some("x")), ("a", None), ("a", Some("x")), ("b", Some("y")))
+      .toDF("g", "v").createOrReplaceTempView("cmstest")
+    val rows = spark.sql("SELECT g, cms_md5(v, 2, 8) AS s FROM cmstest GROUP BY g")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(rows("a").sum == 4L, "two non-null rows x two hash rows")
+    assert(rows("b").sum == 2L)
+    assert(rows("a") == cmsRef(Seq("x", "x"), 2, 8).toSeq)
+  }
+
   test("hll_md5 per-group in plain SQL via the session registry") {
     (0 until 300).map(i => (s"g${i % 2}", s"v${i % (if (i % 2 == 0) 30 else 120)}"))
       .toDF("g", "v").createOrReplaceTempView("hlltest")
