@@ -2772,6 +2772,44 @@ object SparkEntry {
       TextFunctions.bigramLmScore(t(s, dir, "documents"), topK = 64)
     }),
 
+    // X53: DSIR importance weights (Xie et al. 2023) — hashed unigram∪bigram
+    // bag models of a quality-reference TARGET (src0/src1) vs the RAW rest;
+    // per-doc logw = Σ c·(ln p_t − ln p_r) over 64 hash buckets. Model
+    // frames are ≤64 rows whatever the corpus, broadcast onto the raw
+    // feature stream; the only document-scale shuffle is the per-doc sum.
+    "d_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextFunctions.dsirLogWeights(
+        raw = docs.where(!col("source").isin("src0", "src1")),
+        target = docs.where(col("source").isin("src0", "src1")),
+        buckets = 64)
+    }),
+
+    // X53b: DSIR importance RESAMPLING — 100 raw docs drawn ∝ exp(logw)
+    // without replacement via Gumbel-top-k on the shared md5 draw
+    // (key = logw − ln(−ln u)); one TakeOrdered on top of the weights plan
+    "d_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextFunctions.dsirResample(
+        raw = docs.where(!col("source").isin("src0", "src1")),
+        target = docs.where(col("source").isin("src0", "src1")),
+        n = 100, buckets = 64)
+    }),
+
+    // X54: BM25 ranked retrieval, inverted-index discipline without the
+    // index: tokenize once (doc length rides the stream), broadcast
+    // semi-join prunes to query-term postings BEFORE any aggregation, df
+    // and idf frames are ≤|terms| rows, per-query top-10 over the
+    // aggregated scores only. Three fixed fixture-vocabulary queries.
+    "d_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        ("q1", "filter join key"),
+        ("q2", "stream window merge sort"),
+        ("q3", "customer order line value")).toDF("query_id", "query")
+      TextFunctions.bm25TopK(t(s, dir, "documents"), queries, k = 10)
+    }),
+
     // corpus-level hot n-grams (boilerplate detector input): raw 3-gram
     // frequency, partial-aggregated map-side, tiny top-k merge at the end
     "d_top_ngrams" -> ((s, dir) => {
@@ -5507,6 +5545,133 @@ object SparkEntry {
          SELECT doc_id, round(avg(-log2(p)), 6) AS bits_per_bigram,
            count(*) AS n_bigrams
          FROM sc GROUP BY doc_id""",
+
+    // full DSIR replay: hashed unigram∪bigram buckets (shared 48-bit md5
+    // draw mod 64), add-0.5 smoothed target/raw models over the complete
+    // bucket domain, per-bucket LLR quantized to an 8dp INTEGER before the
+    // per-doc sum — bigint arithmetic, so no summation-order float noise
+    "d_dsir_weights" ->
+      """WITH ttgt AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+           FROM documents WHERE source IN ('src0', 'src1')),
+         traw AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+           FROM documents WHERE source NOT IN ('src0', 'src1')),
+         ftgt AS (
+           SELECT doc_id, unnest(tk) AS feat FROM ttgt
+           UNION ALL
+           SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+             i -> array_to_string(tk[i:i+1], ' '))) AS feat FROM ttgt WHERE len(tk) >= 2),
+         fraw AS (
+           SELECT doc_id, unnest(tk) AS feat FROM traw
+           UNION ALL
+           SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+             i -> array_to_string(tk[i:i+1], ' '))) AS feat FROM traw WHERE len(tk) >= 2),
+         btgt AS (SELECT CAST(concat('0x', substr(md5(feat), 1, 12)) AS BIGINT) % 64 AS bucket FROM ftgt),
+         braw AS (SELECT doc_id,
+             CAST(concat('0x', substr(md5(feat), 1, 12)) AS BIGINT) % 64 AS bucket FROM fraw),
+         ct AS (SELECT bucket, count(*) AS ct FROM btgt GROUP BY bucket),
+         cr AS (SELECT bucket, count(*) AS cr FROM braw GROUP BY bucket),
+         nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_t FROM btgt),
+         nr AS (SELECT CAST(count(*) AS DOUBLE) AS n_r FROM braw),
+         dom AS (SELECT unnest(generate_series(0, 63)) AS bucket),
+         llr AS (
+           SELECT d.bucket,
+             CAST(round((ln((coalesce(ct.ct, 0) + 0.5) / (nt.n_t + 32.0))
+               - ln((coalesce(cr.cr, 0) + 0.5) / (nr.n_r + 32.0))) * 100000000.0, 0)
+               AS BIGINT) AS llr_e8
+           FROM dom d LEFT JOIN ct ON ct.bucket = d.bucket
+             LEFT JOIN cr ON cr.bucket = d.bucket, nt, nr)
+         SELECT b.doc_id, CAST(sum(l.llr_e8) AS DOUBLE) / 100000000.0 AS logw,
+           count(*) AS n_feats
+         FROM braw b JOIN llr l ON l.bucket = b.bucket
+         GROUP BY b.doc_id""",
+
+    // Gumbel-top-100 on the weights: key = logw − ln(−ln u) with the
+    // deterministic u = (hash48(doc_id)+1)/2^48, both rounds identical
+    "d_dsir_select" ->
+      """WITH ttgt AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+           FROM documents WHERE source IN ('src0', 'src1')),
+         traw AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+           FROM documents WHERE source NOT IN ('src0', 'src1')),
+         ftgt AS (
+           SELECT doc_id, unnest(tk) AS feat FROM ttgt
+           UNION ALL
+           SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+             i -> array_to_string(tk[i:i+1], ' '))) AS feat FROM ttgt WHERE len(tk) >= 2),
+         fraw AS (
+           SELECT doc_id, unnest(tk) AS feat FROM traw
+           UNION ALL
+           SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+             i -> array_to_string(tk[i:i+1], ' '))) AS feat FROM traw WHERE len(tk) >= 2),
+         btgt AS (SELECT CAST(concat('0x', substr(md5(feat), 1, 12)) AS BIGINT) % 64 AS bucket FROM ftgt),
+         braw AS (SELECT doc_id,
+             CAST(concat('0x', substr(md5(feat), 1, 12)) AS BIGINT) % 64 AS bucket FROM fraw),
+         ct AS (SELECT bucket, count(*) AS ct FROM btgt GROUP BY bucket),
+         cr AS (SELECT bucket, count(*) AS cr FROM braw GROUP BY bucket),
+         nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_t FROM btgt),
+         nr AS (SELECT CAST(count(*) AS DOUBLE) AS n_r FROM braw),
+         dom AS (SELECT unnest(generate_series(0, 63)) AS bucket),
+         llr AS (
+           SELECT d.bucket,
+             CAST(round((ln((coalesce(ct.ct, 0) + 0.5) / (nt.n_t + 32.0))
+               - ln((coalesce(cr.cr, 0) + 0.5) / (nr.n_r + 32.0))) * 100000000.0, 0)
+               AS BIGINT) AS llr_e8
+           FROM dom d LEFT JOIN ct ON ct.bucket = d.bucket
+             LEFT JOIN cr ON cr.bucket = d.bucket, nt, nr),
+         w AS (
+           SELECT b.doc_id, sum(l.llr_e8) AS logw_e8
+           FROM braw b JOIN llr l ON l.bucket = b.bucket
+           GROUP BY b.doc_id),
+         keyed AS (
+           SELECT doc_id, logw_e8,
+             logw_e8 + CAST(round(-ln(-ln(
+               (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1)
+                 / 281474976710656.0)) * 100000000.0, 0) AS BIGINT) AS key_e8
+           FROM w)
+         SELECT doc_id, CAST(logw_e8 AS DOUBLE) / 100000000.0 AS logw,
+           CAST(key_e8 AS DOUBLE) / 100000000.0 AS key
+         FROM keyed ORDER BY key_e8 DESC, doc_id LIMIT 100""",
+
+    // BM25 replay: same pruned-postings dataflow stated in SQL — Lucene-form
+    // idf rounded 8dp per term, per-(query, doc) sum rounded 6dp
+    "d_bm25_topk" ->
+      """WITH q(query_id, query) AS (VALUES
+           ('q1', 'filter join key'),
+           ('q2', 'stream window merge sort'),
+           ('q3', 'customer order line value')),
+         qt AS (SELECT query_id,
+             unnest(list_distinct(regexp_split_to_array(trim(lower(query)), '\s+'))) AS token
+           FROM q),
+         toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+           FROM documents),
+         scalars AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             avg(CAST(len(tk) AS DOUBLE)) AS avgdl FROM toks),
+         stream AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS token FROM toks),
+         postings AS (
+           SELECT doc_id, dl, token, CAST(count(*) AS DOUBLE) AS tf
+           FROM stream WHERE token IN (SELECT DISTINCT token FROM qt)
+           GROUP BY doc_id, dl, token),
+         dfreq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM postings GROUP BY token),
+         scored AS (
+           SELECT qt.query_id, p.doc_id,
+             CAST(round((round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0), 8)
+               * p.tf * (1.2 + 1.0)
+               / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))) * 100000000.0, 0)
+               AS BIGINT) AS part_e8
+           FROM postings p
+           JOIN dfreq d ON d.token = p.token
+           JOIN qt ON qt.token = p.token, scalars s),
+         agg AS (
+           SELECT query_id, doc_id, sum(part_e8) AS score_e8,
+             count(*) AS n_terms
+           FROM scored GROUP BY query_id, doc_id)
+         SELECT query_id, doc_id,
+           CAST(score_e8 AS DOUBLE) / 100000000.0 AS score, n_terms,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_e8 DESC, doc_id) AS rank
+         FROM agg QUALIFY rank <= 10""",
 
     "d_top_ngrams" ->
       """WITH base AS (

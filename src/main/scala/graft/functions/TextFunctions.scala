@@ -622,4 +622,169 @@ object TextFunctions {
       .where(hash48(col(idCol)) < col("keep_below"))
       .select(col(srcCol), col(idCol))
   }
+
+  /** Hashed n-gram feature-bucket stream: one row per (doc, feature
+    * occurrence) with the feature — word unigrams ∪ bigrams — collapsed to
+    * `bucket = hash48(feature) mod buckets`. The DSIR representation (Xie
+    * et al. 2023): a FIXED-width feature space whatever the vocabulary, so
+    * every downstream model frame is ≤ `buckets` rows and broadcastable at
+    * any corpus size; hash collisions are part of the estimator, identical
+    * in both engines (shared md5 draw). */
+  private def hashedNgramBuckets(docs: org.apache.spark.sql.DataFrame, buckets: Int,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    graft.plans.SketchFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"),
+        explode(concat(tokens(col(textCol)), wordNgrams(col(textCol), 2))).as("feat"))
+      .select(col("doc_id"), pmod(hash48(col("feat")), lit(buckets.toLong)).as("bucket"))
+  }
+
+  /** X53: DSIR importance weights — per-raw-document log importance weight
+    * under hashed-n-gram bag-of-words models of a small TARGET (quality
+    * reference) corpus vs the RAW corpus itself:
+    * `logw(d) = Σ_b c_d[b]·(ln p_t[b] − ln p_r[b])` with add-α smoothing
+    * `p[b] = (c[b]+α)/(N+αB)` — Data Selection via Importance Resampling
+    * (Xie et al., NeurIPS 2023), the standard pretraining-data targeting
+    * move one rung above a quality classifier: no training loop, exactly
+    * SQL-replayable.
+    *
+    * Shuffle shape for 100 TB: both models aggregate the hashed feature
+    * stream into ≤ B-row frames (map-side combine; B is a constant, so the
+    * exchanges are tiny regardless of corpus size); the per-bucket
+    * log-likelihood-ratio frame joins the model scalars via broadcast
+    * cross join and BROADCASTS back onto the raw feature stream, so
+    * scoring is scan-side and the only document-scale shuffle is the final
+    * per-doc partial-aggregated sum. Cross-engine determinism: the
+    * per-bucket LLR quantizes to an 8dp INTEGER (`round(llr·1e8)` — a
+    * per-bucket constant both engines agree on), so the per-doc sum is
+    * EXACT bigint arithmetic with no summation-order noise, and the final
+    * `logw = Σ/1e8` is the same IEEE division of the same integer in every
+    * engine — bit-identical, no output rounding needed. */
+  def dsirLogWeights(raw: org.apache.spark.sql.DataFrame,
+      target: org.apache.spark.sql.DataFrame, buckets: Int = 256, alpha: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    dsirWeightsE8(raw, target, buckets, alpha, idCol, textCol)
+      .select(col("doc_id"),
+        (col("logw_e8").cast("double") / lit(1e8)).as("logw"), col("n_feats"))
+
+  /** [[dsirLogWeights]]' exact integer core: per-doc Σ of the 8dp-quantized
+    * per-bucket LLR as a BIGINT (`logw_e8` = logw·1e8). */
+  private def dsirWeightsE8(raw: org.apache.spark.sql.DataFrame,
+      target: org.apache.spark.sql.DataFrame, buckets: Int, alpha: Double,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val spark = raw.sparkSession
+    val tb = hashedNgramBuckets(target, buckets, idCol, textCol)
+      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val rb = hashedNgramBuckets(raw, buckets, idCol, textCol)
+      .groupBy("bucket").agg(count(lit(1)).as("cr"))
+    // full bucket domain: α-smoothing must cover buckets one side never hit
+    val dom = spark.range(buckets).select(col("id").as("bucket"))
+    val llr = dom
+      .join(tb, Seq("bucket"), "left").join(rb, Seq("bucket"), "left")
+      .crossJoin(broadcast(tb.agg(sum(col("ct")).cast("double").as("n_t"))))
+      .crossJoin(broadcast(rb.agg(sum(col("cr")).cast("double").as("n_r"))))
+      .select(col("bucket"),
+        round((log((coalesce(col("ct"), lit(0L)).cast("double") + lit(alpha)) /
+            (col("n_t") + lit(alpha * buckets))) -
+          log((coalesce(col("cr"), lit(0L)).cast("double") + lit(alpha)) /
+            (col("n_r") + lit(alpha * buckets)))) * lit(1e8), 0)
+          .cast("bigint").as("llr_e8"))
+    hashedNgramBuckets(raw, buckets, idCol, textCol)
+      .join(broadcast(llr), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum(col("llr_e8")).as("logw_e8"), count(lit(1)).as("n_feats"))
+  }
+
+  /** X53b: DSIR importance RESAMPLING — draw `n` raw documents without
+    * replacement with probability ∝ exp(logw) via the Gumbel-top-k trick:
+    * `key = logw + Gumbel(doc)` with the Gumbel noise `−ln(−ln u)` driven
+    * by the shared deterministic 48-bit md5 draw `u = (hash48(id)+1)/2^48`
+    * — the A-ES discipline ([[weightedSamplePriority]]) applied to
+    * log-space weights, so the draw is reproducible across engines, runs,
+    * and corpus growth, and the SQL oracle replays document fates exactly.
+    * The Gumbel noise quantizes to the same 8dp integer grid as the LLR,
+    * so `key_e8 = logw_e8 + gumbel_e8` is exact bigint arithmetic — the
+    * rank order is integer-determined, immune to float noise. One extra
+    * scan-side expression on top of [[dsirLogWeights]]; the top-n is a
+    * single TakeOrdered (no window, no extra shuffle). */
+  def dsirResample(raw: org.apache.spark.sql.DataFrame,
+      target: org.apache.spark.sql.DataFrame, n: Int, buckets: Int = 256,
+      alpha: Double = 0.5, idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val u = (hash48(col("doc_id")) + lit(1L)).cast("double") / lit(281474976710656.0)
+    dsirWeightsE8(raw, target, buckets, alpha, idCol, textCol)
+      .select(col("doc_id"),
+        (col("logw_e8").cast("double") / lit(1e8)).as("logw"),
+        (col("logw_e8") + round(-log(-log(u)) * lit(1e8), 0).cast("bigint"))
+          .as("key_e8"))
+      .orderBy(col("key_e8").desc, col("doc_id"))
+      .limit(n)
+      .select(col("doc_id"), col("logw"),
+        (col("key_e8").cast("double") / lit(1e8)).as("key"))
+  }
+
+  /** X54: BM25 ranked retrieval — top-`k` documents per query under
+    * Okapi BM25 (Robertson–Spärck Jones):
+    * `score(d,q) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * with `idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)` (the Lucene-style
+    * always-positive form). The retrieval stage a training-data pipeline
+    * leans on for targeted decontamination, eval-set mining, and
+    * quality-reference expansion.
+    *
+    * Shuffle shape for 100 TB — inverted-index discipline without
+    * materializing an index: the corpus tokenizes ONCE into a (doc, dl,
+    * token) stream (doc length rides each row, so no second scan or
+    * doc-length join); a BROADCAST semi-join on the query-term set prunes
+    * the stream to matching posting rows BEFORE any aggregation, so the
+    * (doc, token)→tf groupBy shuffles only rows whose token appears in
+    * some query — |postings(q-terms)|, not the corpus. `df` aggregates
+    * that same pruned frame (≤ |terms| rows, broadcast back); N/avgdl are
+    * scalars via broadcast cross join from a pruned column scan. The final
+    * per-(query, doc) sum is a partial-aggregated shuffle of scored
+    * posting rows; the per-query top-k runs on the aggregated frame
+    * (WindowGroupLimit caps per-partition buffers at k). Query-term tf is
+    * ignored (`array_distinct`) — the standard short-query form. */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qterms = queries.select(col("query_id"),
+      explode(array_distinct(tokens(col("query")))).as("token"))
+    val stream = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("bigint").as("dl"),
+        explode(col("tk")).as("token"))
+    val scalars = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(tokenCount(col(textCol)).cast("double")).as("avgdl"))
+    val postings = stream
+      .join(broadcast(qterms.select("token").distinct()), Seq("token"), "left_semi")
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = postings.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+    // per-term contribution quantized to an 8dp integer so the per-(query,
+    // doc) sum is exact bigint arithmetic — no cross-engine summation-order
+    // noise at the rank boundary (the dsirLogWeights discipline)
+    val scored = postings
+      .join(broadcast(df), Seq("token"))
+      .join(broadcast(qterms), Seq("token"))
+      .crossJoin(broadcast(scalars))
+      .select(col("query_id"), col("doc_id"),
+        round((round(log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)), 8) *
+          col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          * lit(1e8), 0).cast("bigint").as("part_e8"),
+        lit(1L).as("one"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_e8").desc, col("doc_id"))
+    scored.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("part_e8")).as("score_e8"), sum(col("one")).as("n_terms"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        (col("score_e8").cast("double") / lit(1e8)).as("score"),
+        col("n_terms"), col("rank"))
+  }
 }
