@@ -3082,6 +3082,22 @@ object SparkEntry {
     "d_span_dedup" -> ((s, dir) =>
       Dedup.spanDedup(t(s, dir, "documents"), spanTokens = 10)),
 
+    // X55: maximal cross-document shared-run extraction (the ExactSubstr
+    // REPORTING shape — X36 marks excision sites, this reconstructs each
+    // shared passage's full extent per doc pair). Planted: every 7th doc
+    // gains a twin carrying its first 15 tokens + a distinct tail, so the
+    // corpus holds known ≥10-token shared runs; the oracle recomputes the
+    // complete gaps-and-islands truth over the same planted corpus.
+    "d_shared_runs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          concat(
+            array_join(slice(TextFunctions.tokens(col("text")), 1, 15), " "),
+            lit(" planted run tail "), col("doc_id").cast("string")).as("text"))
+      Dedup.sharedRunPairs(docs.unionByName(planted), spanTokens = 10)
+    }),
+
     // Same operator under PLANTED boilerplate skew at bench cadence (the
     // CorpusScaleSmoke hot-key scenario, small enough for the DuckDB oracle
     // to certify row-for-row): every 10th doc gains a shadow twin that is 20
@@ -5330,6 +5346,45 @@ object SparkEntry {
              row_number() OVER (PARTITION BY digest ORDER BY doc_id, pos) AS rn
            FROM spans)
          SELECT doc_id, CAST(pos AS BIGINT) AS pos FROM r WHERE rn > 1""",
+
+    // complete shared-run truth over the planted corpus: same 10-token
+    // window plane, 2..64 site gate, self-join with doc_a < doc_b, and the
+    // identical gaps-and-islands fold per (pair, alignment offset)
+    "d_shared_runs" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 30000000,
+             array_to_string((regexp_split_to_array(trim(lower(text)), '\s+'))[1:15], ' ')
+               || ' planted run tail ' || CAST(doc_id AS VARCHAR)
+           FROM documents WHERE doc_id % 7 = 0),
+         toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+           FROM corpus),
+         spans AS (
+           SELECT doc_id,
+             unnest(generate_series(1, len(tk) - 9)) - 1 AS pos,
+             unnest(list_transform(generate_series(1, len(tk) - 9),
+               i -> md5(array_to_string(tk[i:i+9], ' ')))) AS digest
+           FROM toks WHERE len(tk) >= 10),
+         gated AS (
+           SELECT s.doc_id, s.pos, s.digest FROM spans s
+           JOIN (SELECT digest FROM spans GROUP BY digest
+                 HAVING count(*) BETWEEN 2 AND 64) g ON g.digest = s.digest),
+         hits AS (
+           SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             x.pos AS pos_a, y.pos AS pos_b
+           FROM gated x JOIN gated y
+             ON x.digest = y.digest AND x.doc_id < y.doc_id),
+         isl AS (
+           SELECT doc_a, doc_b, pos_a, pos_b,
+             pos_a - row_number() OVER (
+               PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS island
+           FROM hits)
+         SELECT doc_a, doc_b, CAST(min(pos_a) AS BIGINT) AS start_a,
+           CAST(min(pos_b) AS BIGINT) AS start_b,
+           CAST(count(*) + 9 AS BIGINT) AS run_tokens
+         FROM isl GROUP BY doc_a, doc_b, pos_a - pos_b, island""",
 
     // the same winner computation over the boilerplate-planted corpus: the
     // hot key's 10k occurrences rank under one PARTITION BY seg, keeping the

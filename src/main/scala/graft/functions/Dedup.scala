@@ -865,6 +865,70 @@ object Dedup {
       .select(col("doc_id"), col("pos").cast("bigint").as("pos"))
   }
 
+  /**
+   * X55: MAXIMAL cross-document shared-run extraction — the provenance /
+   * audit twin of [[spanDedup]] (X36 marks duplicate window SITES for
+   * excision; this reconstructs, per document pair, the full extent of
+   * every shared passage): all maximal token runs of length ≥ `spanTokens`
+   * occurring in both documents of a pair, reported as
+   * (doc_a, doc_b, start_a, start_b, run_tokens). The reporting shape of
+   * Lee et al. 2021's ExactSubstr — what a contamination review or an
+   * excision-sizing pass actually reads.
+   *
+   * Dataflow: overlapping `spanTokens`-token windows hash to digests with
+   * their positions (the X36 plane); per-digest site counts gate the plane
+   * to digests with 2..`maxSitesPerDigest` sites (boilerplate floods are a
+   * CLEANING concern — X52 boilerplateScrub — not a pairing one; the cap
+   * keeps the self-join from going quadratic on a hot window, the
+   * editDistancePairs discipline); the self-join on digest with
+   * `doc_a < doc_b` yields aligned hits, and a gaps-and-islands pass per
+   * (pair, alignment offset) — `island = pos_a − row_number()` over
+   * consecutive window positions — folds runs of overlapping windows into
+   * ONE maximal-run row: a shared passage of L tokens is L−k+1 aligned
+   * window hits and exactly one island.
+   *
+   * Shuffle shape for 100 TB: windows ride exchanges as md5 digests (never
+   * text); the self-join is a hash equi-join on digest over the
+   * count-gated plane; the island window partitions by (a, b, offset) —
+   * per-key row count is bounded by document length, so no corpus-scale
+   * key exists. Output rows ≈ shared passages, not the window plane.
+   */
+  def sharedRunPairs(
+      docs: DataFrame,
+      spanTokens: Int = 10,
+      maxSitesPerDigest: Int = 64,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens $spanTokens")
+    require(maxSitesPerDigest >= 2, s"maxSitesPerDigest $maxSitesPerDigest")
+    SketchFunctions.register(docs.sparkSession)
+    val spans = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(SketchFunctions.word_ngrams(col(textCol), spanTokens))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(col("gram")).as("digest"))
+    val gated = spans
+      .join(spans.groupBy("digest").agg(count(lit(1)).as("n_sites"))
+          .where(col("n_sites").between(2, maxSitesPerDigest))
+          .select("digest"),
+        Seq("digest"))
+    val hits = gated.as("x").join(gated.as("y"),
+        col("x.digest") === col("y.digest") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.pos").as("pos_a"), col("y.pos").as("pos_b"))
+    val w = Window
+      .partitionBy(col("doc_a"), col("doc_b"), (col("pos_a") - col("pos_b")).as("off"))
+      .orderBy(col("pos_a"))
+    hits
+      .withColumn("island", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("pos_a") - col("pos_b"), col("island"))
+      .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
+        (count(lit(1)) + lit(spanTokens.toLong - 1L)).as("run_tokens"))
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("run_tokens"))
+  }
+
   // ===================================================================
   // X46: incremental NEAR-dup dedup against a PERSISTED MinHash band index.
   //
