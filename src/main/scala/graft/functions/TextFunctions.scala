@@ -675,8 +675,13 @@ object TextFunctions {
     val spark = raw.sparkSession
     val tb = hashedNgramBuckets(target, buckets, idCol, textCol)
       .groupBy("bucket").agg(count(lit(1)).as("ct"))
-    val rb = hashedNgramBuckets(raw, buckets, idCol, textCol)
-      .groupBy("bucket").agg(count(lit(1)).as("cr"))
+    // ONE tokenize+explode pass over the raw corpus: both the raw model
+    // counts and the scoring pass hang off the same (doc, bucket)
+    // pre-aggregation, so its exchange is planned once and REUSED
+    // (ReusedExchange) — the expensive feature stream never recomputes.
+    val pdb = hashedNgramBuckets(raw, buckets, idCol, textCol)
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+    val rb = pdb.groupBy("bucket").agg(sum(col("c")).as("cr"))
     // full bucket domain: α-smoothing must cover buckets one side never hit
     val dom = spark.range(buckets).select(col("id").as("bucket"))
     val llr = dom
@@ -689,10 +694,9 @@ object TextFunctions {
           log((coalesce(col("cr"), lit(0L)).cast("double") + lit(alpha)) /
             (col("n_r") + lit(alpha * buckets)))) * lit(1e8), 0)
           .cast("bigint").as("llr_e8"))
-    hashedNgramBuckets(raw, buckets, idCol, textCol)
-      .join(broadcast(llr), Seq("bucket"))
+    pdb.join(broadcast(llr), Seq("bucket"))
       .groupBy("doc_id")
-      .agg(sum(col("llr_e8")).as("logw_e8"), count(lit(1)).as("n_feats"))
+      .agg(sum(col("llr_e8") * col("c")).as("logw_e8"), sum(col("c")).as("n_feats"))
   }
 
   /** X53b: DSIR importance RESAMPLING — draw `n` raw documents without

@@ -95,13 +95,23 @@ class DsirBm25Spec extends SparkSpec {
   }
 
   test("DSIR plan: broadcast joins only — the corpus never shuffles for a join") {
-    val plan = TextFunctions.dsirLogWeights(
-        raw.toDF("doc_id", "text"), target.toDF("doc_id", "text"), buckets = 16)
-      .queryExecution.executedPlan.toString
+    val df = TextFunctions.dsirLogWeights(
+      raw.toDF("doc_id", "text"), target.toDF("doc_id", "text"), buckets = 16)
+    val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin"), s"corpus-side SMJ in:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"model frame must broadcast in:\n$plan")
+    // the raw feature stream must tokenize ONCE: the raw-model aggregate and
+    // the scoring pass both hang off the same (doc, bucket) exchange, which
+    // AQE must dedup — visible as a ReusedExchange/table-cache reuse, i.e.
+    // the executed plan contains fewer word_ngrams scans than consumers
+    df.collect() // materialize so AQE finalizes the reuse
+    val finalPlan = df.queryExecution.executedPlan.toString
+    val rawScans = "bpe_encode|word_ngrams".r // tokenize markers
+    assert(finalPlan.contains("ReusedExchange") ||
+      rawScans.findAllIn(finalPlan).size <= 2, // one raw + one target pass
+      s"raw corpus tokenized more than once in:\n$finalPlan")
   }
 
   /** Brute BM25 with the operator's quantization (idf 8dp, part 8dp int). */
