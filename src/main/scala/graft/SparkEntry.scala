@@ -3387,15 +3387,16 @@ object SparkEntry {
 
     // Banded-LSH candidates + exact-cosine verify at 0.999, against a corpus
     // with planted exact-duplicate vectors (vec_id+10M). A duplicate vector
-    // buckets identically in EVERY band, so recall at this bar is structural
-    // (a 0.999-cosine pair escapes all 8 bands with p ≈ 4e-17), and the
-    // oracle recomputes the full all-pairs truth in SQL.
+    // buckets identically in EVERY band, so recall for exact dups is
+    // structural; with the INDEPENDENT band planes (VectorOps.bandPlanes —
+    // round-11 fix, the old sliding-window derivation correlated all 8
+    // bands) a borderline 0.999-cosine pair escapes all bands with ~3e-6
+    // and the near-1 pairs dedup hunts with ~1e-18. The oracle recomputes
+    // the full all-pairs truth in SQL.
     // planesPerBand = 16 → 65k buckets/band: occupancy stays ~constant as
     // the corpus grows (the round-11 sf1 run caught the old 4-bucket
-    // default going quadratic at 240k vectors); at the 0.999 bar the
-    // added per-band collision loss is structurally negligible (~4e-17
-    // miss across 8 bands), and exact duplicates bucket identically at ANY
-    // resolution.
+    // default going quadratic at 240k vectors); exact duplicates bucket
+    // identically at ANY resolution.
     "e_lsh_neardup_pairs" -> ((s, dir) => {
       val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val planted = base.where(col("vec_id") % 5 === 0)

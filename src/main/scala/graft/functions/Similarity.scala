@@ -162,11 +162,14 @@ object Similarity {
         * fills linearly with the corpus and the self-join goes quadratic
         * (caught by the round-11 sf1 artifact: the old fixed default of 2 →
         * 4 buckets/band meant 60k-vector buckets at 240k vectors and a
-        * ~1e10-row candidate plane). Recall cost of more planes is
-        * per-band collision (1−θ/π)^p: negligible at near-1 thresholds
-        * (θ→0 — at 0.999, p=16 still misses a true pair with p≈4e-17
-        * across 8 bands), material at mid thresholds — so the 0.999 dedup
-        * call sites pass 16 and small-corpus mid-threshold uses keep 2. */
+        * ~1e10-row candidate plane). Recall cost of more planes, with the
+        * INDEPENDENT band planes VectorOps.bandPlanes guarantees (bands
+        * draw disjoint seed blocks — see its round-11 regression note):
+        * per-band match is (1−θ/π)^p, so a pair at exactly 0.999
+        * (θ≈0.045) misses all 8 bands with (1−0.795)^8 ≈ 3e-6, and the
+        * near-1 pairs dedup actually hunts (θ≲0.001) with ~1e-18.
+        * Material at mid thresholds — so the 0.999 dedup call sites pass
+        * 16 planes and small-corpus mid-threshold uses keep 2. */
       planesPerBand: Int = 2,
       seed: Long = 42L,
       /** Cap on a (band, bucket) before it enters the self-join — identical

@@ -123,6 +123,24 @@ object VectorOps {
       }
     }
 
+  /** The banded-LSH plane matrix: bands × planesPerBand rows, flattened.
+    * Band b's planes draw from seed block `seed + b·planesPerBand` so every
+    * (band, plane) pair has a UNIQUE base seed — bands are INDEPENDENT.
+    *
+    * Round-11 regression pinned by `LshBandIndependenceSpec`: the original
+    * derivation seeded band b at `seed + b`, and since [[hyperplanes]] row p
+    * draws from `seed + p`, band b's plane p was BYTE-IDENTICAL to band
+    * b+1's plane p−1 — the "8 bands" were one sliding 16-plane window over
+    * 23 distinct planes, so a single sign flip on a mid-window plane killed
+    * every band at once. Observable: 37 of ~2,000 true near-dup groups at
+    * sf1 kept a wrong survivor (cosine 0.9999994 pairs missed — miss
+    * probability under independent bands ~1e-18). */
+  def bandPlanes(dim: Int, bands: Int, planesPerBand: Int, seed: Long): Array[Array[Float]] =
+    Array.tabulate(bands * planesPerBand) { i =>
+      hyperplanes(dim, planesPerBand,
+        seed + (i / planesPerBand).toLong * planesPerBand)(i % planesPerBand)
+    }
+
   /** Sign-projection LSH bucket: bit p = (v · plane_p >= 0). Same loop order
     * and double accumulation as Similarity.bucketOf. */
   def lshBucket(v: ArrayData, planes: Array[Array[Float]]): Long = {
@@ -422,9 +440,7 @@ case class LshBandsExpr(child: Expression, dim: Int, bands: Int, planesPerBand: 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   @transient private lazy val planes: Array[Array[Float]] =
-    Array.tabulate(bands * planesPerBand) { i =>
-      VectorOps.hyperplanes(dim, planesPerBand, seed + i / planesPerBand)(i % planesPerBand)
-    }
+    VectorOps.bandPlanes(dim, bands, planesPerBand, seed)
 
   override def nullSafeEval(input: Any): Any =
     VectorOps.lshBands(input.asInstanceOf[ArrayData], planes, bands, planesPerBand)
