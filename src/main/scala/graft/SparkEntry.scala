@@ -2744,6 +2744,48 @@ object SparkEntry {
         t(s, dir, "documents").where(col("n_chars") < 300), n = 3, threshold = 0.2)
     }),
 
+    // X56: prefix-filtering token-set similarity join (PPJoin/AllPairs
+    // family) — candidates must share a PREFIX token under the global
+    // rarest-first (df asc, token asc) order; provably complete at J ≥ τ,
+    // exact verify after. Planted one-extra-token twins (J = n/(n+1), so
+    // every base doc with ≥ 2 distinct tokens qualifies at 0.6) ride every
+    // 13th doc; the oracle recomputes the full all-pairs truth.
+    "d_ppjoin_pairs" -> ((s, dir) => {
+      val base = t(s, dir, "documents").where(col("n_chars") < 300)
+        .select(col("doc_id"), col("text"))
+      val planted = base.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 40000000L).as("doc_id"),
+          concat(col("text"), lit(" ppjplant")).as("text"))
+      Dedup.ppjoinPairs(base.unionByName(planted), threshold = 0.6)
+    }),
+
+    // X57: asymmetric CONTAINMENT pairs — small-doc-inside-big-doc near-dups
+    // that no Jaccard threshold catches (C ≈ 1 while J is arbitrarily low).
+    // Planted contained copies: the first 20 tokens of every 17th ≥25-token
+    // doc re-enter as their own document, so its trigram set is a strict
+    // subset of the parent's (containment exactly 1.0, Jaccard ≈ 18/ng).
+    "d_containment_pairs" -> ((s, dir) => {
+      val base = t(s, dir, "documents").where(col("n_chars") < 300)
+        .select(col("doc_id"), col("text"))
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      val planted = base.where(col("doc_id") % 17 === 0 && size(toks) >= 25)
+        .select((col("doc_id") + 50000000L).as("doc_id"),
+          array_join(slice(toks, 1, 20), " ").as("text"))
+      Dedup.containmentPairs(base.unionByName(planted), n = 3, threshold = 0.9)
+    }),
+
+    // X58: graded contamination score for EVERY training doc (the fraction
+    // of its distinct trigrams appearing anywhere in the planted eval set)
+    // with the policy flag at 0.5 — the sweepable upgrade of
+    // d_decontaminate's membership report. Eval grams broadcast; the corpus
+    // never shuffles except the per-doc count.
+    "d_contamination_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationScore(
+        docs.where(col("doc_id") % 101 =!= 0),
+        docs.where(col("doc_id") % 101 === 0), n = 3, flagAt = 0.5)
+    }),
+
     // benchmark decontamination: the planted eval set (doc_id % 101 == 0)
     // reduces to distinct 3-grams and BROADCASTS; training docs stream
     // through the broadcast join with no corpus shuffle — each doc sharing
@@ -5053,6 +5095,84 @@ object SparkEntry {
          WHERE a.doc_id < b.doc_id
            AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
              (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.2""",
+
+    // X56 truth: full all-pairs token-set Jaccard over base ∪ planted —
+    // the prefix filter must reproduce this exactly (recall is a theorem,
+    // precision is the exact verify)
+    "d_ppjoin_pairs" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE n_chars < 300),
+         corpus AS (
+           SELECT doc_id, text FROM base
+           UNION ALL
+           SELECT doc_id + 40000000, text || ' ppjplant'
+           FROM base WHERE doc_id % 13 = 0),
+         tk AS (
+           SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+           FROM corpus)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+         FROM tk a, tk b
+         WHERE a.doc_id < b.doc_id
+           AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.6""",
+
+    // X57 truth: all-pairs trigram containment over base ∪ token-prefix
+    // plants; smaller gram set reports first, ties by id (a.doc_id <
+    // b.doc_id feeds the CASE exactly as the query's id_x < id_y does)
+    "d_containment_pairs" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE n_chars < 300),
+         corpus AS (
+           SELECT doc_id, text FROM base
+           UNION ALL
+           SELECT doc_id + 50000000,
+             array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[1:20], ' ')
+           FROM base WHERE doc_id % 17 = 0
+             AND len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 25),
+         g AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2),
+               i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[i:i+2], ' '))) AS grams
+           FROM corpus WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 3)
+         SELECT
+           CASE WHEN len(a.grams) <= len(b.grams) THEN a.doc_id ELSE b.doc_id END AS id_small,
+           CASE WHEN len(a.grams) <= len(b.grams) THEN b.doc_id ELSE a.doc_id END AS id_big,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+             least(len(a.grams), len(b.grams)), 6) AS containment,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+         FROM g a JOIN g b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+           least(len(a.grams), len(b.grams)) >= 0.9""",
+
+    // X58 truth: per-doc shared-distinct-trigram fraction vs the planted
+    // eval set, every ≥3-token training doc reported (zero-overlap included)
+    "d_contamination_score" ->
+      """WITH ev AS (
+           SELECT DISTINCT unnest(list_distinct(list_transform(
+             generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2),
+             i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[i:i+2], ' ')))) AS gram
+           FROM documents WHERE doc_id % 101 = 0
+             AND len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 3),
+         tr AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2),
+               i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[i:i+2], ' '))) AS grams
+           FROM documents WHERE doc_id % 101 <> 0
+             AND len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 3),
+         fl AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS g FROM tr),
+         agg AS (
+           SELECT fl.doc_id, fl.n_grams, count(ev.gram) AS n_shared
+           FROM fl LEFT JOIN ev ON fl.g = ev.gram
+           GROUP BY 1, 2)
+         SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           round(CAST(n_shared AS DOUBLE) / n_grams, 6) AS score,
+           (CAST(n_shared AS DOUBLE) / n_grams) >= 0.5 AS contaminated
+         FROM agg""",
 
     // Planted ground truth for the sketch pair-finders: the oracle computes
     // the EXACT pair set over the same (base ∪ planted) corpus, so equality

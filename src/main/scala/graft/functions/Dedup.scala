@@ -635,6 +635,198 @@ object Dedup {
   }
 
   /**
+   * X56: prefix-filtering set-similarity join (the PPJoin/AllPairs family —
+   * Chaudhuri et al. SSJoin 2006, Xiao et al. PPJoin 2008) — all pairs with
+   * word-token Jaccard ≥ `threshold`, the FOURTH candidate-generation family
+   * next to sketch banding (X2), shingle blocking (X4), and sorted
+   * neighborhoods (X4b). Where X4 explodes EVERY shingle of every doc into
+   * the candidate join, prefix filtering explodes only each doc's PREFIX
+   * under a global rarest-first token order, with GUARANTEED recall:
+   * order tokens by (document frequency asc, token asc); a doc with n
+   * distinct tokens keeps its first p = n − ⌈τ·n⌉ + 1 tokens. If
+   * J(a,b) ≥ τ then |a∩b| ≥ τ·max(|a|,|b|), and a shared token set that
+   * avoided a's prefix entirely would fit inside a's suffix of length
+   * ⌈τ·|a|⌉ − 1 < τ·|a| ≤ |a∩b| — contradiction; so every qualifying pair
+   * shares a PREFIX token and falls out of a plain hash equi-join on the
+   * prefix-token plane. At τ=0.6 only ~40% of tokens are prefix tokens,
+   * and they are the RAREST 40% — the df-ascending order sends corpus
+   * stopwords to suffixes, so candidate buckets stay small exactly where
+   * shingle blocking goes hot. A length gate (τ·|a| ≤ |b| ≤ |a|/τ is
+   * necessary for J ≥ τ) prunes candidates in the join condition;
+   * survivors re-verify EXACTLY from the full token sets, so reported
+   * Jaccard values are exact and the prefix filter affects nothing but
+   * which pairs are examined.
+   *
+   * 100 TB shape: the df table is one token-keyed aggregation (vocabulary-
+   * sized, Heaps'-law sublinear in the corpus); rank assignment is an
+   * equi-join of the token plane against it (AQE broadcasts it when small,
+   * shuffles otherwise — never a driver collect); the per-doc re-sort is
+   * one groupBy(id) fold; the candidate join shuffles only prefix tokens.
+   * `maxDocsPerPrefixToken` is the familiar flood cap: a prefix-token
+   * bucket larger than the cap (degenerate corpora where even rare tokens
+   * flood) leaves candidate generation before the self-join goes quadratic.
+   */
+  def ppjoinPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.6,
+      maxDocsPerPrefixToken: Option[Int] = Some(1000)): DataFrame = {
+    SketchFunctions.register(docs.sparkSession)
+    val toks = docs
+      .select(col(idCol).cast("long").as("id"),
+        array_distinct(wordNgrams(col(textCol), 1)).as("toks"))
+      .where(size(col("toks")) > 0)
+      .withColumn("n_toks", size(col("toks")))
+    toks.persist(StorageLevel.MEMORY_AND_DISK)
+    val flat = toks.select(col("id"), col("n_toks"), explode(col("toks")).as("tok"))
+    // global rarest-first total order: (df asc, token asc). Any total order
+    // preserves the recall proof; this one minimizes prefix-bucket sizes.
+    val dfreq = flat.groupBy("tok").agg(count(lit(1)).as("df"))
+    // per-doc prefix of length n − ⌈τn⌉ + 1 under that order. The ceil runs
+    // with a 1e-9 guard so a float-down τ·n at an integer boundary can only
+    // LENGTHEN the prefix (recall-safe; one extra candidate token at worst).
+    val prefixLen = (col("n_toks") -
+      ceil(lit(threshold) * col("n_toks") - lit(1e-9)).cast("int") + 1)
+    val prefixed = flat.join(dfreq, Seq("tok"))
+      .groupBy("id", "n_toks")
+      .agg(slice(sort_array(collect_list(struct(col("df"), col("tok")))),
+        lit(1), prefixLen).as("pref"))
+      .select(col("id"), col("n_toks"), explode(col("pref.tok")).as("tok"))
+    val capped = maxDocsPerPrefixToken match {
+      case None => prefixed
+      case Some(cap) =>
+        val hot = prefixed.groupBy("tok").agg(count(lit(1)).as("_df"))
+          .where(col("_df") > cap).select("tok")
+        prefixed.join(broadcast(hot), Seq("tok"), "left_anti")
+    }
+    val l = capped.select(col("tok"), col("id").as("id_a"), col("n_toks").as("na"))
+    val r = capped.select(col("tok"), col("id").as("id_b"), col("n_toks").as("nb"))
+    val candidates = l.join(r, Seq("tok"))
+      .where(col("id_a") < col("id_b") &&
+        col("nb") >= lit(threshold) * col("na") &&
+        col("na") >= lit(threshold) * col("nb"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val result = candidates
+      .join(toks.select(col("id").as("id_a"), col("toks").as("ta"), col("n_toks").as("na")), Seq("id_a"))
+      .join(toks.select(col("id").as("id_b"), col("toks").as("tb"), col("n_toks").as("nb")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .localCheckpoint(true)
+    toks.unpersist()
+    result
+  }
+
+  /**
+   * X57: exact n-gram CONTAINMENT pairs — the asymmetric near-dup shape
+   * Jaccard structurally misses: a short document embedded verbatim inside
+   * a much longer one (a quoted article, a scraped page wrapping a press
+   * release, a chapter inside an anthology) has containment
+   * C(A,B) = |A∩B| / min(|A|,|B|) ≈ 1 while J(A,B) = |A∩B| / |A∪B| is
+   * arbitrarily small — no Jaccard threshold catches it without drowning
+   * in false pairs. Reports (id_small, id_big, containment, jaccard) for
+   * containment ≥ `threshold`, smaller gram-set first (ties by id), so a
+   * cleaning pass can excise the contained copy.
+   *
+   * Same EXACT blocking as [[ngramJaccardPairs]] — any pair with
+   * containment > 0 shares ≥ 1 shingle — with the same hot-shingle cap
+   * discipline, and the same one-materialization contract: gram sets
+   * persist once; candidate generation, the hot-set aggregation and the
+   * verify joins all read the cache. 100 TB shape is identical to X4's:
+   * one shingle-keyed shuffle, one pair-keyed dedup, verify carries only
+   * candidate ids back to the gram frame.
+   */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      threshold: Double = 0.9,
+      maxDocsPerShingle: Option[Int] = Some(1000)): DataFrame = {
+    SketchFunctions.register(docs.sparkSession)
+    val shingled = docs
+      .select(col(idCol).cast("long").as("id"),
+        array_distinct(wordNgrams(col(textCol), n)).as("grams"))
+      .where(size(col("grams")) > 0)
+      .withColumn("n_grams", size(col("grams")))
+    shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    val exploded = shingled.select(col("id"), explode(col("grams")).as("g"))
+    val cold = maxDocsPerShingle match {
+      case None => exploded
+      case Some(cap) =>
+        val hot = exploded.groupBy("g").agg(count(lit(1)).as("_df"))
+          .where(col("_df") > cap).select("g")
+        exploded.join(broadcast(hot), Seq("g"), "left_anti")
+    }
+    val candidates = cold.select(col("g"), col("id").as("id_x"))
+      .join(cold.select(col("g"), col("id").as("id_y")), Seq("g"))
+      .where(col("id_x") < col("id_y"))
+      .select("id_x", "id_y")
+      .dropDuplicates("id_x", "id_y")
+    val verified = candidates
+      .join(shingled.select(col("id").as("id_x"), col("grams").as("gx"), col("n_grams").as("nx")), Seq("id_x"))
+      .join(shingled.select(col("id").as("id_y"), col("grams").as("gy"), col("n_grams").as("ny")), Seq("id_y"))
+      .withColumn("inter", size(array_intersect(col("gx"), col("gy"))))
+      .withColumn("containment", col("inter") / least(col("nx"), col("ny")))
+      .where(col("containment") >= threshold)
+      // smaller gram set first; equal sizes break by id (id_x < id_y already)
+      .select(
+        when(col("nx") <= col("ny"), col("id_x")).otherwise(col("id_y")).as("id_small"),
+        when(col("nx") <= col("ny"), col("id_y")).otherwise(col("id_x")).as("id_big"),
+        round(col("containment"), 6).as("containment"),
+        round(col("inter") / (col("nx") + col("ny") - col("inter")), 6).as("jaccard"))
+      .localCheckpoint(true)
+    shingled.unpersist()
+    verified
+  }
+
+  /**
+   * X58: graded contamination scoring — [[contaminationReport]] upgraded
+   * from a membership report to the per-document SCORE a filtering policy
+   * actually thresholds on (the standard n-gram-overlap contamination
+   * metric: what fraction of THIS document's distinct n-grams appear
+   * anywhere in the eval set). Reports EVERY training document —
+   * (doc_id, n_grams, n_shared, score = n_shared/n_grams, contaminated) —
+   * so downstream policy can sweep the threshold without recomputation;
+   * `flagAt` marks the conventional cut. Zero-overlap docs cost nothing
+   * extra: the broadcast join is a left join and the count coalesces to 0.
+   *
+   * Same 100 TB shape as X-decontaminate: eval grams (megabytes) reduce and
+   * BROADCAST; the corpus streams through the broadcast hash join unshuffled;
+   * the only exchange is the per-doc count keyed on the id with map-side
+   * partials. Score is a single integer division — identical operands on
+   * any engine, so the 6dp round is cross-engine exact.
+   */
+  def contaminationScore(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      n: Int = 3,
+      flagAt: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    SketchFunctions.register(docs.sparkSession)
+    val evalGrams = evalDocs
+      .select(explode(array_distinct(wordNgrams(col(textCol), n))).as("_gram"))
+      .distinct()
+    val grams = docs
+      .select(col(idCol), array_distinct(wordNgrams(col(textCol), n)).as("_grams"))
+      .where(size(col("_grams")) > 0)
+      .withColumn("n_grams", size(col("_grams")))
+    grams
+      .select(col(idCol), col("n_grams"), explode(col("_grams")).as("_gram"))
+      .join(broadcast(evalGrams.withColumn("_hit", lit(1))), Seq("_gram"), "left")
+      .groupBy(idCol, "n_grams")
+      .agg(sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_shared"))
+      .withColumn("score", col("n_shared") / col("n_grams"))
+      .select(col(idCol), col("n_grams").cast("long").as("n_grams"), col("n_shared"),
+        round(col("score"), 6).as("score"),
+        (col("score") >= flagAt).as("contaminated"))
+  }
+
+  /**
    * X48: all pairs within edit distance `d` over a short string key —
    * fuzzy-duplicate detection for titles, names, URLs, and other near-fixed
    * strings where MinHash shingles are too coarse. Candidate generation is

@@ -258,10 +258,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("*("), s"lsh_bands fell out of codegen:\n$plan")
     // planes are expression fields — no literal blowup at dim 64 × 16 planes
     assert(plan.length < 10000, s"plan blew up to ${plan.length} chars — literals leaked")
-    // element b == lsh_bucket(v, dim, ppb, seed + b), bit for bit
+    // element b == lsh_bucket(v, dim, ppb, seed + b·ppb), bit for bit —
+    // band b's seed block starts at seed + b·ppb so every (band, plane)
+    // slot draws a UNIQUE plane (see VectorOps.bandPlanes round-11 note)
     val composed = vecs.select(col("vec_id"),
       array((0 until bands).map(b =>
-        graft.plans.VectorFunctions.lsh_bucket(col("v"), dim, ppb, seed + b)): _*).as("bkts"))
+        graft.plans.VectorFunctions.lsh_bucket(col("v"), dim, ppb, seed + b.toLong * ppb)): _*).as("bkts"))
     val f = fused.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val c = composed.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(f === c)
