@@ -2744,19 +2744,19 @@ object SparkEntry {
         t(s, dir, "documents").where(col("n_chars") < 300), n = 3, threshold = 0.2)
     }),
 
-    // X56: prefix-filtering token-set similarity join (PPJoin/AllPairs
-    // family) — candidates must share a PREFIX token under the global
-    // rarest-first (df asc, token asc) order; provably complete at J ≥ τ,
-    // exact verify after. Planted one-extra-token twins (J = n/(n+1), so
-    // every base doc with ≥ 2 distinct tokens qualifies at 0.6) ride every
-    // 13th doc; the oracle recomputes the full all-pairs truth.
+    // X56: prefix-filtering trigram-set similarity join (PPJoin/AllPairs
+    // family) — candidates must share a PREFIX element under the global
+    // rarest-first (df asc, element asc) order; provably complete at
+    // J ≥ τ, exact verify after. Planted one-extra-token twins (one new
+    // trigram: J = (g−1)/g, so every ≥4-token base doc qualifies at 0.6)
+    // ride every 13th doc; the oracle recomputes the full all-pairs truth.
     "d_ppjoin_pairs" -> ((s, dir) => {
       val base = t(s, dir, "documents").where(col("n_chars") < 300)
         .select(col("doc_id"), col("text"))
       val planted = base.where(col("doc_id") % 13 === 0)
         .select((col("doc_id") + 40000000L).as("doc_id"),
           concat(col("text"), lit(" ppjplant")).as("text"))
-      Dedup.ppjoinPairs(base.unionByName(planted), threshold = 0.6)
+      Dedup.ppjoinPairs(base.unionByName(planted), n = 3, threshold = 0.6)
     }),
 
     // X57: asymmetric CONTAINMENT pairs — small-doc-inside-big-doc near-dups
@@ -5096,7 +5096,7 @@ object SparkEntry {
            AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
              (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.2""",
 
-    // X56 truth: full all-pairs token-set Jaccard over base ∪ planted —
+    // X56 truth: full all-pairs trigram-set Jaccard over base ∪ planted —
     // the prefix filter must reproduce this exactly (recall is a theorem,
     // precision is the exact verify)
     "d_ppjoin_pairs" ->
@@ -5108,8 +5108,10 @@ object SparkEntry {
            FROM base WHERE doc_id % 13 = 0),
          tk AS (
            SELECT doc_id,
-             list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
-           FROM corpus)
+             list_distinct(list_transform(
+               generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2),
+               i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[i:i+2], ' '))) AS toks
+           FROM corpus WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 3)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
              (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard

@@ -637,45 +637,55 @@ object Dedup {
   /**
    * X56: prefix-filtering set-similarity join (the PPJoin/AllPairs family —
    * Chaudhuri et al. SSJoin 2006, Xiao et al. PPJoin 2008) — all pairs with
-   * word-token Jaccard ≥ `threshold`, the FOURTH candidate-generation family
-   * next to sketch banding (X2), shingle blocking (X4), and sorted
+   * word-`n`-gram-set Jaccard ≥ `threshold`, the FOURTH candidate-generation
+   * family next to sketch banding (X2), shingle blocking (X4), and sorted
    * neighborhoods (X4b). Where X4 explodes EVERY shingle of every doc into
    * the candidate join, prefix filtering explodes only each doc's PREFIX
-   * under a global rarest-first token order, with GUARANTEED recall:
-   * order tokens by (document frequency asc, token asc); a doc with n
-   * distinct tokens keeps its first p = n − ⌈τ·n⌉ + 1 tokens. If
-   * J(a,b) ≥ τ then |a∩b| ≥ τ·max(|a|,|b|), and a shared token set that
+   * under a global rarest-first element order, with GUARANTEED recall:
+   * order set elements by (document frequency asc, element asc); a doc
+   * with m distinct elements keeps its first p = m − ⌈τ·m⌉ + 1. If
+   * J(a,b) ≥ τ then |a∩b| ≥ τ·max(|a|,|b|), and a shared element set that
    * avoided a's prefix entirely would fit inside a's suffix of length
    * ⌈τ·|a|⌉ − 1 < τ·|a| ≤ |a∩b| — contradiction; so every qualifying pair
-   * shares a PREFIX token and falls out of a plain hash equi-join on the
-   * prefix-token plane. At τ=0.6 only ~40% of tokens are prefix tokens,
-   * and they are the RAREST 40% — the df-ascending order sends corpus
-   * stopwords to suffixes, so candidate buckets stay small exactly where
-   * shingle blocking goes hot. A length gate (τ·|a| ≤ |b| ≤ |a|/τ is
-   * necessary for J ≥ τ) prunes candidates in the join condition;
-   * survivors re-verify EXACTLY from the full token sets, so reported
-   * Jaccard values are exact and the prefix filter affects nothing but
-   * which pairs are examined.
+   * shares a PREFIX element and falls out of a plain hash equi-join on the
+   * prefix plane. At τ=0.6 only ~40% of each set is prefix, and it is the
+   * RAREST 40% — the df-ascending order sends corpus-stopword elements to
+   * suffixes, so candidate buckets stay small exactly where plain blocking
+   * goes hot. A length gate (τ·|a| ≤ |b| ≤ |a|/τ is necessary for J ≥ τ)
+   * prunes candidates in the join condition; survivors re-verify EXACTLY
+   * from the full sets, so reported Jaccard values are exact and the
+   * prefix filter affects nothing but which pairs are examined.
    *
-   * 100 TB shape: the df table is one token-keyed aggregation (vocabulary-
-   * sized, Heaps'-law sublinear in the corpus); rank assignment is an
-   * equi-join of the token plane against it (AQE broadcasts it when small,
-   * shuffles otherwise — never a driver collect); the per-doc re-sort is
-   * one groupBy(id) fold; the candidate join shuffles only prefix tokens.
-   * `maxDocsPerPrefixToken` is the familiar flood cap: a prefix-token
-   * bucket larger than the cap (degenerate corpora where even rare tokens
-   * flood) leaves candidate generation before the self-join goes quadratic.
+   * The set universe is word `n`-grams (default 3): on corpora with a
+   * shared topical vocabulary, UNIGRAM sets are so undiscriminative that
+   * the similarity graph itself is quadratic (measured on the sf0.1
+   * fixture: 623k unigram pairs at τ=0.6 vs 350 trigram pairs over the
+   * same 2.5k docs) — no candidate algorithm fixes an output that big,
+   * and every near-dup definition in this file shingles for the same
+   * reason. Pass n = 1 deliberately for genuinely set-valued data
+   * (tags, SKU baskets).
+   *
+   * 100 TB shape: the df table is one element-keyed aggregation
+   * (vocabulary-sized, Heaps'-law sublinear in the corpus); rank
+   * assignment is an equi-join of the element plane against it (AQE
+   * broadcasts it when small, shuffles otherwise — never a driver
+   * collect); the per-doc re-sort is one groupBy(id) fold; the candidate
+   * join shuffles only prefix elements. `maxDocsPerPrefixToken` is the
+   * familiar flood cap: a prefix bucket larger than the cap (degenerate
+   * corpora where even rare elements flood) leaves candidate generation
+   * before the self-join goes quadratic.
    */
   def ppjoinPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
+      n: Int = 3,
       threshold: Double = 0.6,
       maxDocsPerPrefixToken: Option[Int] = Some(1000)): DataFrame = {
     SketchFunctions.register(docs.sparkSession)
     val toks = docs
       .select(col(idCol).cast("long").as("id"),
-        array_distinct(wordNgrams(col(textCol), 1)).as("toks"))
+        array_distinct(wordNgrams(col(textCol), n)).as("toks"))
       .where(size(col("toks")) > 0)
       .withColumn("n_toks", size(col("toks")))
     toks.persist(StorageLevel.MEMORY_AND_DISK)

@@ -15,15 +15,15 @@ import graft.functions.Dedup
 class SetSimilaritySpec extends SparkSpec {
   import spark.implicits._
 
-  private def tokset(s: String): Set[String] =
-    s.toLowerCase.trim.split("\\s+", -1).toSet
+  private def tokset(s: String): Set[String] = grams(s, 3)
 
   private def bruteJaccard(rows: Seq[(Long, String)], t: Double): Set[(Long, Long)] =
     (for {
       (ia, ta) <- rows; (ib, tb) <- rows
       if ia < ib
       a = tokset(ta); b = tokset(tb)
-      if a.intersect(b).size.toDouble / a.union(b).size >= t
+      if a.nonEmpty && b.nonEmpty &&
+        a.intersect(b).size.toDouble / a.union(b).size >= t
     } yield (ia, ib)).toSet
 
   // deterministic pseudo-text: doc i draws tokens from a small shared pool
@@ -64,10 +64,10 @@ class SetSimilaritySpec extends SparkSpec {
     }
   }
 
-  test("prefix-token flood cap drops flooded candidates wholesale; None restores exact recall") {
-    // every doc is the SAME two tokens → every token is a prefix token of
-    // every doc and each (token) bucket holds all 300 docs
-    val flood = (0 until 300).map(i => (i.toLong, "hot cold"))
+  test("prefix flood cap drops flooded candidates wholesale; None restores exact recall") {
+    // every doc is the SAME five tokens → every trigram is a prefix element
+    // of every doc and each bucket holds all 300 docs
+    val flood = (0 until 300).map(i => (i.toLong, "hot cold warm cool mild"))
     val capped = Dedup.ppjoinPairs(flood.toDF("doc_id", "text"),
       threshold = 0.6, maxDocsPerPrefixToken = Some(50))
     assert(capped.count() == 0L)
