@@ -2786,6 +2786,21 @@ object SparkEntry {
         docs.where(col("doc_id") % 101 === 0), n = 3, flagAt = 0.5)
     }),
 
+    // X59: dictionary keyword tagging — ONE Aho–Corasick pass per document
+    // for the whole dictionary (vs a contains-scan PER TERM); the dict
+    // deliberately nests ("scan" ⊂ "hash scan", multi-word phrases) so
+    // overlapping-match semantics are live. Oracle replays with per-term
+    // contains — equality is the automaton's correctness proof.
+    "d_keyword_tags" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      val dict = Seq("stream join", "batch small", "hash scan", "scan",
+        "customer", "merge", "vector", "dup")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(TextFunctions.keywordHits(col("text"), dict), ",").as("tags"),
+          size(TextFunctions.keywordHits(col("text"), dict)).as("n_tags"))
+    }),
+
     // benchmark decontamination: the planted eval set (doc_id % 101 == 0)
     // reduces to distinct 3-grams and BROADCASTS; training docs stream
     // through the broadcast join with no corpus shuffle — each doc sharing
@@ -5175,6 +5190,20 @@ object SparkEntry {
            round(CAST(n_shared AS DOUBLE) / n_grams, 6) AS score,
            (CAST(n_shared AS DOUBLE) / n_grams) >= 0.5 AS contaminated
          FROM agg""",
+
+    // X59 truth: per-term contains over the lowercased text — the sorted
+    // dictionary order is the query's output order (terms sort lexically)
+    "d_keyword_tags" ->
+      """SELECT doc_id,
+           coalesce(array_to_string(list_filter(
+             ['batch small', 'customer', 'dup', 'hash scan', 'merge',
+              'scan', 'stream join', 'vector'],
+             t -> contains(lower(text), t)), ','), '') AS tags,
+           CAST(len(list_filter(
+             ['batch small', 'customer', 'dup', 'hash scan', 'merge',
+              'scan', 'stream join', 'vector'],
+             t -> contains(lower(text), t))) AS INT) AS n_tags
+         FROM documents""",
 
     // Planted ground truth for the sketch pair-finders: the oracle computes
     // the EXACT pair set over the same (base ∪ planted) corpus, so equality

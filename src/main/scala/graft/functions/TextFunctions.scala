@@ -74,6 +74,14 @@ object TextFunctions {
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     size(bpeEncode(text, merges))
 
+  /** keyword_hits(text, dict) → sorted distinct dictionary terms occurring
+    * in the text (case-insensitive substring match) — ONE Aho–Corasick pass
+    * per row regardless of dictionary size (X59, native codegen'd; the
+    * automaton rides the plan as a reference object). Requires
+    * SketchFunctions.register on the session. */
+  def keywordHits(text: Column, terms: Seq[String]): Column =
+    call_function("keyword_hits", text.cast("string"), typedlit(terms))
+
   // --------------------------------------------- Naive Bayes classifier (X45)
 
   /** Train a multinomial Naive Bayes token model — the fastText-style

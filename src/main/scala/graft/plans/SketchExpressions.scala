@@ -322,12 +322,26 @@ object SketchFunctions {
             s"bpe_encode(text, merges) takes 2 arguments, got ${exprs.length}")
           BpeEncode(exprs(0), foldableMerges(exprs(1)))
         }, "built-in")
+      // same resolution-time fold for the keyword dictionary
+      reg.createOrReplaceTempFunction("keyword_hits",
+        exprs => {
+          require(exprs.length == 2,
+            s"keyword_hits(text, terms) takes 2 arguments, got ${exprs.length}")
+          KeywordHits(exprs(0), foldableStrings(exprs(1), "terms"))
+        }, "built-in")
     }
   }
 
   private def foldableInt(e: Expression, name: String): Int = {
     require(e.foldable, s"$name must be a literal")
     e.eval().asInstanceOf[Number].intValue()
+  }
+
+  /** Fold a literal array<string> into a plain Seq. */
+  private[plans] def foldableStrings(e: Expression, name: String): Seq[String] = {
+    require(e.foldable, s"$name must be a literal array")
+    val arr = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
   }
 
   /** Fold a literal array<string> of a-SOH-b pair encodings into merges. */
