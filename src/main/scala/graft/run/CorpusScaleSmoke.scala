@@ -111,6 +111,22 @@ object CorpusScaleSmoke {
     }
     println(s"[corpus-smoke] bpe tokens: $bpeTokens over $n docs")
     assert(bpeTokens > n, "BPE must emit more tokens than documents")
+
+    // Keyword tagging throughput (X59): a 512-phrase dictionary in ONE
+    // Aho–Corasick pass per row — the per-row cost must not scale with the
+    // dictionary (the contains-per-term plan would be 512 scans). Dict =
+    // 500 synthetic misses + planted hits so the automaton walks real text.
+    val dict = (1 to 500).map(i => s"zq$i xx") ++
+      Seq("bp1 bp2", "bp9 bp10", "batch small", "stream join", "customer",
+        "merge", "vector", "hash scan", "scan", "dup", "u1000", "zzz end")
+    val tagged = timed("keyword-tags") {
+      corpus.select(size(graft.functions.TextFunctions.keywordHits(
+          col("text"), dict)).as("k"))
+        .agg(sum(col("k")).cast("long"), count(lit(1))).head()
+    }
+    println(s"[corpus-smoke] keyword hits: ${tagged.getLong(0)} over ${tagged.getLong(1)} docs, dict=${dict.size}")
+    // every doc opens with the boilerplate head -> "bp1 bp2" hits all rows
+    assert(tagged.getLong(0) >= n, "boilerplate dictionary phrase must hit every doc")
     corpus.unpersist()
     println("[corpus-smoke] PASS")
     spark.stop()
