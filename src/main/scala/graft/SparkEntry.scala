@@ -2786,6 +2786,27 @@ object SparkEntry {
         docs.where(col("doc_id") % 101 === 0), n = 3, flagAt = 0.5)
     }),
 
+    // X60: mergeable fixed-grid histogram quantile sketch — the QUANTILE
+    // sketch next to HLL (cardinality) and CMS (frequency): state = 128
+    // long counters per group, merge = elementwise sum (map-side partials,
+    // bounded exchange), answer = inclusive upper edge of the bucket where
+    // 100·cum first reaches p100·total — |est − exact| < width always, and
+    // the whole computation is integer arithmetic so DuckDB rebuilds sketch
+    // AND estimate bit-for-bit. The exact percentile the d_token_quantiles
+    // row computes (which shuffles every value into a per-group sort) rides
+    // along as the accuracy certificate.
+    "d_hist_quantiles" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      t(s, dir, "documents")
+        .select(col("source"), TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+        .groupBy("source")
+        .agg(expr("hist_quantile(n, 50, 4, 128)").as("p50_sketch"),
+          expr("hist_quantile(n, 90, 4, 128)").as("p90_sketch"),
+          expr("hist_quantile(n, 99, 4, 128)").as("p99_sketch"),
+          round(expr("percentile(CAST(n AS DOUBLE), 0.99D)"), 6).as("p99_exact"),
+          count(lit(1)).as("n_docs"))
+    }),
+
     // X59: dictionary keyword tagging — ONE Aho–Corasick pass per document
     // for the whole dictionary (vs a contains-scan PER TERM); the dict
     // deliberately nests ("scan" ⊂ "hash scan", multi-word phrases) so
@@ -5190,6 +5211,35 @@ object SparkEntry {
            round(CAST(n_shared AS DOUBLE) / n_grams, 6) AS score,
            (CAST(n_shared AS DOUBLE) / n_grams) >= 0.5 AS contaminated
          FROM agg""",
+
+    // X60 truth: rebuild the fixed-grid histogram with GROUP BY n//4 and a
+    // window cumsum, pick the first edge where 100·cum ≥ p100·total — the
+    // identical integer rule the aggregate evaluates; exact p99 certifies
+    "d_hist_quantiles" ->
+      """WITH v AS (
+           SELECT source,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n
+           FROM documents),
+         h AS (SELECT source, least(n // 4, 127) AS b, count(*) AS c
+               FROM v GROUP BY 1, 2),
+         cw AS (SELECT source, b,
+                  sum(c) OVER (PARTITION BY source ORDER BY b) AS cum,
+                  sum(c) OVER (PARTITION BY source) AS tot
+                FROM h),
+         sk AS (SELECT source,
+             min(CASE WHEN 100 * cum >= 50 * tot THEN (b + 1) * 4 - 1 END) AS p50,
+             min(CASE WHEN 100 * cum >= 90 * tot THEN (b + 1) * 4 - 1 END) AS p90,
+             min(CASE WHEN 100 * cum >= 99 * tot THEN (b + 1) * 4 - 1 END) AS p99
+           FROM cw GROUP BY source),
+         ex AS (SELECT source, round(quantile_cont(CAST(n AS DOUBLE), 0.99), 6) AS p99_exact,
+                  count(*) AS n_docs
+                FROM v GROUP BY source)
+         SELECT sk.source,
+           CAST(p50 AS BIGINT) AS p50_sketch,
+           CAST(p90 AS BIGINT) AS p90_sketch,
+           CAST(p99 AS BIGINT) AS p99_sketch,
+           p99_exact, n_docs
+         FROM sk JOIN ex ON sk.source = ex.source""",
 
     // X59 truth: per-term contains over the lowercased text — the sorted
     // dictionary order is the query's output order (terms sort lexically)

@@ -296,3 +296,103 @@ case class HllMd5(
   override protected def withNewChildInternal(newChild: Expression): HllMd5 =
     copy(child = newChild)
 }
+
+/**
+ * hist_quantile(value, p100, width, buckets) — X60: mergeable FIXED-GRID
+ * histogram quantile sketch, the QUANTILE member of the sketch family next
+ * to X47's HLL (cardinality) and X51's CMS (frequency). The exact
+ * `percentile` the profiling rows use shuffles EVERY value into a per-group
+ * sort — correct, but at 100 TB the per-group exchange is the corpus; this
+ * sketch's state is `buckets` long counters (1 KB at 128), merge is
+ * elementwise sum (map-side partials, bounded exchange per (partition,
+ * group)), and the answer carries a DETERMINISTIC absolute error bound:
+ * the estimate is the inclusive upper edge of the bucket where the
+ * cumulative count first reaches the rank, so |est − exact| < width always.
+ *
+ * Everything is integer arithmetic — bucket = min(v / width, buckets−1),
+ * rank test = 100·cum ≥ p100·total (no float rank, no interpolation) — so
+ * a DuckDB GROUP BY + window cumsum rebuilds the sketch AND the estimate
+ * bit-for-bit; the exact percentile rides along in the oracle row as the
+ * accuracy certificate. Values below zero clamp to bucket 0, values past
+ * the grid clamp to the overflow bucket (its edge reports as
+ * buckets·width − 1 — size the grid to the domain, which profiling rows
+ * know by construction).
+ */
+case class HistQuantile(
+    child: Expression,
+    p100: Int,
+    width: Int,
+    buckets: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression] {
+
+  require(p100 >= 1 && p100 <= 100, s"p100 must be in [1, 100], got $p100")
+  require(width >= 1, s"width must be positive, got $width")
+  require(buckets >= 2 && buckets <= 65536, s"buckets must be in [2, 65536], got $buckets")
+
+  override def prettyName: String = "hist_quantile"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.ShortType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hist_quantile needs an integral input, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](buckets)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Number].longValue()
+      val b = if (x < 0L) 0 else math.min(x / width, (buckets - 1).toLong).toInt
+      buf(b) += 1L
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var j = 0
+    while (j < buf.length) { buf(j) += other(j); j += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    var total = 0L
+    var j = 0
+    while (j < buf.length) { total += buf(j); j += 1 }
+    if (total == 0L) null
+    else {
+      var cum = 0L
+      var b = 0
+      var out = -1L
+      while (b < buf.length && out < 0L) {
+        cum += buf(b)
+        if (100L * cum >= p100.toLong * total) out = (b + 1).toLong * width - 1L
+        b += 1
+      }
+      out
+    }
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HistQuantile =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HistQuantile =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HistQuantile =
+    copy(child = newChild)
+}

@@ -307,6 +307,9 @@ object SketchFunctions {
       reg.createOrReplaceTempFunction("cms_md5",
         exprs => CmsMd5(exprs(0), foldableInt(exprs(1), "d"),
           foldableInt(exprs(2), "w")), "built-in")
+      reg.createOrReplaceTempFunction("hist_quantile",
+        exprs => HistQuantile(exprs(0), foldableInt(exprs(1), "p100"),
+          foldableInt(exprs(2), "width"), foldableInt(exprs(3), "buckets")), "built-in")
       // Generator builders are legal too: ExtractGenerator lifts a Generator
       // in a Project into a Generate node during analysis
       reg.createOrReplaceTempFunction("ngram_explode",
