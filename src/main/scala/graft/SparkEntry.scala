@@ -2786,6 +2786,23 @@ object SparkEntry {
         docs.where(col("doc_id") % 101 === 0), n = 3, flagAt = 0.5)
     }),
 
+    // X61: per-group TOP-K via a mergeable bounded-heap aggregate — the
+    // skew-safe fix for the `row_number() OVER (PARTITION BY g ORDER BY s
+    // DESC) <= k` anti-pattern (a hot group funnels its whole row stream
+    // through one task; this state is ≤ k pairs per (partition, group) with
+    // map-side partials). "Keep the best 5 docs per source" — the
+    // per-domain quality-cap shape of a curation pipeline. Deterministic
+    // total order (n_chars DESC, doc_id ASC) so the SQL window replays it
+    // row for row.
+    "d_top_per_source" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(expr("top_k_by(n_chars, doc_id, 5)").as("ids"))
+        .select(col("source"), posexplode(col("ids")).as(Seq("pos", "doc_id")))
+        .select(col("source"), (col("pos") + 1).cast("int").as("rank"), col("doc_id"))
+    }),
+
     // X60: mergeable fixed-grid histogram quantile sketch — the QUANTILE
     // sketch next to HLL (cardinality) and CMS (frequency): state = 128
     // long counters per group, merge = elementwise sum (map-side partials,
@@ -5211,6 +5228,15 @@ object SparkEntry {
            round(CAST(n_shared AS DOUBLE) / n_grams, 6) AS score,
            (CAST(n_shared AS DOUBLE) / n_grams) >= 0.5 AS contaminated
          FROM agg""",
+
+    // X61 truth: the window form the aggregate replaces — row for row
+    "d_top_per_source" ->
+      """SELECT source, CAST(rnk AS INT) AS rank, doc_id
+         FROM (SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rnk
+               FROM documents)
+         WHERE rnk <= 5""",
 
     // X60 truth: rebuild the fixed-grid histogram with GROUP BY n//4 and a
     // window cumsum, pick the first edge where 100·cum ≥ p100·total — the

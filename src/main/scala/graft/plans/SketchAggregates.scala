@@ -396,3 +396,100 @@ case class HistQuantile(
   override protected def withNewChildInternal(newChild: Expression): HistQuantile =
     copy(child = newChild)
 }
+
+/**
+ * top_k_by(score, id, k) — X61: mergeable per-group TOP-K aggregate, the
+ * skew-safe fix for the hot-group `row_number() OVER (PARTITION BY g ORDER
+ * BY s DESC) <= k` anti-pattern. The window form shuffles EVERY row of a
+ * group to one partition and sorts it there — a hot group (one domain with
+ * half the corpus) funnels through a single task. This aggregate keeps a
+ * bounded min-heap of (score, id) per (partition, group) — state ≤ k pairs,
+ * merge = heap union — so partial aggregation runs map-side and the
+ * exchange carries ≤ k pairs per (partition, group) no matter how hot the
+ * group. The same move segmentDedup makes with groupBy-MIN, generalized
+ * from k = 1 to any k.
+ *
+ * Deterministic total order: score DESC, id ASC on ties — so the result is
+ * a function of the SET of inputs (partitioning-invariant) and a SQL
+ * `row_number` window replays it exactly. Returns the winning ids as an
+ * ordered array (rank = position + 1); posexplode scalarizes it for
+ * reporting.
+ */
+case class TopKBy(
+    left: Expression,
+    right: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[(Long, Long)]]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  require(k >= 1 && k <= 65536, s"k must be in [1, 65536], got $k")
+
+  override def prettyName: String = "top_k_by"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"top_k_by needs (bigint score, bigint id), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // order: better-first = (score DESC, id ASC); the TreeSet keeps the k best
+  private val ord: Ordering[(Long, Long)] =
+    Ordering.by[(Long, Long), (Long, Long)] { case (s, i) => (-s, i) }
+
+  override def createAggregationBuffer(): java.util.TreeSet[(Long, Long)] =
+    new java.util.TreeSet[(Long, Long)](ord)
+
+  private def add(buf: java.util.TreeSet[(Long, Long)], e: (Long, Long)): Unit = {
+    buf.add(e)
+    if (buf.size > k) buf.remove(buf.last)
+  }
+
+  override def update(buf: java.util.TreeSet[(Long, Long)], input: InternalRow)
+      : java.util.TreeSet[(Long, Long)] = {
+    val s = left.eval(input)
+    val i = right.eval(input)
+    if (s != null && i != null)
+      add(buf, (s.asInstanceOf[Long], i.asInstanceOf[Long]))
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[(Long, Long)],
+      other: java.util.TreeSet[(Long, Long)]): java.util.TreeSet[(Long, Long)] = {
+    other.forEach(e => add(buf, e))
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[(Long, Long)]): Any = {
+    val out = new Array[Any](buf.size)
+    var i = 0
+    val it = buf.iterator()
+    while (it.hasNext) { out(i) = it.next()._2; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[(Long, Long)]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    buf.forEach { case (s, i) => bb.putLong(s); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Long, Long)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    (0 until n).foreach(_ => buf.add((bb.getLong, bb.getLong)))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKBy =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKBy =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): TopKBy = copy(left = newLeft, right = newRight)
+}

@@ -310,6 +310,8 @@ object SketchFunctions {
       reg.createOrReplaceTempFunction("hist_quantile",
         exprs => HistQuantile(exprs(0), foldableInt(exprs(1), "p100"),
           foldableInt(exprs(2), "width"), foldableInt(exprs(3), "buckets")), "built-in")
+      reg.createOrReplaceTempFunction("top_k_by",
+        exprs => TopKBy(exprs(0), exprs(1), foldableInt(exprs(2), "k")), "built-in")
       // Generator builders are legal too: ExtractGenerator lifts a Generator
       // in a Project into a Generate node during analysis
       reg.createOrReplaceTempFunction("ngram_explode",
