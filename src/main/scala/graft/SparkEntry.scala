@@ -2786,14 +2786,14 @@ object SparkEntry {
         docs.where(col("doc_id") % 101 === 0), n = 3, flagAt = 0.5)
     }),
 
-    // X61: per-group TOP-K via a mergeable bounded-heap aggregate — the
-    // skew-safe fix for the `row_number() OVER (PARTITION BY g ORDER BY s
-    // DESC) <= k` anti-pattern (a hot group funnels its whole row stream
-    // through one task; this state is ≤ k pairs per (partition, group) with
-    // map-side partials). "Keep the best 5 docs per source" — the
-    // per-domain quality-cap shape of a curation pipeline. Deterministic
-    // total order (n_chars DESC, doc_id ASC) so the SQL window replays it
-    // row for row.
+    // X61: per-group TOP-K via a mergeable bounded-heap aggregate — ≤ k
+    // pairs of state per (partition, group), map-side partials, no Sort
+    // node, and it COMPOSES with other aggregates in one groupBy pass
+    // (see TopKBy's honest accounting vs the WindowGroupLimit-rewritten
+    // row_number form, which matches it on shuffle volume). "Keep the best
+    // 5 docs per source" — the per-domain quality-cap shape of a curation
+    // pipeline. Deterministic total order (n_chars DESC, doc_id ASC) so
+    // the SQL window replays it row for row.
     "d_top_per_source" -> ((s, dir) => {
       graft.plans.SketchFunctions.register(s)
       t(s, dir, "documents")

@@ -398,22 +398,31 @@ case class HistQuantile(
 }
 
 /**
- * top_k_by(score, id, k) — X61: mergeable per-group TOP-K aggregate, the
- * skew-safe fix for the hot-group `row_number() OVER (PARTITION BY g ORDER
- * BY s DESC) <= k` anti-pattern. The window form shuffles EVERY row of a
- * group to one partition and sorts it there — a hot group (one domain with
- * half the corpus) funnels through a single task. This aggregate keeps a
- * bounded min-heap of (score, id) per (partition, group) — state ≤ k pairs,
- * merge = heap union — so partial aggregation runs map-side and the
- * exchange carries ≤ k pairs per (partition, group) no matter how hot the
- * group. The same move segmentDedup makes with groupBy-MIN, generalized
- * from k = 1 to any k.
+ * top_k_by(score, id, k) — X61: mergeable per-group TOP-K aggregate.
+ * State is a bounded heap of ≤ k (score, id) pairs per (partition, group),
+ * merge = heap union, so partials run map-side and the exchange carries
+ * ≤ k pairs per (partition, group) no matter how hot the group — the
+ * segmentDedup groupBy-MIN move generalized from k = 1 to any k.
  *
- * Deterministic total order: score DESC, id ASC on ties — so the result is
- * a function of the SET of inputs (partitioning-invariant) and a SQL
- * `row_number` window replays it exactly. Returns the winning ids as an
- * ordered array (rank = position + 1); posexplode scalarizes it for
- * reporting.
+ * Honest accounting vs the `row_number() OVER (...) <= k` window form:
+ * since Spark 3.5 the WindowGroupLimit rewrite also caps that plan's
+ * exchange at k rows per (partition, group) — X34's weightedSample leans
+ * on exactly that — so on pure shuffle volume the two are PEERS, not the
+ * naive full-sort-per-group story. What the aggregate form adds:
+ * (a) it COMPOSES — top-k ids, count, sum, and any other aggregate over
+ *     the same groupBy compute in ONE pass (the window form needs a second
+ *     pass or a self-join to attach group-level stats);
+ * (b) no per-partition sort — the heap is O(rows·log k) with no Sort node,
+ *     and the plan stays inside ObjectHashAggregate with the other sketch
+ *     aggregates (HLL/CMS/hist) it shares a pass with;
+ * (c) the rewrite is fragile — WindowGroupLimit only fires on the exact
+ *     rank-filter idiom, while an aggregate's partials are structural.
+ *
+ * Deterministic total order: score DESC, id ASC on ties — the result is a
+ * function of the SET of inputs (partitioning-invariant) and a SQL
+ * `row_number` window replays it exactly (on unique ids; identical
+ * (score, id) duplicates collapse — set semantics). Returns the winning
+ * ids as an ordered array (rank = position + 1); posexplode scalarizes it.
  */
 case class TopKBy(
     left: Expression,
