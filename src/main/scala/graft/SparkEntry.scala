@@ -2803,6 +2803,25 @@ object SparkEntry {
         .select(col("source"), (col("pos") + 1).cast("int").as("rank"), col("doc_id"))
     }),
 
+    // X61c: the composition win in one row — a per-source corpus-health
+    // profile (the data-quality dashboard shape) computed in ONE aggregate
+    // pass: count + char sum + sketch-p50 + top-3 ids share a single
+    // groupBy. The window form of the top-3 alone would force a second
+    // pass or a self-join to attach the group-level stats; here everything
+    // rides one ObjectHashAggregate pair (spec-pinned: one exchange, no
+    // join). All integer arithmetic — cross-engine exact.
+    "d_source_profile" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          expr("hist_quantile(n_chars, 50, 16, 128)").as("p50_chars"),
+          expr("top_k_by(n_chars, doc_id, 3)").as("_ids"))
+        .select(col("source"), col("n_docs"), col("sum_chars"), col("p50_chars"),
+          array_join(transform(col("_ids"), _.cast("string")), ",").as("top_ids"))
+    }),
+
     // X60: mergeable fixed-grid histogram quantile sketch — the QUANTILE
     // sketch next to HLL (cardinality) and CMS (frequency): state = 128
     // long counters per group, merge = elementwise sum (map-side partials,
@@ -5228,6 +5247,34 @@ object SparkEntry {
            round(CAST(n_shared AS DOUBLE) / n_grams, 6) AS score,
            (CAST(n_shared AS DOUBLE) / n_grams) >= 0.5 AS contaminated
          FROM agg""",
+
+    // X61c truth: every component replayed — counts/sums direct, the p50
+    // via the histogram rebuild, the top-3 via the window form
+    "d_source_profile" ->
+      """WITH b AS (SELECT source, doc_id, n_chars FROM documents),
+         agg AS (SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 FROM b GROUP BY source),
+         h AS (SELECT source, least(n_chars // 16, 127) AS bk, count(*) AS c
+               FROM b GROUP BY 1, 2),
+         cw AS (SELECT source, bk,
+                  sum(c) OVER (PARTITION BY source ORDER BY bk) AS cum,
+                  sum(c) OVER (PARTITION BY source) AS tot
+                FROM h),
+         sk AS (SELECT source,
+                  CAST(min(CASE WHEN 100 * cum >= 50 * tot
+                                THEN (bk + 1) * 16 - 1 END) AS BIGINT) AS p50_chars
+                FROM cw GROUP BY source),
+         tops AS (SELECT source,
+                    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rnk) AS top_ids
+                  FROM (SELECT source, doc_id,
+                          row_number() OVER (PARTITION BY source
+                                             ORDER BY n_chars DESC, doc_id) AS rnk
+                        FROM b)
+                  WHERE rnk <= 3 GROUP BY source)
+         SELECT agg.source, agg.n_docs, agg.sum_chars, sk.p50_chars, tops.top_ids
+         FROM agg JOIN sk ON agg.source = sk.source
+         JOIN tops ON agg.source = tops.source""",
 
     // X61 truth: the window form the aggregate replaces — row for row
     "d_top_per_source" ->

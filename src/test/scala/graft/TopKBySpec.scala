@@ -63,4 +63,21 @@ class TopKBySpec extends SparkSpec {
     assert(!plan.contains("Window"), s"a window leaked into the top-k plan:\n$plan")
     assert(out.where(col("g") === "hot").collect()(0).getSeq[Long](1).length == 5)
   }
+
+  test("composes with other aggregates in ONE pass: one exchange, no join, no window") {
+    graft.plans.SketchFunctions.register(spark)
+    val df = (0 until 3000).map(i =>
+      (s"s${i % 5}", (i % 400).toLong, i.toLong)).toDF("source", "n_chars", "doc_id")
+    val out = df.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        expr("hist_quantile(n_chars, 50, 16, 128)").as("p50"),
+        expr("top_k_by(n_chars, doc_id, 3)").as("ids"))
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Join"), s"profile needed a join:\n$plan")
+    assert(!plan.contains("Window"), s"profile fell back to a window:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"profile should shuffle exactly once:\n$plan")
+    assert(out.count() == 5)
+  }
 }
