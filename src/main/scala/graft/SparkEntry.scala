@@ -2858,6 +2858,27 @@ object SparkEntry {
           size(TextFunctions.keywordHits(col("text"), dict)).as("n_tags"))
     }),
 
+    // X62: unicode normalization + encoding repair (ftfy-shaped ingest
+    // stage; round-12 directive #2). Planted per-residue cases over the
+    // (ASCII-clean) fixture text: latin-1/cp1252 mojibake repaired, NFC
+    // composition, control/zero-width scrub, CRLF→LF. A codegen'd native
+    // expression (NormalizeText) — one pass per row, no UDF. The oracle
+    // states each planted repair as chr()-built constants; parser edge
+    // cases (double mojibake, genuine Latin-1 preserved, idempotency) are
+    // pinned by TextNormalizeSpec.
+    "d_text_normalize" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      val m4 = pmod(col("doc_id"), lit(4))
+      val raw = when(m4 === 0, concat(col("text"),
+          lit(" Caf\u00c3\u00a9 \u00e2\u20ac\u201d d\u00c3\u00a9j\u00c3\u00a0 vu")))
+        .when(m4 === 1, concat(col("text"), lit(" cafe\u0301")))
+        .when(m4 === 2, concat(lit("\u200b"), col("text"), lit("\u0007\u00ad\ufeff")))
+        .otherwise(concat(col("text"), lit("\r\ntail")))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.plans.SketchFunctions.normalize_text(raw).as("norm"))
+    }),
+
     // benchmark decontamination: the planted eval set (doc_id % 101 == 0)
     // reduces to distinct 3-grams and BROADCASTS; training docs stream
     // through the broadcast join with no corpus shuffle — each doc sharing
@@ -5326,6 +5347,23 @@ object SparkEntry {
              ['batch small', 'customer', 'dup', 'hash scan', 'merge',
               'scan', 'stream join', 'vector'],
              t -> contains(lower(text), t))) AS INT) AS n_tags
+         FROM documents""",
+
+    // X62 truth: the planted repairs are constants, so the oracle states the
+    // expected normalization outright via chr()-built codepoints — mojibake
+    // " CafÃ© â€” dÃ©jÃ  vu" repairs to " Café — déjà vu", the decomposed
+    // " cafe"+U+0301 composes to " café", zero-width/BEL/soft-hyphen/BOM
+    // vanish, CRLF becomes LF. The fixture text itself is ASCII-clean
+    // (verified at all SFs), so it passes through untouched in every case.
+    "d_text_normalize" ->
+      """SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN text || ' Caf' || chr(233) || ' ' || chr(8212) ||
+               ' d' || chr(233) || 'j' || chr(224) || ' vu'
+             WHEN 1 THEN text || ' caf' || chr(233)
+             WHEN 2 THEN text
+             ELSE text || chr(10) || 'tail'
+           END AS norm
          FROM documents""",
 
     // Planted ground truth for the sketch pair-finders: the oracle computes

@@ -327,6 +327,8 @@ object SketchFunctions {
             s"bpe_encode(text, merges) takes 2 arguments, got ${exprs.length}")
           BpeEncode(exprs(0), foldableMerges(exprs(1)))
         }, "built-in")
+      reg.createOrReplaceTempFunction("normalize_text",
+        exprs => NormalizeText(exprs(0)), "built-in")
       // same resolution-time fold for the keyword dictionary
       reg.createOrReplaceTempFunction("keyword_hits",
         exprs => {
@@ -398,4 +400,9 @@ object SketchFunctions {
 
   def min_gram_md5(text: Column, n: Int): Column =
     call_function("min_gram_md5", text.cast("string"), lit(n))
+
+  /** Unicode normalization + encoding repair (CRLF→LF, strict mojibake
+    * repair, NFC, control/zero-width scrub), applied to fixpoint. */
+  def normalize_text(text: Column): Column =
+    call_function("normalize_text", text.cast("string"))
 }
