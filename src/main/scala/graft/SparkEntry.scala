@@ -492,6 +492,60 @@ object SparkEntry {
     ()
   }
 
+  /** Planted HTML wrapper for the d_html_* rows: the doc text inside a real
+    * page skeleton — head with title/style/script, a link-only nav, a short
+    * heading, the text paragraph, a constant always-good paragraph (entity
+    * inside, so decoding is oracle-visible), and a link+short footer. Three
+    * markup shapes by doc_id%3 — plain lowercase; uppercase tags with a
+    * quoted-'>' attribute, a self-closed <BR/> and a "</p>" literal inside a
+    * script string; malformed (unclosed <p>, body comment, void <hr>,
+    * truncated tail) — all with IDENTICAL block semantics, so the extraction
+    * oracle is shape-invariant while the parser's tolerance is exercised on
+    * every fixture row. Block classification on the planted page: title,
+    * heading and footer fail the 25-non-space-char gate, the nav is 100%
+    * link chars, the constant paragraph always passes, and the doc-text
+    * paragraph passes iff its stopword density reaches 8% — the one
+    * data-dependent branch, which the oracle replays in SQL. */
+  private def plantedHtml(text: Column, m3: Column): Column = {
+    val nav = "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a>" +
+      " <a href=\"/contact\">Contact</a></nav>"
+    val good = "<p>the table of data is on the disk &amp; it has the rows for sure</p>"
+    val foot = "<footer><a href=\"/tos\">Terms</a> &#169; 2026</footer>"
+    when(m3 === 0, concat(
+      lit("<html><head><title>Doc</title><style>p{color:red}</style>" +
+        "<script>if(1<2)x();</script></head><body>" + nav +
+        "<div id=\"main\"><h1>Hd</h1><p>"),
+      text,
+      lit("</p>" + good + "</div>" + foot + "</body></html>")))
+    .when(m3 === 1, concat(
+      lit("<HTML><HEAD><TITLE>Doc</TITLE>" +
+        "<SCRIPT>var s=\"</p>\";</SCRIPT></HEAD><BODY>" + nav +
+        "<DIV CLASS=\"a>b\"><H1>Hd</H1><BR/><P>"),
+      text,
+      lit("</P>" + good + "</DIV>" + foot + "</BODY></HTML>")))
+    .otherwise(concat(
+      lit("<html><body><!-- planted header comment --><title>Doc</title>" +
+        nav + "<hr><div><h1>Hd</h1><p>"),
+      text,
+      lit("<p>the table of data is on the disk &amp; it has the rows for sure" +
+        foot)))
+  }
+
+  /** The d_html_* classification truth, as DuckDB SQL over `text` — mirrors
+    * HtmlCodec.isMain at (25, 33, 8) for a link-free single-spaced block:
+    * integer cross-multiplied stopword density + non-space length. The
+    * stopword list mirrors HtmlCodec.Stopwords verbatim. */
+  private val htmlGoodSql: String =
+    """(length(replace(text, ' ', '')) >= 25 AND
+       100 * len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+         t -> list_contains(['a','an','and','are','as','at','be','by','for',
+           'from','has','in','is','it','of','on','or','that','the','this',
+           'to','was','were','will','with'], t)))
+         >= 8 * len(regexp_split_to_array(trim(lower(text)), '\s+')))"""
+
+  private val htmlGoodConst: String =
+    "the table of data is on the disk & it has the rows for sure"
+
   // ------------------------------------------------------------- entrypoint
 
   /** Flagship: full catalog replication end-to-end on sf0.001 — the TPC-H
@@ -2877,6 +2931,41 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"),
           graft.plans.SketchFunctions.normalize_text(raw).as("norm"))
+    }),
+
+    // X63: HTML main-content extraction (round-12 directive #1) — the
+    // jusText-shaped entry stage of a web corpus: block segmentation +
+    // link-density/length/stopword classification in ONE codegen'd pass per
+    // row (HtmlCodec via html_main_text). Fixture text is wrapped in a real
+    // page skeleton with three markup shapes (see plantedHtml); expected
+    // extraction = the constant good paragraph, prefixed by the doc text
+    // exactly when its stopword density clears 8% — the oracle replays that
+    // classification in integer SQL. Parser edge cases (entities, raw-text
+    // skip, malformed markup, link counting) are pinned by HtmlExtractSpec.
+    "d_html_extract" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.plans.SketchFunctions.html_main_text(
+            plantedHtml(col("text"), pmod(col("doc_id"), lit(3)))).as("main"))
+    }),
+
+    // X63b: the curate pipeline fed FROM HTML — extract main content, token
+    // gate on the EXTRACTED text (const-only pages have 15 tokens < 20, so
+    // the html classifier is the live gate), then a per-source corpus
+    // profile. Extraction, gating and aggregation all replayed by the
+    // oracle.
+    "d_html_curate" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.plans.SketchFunctions.html_main_text(
+            plantedHtml(col("text"), pmod(col("doc_id"), lit(3)))).as("main"))
+        .withColumn("n_tokens", size(split(col("main"), "[ \n]")).cast("bigint"))
+        .where(col("n_tokens") >= 20)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .select(col("source"), col("n_docs"), col("sum_tokens"))
     }),
 
     // benchmark decontamination: the planted eval set (doc_id % 101 == 0)
@@ -5365,6 +5454,37 @@ object SparkEntry {
              ELSE text || chr(10) || 'tail'
            END AS norm
          FROM documents""",
+
+    // X63 truth: on the planted page the title/heading/footer fail the
+    // length gate, the nav is all link chars, the constant paragraph always
+    // classifies good (and its &amp;/&#169; entities decode), so the only
+    // data-dependent branch is whether the doc-text paragraph clears the
+    // stopword-density gate — stated here with the same integer
+    // cross-multiplication the classifier uses.
+    "d_html_extract" -> (
+      s"""SELECT doc_id,
+           CASE WHEN $htmlGoodSql
+             THEN text || chr(10) || '$htmlGoodConst'
+             ELSE '$htmlGoodConst'
+           END AS main
+         FROM documents"""),
+
+    "d_html_curate" -> (
+      s"""WITH ex AS (
+           SELECT doc_id, source,
+             CASE WHEN $htmlGoodSql
+               THEN text || chr(10) || '$htmlGoodConst'
+               ELSE '$htmlGoodConst'
+             END AS main
+           FROM documents),
+         tok AS (
+           SELECT doc_id, source,
+             len(regexp_split_to_array(main, '[ \n]')) AS n_tokens
+           FROM ex)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         FROM tok WHERE n_tokens >= 20
+         GROUP BY source"""),
 
     // Planted ground truth for the sketch pair-finders: the oracle computes
     // the EXACT pair set over the same (base ∪ planted) corpus, so equality

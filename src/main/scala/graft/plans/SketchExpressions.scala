@@ -329,6 +329,10 @@ object SketchFunctions {
         }, "built-in")
       reg.createOrReplaceTempFunction("normalize_text",
         exprs => NormalizeText(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction("html_main_text",
+        exprs => HtmlMainText(exprs(0), foldableInt(exprs(1), "minChars"),
+          foldableInt(exprs(2), "maxLinkPct"), foldableInt(exprs(3), "minStopPct")),
+        "built-in")
       // same resolution-time fold for the keyword dictionary
       reg.createOrReplaceTempFunction("keyword_hits",
         exprs => {
@@ -405,4 +409,11 @@ object SketchFunctions {
     * repair, NFC, control/zero-width scrub), applied to fixpoint. */
   def normalize_text(text: Column): Column =
     call_function("normalize_text", text.cast("string"))
+
+  /** HTML main-content extraction: block segmentation + link-density /
+    * length / stopword-density classification, good blocks joined by \n. */
+  def html_main_text(html: Column, minChars: Int = 25, maxLinkPct: Int = 33,
+      minStopPct: Int = 8): Column =
+    call_function("html_main_text", html.cast("string"),
+      lit(minChars), lit(maxLinkPct), lit(minStopPct))
 }

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.codec.HtmlCodec
+import graft.codec.HtmlCodec.Block
+import graft.plans.SketchFunctions
+
+/**
+ * HTML main-content extraction (round-12 directive #1): block segmentation,
+ * entity decoding, malformed-markup tolerance, link-density counting, and
+ * the context-free classifier. The SQL oracle (d_html_extract) covers the
+ * planted end-to-end path; this spec owns the parser edge cases the oracle
+ * can't see.
+ */
+class HtmlExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def texts(html: String): Seq[String] = HtmlCodec.blocks(html).map(_.text)
+
+  test("block segmentation on block tags; inline tags are invisible") {
+    val html = "<html><body><p>one <b>bold</b> here</p><div>two</div>three" +
+      "<br>four<span> five</span></body></html>"
+    assert(texts(html) == Seq("one bold here", "two", "three", "four five"))
+  }
+
+  test("script/style/noscript/template contents are skipped entirely") {
+    val html = "<head><style>p { color: red; }</style><script>if (1<2) x();" +
+      "</script></head><body><p>kept</p><noscript>no js</noscript>" +
+      "<template><p>ghost</p></template><p>also kept</p></body>"
+    assert(texts(html) == Seq("kept", "also kept"))
+  }
+
+  test("comments, doctype, processing instructions are skipped") {
+    val html = "<!DOCTYPE html><?xml version=\"1.0\"?><body><!-- <p>not me</p> -->" +
+      "<p>real</p><!-- unterminated comment eats the rest <p>gone</p>"
+    assert(texts(html) == Seq("real"))
+  }
+
+  test("entity decoding: named, decimal, hex, unknown stays literal") {
+    val html = "<p>&quot;a&quot; &amp; b &lt;c&gt; caf&#233; caf&#xE9; " +
+      "&nbsp;spaced&nbsp; x &bogus; &unterminated</p>"
+    assert(texts(html) ==
+      Seq("\"a\" & b <c> café café spaced x &bogus; &unterminated"))
+  }
+
+  test("malformed markup: unclosed tags, stray <, attribute values with >") {
+    assert(texts("<p>open paragraph<p>second<div class=\"a>b\">inner") ==
+      Seq("open paragraph", "second", "inner"))
+    assert(texts("3 < 5 and x <> y") == Seq("3 < 5 and x <> y"))
+    assert(texts("<p>cut off at the en") == Seq("cut off at the en"))
+    assert(texts("<P>UPPER<DIV>case TAGS</DIV>") == Seq("UPPER", "case TAGS"))
+    assert(texts("<p>trailing unterminated tag <a href=") == Seq("trailing unterminated tag"))
+  }
+
+  test("whitespace collapses; empty blocks are dropped") {
+    val html = "<div>\n\t  lots   of\n space  </div><div>   </div><div></div><p>b</p>"
+    assert(texts(html) == Seq("lots of space", "b"))
+  }
+
+  test("link chars counted through nesting; self-closed <a/> doesn't nest") {
+    val bs = HtmlCodec.blocks(
+      "<p><a href=\"/\">Home <b>sweet</b></a> plain</p><p><a/>free</p>")
+    assert(bs == Vector(
+      Block("Home sweet plain", 14, 9), // 'Homesweet' inside the anchor
+      Block("free", 4, 0)))
+  }
+
+  test("classifier: length, link-density, stopword-density gates") {
+    // short block: bad
+    assert(!HtmlCodec.isMain(Block("the of and", 8, 0), 25, 33, 8))
+    // long, link-free, stopword-rich: good
+    val good = Block("the data is on the table and it has many rows", 36, 0)
+    assert(HtmlCodec.isMain(good, 25, 33, 8))
+    // same text fully inside links: bad (density 100%)
+    assert(!HtmlCodec.isMain(good.copy(linkChars = 36), 25, 33, 8))
+    // exactly at the link threshold: 100·12 ≤ 33·36 fails (1200 > 1188)
+    assert(!HtmlCodec.isMain(good.copy(linkChars = 12), 25, 33, 8))
+    assert(HtmlCodec.isMain(good.copy(linkChars = 11), 25, 33, 8))
+    // no stopwords: bad
+    assert(!HtmlCodec.isMain(Block("lorem ipsum dolor sit amet consectetur xyz", 38, 0), 25, 33, 8))
+  }
+
+  test("mainText end-to-end: nav/footer/title drop, content survives") {
+    val html =
+      """<html><head><title>T</title></head><body>
+        |<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>
+        |<div id="main"><h1>Hi</h1>
+        |<p>the data is on the table and it has many rows in it for sure</p>
+        |<p>short</p></div>
+        |<footer><a href="/tos">Terms</a> &copy; 2026</footer>
+        |</body></html>""".stripMargin
+    assert(HtmlCodec.mainText(html) ==
+      "the data is on the table and it has many rows in it for sure")
+  }
+
+  test("expression path (codegen) agrees with the kernel; null passes through") {
+    SketchFunctions.register(spark)
+    val rows = Seq(
+      "<body><nav><a href=x>L</a></nav><p>the value is in the table for all of it</p></body>",
+      "<p>no stopwords here just jargon tokens</p>", null)
+    val got = rows.toDF("h")
+      .select(SketchFunctions.html_main_text(col("h")).as("t"))
+      .collect().map(r => Option(r.getString(0)))
+    val want = rows.map(Option(_).map(HtmlCodec.mainText(_)))
+    assert(got.toSeq == want)
+  }
+}
