@@ -3641,6 +3641,23 @@ object SparkEntry {
         .select(col("vec_id"))
     }),
 
+    // X64: SemDeDup — embedding-CLUSTER dedup (k-means assignment, then
+    // near-1 cosine pairing within clusters only; cross-cluster pairs never
+    // enumerated). Planted exact-duplicate vectors (vec_id+20M, every 7th)
+    // co-cluster with their originals STRUCTURALLY (identical vector →
+    // identical argmin), so the within-cluster pruning equals the all-pairs
+    // truth the oracle computes: the fixture has ZERO natural ≥0.999 pairs
+    // at every SF (measured; max natural cosine ≈ 0.60), and SemDeDupSpec
+    // pins that invariant plus the no-cross-cluster contract.
+    "e_semdedup" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = base.where(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 20000000L).as("vec_id"), col("embedding"))
+      Similarity.semDeDup(base.unionByName(planted), threshold = 0.999,
+        dim = 64, nCentroids = 16)
+        .select(col("vec_id"))
+    }),
+
     // int8 embedding quantization (native quantize_i8/vec_absmax): scalar
     // digest of the quantized vector so the oracle can recompute it in SQL —
     // double arithmetic on both sides makes the rounding bit-comparable
@@ -5963,6 +5980,23 @@ object SparkEntry {
            SELECT vec_id, embedding FROM embeddings
            UNION ALL
            SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id % 5 = 0),
+         pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM corpus a, corpus b
+           WHERE a.vec_id < b.vec_id
+             AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.999)
+         SELECT c.vec_id FROM corpus c
+         WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = c.vec_id)""",
+
+    // X64 truth: all-pairs at the same threshold over the same corpus —
+    // equality with the cluster-pruned Spark answer proves the within-
+    // cluster restriction lost nothing (planted duplicates co-cluster
+    // structurally; zero natural near-1 pairs exist, measured at all SFs)
+    "e_semdedup" ->
+      """WITH corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 20000000, embedding FROM embeddings WHERE vec_id % 7 = 0),
          pairs AS (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b
            FROM corpus a, corpus b

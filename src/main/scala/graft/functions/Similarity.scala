@@ -276,6 +276,65 @@ object Similarity {
     vectors.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
   }
 
+  /**
+   * X64: SemDeDup-style within-cluster pair plane (Abbas et al. 2023,
+   * "SemDeDup: Data-efficient learning at web-scale through semantic
+   * deduplication"). Vectors are assigned to their nearest centroid (a
+   * broadcast-centroid codegen'd projection — `cents` rides the plan as a
+   * reference object), and near-duplicate candidates pair WITHIN a cluster
+   * only: a self equi-join on the cell id. Cross-cluster pairs are never
+   * enumerated — that is the SemDeDup contract (SemDeDupSpec pins it both
+   * behaviorally and at the plan level: the join is a hash equi-join on
+   * `ivf_cell`, no cartesian anywhere).
+   *
+   * Scale shape: the pair plane is Σ|cell|² instead of |corpus|² — with k
+   * balanced cells that is a k× reduction, and at 100 TB the cell id is a
+   * partition column so each cell's self-join is cluster-local. Identical
+   * vectors always co-cluster (identical cosine to every centroid, same
+   * deterministic argmin), so recall for exact duplicates is structural,
+   * independent of centroid quality; near-but-not-identical pairs straddling
+   * a Voronoi boundary are the documented recall loss this trades for never
+   * touching the cross-cluster plane (at near-1 thresholds that loss is
+   * vanishing — boundary pairs at 0.999 need centroids almost equidistant).
+   */
+  def semDeDupPairs(
+      vectors: DataFrame,
+      cents: Array[Array[Float]],
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cells = withIvfCells(vectors, cents, vecCol)
+    val l = cells.select(col("ivf_cell"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val r = cells.select(col("ivf_cell"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    l.join(r, Seq("ivf_cell"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("ivf_cell"), col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 6).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
+  /**
+   * X64 end-to-end: train the coarse quantizer ([[ivfCentroids]] — bounded
+   * deterministic seeding + Lloyd, `trainMod` subsampling at scale), build
+   * the within-cluster pair plane, drop every vector appearing as the HIGHER
+   * id of a pair (keep-lowest-representative, the X22/X29 discipline —
+   * near-1 groups are cliques, so pairwise removal equals component
+   * keep-min). One anti-join over the pair plane's right side.
+   */
+  def semDeDup(
+      vectors: DataFrame,
+      threshold: Double = 0.999,
+      dim: Int = 64,
+      nCentroids: Int = 16,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      trainMod: Int = 1): DataFrame = {
+    val cents = ivfCentroids(vectors, dim, nCentroids, iters, idCol, vecCol, trainMod)
+    val pairs = semDeDupPairs(vectors, cents, threshold, idCol, vecCol)
+    vectors.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+  }
+
   // --------------------------------------------------------- quantized scan
 
   /** Driver-side twin of the native quantize_i8 (symmetric int8:
