@@ -3031,7 +3031,27 @@ object SparkEntry {
         ("q1", "filter join key"),
         ("q2", "stream window merge sort"),
         ("q3", "customer order line value")).toDF("query_id", "query")
-      TextFunctions.bm25TopK(t(s, dir, "documents"), queries, k = 10)
+      // consumes the shared X65 df plane (same answer with or without it —
+      // DocFreqSpec pins the equality; here it demonstrates the
+      // compute-once pipeline wiring)
+      val plane = TextFunctions.corpusDocFreq(t(s, dir, "documents"), n = 1)
+      TextFunctions.bm25TopK(t(s, dir, "documents"), queries, k = 10,
+        docFreq = Some(plane))
+    }),
+
+    // X65: corpus document-frequency plane + stopword discovery — the
+    // corpus statistic ppjoin's rarest-first order and bm25's idf both
+    // consume, computed once (persistable) and queried here as discovered
+    // stopwords: every token appearing in ≥ 20% of documents, with its
+    // integer document-share. One explode + one map-side-partial count;
+    // the plane is vocabulary-sized (Heaps'-law sublinear).
+    "d_doc_freq" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextFunctions.corpusDocFreq(docs, n = 1)
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+        .where(col("df") * 5 >= col("n_docs"))
+        .select(col("tok"), col("df"),
+          expr("(df * 100) div n_docs").as("df_pct"))
     }),
 
     // corpus-level hot n-grams (boilerplate detector input): raw 3-gram
@@ -6194,6 +6214,18 @@ object SparkEntry {
            CAST(score_e8 AS DOUBLE) / 100000000.0 AS score, n_terms,
            row_number() OVER (PARTITION BY query_id ORDER BY score_e8 DESC, doc_id) AS rank
          FROM agg QUALIFY rank <= 10""",
+
+    // X65 truth: distinct-per-doc token counts, 20% document-share gate,
+    // integer-division share — all bigint arithmetic, no float thresholds
+    "d_doc_freq" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS tok
+           FROM documents),
+         dfreq AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+         nd AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT tok, df, (df * 100) // n_docs AS df_pct
+         FROM dfreq, nd WHERE df * 5 >= n_docs""",
 
     "d_top_ngrams" ->
       """WITH base AS (

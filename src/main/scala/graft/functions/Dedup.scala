@@ -681,7 +681,8 @@ object Dedup {
       textCol: String = "text",
       n: Int = 3,
       threshold: Double = 0.6,
-      maxDocsPerPrefixToken: Option[Int] = Some(1000)): DataFrame = {
+      maxDocsPerPrefixToken: Option[Int] = Some(1000),
+      docFreq: Option[DataFrame] = None): DataFrame = {
     SketchFunctions.register(docs.sparkSession)
     val toks = docs
       .select(col(idCol).cast("long").as("id"),
@@ -692,7 +693,9 @@ object Dedup {
     val flat = toks.select(col("id"), col("n_toks"), explode(col("toks")).as("tok"))
     // global rarest-first total order: (df asc, token asc). Any total order
     // preserves the recall proof; this one minimizes prefix-bucket sizes.
-    val dfreq = flat.groupBy("tok").agg(count(lit(1)).as("df"))
+    // A shared plane (TextFunctions.corpusDocFreq at the SAME n, X65) can be
+    // passed in so a multi-operator pipeline tokenizes the corpus once.
+    val dfreq = docFreq.getOrElse(flat.groupBy("tok").agg(count(lit(1)).as("df")))
     // per-doc prefix of length n − ⌈τn⌉ + 1 under that order. The ceil runs
     // with a 1e-9 guard so a float-down τ·n at an integer boundary can only
     // LENGTHEN the prefix (recall-safe; one extra candidate token at worst).

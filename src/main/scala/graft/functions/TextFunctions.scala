@@ -153,6 +153,40 @@ object TextFunctions {
   def wordNgrams(text: Column, n: Int): Column =
     graft.plans.SketchFunctions.word_ngrams(text, n)
 
+  /**
+   * X65: the corpus DOCUMENT-FREQUENCY plane — one (tok, df) row per
+   * distinct word `n`-gram, df = number of documents containing it (each
+   * doc counts once: per-doc distinct before the count). This is the
+   * corpus statistic several operators consume independently — X56
+   * ppjoinPairs' rarest-first prefix order, X54 bm25TopK's idf, stopword
+   * discovery (d_doc_freq) — and the X53 tokenize-once discipline says a
+   * multi-operator pipeline should compute it ONCE: pass `persist = true`
+   * and hand the returned frame to every consumer (`docFreq` parameters on
+   * ppjoinPairs / bm25TopK); each consumer then reads the cached plane
+   * (InMemoryTableScan — DocFreqSpec pins it) instead of re-scanning and
+   * re-tokenizing the corpus.
+   *
+   * Scale shape: one explode + one groupBy(tok) count with map-side
+   * partials; the plane is vocabulary-sized (Heaps'-law sublinear in the
+   * corpus), so persisting it is cheap and at 100 TB it would be a written
+   * table maintained incrementally, not a cache. Tokenization is the
+   * engine-wide `tokens`/word_ngrams contract (trim+lower, \s+ split), so
+   * the plane is interchangeable across every consumer with the same n.
+   */
+  def corpusDocFreq(
+      docs: org.apache.spark.sql.DataFrame,
+      n: Int = 1,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      persist: Boolean = false): org.apache.spark.sql.DataFrame = {
+    graft.plans.SketchFunctions.register(docs.sparkSession)
+    val plane = docs
+      .select(explode(array_distinct(wordNgrams(col(textCol), n))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    if (persist) plane.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else plane
+  }
+
   /** Character n-grams of the normalized text. */
   def charNgrams(text: Column, n: Int): Column = {
     val s = lower(trim(text))
@@ -760,7 +794,8 @@ object TextFunctions {
   def bm25TopK(docs: org.apache.spark.sql.DataFrame,
       queries: org.apache.spark.sql.DataFrame, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
-      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+      textCol: String = "text",
+      docFreq: Option[org.apache.spark.sql.DataFrame] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be >= 1, got $k")
     val qterms = queries.select(col("query_id"),
@@ -775,7 +810,20 @@ object TextFunctions {
       .join(broadcast(qterms.select("token").distinct()), Seq("token"), "left_semi")
       .groupBy(col("doc_id"), col("dl"), col("token"))
       .agg(count(lit(1)).cast("double").as("tf"))
-    val df = postings.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+    // idf needs the TRUE per-term corpus document frequency; postings are
+    // pruned to query terms but keep every doc containing one, so counting
+    // them equals the corpus df restricted to query terms. A shared X65
+    // plane (corpusDocFreq at n=1 — same tokenizer) can be passed in
+    // instead, semi-joined down to the query vocabulary; a pipeline that
+    // already built the plane then skips this corpus re-aggregation.
+    val df = docFreq match {
+      case Some(plane) => plane
+        .join(broadcast(qterms.select(col("token")).distinct()),
+          plane("tok") === col("token"), "left_semi")
+        .select(col("tok").as("token"), col("df").cast("double").as("df"))
+      case None =>
+        postings.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+    }
     // per-term contribution quantized to an 8dp integer so the per-(query,
     // doc) sum is exact bigint arithmetic — no cross-engine summation-order
     // noise at the rank boundary (the dsirLogWeights discipline)
