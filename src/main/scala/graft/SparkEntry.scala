@@ -2968,6 +2968,23 @@ object SparkEntry {
         .select(col("source"), col("n_docs"), col("sum_tokens"))
     }),
 
+    // X62+X63 composed: the REAL web-ingest chain — raw page bytes with
+    // mojibake inside the content paragraph are normalized FIRST (strict
+    // repair + NFC + scrub over the whole markup string; the ASCII tags
+    // pass through untouched) and the repaired page then flows through the
+    // HTML extractor. The oracle states the repaired tail as chr() codepoint
+    // constants and replays the stopword gate on the EXTENDED paragraph.
+    "d_web_ingest" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      val withTail = concat(col("text"),
+        lit(" Caf\u00c3\u00a9 \u00e2\u20ac\u201d d\u00c3\u00a9j\u00c3\u00a0 vu"))
+      val raw = plantedHtml(withTail, pmod(col("doc_id"), lit(3)))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.plans.SketchFunctions.html_main_text(
+            graft.plans.SketchFunctions.normalize_text(raw)).as("main"))
+    }),
+
     // benchmark decontamination: the planted eval set (doc_id % 101 == 0)
     // reduces to distinct 3-grams and BROADCASTS; training docs stream
     // through the broadcast join with no corpus shuffle — each doc sharing
@@ -5522,6 +5539,21 @@ object SparkEntry {
            CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          FROM tok WHERE n_tokens >= 20
          GROUP BY source"""),
+
+    // X62+X63 truth: the repaired tail is a constant, so the truth is the
+    // d_html_extract CASE evaluated over the tail-extended paragraph
+    "d_web_ingest" -> (
+      s"""WITH fixed AS (
+           SELECT doc_id,
+             text || ' Caf' || chr(233) || ' ' || chr(8212) ||
+               ' d' || chr(233) || 'j' || chr(224) || ' vu' AS text
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN $htmlGoodSql
+             THEN text || chr(10) || '$htmlGoodConst'
+             ELSE '$htmlGoodConst'
+           END AS main
+         FROM fixed"""),
 
     // Planted ground truth for the sketch pair-finders: the oracle computes
     // the EXACT pair set over the same (base ∪ planted) corpus, so equality

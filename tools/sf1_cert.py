@@ -1,0 +1,447 @@
+#!/usr/bin/env python3
+"""Bounded sf1 certificates for the quadratic-truth pair rows (round-12
+directive #5). The full DuckDB truth for these rows is all-pairs (exact
+Jaccard / levenshtein / batch-x-corpus) — fine at the sf0.01/sf0.1 gates,
+combinatorial at sf1, where it used to time out and leave 8 rows unverified.
+Each certificate replaces the unbounded compare with checks that are LINEAR
+in the corpus plus a bounded sample, and still prove both directions:
+
+  - PLANTED RECALL (full, linear): every planted near-dup pair's predicate
+    is recomputed directly (one partner per planted doc) and the reported
+    slice on the planted id-pattern must equal it exactly — recall on the
+    pairs we know exist, with exact values.
+  - SAMPLE-RESTRICTED TRUTH (bounded): a deterministic md5-ordered sample of
+    S docs; the EXACT truth restricted to pairs touching the sample is
+    computed via one sample-x-corpus pass (S·N predicate evaluations, not
+    N²) and must equal the reported pairs touching the sample — precision
+    AND natural-pair recall on the sampled slice, exact values included.
+  - STRUCTURAL FULL CHECKS where the construction makes truth linear
+    (synthetic-token docs match nothing / exactly their parent; sequential
+    stream chunks' planted drops).
+
+The corpus constructions here MIRROR SparkEntry's query builders (same
+planting rules the oracle SQL states); drift fails the certificate loudly.
+
+Usage: sf1_cert.py --one <sf1_dir> <dump_dir> <name>
+Prints a one-line JSON verdict {"cert": "pass"|"fail", ...}; exit 0 on pass.
+"""
+import json
+import sys
+import time
+
+SAMPLE = 150
+
+TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+# distinct word trigrams of a text column (the engine-wide shingle unit)
+GRAMS = ("list_distinct(list_transform(generate_series(1, len(%s) - 2),"
+         " i -> array_to_string(%s[i:i+2], ' ')))" % (TOKS, TOKS))
+JACC = ("CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / "
+        "(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))")
+
+
+def setup(con, sf_dir):
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'")
+
+
+def grams_table(con, corpus_sql, name="g"):
+    """Materialize (doc_id, grams) once — every branch reads it."""
+    con.execute(f"""CREATE TEMP TABLE {name} AS
+      WITH corpus AS ({corpus_sql})
+      SELECT doc_id, {GRAMS} AS grams FROM corpus
+      WHERE len({TOKS}) >= 3""")
+
+
+def sample_table(con, from_table="g", n=SAMPLE, name="samp"):
+    con.execute(f"""CREATE TEMP TABLE {name} AS
+      SELECT doc_id FROM {from_table}
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {n}""")
+
+
+def diff_counts(con, truth_sql, got_sql):
+    """(n_truth, n_got, missing, extra) between two (keyed) relations."""
+    return con.execute(f"""
+      WITH truth AS ({truth_sql}), got AS ({got_sql})
+      SELECT (SELECT count(*) FROM truth), (SELECT count(*) FROM got),
+        (SELECT count(*) FROM (SELECT * FROM truth EXCEPT SELECT * FROM got)),
+        (SELECT count(*) FROM (SELECT * FROM got EXCEPT SELECT * FROM truth))
+      """).fetchone()
+
+
+def jaccard_pair_cert(con, dump, name, corpus_sql, tau,
+                      planted_delta=None, planted_mod=None):
+    """Certificate for symmetric (id_a, id_b, jaccard) rows."""
+    grams_table(con, corpus_sql)
+    sample_table(con)
+    out = {}
+    # sample-restricted truth (both directions: a or b sampled)
+    truth = f"""
+      SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, round({JACC}, 6) AS jaccard
+        FROM (SELECT * FROM g SEMI JOIN samp USING (doc_id)) a
+        JOIN g b ON a.doc_id < b.doc_id WHERE {JACC} >= {tau}
+        UNION
+        SELECT a.doc_id, b.doc_id, round({JACC}, 6)
+        FROM g a JOIN (SELECT * FROM g SEMI JOIN samp USING (doc_id)) b
+          ON a.doc_id < b.doc_id WHERE {JACC} >= {tau})"""
+    got = f"""
+      SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+      FROM '{dump}/{name}/*.parquet'
+      WHERE id_a IN (SELECT doc_id FROM samp)
+         OR id_b IN (SELECT doc_id FROM samp)"""
+    nt, ng, miss, extra = diff_counts(con, truth, got)
+    out["sample"] = {"n_truth": nt, "n_got": ng, "missing": miss,
+                     "extra": extra, "sampled_docs": SAMPLE}
+    ok = miss == 0 and extra == 0
+    # planted recall (full): the (d, d+delta) slice, exact values
+    if planted_delta is not None:
+        truth_p = f"""
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, round({JACC}, 6) AS jaccard
+          FROM g a JOIN g b ON b.doc_id = a.doc_id + {planted_delta}
+          WHERE a.doc_id % {planted_mod} = 0 AND {JACC} >= {tau}"""
+        got_p = f"""
+          SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+          FROM '{dump}/{name}/*.parquet'
+          WHERE id_b = id_a + {planted_delta} AND id_a % {planted_mod} = 0"""
+        nt, ng, miss, extra = diff_counts(con, truth_p, got_p)
+        out["planted"] = {"n_truth": nt, "n_got": ng, "missing": miss,
+                          "extra": extra}
+        ok = ok and miss == 0 and extra == 0 and nt > 0
+    out["cert"] = "pass" if ok else "fail"
+    return out
+
+
+BASE300 = "SELECT doc_id, text FROM documents WHERE n_chars < 300"
+
+
+def cert_d_ngram_jaccard(con, dump):
+    return jaccard_pair_cert(con, dump, "d_ngram_jaccard", BASE300, 0.2)
+
+
+def cert_d_minhash_pairs(con, dump):
+    corpus = f"""{BASE300}
+      UNION ALL
+      SELECT doc_id + 10000000, text || ' graftplantdup'
+      FROM documents WHERE n_chars < 300 AND doc_id % 7 = 0"""
+    return jaccard_pair_cert(con, dump, "d_minhash_pairs", corpus, 0.8,
+                             planted_delta=10000000, planted_mod=7)
+
+
+def cert_d_ppjoin_pairs(con, dump):
+    corpus = f"""{BASE300}
+      UNION ALL
+      SELECT doc_id + 40000000, text || ' ppjplant'
+      FROM documents WHERE n_chars < 300 AND doc_id % 13 = 0"""
+    return jaccard_pair_cert(con, dump, "d_ppjoin_pairs", corpus, 0.6,
+                             planted_delta=40000000, planted_mod=13)
+
+
+def cert_d_containment_pairs(con, dump):
+    corpus = f"""{BASE300}
+      UNION ALL
+      SELECT doc_id + 50000000,
+        array_to_string({TOKS}[1:20], ' ')
+      FROM documents WHERE n_chars < 300 AND doc_id % 17 = 0
+        AND len({TOKS}) >= 25"""
+    grams_table(con, corpus)
+    sample_table(con)
+    cont = ("CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / "
+            "least(len(a.grams), len(b.grams))")
+    sel = f"""
+      CASE WHEN len(a.grams) <= len(b.grams) THEN a.doc_id ELSE b.doc_id END AS id_small,
+      CASE WHEN len(a.grams) <= len(b.grams) THEN b.doc_id ELSE a.doc_id END AS id_big,
+      round({cont}, 6) AS containment, round({JACC}, 6) AS jaccard"""
+    truth = f"""
+      SELECT id_small, id_big, containment, jaccard FROM (
+        SELECT {sel}
+        FROM (SELECT * FROM g SEMI JOIN samp USING (doc_id)) a
+        JOIN g b ON a.doc_id < b.doc_id WHERE {cont} >= 0.9
+        UNION
+        SELECT {sel}
+        FROM g a JOIN (SELECT * FROM g SEMI JOIN samp USING (doc_id)) b
+          ON a.doc_id < b.doc_id WHERE {cont} >= 0.9)"""
+    got = f"""
+      SELECT id_small, id_big, round(containment, 6) AS containment,
+        round(jaccard, 6) AS jaccard
+      FROM '{dump}/d_containment_pairs/*.parquet'
+      WHERE id_small IN (SELECT doc_id FROM samp)
+         OR id_big IN (SELECT doc_id FROM samp)"""
+    nt, ng, miss, extra = diff_counts(con, truth, got)
+    out = {"sample": {"n_truth": nt, "n_got": ng, "missing": miss,
+                      "extra": extra, "sampled_docs": SAMPLE}}
+    ok = miss == 0 and extra == 0
+    # planted recall: every %17/>=25-token prefix doc is contained at 1.0
+    truth_p = f"""
+      SELECT b.doc_id AS id_small, a.doc_id AS id_big
+      FROM g a JOIN g b ON b.doc_id = a.doc_id + 50000000
+      WHERE a.doc_id % 17 = 0"""
+    got_p = f"""
+      SELECT id_small, id_big FROM '{dump}/d_containment_pairs/*.parquet'
+      WHERE id_small = id_big + 50000000 AND id_big % 17 = 0
+        AND containment = 1.0"""
+    nt, ng, miss, extra = diff_counts(con, truth_p, got_p)
+    out["planted"] = {"n_truth": nt, "n_got": ng, "missing": miss,
+                      "extra": extra}
+    ok = ok and miss == 0 and nt > 0
+    out["cert"] = "pass" if ok else "fail"
+    return out
+
+
+def cert_d_fuzzy_pairs(con, dump):
+    con.execute(f"""CREATE TEMP TABLE k AS
+      WITH corpus AS (
+        SELECT doc_id, substring(text, 1, 40) AS key FROM documents
+        UNION ALL
+        SELECT doc_id + 30000000,
+          substring(key, 1, 2) || 'q' || substring(key, 4, 37)
+        FROM (SELECT doc_id, substring(text, 1, 40) AS key FROM documents)
+        WHERE doc_id % 15 = 0)
+      SELECT doc_id, key FROM corpus""")
+    con.execute(f"""CREATE TEMP TABLE samp AS
+      SELECT doc_id FROM k
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100""")
+    lev = "levenshtein(a.key, b.key)"
+    truth = f"""
+      SELECT id_a, id_b, edit_distance FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST({lev} AS BIGINT) AS edit_distance
+        FROM (SELECT * FROM k SEMI JOIN samp USING (doc_id)) a
+        JOIN k b ON a.doc_id < b.doc_id WHERE {lev} <= 2
+        UNION
+        SELECT a.doc_id, b.doc_id, CAST({lev} AS BIGINT)
+        FROM k a JOIN (SELECT * FROM k SEMI JOIN samp USING (doc_id)) b
+          ON a.doc_id < b.doc_id WHERE {lev} <= 2)"""
+    got = f"""
+      SELECT id_a, id_b, CAST(edit_distance AS BIGINT) AS edit_distance
+      FROM '{dump}/d_fuzzy_pairs/*.parquet'
+      WHERE id_a IN (SELECT doc_id FROM samp)
+         OR id_b IN (SELECT doc_id FROM samp)"""
+    nt, ng, miss, extra = diff_counts(con, truth, got)
+    out = {"sample": {"n_truth": nt, "n_got": ng, "missing": miss,
+                      "extra": extra, "sampled_docs": 100}}
+    ok = miss == 0 and extra == 0
+    truth_p = f"""
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST({lev} AS BIGINT) AS edit_distance
+      FROM k a JOIN k b ON b.doc_id = a.doc_id + 30000000
+      WHERE a.doc_id % 15 = 0 AND {lev} <= 2"""
+    got_p = f"""
+      SELECT id_a, id_b, CAST(edit_distance AS BIGINT) AS edit_distance
+      FROM '{dump}/d_fuzzy_pairs/*.parquet'
+      WHERE id_b = id_a + 30000000 AND id_a % 15 = 0"""
+    nt, ng, miss, extra = diff_counts(con, truth_p, got_p)
+    out["planted"] = {"n_truth": nt, "n_got": ng, "missing": miss,
+                      "extra": extra}
+    ok = ok and miss == 0 and extra == 0 and nt > 0
+    out["cert"] = "pass" if ok else "fail"
+    return out
+
+
+def incr_cert(con, dump, name, batch_sql, index_sql,
+              planted_delta, planted_mod_expr, fresh_pred):
+    """Certificate for (id_new, id_base, jaccard) probe rows: the truth is
+    batch x index at J >= 0.8; output direction is new -> base."""
+    grams_table(con, index_sql, name="gi")
+    grams_table(con, batch_sql, name="gb_")
+    con.execute(f"""CREATE TEMP TABLE samp AS
+      SELECT doc_id FROM gb_
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {SAMPLE}""")
+    out = {}
+    truth = f"""
+      SELECT a.doc_id AS id_new, b.doc_id AS id_base, round({JACC}, 6) AS jaccard
+      FROM (SELECT * FROM gb_ SEMI JOIN samp USING (doc_id)) a
+      JOIN gi b ON true WHERE {JACC} >= 0.8"""
+    got = f"""
+      SELECT id_new, id_base, round(jaccard, 6) AS jaccard
+      FROM '{dump}/{name}/*.parquet'
+      WHERE id_new IN (SELECT doc_id FROM samp)"""
+    nt, ng, miss, extra = diff_counts(con, truth, got)
+    out["sample"] = {"n_truth": nt, "n_got": ng, "missing": miss,
+                     "extra": extra, "sampled_docs": SAMPLE}
+    ok = miss == 0 and extra == 0
+    # planted recall (full): the parent slice
+    truth_p = f"""
+      SELECT a.doc_id AS id_new, b.doc_id AS id_base, round({JACC}, 6) AS jaccard
+      FROM gb_ a JOIN gi b ON a.doc_id = b.doc_id + {planted_delta}
+      WHERE {planted_mod_expr} AND {JACC} >= 0.8"""
+    got_p = f"""
+      SELECT id_new, id_base, round(jaccard, 6) AS jaccard
+      FROM '{dump}/{name}/*.parquet'
+      WHERE id_new = id_base + {planted_delta}"""
+    nt, ng, miss, extra = diff_counts(con, truth_p, got_p)
+    out["planted"] = {"n_truth": nt, "n_got": ng, "missing": miss,
+                      "extra": extra}
+    ok = ok and miss == 0 and extra == 0 and nt > 0
+    # fresh docs match nothing (full, structural: synthetic tokens)
+    n_fresh_hits = con.execute(f"""
+      SELECT count(*) FROM '{dump}/{name}/*.parquet' WHERE {fresh_pred}
+      """).fetchone()[0]
+    out["fresh_hits"] = n_fresh_hits
+    ok = ok and n_fresh_hits == 0
+    out["cert"] = "pass" if ok else "fail"
+    return out
+
+
+def cert_d_incr_neardup(con, dump):
+    batch = f"""
+      SELECT doc_id + 30000000 AS doc_id, text || ' graftincrdup' AS text
+      FROM documents WHERE n_chars < 300 AND doc_id % 9 = 0
+      UNION ALL
+      SELECT doc_id + 40000000,
+        'zqa' || CAST(doc_id + 40000000 AS VARCHAR) || ' ' ||
+        'zqb' || CAST(doc_id + 40000000 AS VARCHAR) || ' ' ||
+        'zqc' || CAST(doc_id + 40000000 AS VARCHAR) || ' ' ||
+        'zqd' || CAST(doc_id + 40000000 AS VARCHAR)
+      FROM documents WHERE n_chars < 300 AND doc_id % 9 = 1"""
+    # fresh ids: id_new - 40000000 is a base id with %9=1; planted ids have
+    # (id_new - 30000000) % 9 = 0 — disambiguate via the id arithmetic
+    fresh = "(id_new - 40000000) % 9 = 1 AND (id_new - 30000000) % 9 != 0"
+    return incr_cert(con, dump, "d_incr_neardup", batch, BASE300,
+                     30000000, "(a.doc_id - 30000000) % 9 = 0", fresh)
+
+
+def cert_d_incr_neardup_gen2(con, dump):
+    zr = " || ' ' || ".join(
+        f"'zr{c}' || CAST(doc_id + 45000000 AS VARCHAR)" for c in "abcdefgh")
+    gen1 = f"""SELECT doc_id + 45000000 AS doc_id, {zr} AS text
+      FROM documents WHERE n_chars < 300 AND doc_id % 9 = 1"""
+    index = f"{BASE300} UNION ALL {gen1}"
+    batch = f"""
+      SELECT doc_id + 5000000 AS doc_id, text || ' zrx' AS text
+      FROM ({gen1})
+      UNION ALL
+      SELECT doc_id + 60000000, text || ' graftgen2dup'
+      FROM documents WHERE n_chars < 300 AND doc_id % 9 = 2"""
+    out = incr_cert(con, dump, "d_incr_neardup_gen2", batch, index,
+                    60000000, "(a.doc_id - 60000000) % 9 = 2",
+                    "false")  # no fresh side; gen2a handled below
+    # gen2a docs (zrx edits of gen1) must match EXACTLY their gen1 parent at
+    # J = 6/7 — full structural check (zr tokens are id-unique)
+    nt, ng, miss, extra = diff_counts(con, f"""
+      SELECT a.doc_id AS id_new, b.doc_id AS id_base,
+        round({JACC}, 6) AS jaccard
+      FROM gb_ a JOIN gi b ON a.doc_id = b.doc_id + 5000000
+      WHERE b.doc_id >= 45000000 AND (b.doc_id - 45000000) % 9 = 1
+        AND {JACC} >= 0.8""", f"""
+      SELECT id_new, id_base, round(jaccard, 6) AS jaccard
+      FROM '{dump}/d_incr_neardup_gen2/*.parquet'
+      WHERE id_new = id_base + 5000000""")
+    out["gen1_parents"] = {"n_truth": nt, "n_got": ng, "missing": miss,
+                           "extra": extra}
+    if miss or extra or nt == 0:
+        out["cert"] = "fail"
+    return out
+
+
+def cert_d_stream_neardup(con, dump):
+    def tok8(prefix, idexpr):
+        return " || ' ' || ".join(
+            f"'{prefix}{c}' || CAST({idexpr} AS VARCHAR)" for c in "abcdefgh")
+    zs = f"""SELECT doc_id + 75000000 AS doc_id,
+      {tok8('zs', 'doc_id + 75000000')} AS text
+      FROM documents WHERE n_chars < 300 AND doc_id % 9 = 4"""
+    zt = f"""SELECT doc_id + 85000000 AS doc_id,
+      {tok8('zt', 'doc_id + 85000000')} AS text
+      FROM documents WHERE n_chars < 300 AND doc_id % 9 = 5"""
+    a0 = f"""SELECT doc_id + 70000000 AS doc_id,
+      text || ' graftstreamdup' AS text
+      FROM documents WHERE n_chars < 300 AND doc_id % 9 = 3"""
+    a2 = f"""SELECT doc_id + 95000000 AS doc_id,
+      text || ' graftstreamdup2' AS text
+      FROM documents WHERE n_chars < 300 AND doc_id % 9 = 6"""
+    got = f"SELECT batch_id, doc_id FROM '{dump}/d_stream_neardup/*.parquet'"
+    out = {}
+    ok = True
+    # (a) fresh synthetic docs are always kept, in their own batch
+    for nm, src, bid in (("zs_kept", zs, 0), ("zt_kept", zt, 1)):
+        nt, ng, miss, extra = diff_counts(
+            con, f"SELECT {bid} AS batch_id, doc_id FROM ({src})",
+            f"SELECT batch_id, doc_id FROM ({got}) WHERE doc_id IN "
+            f"(SELECT doc_id FROM ({src}))")
+        out[nm] = {"n_truth": nt, "missing": miss, "extra": extra}
+        ok = ok and miss == 0 and extra == 0 and nt > 0
+    # (b) one-token edits of kept synthetic docs are always dropped
+    #     (J = 6/7 >= 0.8 vs their freshly-appended parent)
+    n_edit_kept = con.execute(f"""
+      SELECT count(*) FROM ({got}) WHERE doc_id IN (
+        SELECT doc_id + 5000000 FROM ({zs})
+        UNION ALL SELECT doc_id + 5000000 FROM ({zt}))""").fetchone()[0]
+    out["synthetic_edits_kept"] = n_edit_kept
+    ok = ok and n_edit_kept == 0
+    # (c) planted base dups whose parent pair clears 0.8 must be dropped
+    #     (parent is in the base index before batch 0)
+    grams_table(con, BASE300, name="gbase")
+    for nm, src, delta in (("a0_planted", a0, 70000000),
+                           ("a2_planted", a2, 95000000)):
+        n_bad = con.execute(f"""
+          WITH p AS ({src}),
+          pg AS (SELECT doc_id, {GRAMS} AS grams FROM p WHERE len({TOKS}) >= 3),
+          must_drop AS (
+            SELECT a.doc_id FROM pg a
+            JOIN gbase b ON a.doc_id = b.doc_id + {delta}
+            WHERE {JACC} >= 0.8)
+          SELECT count(*) FROM ({got}) WHERE doc_id IN
+            (SELECT doc_id FROM must_drop)""").fetchone()[0]
+        out[nm + "_kept"] = n_bad
+        ok = ok and n_bad == 0
+    # (d) sampled per-doc keep/drop truth for the base-dup chunks: a doc is
+    #     kept iff NO partner >= 0.8 exists in its probe corpus (base for
+    #     batch 0; base ∪ reported-kept(0,1) for batch 2 — earlier kept sets
+    #     are the engine's own, themselves verified by (a)–(c) above)
+    kept01 = f"""SELECT c.doc_id, c.text FROM (
+        SELECT doc_id, text FROM ({zs})
+        UNION ALL SELECT doc_id, text FROM ({zt})
+        UNION ALL SELECT doc_id, text FROM ({a0})) c
+      WHERE c.doc_id IN (SELECT doc_id FROM ({got}) WHERE batch_id <= 1)"""
+    for nm, src, probe in (("a0_sample", a0, BASE300),
+                           ("a2_sample", a2, f"{BASE300} UNION ALL {kept01}")):
+        con.execute("DROP TABLE IF EXISTS gp")
+        con.execute("DROP TABLE IF EXISTS gq")
+        con.execute("DROP TABLE IF EXISTS samp2")
+        grams_table(con, src, name="gp")
+        grams_table(con, probe, name="gq")
+        con.execute(f"""CREATE TEMP TABLE samp2 AS
+          SELECT doc_id FROM gp
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100""")
+        nt, ng, miss, extra = diff_counts(con, f"""
+          SELECT s.doc_id, CASE WHEN EXISTS (
+            SELECT 1 FROM gp a JOIN gq b ON a.doc_id = s.doc_id
+            WHERE {JACC} >= 0.8) THEN 0 ELSE 1 END AS kept
+          FROM samp2 s""", f"""
+          SELECT s.doc_id,
+            CASE WHEN s.doc_id IN (SELECT doc_id FROM ({got})) THEN 1 ELSE 0
+            END AS kept
+          FROM samp2 s""")
+        out[nm] = {"n": nt, "missing": miss, "extra": extra}
+        ok = ok and miss == 0 and extra == 0
+    out["cert"] = "pass" if ok else "fail"
+    return out
+
+
+CERTS = {
+    "d_ngram_jaccard": cert_d_ngram_jaccard,
+    "d_minhash_pairs": cert_d_minhash_pairs,
+    "d_ppjoin_pairs": cert_d_ppjoin_pairs,
+    "d_containment_pairs": cert_d_containment_pairs,
+    "d_fuzzy_pairs": cert_d_fuzzy_pairs,
+    "d_incr_neardup": cert_d_incr_neardup,
+    "d_incr_neardup_gen2": cert_d_incr_neardup_gen2,
+    "d_stream_neardup": cert_d_stream_neardup,
+}
+
+
+def main():
+    assert sys.argv[1] == "--one"
+    sf_dir, dump_dir, name = sys.argv[2], sys.argv[3], sys.argv[4]
+    import duckdb
+    con = duckdb.connect()
+    setup(con, sf_dir)
+    t0 = time.time()
+    res = CERTS[name](con, dump_dir)
+    res["cert_sec"] = round(time.time() - t0, 1)
+    print(json.dumps({name: res}))
+    return 0 if res["cert"] == "pass" else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

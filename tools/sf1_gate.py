@@ -6,11 +6,14 @@ Usage:
   python3 tools/sf1_gate.py <dump_dir>           # aggregate + write artifact
   python3 tools/sf1_gate.py --one <sf1_dir> <dump_dir> <name>   # internal
 
-Each oracle runs in its OWN subprocess with a wall timeout: a handful of
-truth statements are intentionally quadratic (all-pairs exact Jaccard /
-exact kNN ground truth — fine at the sf0.01/sf0.1 gates, combinatorial at
-sf1). Those rows record `"oracle": "timeout_quadratic_truth"` and stand on
-their sf0.1 oracle pass + sf1 row count; everything else must PASS.
+Each oracle runs in its OWN subprocess with a wall timeout. The pair-finder
+rows whose truth statements are intentionally quadratic (all-pairs exact
+Jaccard / levenshtein / batch-x-corpus — fine at the sf0.01/sf0.1 gates,
+combinatorial at sf1) run the BOUNDED CERTIFICATE in tools/sf1_cert.py
+instead (planted recall in full + md5-sampled restricted truth + structural
+checks) and record `"oracle": "certificate_pass"`. An unexpected timeout on
+any other row still records `"oracle": "timeout_quadratic_truth"` — and is
+a signal to either fix the oracle or write that row a certificate.
 sf0.1 per-query baselines come from BENCH_LOCAL.json (written by Bench) when
 present, giving the sublinearity ratio x10_vs_sf01 (sf1 sec / sf0.1 sec;
 < 10 = sublinear through the 10x step).
@@ -18,6 +21,18 @@ present, giving the sublinearity ratio x10_vs_sf01 (sf1 sec / sf0.1 sec;
 import json, os, subprocess, sys, glob
 
 TIMEOUT_SEC = int(os.environ.get("SF1_ORACLE_TIMEOUT", "240"))
+
+# Rows whose full DuckDB truth is all-pairs/batch-x-corpus quadratic — at sf1
+# they get the BOUNDED CERTIFICATE (tools/sf1_cert.py: full planted-pair
+# recall + md5-sampled restricted truth + structural full checks) instead of
+# a 240 s timeout that verifies nothing (round-12 directive #5). Any OTHER
+# row that times out still records timeout_quadratic_truth, so a new
+# quadratic truth can't silently inherit a certificate it doesn't have.
+CERTIFIED = {
+    "d_ngram_jaccard", "d_minhash_pairs", "d_ppjoin_pairs",
+    "d_containment_pairs", "d_fuzzy_pairs", "d_incr_neardup",
+    "d_incr_neardup_gen2", "d_stream_neardup",
+}
 
 
 def compare_one(sf_dir, dump_dir, name):
@@ -85,7 +100,7 @@ def main(dump_dir):
         base = json.load(open("BENCH_LOCAL.json")).get("queries", {})
 
     rows = {}
-    n_pass = n_fail = n_timeout = n_rows_only = 0
+    n_pass = n_fail = n_timeout = n_rows_only = n_cert = 0
     for name in sorted(declared):
         entry = dict(times.get(name, {}))
         if name in verrs:
@@ -97,6 +112,27 @@ def main(dump_dir):
         elif name not in oracle:
             entry["oracle"] = "rows_only"
             n_rows_only += 1
+        elif name in CERTIFIED:
+            cert_tool = os.path.join(os.path.dirname(__file__), "sf1_cert.py")
+            try:
+                r = subprocess.run(
+                    [sys.executable, cert_tool, "--one", sf_dir, dump_dir, name],
+                    capture_output=True, text=True, timeout=2 * TIMEOUT_SEC)
+                detail = {}
+                for line in r.stdout.splitlines():
+                    if line.startswith("{"):
+                        detail = json.loads(line).get(name, {})
+                ok = r.returncode == 0 and detail.get("cert") == "pass"
+                entry["oracle"] = "certificate_pass" if ok else "certificate_fail"
+                entry["cert"] = detail
+                if ok:
+                    n_cert += 1
+                else:
+                    n_fail += 1
+                    print((r.stdout.strip() or r.stderr.strip())[-800:])
+            except subprocess.TimeoutExpired:
+                entry["oracle"] = "certificate_timeout"
+                n_fail += 1
         else:
             try:
                 r = subprocess.run(
@@ -123,14 +159,15 @@ def main(dump_dir):
                          if e.get("x10_vs_sf01", 0) > 10)
     art = {"sf1_verify": 1, "sf1_dir": sf_dir, "n": len(rows),
            "n_pass": n_pass, "n_fail": n_fail,
+           "n_certificate_pass": n_cert,
            "n_timeout_quadratic_truth": n_timeout,
            "n_rows_only": n_rows_only,
            "superlinear_vs_sf01": superlinear, "queries": rows}
     with open("SF1_SMOKE.json", "w") as f:
         json.dump(art, f, indent=1)
-    print(f"\nsf1 gate: {n_pass} pass, {n_fail} fail, {n_timeout} "
-          f"quadratic-truth timeouts, {n_rows_only} rows-only; "
-          f"superlinear: {superlinear}")
+    print(f"\nsf1 gate: {n_pass} pass, {n_cert} certificate-pass, "
+          f"{n_fail} fail, {n_timeout} quadratic-truth timeouts, "
+          f"{n_rows_only} rows-only; superlinear: {superlinear}")
     return 1 if n_fail else 0
 
 
