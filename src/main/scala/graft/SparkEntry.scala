@@ -565,7 +565,19 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Map literal with a LOUD duplicate-key check: a plain Map(...) lets a
+    * later duplicate entry silently shadow an earlier one (round 12 nearly
+    * shipped that — a new row reused an existing name and quietly replaced
+    * the old row while every count still looked right). Any duplicate now
+    * fails the first `queries`/`oracleSql` access, i.e. every gate. */
+  private def checkedMap[V](entries: (String, V)*): Map[String, V] = {
+    val names = entries.map(_._1)
+    val dups = names.diff(names.distinct).distinct
+    require(dups.isEmpty, s"duplicate query/oracle keys: ${dups.mkString(", ")}")
+    entries.toMap
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = checkedMap(
 
     // ===== general SQL surface (TPC-H-ish) =====
     "q1_pricing_summary" -> ((s, dir) => {
@@ -3062,7 +3074,7 @@ object SparkEntry {
     // stopwords: every token appearing in ≥ 20% of documents, with its
     // integer document-share. One explode + one map-side-partial count;
     // the plane is vocabulary-sized (Heaps'-law sublinear).
-    "d_doc_freq" -> ((s, dir) => {
+    "d_stopword_discovery" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextFunctions.corpusDocFreq(docs, n = 1)
         .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
@@ -3811,7 +3823,7 @@ object SparkEntry {
 
   // ----------------------------------------------------------------- oracle
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = checkedMap(
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -6249,7 +6261,7 @@ object SparkEntry {
 
     // X65 truth: distinct-per-doc token counts, 20% document-share gate,
     // integer-division share — all bigint arithmetic, no float thresholds
-    "d_doc_freq" ->
+    "d_stopword_discovery" ->
       """WITH tok AS (
            SELECT doc_id,
              unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS tok

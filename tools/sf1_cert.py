@@ -387,27 +387,32 @@ def cert_d_stream_neardup(con, dump):
     # (d) sampled per-doc keep/drop truth for the base-dup chunks: a doc is
     #     kept iff NO partner >= 0.8 exists in its probe corpus (base for
     #     batch 0; base ∪ reported-kept(0,1) for batch 2 — earlier kept sets
-    #     are the engine's own, themselves verified by (a)–(c) above)
+    #     are the engine's own, themselves verified by (a)–(c) above).
+    #     Base grams were materialized once in (c); the a2 probe adds the
+    #     (small) kept01 gram plane on top. The per-doc verdict is one
+    #     sample × corpus aggregation, never a correlated subquery.
     kept01 = f"""SELECT c.doc_id, c.text FROM (
         SELECT doc_id, text FROM ({zs})
         UNION ALL SELECT doc_id, text FROM ({zt})
         UNION ALL SELECT doc_id, text FROM ({a0})) c
       WHERE c.doc_id IN (SELECT doc_id FROM ({got}) WHERE batch_id <= 1)"""
-    for nm, src, probe in (("a0_sample", a0, BASE300),
-                           ("a2_sample", a2, f"{BASE300} UNION ALL {kept01}")):
+    grams_table(con, kept01, name="gkept01")
+    for nm, src, probe_grams in (("a0_sample", a0, "gbase"),
+                                 ("a2_sample", a2,
+                                  "(SELECT * FROM gbase UNION ALL SELECT * FROM gkept01)")):
         con.execute("DROP TABLE IF EXISTS gp")
-        con.execute("DROP TABLE IF EXISTS gq")
         con.execute("DROP TABLE IF EXISTS samp2")
         grams_table(con, src, name="gp")
-        grams_table(con, probe, name="gq")
         con.execute(f"""CREATE TEMP TABLE samp2 AS
           SELECT doc_id FROM gp
           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100""")
         nt, ng, miss, extra = diff_counts(con, f"""
-          SELECT s.doc_id, CASE WHEN EXISTS (
-            SELECT 1 FROM gp a JOIN gq b ON a.doc_id = s.doc_id
-            WHERE {JACC} >= 0.8) THEN 0 ELSE 1 END AS kept
-          FROM samp2 s""", f"""
+          SELECT a.doc_id,
+            CASE WHEN max(CASE WHEN {JACC} >= 0.8 THEN 1 ELSE 0 END) = 1
+              THEN 0 ELSE 1 END AS kept
+          FROM (SELECT * FROM gp SEMI JOIN samp2 USING (doc_id)) a
+          CROSS JOIN {probe_grams} b
+          GROUP BY a.doc_id""", f"""
           SELECT s.doc_id,
             CASE WHEN s.doc_id IN (SELECT doc_id FROM ({got})) THEN 1 ELSE 0
             END AS kept
