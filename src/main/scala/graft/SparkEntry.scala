@@ -2997,6 +2997,43 @@ object SparkEntry {
             graft.plans.SketchFunctions.normalize_text(raw)).as("main"))
     }),
 
+    // X62+X63 under Structured Streaming: crawl shards arrive as files and
+    // each micro-batch normalizes + extracts STATELESSLY — no watermark, no
+    // state store, a pure projection stream (the realistic arrival shape
+    // for web-dump ingest; throughput scales with executors and arrival
+    // order is irrelevant). Two arrival files → two micro-batches; the
+    // drained append sink equals the batch d_web_ingest truth, which is the
+    // shared oracle.
+    "d_stream_web_ingest" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-webstream")
+      Seq(0, 1).foreach { par =>
+        val half = java.nio.file.Files.createTempDirectory("graft-webhalf")
+        docs.where(pmod(col("doc_id"), lit(2)) === par).coalesce(1)
+          .write.mode("overwrite").parquet(half.toString)
+        val part = java.nio.file.Files.list(half)
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        java.nio.file.Files.copy(part, streamDir.resolve(s"arrivals$par.parquet"))
+      }
+      val withTail = concat(col("text"),
+        lit(" Caf\u00c3\u00a9 \u00e2\u20ac\u201d d\u00c3\u00a9j\u00c3\u00a0 vu"))
+      val raw = plantedHtml(withTail, pmod(col("doc_id"), lit(3)))
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+        .select(col("doc_id"),
+          graft.plans.SketchFunctions.html_main_text(
+            graft.plans.SketchFunctions.normalize_text(raw)).as("main"))
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append")
+        .format("memory")
+        .queryName("web_ingest_sink")
+        .start()
+      q.awaitTermination()
+      s.table("web_ingest_sink")
+    }),
+
     // benchmark decontamination: the planted eval set (doc_id % 101 == 0)
     // reduces to distinct 3-grams and BROADCASTS; training docs stream
     // through the broadcast join with no corpus shuffle — each doc sharing
@@ -5555,6 +5592,20 @@ object SparkEntry {
     // X62+X63 truth: the repaired tail is a constant, so the truth is the
     // d_html_extract CASE evaluated over the tail-extended paragraph
     "d_web_ingest" -> (
+      s"""WITH fixed AS (
+           SELECT doc_id,
+             text || ' Caf' || chr(233) || ' ' || chr(8212) ||
+               ' d' || chr(233) || 'j' || chr(224) || ' vu' AS text
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN $htmlGoodSql
+             THEN text || chr(10) || '$htmlGoodConst'
+             ELSE '$htmlGoodConst'
+           END AS main
+         FROM fixed"""),
+
+    // same truth as the batch chain — the stream is a stateless projection
+    "d_stream_web_ingest" -> (
       s"""WITH fixed AS (
            SELECT doc_id,
              text || ' Caf' || chr(233) || ' ' || chr(8212) ||

@@ -42,6 +42,8 @@ JACC = ("CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / "
 def setup(con, sf_dir):
     con.execute(f"CREATE VIEW documents AS "
                 f"SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'")
+    con.execute(f"CREATE VIEW embeddings AS "
+                f"SELECT * FROM '{sf_dir}/embeddings.parquet/*.parquet'")
 
 
 def grams_table(con, corpus_sql, name="g"):
@@ -423,6 +425,52 @@ def cert_d_stream_neardup(con, dump):
     return out
 
 
+def cert_e_semdedup(con, dump):
+    """SemDeDup keeps within-cluster pruning semantics: it may MISS a near-1
+    pair whose members straddle a Voronoi boundary (the documented recall
+    loss — the sf1 replicator's sub-1e-3 perturbed replicas create exactly
+    such pairs), but it must NEVER over-drop, must drop every planted exact
+    duplicate, and the boundary-miss rate must stay negligible. All-pairs
+    truth is feasible here because the embedding fixtures are small (≤25k
+    vectors at sf1); if they ever grow past ~100k, switch to sampled
+    partner checks like the text rows."""
+    con.execute("""CREATE TEMP TABLE corpus AS
+      WITH c AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 20000000, embedding FROM embeddings WHERE vec_id % 7 = 0)
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM c""")
+    con.execute("""CREATE TEMP TABLE truth_surv AS
+      SELECT c.vec_id FROM corpus c WHERE NOT EXISTS (
+        SELECT 1 FROM corpus a
+        WHERE a.vec_id < c.vec_id
+          AND round(list_cosine_similarity(a.v, c.v), 6) >= 0.999)""")
+    got = f"SELECT vec_id FROM '{dump}/e_semdedup/*.parquet'"
+    n_corpus = con.execute("SELECT count(*) FROM corpus").fetchone()[0]
+    # never over-drops: every all-pairs survivor is kept by the engine
+    over = con.execute(f"""SELECT count(*) FROM truth_surv
+      WHERE vec_id NOT IN ({got})""").fetchone()[0]
+    # planted exact duplicates all dropped. Identified by CONSTRUCTION (the
+    # +20M image of the %7 base ids), never by an id threshold: at sf1 the
+    # replicator's key offsets (rep·2^32) dwarf the +20M planting offset, so
+    # `vec_id >= 20000000` would match every replica vector. A base id can
+    # never collide with base_id+20M (base low-32 bits stay < fixture size).
+    planted = ("SELECT e.vec_id + 20000000 AS vec_id FROM embeddings e "
+               "WHERE e.vec_id % 7 = 0")
+    planted_kept = con.execute(f"""SELECT count(*) FROM ({got})
+      WHERE vec_id IN ({planted})""").fetchone()[0]
+    n_planted = con.execute(f"SELECT count(*) FROM ({planted})").fetchone()[0]
+    # boundary misses: engine survivors the all-pairs truth drops
+    excess = con.execute(f"""SELECT count(*) FROM ({got})
+      WHERE vec_id NOT IN (SELECT vec_id FROM truth_surv)""").fetchone()[0]
+    bound = max(10, n_corpus // 1000)
+    ok = over == 0 and planted_kept == 0 and n_planted > 0 and excess <= bound
+    return {"n_corpus": n_corpus, "over_dropped": over,
+            "planted_total": n_planted, "planted_kept": planted_kept,
+            "boundary_misses": excess, "boundary_bound": bound,
+            "cert": "pass" if ok else "fail"}
+
+
 CERTS = {
     "d_ngram_jaccard": cert_d_ngram_jaccard,
     "d_minhash_pairs": cert_d_minhash_pairs,
@@ -432,6 +480,7 @@ CERTS = {
     "d_incr_neardup": cert_d_incr_neardup,
     "d_incr_neardup_gen2": cert_d_incr_neardup_gen2,
     "d_stream_neardup": cert_d_stream_neardup,
+    "e_semdedup": cert_e_semdedup,
 }
 
 
