@@ -35,6 +35,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p4.contains("LeftSemi"), s"q4 EXISTS not planned as semi join:\n$p4")
   }
 
+  test("web-ingest chain is one shuffle-free codegen'd projection per row") {
+    // normalize_text ∘ html_main_text compose inside a single
+    // WholeStageCodegen scan-project stage: no Exchange, no Sort — the
+    // ingest stage parallelizes embarrassingly at 100 TB
+    val plan = planString(
+      SparkEntry.queries("d_html_extract")(spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("Exchange"), s"html extract shuffles:\n$plan")
+    assert(!plan.contains("Sort"), s"html extract sorts:\n$plan")
+    // the "*(n)" prefix is the executedPlan-toString marker for operators
+    // inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project"), s"extract fell out of codegen:\n$plan")
+    val web = planString(
+      SparkEntry.queries("d_web_ingest")(spark, "/root/testdata/sf0.001"))
+    assert(!web.contains("Exchange"), s"web ingest shuffles:\n$web")
+  }
+
   test("JDBC source reads in 4 stripes with the filter pushed to the database") {
     val q = SparkEntry.queries("src_jdbc_agg")(spark, "/root/testdata/sf0.001")
     val plan = planString(q)
