@@ -3034,6 +3034,21 @@ object SparkEntry {
       s.table("web_ingest_sink")
     }),
 
+    // X66: Gopher repetition rules (Rae et al. 2021, token-adapted) — the
+    // canonical duplicate-chunk / top-bigram-coverage / duplicate-5-gram
+    // corpus filters as ONE shuffle-free codegen'd projection (every signal
+    // is a per-row higher-order array computation; PlanAuditSpec pins no
+    // Exchange). Every 6th doc is planted SELF-CONCATENATED — its sliding
+    // 5-gram duplicate fraction jumps to ~0.5 and flips `keep` regardless
+    // of chunk alignment; the flag itself is integer cross-multiplied so
+    // the oracle replays it exactly.
+    "d_gopher_quality" -> ((s, dir) => {
+      val ext = when(pmod(col("doc_id"), lit(6)) === 0,
+          concat_ws(" ", col("text"), col("text"))).otherwise(col("text"))
+      TextFunctions.repetitionSignals(
+        t(s, dir, "documents").select(col("doc_id"), ext.as("text")))
+    }),
+
     // benchmark decontamination: the planted eval set (doc_id % 101 == 0)
     // reduces to distinct 3-grams and BROADCASTS; training docs stream
     // through the broadcast join with no corpus shuffle — each doc sharing
@@ -5603,6 +5618,44 @@ object SparkEntry {
              ELSE '$htmlGoodConst'
            END AS main
          FROM fixed"""),
+
+    // X66 truth: the same chunk/bigram/5-gram constructions in list SQL;
+    // fractions are IEEE double divisions of exact integers rounded at 6dp
+    // (identical on both engines), the keep flag pure bigint arithmetic
+    "d_gopher_quality" ->
+      """WITH base AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 6 = 0 THEN text || ' ' || text ELSE text END AS text
+           FROM documents),
+         tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+           FROM base),
+         m AS (
+           SELECT doc_id, len(t) AS n,
+             list_transform(generate_series(0, CAST(ceil(len(t) / 10.0) AS INT) - 1),
+               i -> array_to_string(t[i*10+1:i*10+10], ' ')) AS chunks,
+             CASE WHEN len(t) >= 2 THEN
+               list_transform(generate_series(1, len(t) - 1),
+                 i -> array_to_string(t[i:i+1], ' '))
+               ELSE CAST([] AS VARCHAR[]) END AS bi,
+             CASE WHEN len(t) >= 5 THEN
+               list_transform(generate_series(1, len(t) - 4),
+                 i -> array_to_string(t[i:i+4], ' '))
+               ELSE CAST([] AS VARCHAR[]) END AS g5
+           FROM tk),
+         c AS (
+           SELECT doc_id, n, len(chunks) AS tc, len(list_distinct(chunks)) AS dc,
+             coalesce(list_max(list_transform(list_distinct(bi),
+               g -> len(list_filter(bi, x -> x = g)))), 0) AS top2,
+             len(g5) AS t5, len(list_distinct(g5)) AS d5
+           FROM m)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           round(CAST(tc - dc AS DOUBLE) / tc, 6) AS dup_chunk_frac,
+           round(2 * CAST(top2 AS DOUBLE) / n, 6) AS top_bigram_frac,
+           CASE WHEN t5 > 0 THEN round(CAST(t5 - d5 AS DOUBLE) / t5, 6)
+             ELSE 0.0 END AS dup_5gram_frac,
+           ((tc - dc) * 10 <= tc * 3 AND top2 * 20 <= n * 2
+             AND (t5 - d5) * 10 <= t5 * 3) AS keep
+         FROM c""",
 
     // same truth as the batch chain — the stream is a stateless projection
     "d_stream_web_ingest" -> (

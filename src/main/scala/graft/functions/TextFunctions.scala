@@ -847,4 +847,58 @@ object TextFunctions {
         (col("score_e8").cast("double") / lit(1e8)).as("score"),
         col("n_terms"), col("rank"))
   }
+
+  /**
+   * X66: Gopher-style repetition quality rules (Rae et al. 2021, Table A1,
+   * adapted to token units — the fixture corpus has no newlines or
+   * punctuation, so the line-based originals map to fixed 10-token chunks
+   * and token n-grams). Per document:
+   *  - `dup_chunk_frac` — duplicate fraction of the fixed `chunkTokens`
+   *    segments (the duplicate-line/paragraph rule);
+   *  - `top_bigram_frac` — 2·count(most frequent bigram) / n_tokens (the
+   *    top-2-gram coverage rule; only the COUNT matters, so no tie-break
+   *    is needed);
+   *  - `dup_5gram_frac` — duplicate fraction of sliding 5-grams (the
+   *    duplicate-n-gram rule — alignment-free, so ANY repeated passage
+   *    moves it, unlike the chunk rule);
+   *  - `keep` — all three under their Gopher-shaped thresholds
+   *    (0.3 / 0.2 / 0.3), decided by INTEGER cross-multiplication so the
+   *    SQL oracle replays the flag without float-boundary risk.
+   *
+   * Scale shape: every signal is computed per-row with higher-order array
+   * functions inside one codegen'd projection — NO shuffle, no groupBy, no
+   * window (PlanAuditSpec pins the plan is Exchange-free). The top-bigram
+   * scan is O(distinct² ) per row — bounded by document length, never by
+   * corpus size. The per-row discipline is what makes this the cheapest
+   * possible corpus filter at 100 TB: it runs inside the ingest scan.
+   */
+  def repetitionSignals(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      chunkTokens: Int = 10): org.apache.spark.sql.DataFrame = {
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val nSeg = ((size(toks) + lit(chunkTokens - 1)) / lit(chunkTokens.toDouble)).cast("int")
+    val chunks = transform(sequence(lit(0), nSeg - 1),
+      i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " "))
+    def grams(n: Int) = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    docs
+      .select(col(idCol), size(toks).cast("bigint").as("n_tokens"),
+        size(chunks).cast("bigint").as("tc"),
+        size(array_distinct(chunks)).cast("bigint").as("dc"),
+        coalesce(array_max(transform(array_distinct(grams(2)),
+          g => size(filter(grams(2), x => x === g)))), lit(0))
+          .cast("bigint").as("top2"),
+        size(grams(5)).cast("bigint").as("t5"),
+        size(array_distinct(grams(5))).cast("bigint").as("d5"))
+      .select(col(idCol), col("n_tokens"),
+        round((col("tc") - col("dc")).cast("double") / col("tc"), 6).as("dup_chunk_frac"),
+        round(lit(2) * col("top2").cast("double") / col("n_tokens"), 6).as("top_bigram_frac"),
+        when(col("t5") > 0,
+          round((col("t5") - col("d5")).cast("double") / col("t5"), 6))
+          .otherwise(lit(0.0)).as("dup_5gram_frac"),
+        ((col("tc") - col("dc")) * 10 <= col("tc") * 3 &&
+         col("top2") * 20 <= col("n_tokens") * 2 &&
+         (col("t5") - col("d5")) * 10 <= col("t5") * 3).as("keep"))
+  }
 }
