@@ -3034,6 +3034,54 @@ object SparkEntry {
       s.table("web_ingest_sink")
     }),
 
+    // X67: WARC ingestion — the wire format web corpora actually arrive in
+    // (Common-Crawl-shaped). Shards are SYNTHESIZED DISTRIBUTEDLY (each
+    // partition writes one real WARC/1.0 file — warcinfo record + HTTP/1.1
+    // response records — through the Hadoop FileSystem API, no driver
+    // collect; memoized per session as fixture prep so bench repeats charge
+    // the read+parse path), then the ingest reads them back with the
+    // binaryFile source, parses records per file on executors
+    // (Content-Length-driven framing — never payload scanning), keeps
+    // 200-status responses, recovers doc_id from the target URI, and runs
+    // the X63 extractor on the HTTP body. Output equals d_html_extract's
+    // truth — the shared oracle. WarcCodecSpec pins framing discipline.
+    "d_warc_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      graft.plans.SketchFunctions.register(s)
+      val warcDir = sessionMemo("warcdir", s, dir) {
+        val wd = java.nio.file.Files.createTempDirectory("graft-warc").toString
+        val html = plantedHtml(col("text"), pmod(col("doc_id"), lit(3)))
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          s.sparkContext.hadoopConfiguration)
+        t(s, dir, "documents")
+          .select(col("doc_id"), html.as("html"))
+          .repartition(4, pmod(col("doc_id"), lit(4)))
+          .foreachPartition { (it: Iterator[Row]) =>
+            val entries = it.map(r =>
+              (s"http://fixture.test/doc/${r.getLong(0)}", r.getString(1))).toSeq
+            if (entries.nonEmpty) {
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              val path = new org.apache.hadoop.fs.Path(s"$wd/shard$pid.warc")
+              val fs = path.getFileSystem(conf.value)
+              val out = fs.create(path, true)
+              out.write(graft.codec.WarcCodec.write(entries))
+              out.close()
+            }
+          }
+        wd
+      }
+      import s.implicits._
+      s.read.format("binaryFile").option("pathGlobFilter", "*.warc")
+        .load(warcDir)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap(bytes => graft.codec.WarcCodec.responses(bytes)
+          .map(r => (r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1).toLong,
+            r.body)))
+        .toDF("doc_id", "html")
+        .select(col("doc_id"),
+          graft.plans.SketchFunctions.html_main_text(col("html")).as("main"))
+    }),
+
     // X66: Gopher repetition rules (Rae et al. 2021, token-adapted) — the
     // canonical duplicate-chunk / top-bigram-coverage / duplicate-5-gram
     // corpus filters as ONE shuffle-free codegen'd projection (every signal
@@ -5618,6 +5666,18 @@ object SparkEntry {
              ELSE '$htmlGoodConst'
            END AS main
          FROM fixed"""),
+
+    // X67 truth: the WARC wrap/parse round-trips the planted page bytes, so
+    // the truth is exactly d_html_extract's — framing correctness is what
+    // the equality proves (a lost/duplicated/mis-split record would change
+    // the row set), with parser edge cases pinned in WarcCodecSpec
+    "d_warc_ingest" -> (
+      s"""SELECT doc_id,
+           CASE WHEN $htmlGoodSql
+             THEN text || chr(10) || '$htmlGoodConst'
+             ELSE '$htmlGoodConst'
+           END AS main
+         FROM documents"""),
 
     // X66 truth: the same chunk/bigram/5-gram constructions in list SQL;
     // fractions are IEEE double divisions of exact integers rounded at 6dp
