@@ -93,20 +93,24 @@ object Bench {
         // says nothing about an sf0.01 iteration run — silently comparing
         // would flag every row or none. Require the same sf dir.
         val refSf = parsed \ "sf" match { case JString(s) => s; case _ => "" }
+        // NOT a non-local return: inside a closure `return` throws
+        // NonLocalReturnControl, which a broad catch below would swallow
+        // into a misleading "artifact unreadable" log (ADVICE r12).
         if (refSf != sfDir) {
           System.err.println(s"[bench] reference $p is for sf '$refSf', run is '$sfDir' — ref guard disabled")
-          return (p, Map.empty)
+          (p, Map.empty[String, Double])
+        } else {
+          val qs = parsed \ "queries" match {
+            case JObject(fields) => fields.collect {
+              case (k, JDouble(v))  => k -> v
+              case (k, JInt(v))     => k -> v.toDouble
+              case (k, JDecimal(v)) => k -> v.toDouble
+            }.toMap
+            case _ => Map.empty[String, Double]
+          }
+          (p, qs)
         }
-        val qs = parsed \ "queries" match {
-          case JObject(fields) => fields.collect {
-            case (k, JDouble(v))  => k -> v
-            case (k, JInt(v))     => k -> v.toDouble
-            case (k, JDecimal(v)) => k -> v.toDouble
-          }.toMap
-          case _ => Map.empty[String, Double]
-        }
-        (p, qs)
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] reference artifact $p unreadable: $e")
         ("", Map.empty[String, Double])
       }

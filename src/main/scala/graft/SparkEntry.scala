@@ -532,11 +532,15 @@ object SparkEntry {
   }
 
   /** The d_html_* classification truth, as DuckDB SQL over `text` — mirrors
-    * HtmlCodec.isMain at (25, 33, 8) for a link-free single-spaced block:
-    * integer cross-multiplied stopword density + non-space length. The
-    * stopword list mirrors HtmlCodec.Stopwords verbatim. */
+    * HtmlCodec.isMain at (25, 33, 8) for a link-free block: integer
+    * cross-multiplied stopword density + non-whitespace length (`\s` strip,
+    * matching the codec's Character.isWhitespace count — a bare space
+    * replace would diverge on tab/newline fixtures). The stopword list
+    * mirrors HtmlCodec.Stopwords verbatim. FIXTURE INVARIANT (asserted by
+    * HtmlExtractSpec): document text contains no `&...;` entity sequences —
+    * the codec entity-decodes before counting, this oracle cannot. */
   private val htmlGoodSql: String =
-    """(length(replace(text, ' ', '')) >= 25 AND
+    """(length(regexp_replace(text, '\s', '', 'g')) >= 25 AND
        100 * len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
          t -> list_contains(['a','an','and','are','as','at','be','by','for',
            'from','has','in','is','it','of','on','or','that','the','this',
@@ -3007,20 +3011,29 @@ object SparkEntry {
     "d_stream_web_ingest" -> ((s, dir) => {
       graft.plans.SketchFunctions.register(s)
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val streamDir = java.nio.file.Files.createTempDirectory("graft-webstream")
-      Seq(0, 1).foreach { par =>
-        val half = java.nio.file.Files.createTempDirectory("graft-webhalf")
-        docs.where(pmod(col("doc_id"), lit(2)) === par).coalesce(1)
-          .write.mode("overwrite").parquet(half.toString)
-        val part = java.nio.file.Files.list(half)
-          .filter(_.toString.endsWith(".parquet")).findFirst().get()
-        java.nio.file.Files.copy(part, streamDir.resolve(s"arrivals$par.parquet"))
+      // Fixture prep memoized per session (the d_warc_ingest discipline,
+      // ADVICE r12): bench repeats re-read the same arrival files instead
+      // of re-paying two parquet writes and accumulating temp dirs; the
+      // directory stream is closed so repeats don't leak fds.
+      val streamDir = sessionMemo("webstream", s, dir) {
+        val sd = java.nio.file.Files.createTempDirectory("graft-webstream")
+        Seq(0, 1).foreach { par =>
+          val half = java.nio.file.Files.createTempDirectory("graft-webhalf")
+          docs.where(pmod(col("doc_id"), lit(2)) === par).coalesce(1)
+            .write.mode("overwrite").parquet(half.toString)
+          val ls = java.nio.file.Files.list(half)
+          try {
+            val part = ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+            java.nio.file.Files.copy(part, sd.resolve(s"arrivals$par.parquet"))
+          } finally ls.close()
+        }
+        sd.toString
       }
       val withTail = concat(col("text"),
         lit(" Caf\u00c3\u00a9 \u00e2\u20ac\u201d d\u00c3\u00a9j\u00c3\u00a0 vu"))
       val raw = plantedHtml(withTail, pmod(col("doc_id"), lit(3)))
       val q = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+        .option("maxFilesPerTrigger", 1).parquet(streamDir)
         .select(col("doc_id"),
           graft.plans.SketchFunctions.html_main_text(
             graft.plans.SketchFunctions.normalize_text(raw)).as("main"))

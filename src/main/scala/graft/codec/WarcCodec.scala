@@ -107,8 +107,10 @@ object WarcCodec {
         val cut = l.indexOf(':')
         if (cut < 0) None else Some(l.substring(0, cut).trim.toLowerCase -> l.substring(cut + 1).trim)
       }.toMap
-      val len = headers.get("content-length").map(_.toInt)
-        .getOrElse(fail("missing Content-Length"))
+      val len = headers.get("content-length") match {
+        case None    => fail("missing Content-Length")
+        case Some(v) => v.toIntOption.getOrElse(fail(s"bad Content-Length '$v'"))
+      }
       val payloadStart = headEnd + 4
       if (payloadStart + len > n) fail(s"payload overruns file (len $len)")
       val payload = java.util.Arrays.copyOfRange(bytes, payloadStart, payloadStart + len)

@@ -868,8 +868,9 @@ object TextFunctions {
    * Scale shape: every signal is computed per-row with higher-order array
    * functions inside one codegen'd projection — NO shuffle, no groupBy, no
    * window (PlanAuditSpec pins the plan is Exchange-free). The top-bigram
-   * scan is O(distinct² ) per row — bounded by document length, never by
-   * corpus size. The per-row discipline is what makes this the cheapest
+   * count is O(m log m) per row (array_sort + one run-length aggregate
+   * pass) — bounded by document length, never by corpus size. The per-row
+   * discipline is what makes this the cheapest
    * possible corpus filter at 100 TB: it runs inside the ingest scan.
    */
   def repetitionSignals(docs: org.apache.spark.sql.DataFrame,
@@ -894,15 +895,33 @@ object TextFunctions {
       transform(sequence(lit(0), nSeg - 1),
         i => array_join(slice(t, i * chunkTokens + 1, lit(chunkTokens)), " ")).as("_chunks"),
       grams(2).as("_bi"), grams(5).as("_g5"))
+    // Top-bigram multiplicity via the X19 sorted run-length discipline:
+    // after array_sort, equal bigrams are adjacent, so one O(m) aggregate
+    // pass tracking (current run, best run) replaces the old
+    // distinct × filter scan, which was O(distinct·total) comparisons per
+    // row — a 10⁹-op single-row bomb on 100k-token web documents. The
+    // sorted array is staged as its own column so the aggregate lambda
+    // only dereferences an attribute (the 292 s lesson above).
+    val bis = col("_bis")
+    val top2 = when(size(bis) <= 1, size(bis))
+      .otherwise(aggregate(
+        sequence(lit(1), size(bis) - 1),
+        struct(lit(1).as("run"), lit(1).as("best")),
+        (acc, i) => {
+          val run = when(element_at(bis, i + 1) === element_at(bis, i),
+            acc("run") + lit(1)).otherwise(lit(1))
+          struct(run.as("run"), greatest(acc("best"), run).as("best"))
+        },
+        acc => acc("best")))
     arrays
       .select(col(idCol), col("n_tokens"),
         size(col("_chunks")).cast("bigint").as("tc"),
         size(array_distinct(col("_chunks"))).cast("bigint").as("dc"),
-        coalesce(array_max(transform(array_distinct(col("_bi")),
-          g => size(filter(col("_bi"), x => x === g)))), lit(0))
-          .cast("bigint").as("top2"),
+        array_sort(col("_bi")).as("_bis"),
         size(col("_g5")).cast("bigint").as("t5"),
         size(array_distinct(col("_g5"))).cast("bigint").as("d5"))
+      .select(col(idCol), col("n_tokens"), col("tc"), col("dc"),
+        top2.cast("bigint").as("top2"), col("t5"), col("d5"))
       .select(col(idCol), col("n_tokens"),
         round((col("tc") - col("dc")).cast("double") / col("tc"), 6).as("dup_chunk_frac"),
         round(lit(2) * col("top2").cast("double") / col("n_tokens"), 6).as("top_bigram_frac"),

@@ -94,6 +94,16 @@ class HtmlExtractSpec extends SparkSpec {
       "the data is on the table and it has many rows in it for sure")
   }
 
+  test("fixture invariant: document text carries no HTML entity sequences") {
+    // The d_html_* oracles (htmlGoodSql) tokenize and measure the RAW
+    // fixture text, while HtmlCodec entity-decodes before counting — they
+    // only agree because the fixture never contains `&...;`. Pin that here
+    // so a fixture change diverges loudly, not silently (ADVICE r12).
+    val hits = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("text").rlike("&#?[a-zA-Z0-9]+;")).count()
+    assert(hits == 0L)
+  }
+
   test("expression path (codegen) agrees with the kernel; null passes through") {
     SketchFunctions.register(spark)
     val rows = Seq(

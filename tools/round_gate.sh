@@ -7,6 +7,10 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# Fail fast on the required env var BEFORE the (long) gate run — forgetting
+# it used to waste the whole bench and exit without persisting the artifact.
+round="${GRAFT_ROUND:?set GRAFT_ROUND=<k> so the gate bench is persisted as BENCH_GATE_r<k>.json}"
+
 sbt -batch compile
 sbt -batch test
 
@@ -26,7 +30,6 @@ python3 tools/check_bench.py /tmp/graft_gate_bench.json
 # (round-11 verdict #6: the trustworthy quiet numbers lived only in /tmp and
 # the judge had to be told where; BENCH_GATE_r<k>.json is also what the next
 # round's Bench loads for its settled-but-slow contention guard).
-round="${GRAFT_ROUND:?set GRAFT_ROUND=<k> so the gate bench is persisted as BENCH_GATE_r<k>.json}"
 cp /tmp/graft_gate_bench.json "BENCH_GATE_r${round}.json"
 echo "gate bench persisted: BENCH_GATE_r${round}.json"
 
