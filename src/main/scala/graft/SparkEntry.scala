@@ -550,6 +550,38 @@ object SparkEntry {
   private val htmlGoodConst: String =
     "the table of data is on the disk & it has the rows for sure"
 
+  /** X67 distributed WARC shard synthesis: each partition writes one real
+    * shard through the Hadoop FS API (no driver collect) — plain `.warc`
+    * or Common-Crawl-shaped `.warc.gz` (ONE GZIP MEMBER PER RECORD) —
+    * memoized per session so bench repeats charge only the read+parse
+    * path. */
+  private def warcShards(s: SparkSession, dir: String, gz: Boolean): String =
+    sessionMemo(if (gz) "warcgzdir" else "warcdir", s, dir) {
+      import org.apache.spark.sql.Row
+      val ext = if (gz) "warc.gz" else "warc"
+      val wd = java.nio.file.Files.createTempDirectory("graft-warc").toString
+      val html = plantedHtml(col("text"), pmod(col("doc_id"), lit(3)))
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration)
+      t(s, dir, "documents")
+        .select(col("doc_id"), html.as("html"))
+        .repartition(4, pmod(col("doc_id"), lit(4)))
+        .foreachPartition { (it: Iterator[Row]) =>
+          val entries = it.map(r =>
+            (s"http://fixture.test/doc/${r.getLong(0)}", r.getString(1))).toSeq
+          if (entries.nonEmpty) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val path = new org.apache.hadoop.fs.Path(s"$wd/shard$pid.$ext")
+            val fs = path.getFileSystem(conf.value)
+            val out = fs.create(path, true)
+            out.write(if (gz) graft.codec.WarcCodec.writeGz(entries)
+                      else graft.codec.WarcCodec.write(entries))
+            out.close()
+          }
+        }
+      wd
+    }
+
   // ------------------------------------------------------------- entrypoint
 
   /** Flagship: full catalog replication end-to-end on sf0.001 — the TPC-H
@@ -3059,35 +3091,38 @@ object SparkEntry {
     // the X63 extractor on the HTTP body. Output equals d_html_extract's
     // truth — the shared oracle. WarcCodecSpec pins framing discipline.
     "d_warc_ingest" -> ((s, dir) => {
-      import org.apache.spark.sql.Row
       graft.plans.SketchFunctions.register(s)
-      val warcDir = sessionMemo("warcdir", s, dir) {
-        val wd = java.nio.file.Files.createTempDirectory("graft-warc").toString
-        val html = plantedHtml(col("text"), pmod(col("doc_id"), lit(3)))
-        val conf = new org.apache.spark.util.SerializableConfiguration(
-          s.sparkContext.hadoopConfiguration)
-        t(s, dir, "documents")
-          .select(col("doc_id"), html.as("html"))
-          .repartition(4, pmod(col("doc_id"), lit(4)))
-          .foreachPartition { (it: Iterator[Row]) =>
-            val entries = it.map(r =>
-              (s"http://fixture.test/doc/${r.getLong(0)}", r.getString(1))).toSeq
-            if (entries.nonEmpty) {
-              val pid = org.apache.spark.TaskContext.getPartitionId()
-              val path = new org.apache.hadoop.fs.Path(s"$wd/shard$pid.warc")
-              val fs = path.getFileSystem(conf.value)
-              val out = fs.create(path, true)
-              out.write(graft.codec.WarcCodec.write(entries))
-              out.close()
-            }
-          }
-        wd
-      }
+      val warcDir = warcShards(s, dir, gz = false)
       import s.implicits._
       s.read.format("binaryFile").option("pathGlobFilter", "*.warc")
         .load(warcDir)
         .select(col("content")).as[Array[Byte]]
         .flatMap(bytes => graft.codec.WarcCodec.responses(bytes)
+          .map(r => (r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1).toLong,
+            r.body)))
+        .toDF("doc_id", "html")
+        .select(col("doc_id"),
+          graft.plans.SketchFunctions.html_main_text(col("html")).as("main"))
+    }),
+
+    // X67gz: gzipped WARC ingestion — the framing real Common Crawl shards
+    // actually use: a `.warc.gz` is a CONCATENATION OF GZIP MEMBERS, one
+    // member per record, NOT one gzip stream. Shards are synthesized
+    // distributedly with real per-record members (WarcCodec.writeGz), then
+    // read back via binaryFile and split at RFC 1952 member boundaries on
+    // executors (manual header walk + raw Inflater + CRC32/ISIZE checks —
+    // GZIPInputStream would silently fuse members). Output equals
+    // d_html_extract's truth — the shared oracle; member-framing edge cases
+    // (payload containing gzip magic, trailing garbage, truncated members)
+    // are pinned by WarcCodecSpec.
+    "d_warc_gz_ingest" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      val warcDir = warcShards(s, dir, gz = true)
+      import s.implicits._
+      s.read.format("binaryFile").option("pathGlobFilter", "*.warc.gz")
+        .load(warcDir)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap(bytes => graft.codec.WarcCodec.responsesGz(bytes)
           .map(r => (r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1).toLong,
             r.body)))
         .toDF("doc_id", "html")
@@ -5685,6 +5720,17 @@ object SparkEntry {
     // the equality proves (a lost/duplicated/mis-split record would change
     // the row set), with parser edge cases pinned in WarcCodecSpec
     "d_warc_ingest" -> (
+      s"""SELECT doc_id,
+           CASE WHEN $htmlGoodSql
+             THEN text || chr(10) || '$htmlGoodConst'
+             ELSE '$htmlGoodConst'
+           END AS main
+         FROM documents"""),
+
+    // X67gz truth: identical to d_warc_ingest — the equality proves the
+    // gzip MEMBER framing end-to-end (a fused, lost, or mis-split member
+    // would change the row set), with RFC 1952 edge cases in WarcCodecSpec
+    "d_warc_gz_ingest" -> (
       s"""SELECT doc_id,
            CASE WHEN $htmlGoodSql
              THEN text || chr(10) || '$htmlGoodConst'

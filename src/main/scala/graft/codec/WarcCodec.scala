@@ -37,41 +37,49 @@ object WarcCodec {
 
   private val CRLF = "\r\n"
 
+  private def recordBytes(headers: Seq[(String, String)],
+      payload: Array[Byte]): Array[Byte] = {
+    val head = ("WARC/1.0" +: headers.map { case (k, v) => s"$k: $v" })
+      .mkString("", CRLF, CRLF) +
+      s"Content-Length: ${payload.length}$CRLF$CRLF"
+    val hb = head.getBytes(StandardCharsets.UTF_8)
+    val out = new java.io.ByteArrayOutputStream(hb.length + payload.length + 4)
+    out.write(hb)
+    out.write(payload)
+    out.write((CRLF + CRLF).getBytes(StandardCharsets.UTF_8))
+    out.toByteArray
+  }
+
+  private def warcinfoRecord: Array[Byte] = recordBytes(Seq(
+    "WARC-Type" -> "warcinfo",
+    "WARC-Date" -> "2026-01-01T00:00:00Z",
+    "WARC-Record-ID" -> "<urn:graft:warcinfo:0>",
+    "Content-Type" -> "application/warc-fields"),
+    "software: graft-warc-synth/1.0".getBytes(StandardCharsets.UTF_8))
+
+  private def responseRecord(uri: String, html: String): Array[Byte] = {
+    val body = html.getBytes(StandardCharsets.UTF_8)
+    val http = (s"HTTP/1.1 200 OK${CRLF}Content-Type: text/html; charset=utf-8$CRLF" +
+      s"Content-Length: ${body.length}$CRLF$CRLF").getBytes(StandardCharsets.UTF_8)
+    val payload = new Array[Byte](http.length + body.length)
+    System.arraycopy(http, 0, payload, 0, http.length)
+    System.arraycopy(body, 0, payload, http.length, body.length)
+    recordBytes(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> uri,
+      "WARC-Date" -> "2026-01-01T00:00:00Z",
+      "WARC-Record-ID" -> s"<urn:graft:response:${uri.hashCode}>",
+      "Content-Type" -> "application/http; msgtype=response"),
+      payload)
+  }
+
   /** Synthesize a WARC/1.0 file: one warcinfo record, then one response
     * record per (uri, html) entry. Deterministic (fixed date, record ids
     * derived from the uri). */
   def write(entries: Seq[(String, String)]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    def record(headers: Seq[(String, String)], payload: Array[Byte]): Unit = {
-      val head = ("WARC/1.0" +: headers.map { case (k, v) => s"$k: $v" })
-        .mkString("", CRLF, CRLF) +
-        s"Content-Length: ${payload.length}$CRLF$CRLF"
-      out.write(head.getBytes(StandardCharsets.UTF_8))
-      out.write(payload)
-      out.write((CRLF + CRLF).getBytes(StandardCharsets.UTF_8))
-    }
-    val info = "software: graft-warc-synth/1.0"
-    record(Seq(
-      "WARC-Type" -> "warcinfo",
-      "WARC-Date" -> "2026-01-01T00:00:00Z",
-      "WARC-Record-ID" -> "<urn:graft:warcinfo:0>",
-      "Content-Type" -> "application/warc-fields"),
-      info.getBytes(StandardCharsets.UTF_8))
-    entries.foreach { case (uri, html) =>
-      val body = html.getBytes(StandardCharsets.UTF_8)
-      val http = (s"HTTP/1.1 200 OK${CRLF}Content-Type: text/html; charset=utf-8$CRLF" +
-        s"Content-Length: ${body.length}$CRLF$CRLF").getBytes(StandardCharsets.UTF_8)
-      val payload = new Array[Byte](http.length + body.length)
-      System.arraycopy(http, 0, payload, 0, http.length)
-      System.arraycopy(body, 0, payload, http.length, body.length)
-      record(Seq(
-        "WARC-Type" -> "response",
-        "WARC-Target-URI" -> uri,
-        "WARC-Date" -> "2026-01-01T00:00:00Z",
-        "WARC-Record-ID" -> s"<urn:graft:response:${uri.hashCode}>",
-        "Content-Type" -> "application/http; msgtype=response"),
-        payload)
-    }
+    out.write(warcinfoRecord)
+    entries.foreach { case (uri, html) => out.write(responseRecord(uri, html)) }
     out.toByteArray
   }
 
@@ -144,4 +152,105 @@ object WarcCodec {
   /** The ingestion view: 200-status HTTP responses only. */
   def responses(bytes: Array[Byte]): Vector[WarcRecord] =
     parse(bytes).filter(r => r.recType == "response" && r.httpStatus == 200)
+
+  // ---------------------------------------------------------------- .warc.gz
+  //
+  // Real Common Crawl shards are NOT one gzip stream: they are a
+  // concatenation of gzip members, ONE MEMBER PER WARC RECORD (the ISO
+  // 28500 annex / CC convention), so a reader can split work at member
+  // boundaries without decompressing the whole shard. JDK GZIPInputStream
+  // is the wrong tool for honest framing: it silently FUSES concatenated
+  // members into one stream and stops quietly at trailing garbage — so the
+  // member walk below parses RFC 1952 headers by hand, inflates each
+  // member with a raw Inflater (the PixelCodec zlib discipline), and
+  // verifies every CRC32 + ISIZE trailer, failing loudly with the byte
+  // offset on any framing damage.
+
+  /** Compress one gzip member. JDK GZIPOutputStream writes a fixed header
+    * (MTIME 0, no optional fields), so output is deterministic. */
+  def gzipMember(plain: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(plain.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(plain)
+    gz.close()
+    bos.toByteArray
+  }
+
+  /** Split a concatenation of gzip members at RFC 1952 member boundaries.
+    * Returns each member's decompressed payload, in order. Throws
+    * IllegalArgumentException with the byte offset on malformed framing
+    * (bad magic, truncated deflate, CRC or ISIZE mismatch). */
+  def gzipMembers(bytes: Array[Byte]): Vector[Array[Byte]] = {
+    val out = Vector.newBuilder[Array[Byte]]
+    var i = 0
+    val n = bytes.length
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"malformed gzip member at byte $i: $msg")
+    def u8(p: Int): Int = bytes(p) & 0xff
+    def u32(p: Int): Long =
+      (u8(p) | (u8(p + 1) << 8) | (u8(p + 2) << 16) | (u8(p + 3) << 24)).toLong & 0xffffffffL
+    while (i < n) {
+      if (n - i < 10) fail("truncated gzip header")
+      if (u8(i) != 0x1f || u8(i + 1) != 0x8b)
+        fail(f"bad gzip magic ${u8(i)}%02x ${u8(i + 1)}%02x")
+      if (u8(i + 2) != 8) fail(s"unsupported compression method ${u8(i + 2)}")
+      val flg = u8(i + 3)
+      i += 10
+      if ((flg & 4) != 0) { // FEXTRA: little-endian XLEN then XLEN bytes
+        if (n - i < 2) fail("truncated FEXTRA")
+        i += 2 + (u8(i) | (u8(i + 1) << 8))
+      }
+      if ((flg & 8) != 0) { while (i < n && bytes(i) != 0) i += 1; i += 1 } // FNAME
+      if ((flg & 16) != 0) { while (i < n && bytes(i) != 0) i += 1; i += 1 } // FCOMMENT
+      if ((flg & 2) != 0) i += 2 // FHCRC
+      if (i > n) fail("truncated gzip header fields")
+      val inf = new java.util.zip.Inflater(true)
+      val body = new java.io.ByteArrayOutputStream(64 * 1024)
+      try {
+        inf.setInput(bytes, i, n - i)
+        val buf = new Array[Byte](64 * 1024)
+        while (!inf.finished()) {
+          val got =
+            try inf.inflate(buf)
+            catch { case e: java.util.zip.DataFormatException =>
+              fail(s"deflate error: ${e.getMessage}") }
+          if (got > 0) body.write(buf, 0, got)
+          else if (inf.needsInput()) fail("truncated deflate stream")
+        }
+        i += inf.getBytesRead.toInt
+      } finally inf.end()
+      if (n - i < 8) fail("truncated gzip trailer")
+      val plain = body.toByteArray
+      val crc = new java.util.zip.CRC32()
+      crc.update(plain)
+      if (u32(i) != crc.getValue)
+        fail(f"CRC32 mismatch (stored ${u32(i)}%08x, computed ${crc.getValue}%08x)")
+      if (u32(i + 4) != (plain.length.toLong & 0xffffffffL))
+        fail(s"ISIZE mismatch (stored ${u32(i + 4)}, actual ${plain.length})")
+      i += 8
+      out += plain
+    }
+    out.result()
+  }
+
+  /** Synthesize a Common-Crawl-shaped `.warc.gz`: one gzip member per
+    * record (warcinfo first, then one response per entry), concatenated. */
+  def writeGz(entries: Seq[(String, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(gzipMember(warcinfoRecord))
+    entries.foreach { case (uri, html) =>
+      out.write(gzipMember(responseRecord(uri, html)))
+    }
+    out.toByteArray
+  }
+
+  /** Parse a `.warc.gz`: split gzip members, then parse each member's
+    * records independently — a WARC record never spans members (the CC
+    * framing guarantee this codec exists to honor). */
+  def parseGz(bytes: Array[Byte]): Vector[WarcRecord] =
+    gzipMembers(bytes).flatMap(parse)
+
+  /** The ingestion view over `.warc.gz`: 200-status HTTP responses only. */
+  def responsesGz(bytes: Array[Byte]): Vector[WarcRecord] =
+    parseGz(bytes).filter(r => r.recType == "response" && r.httpStatus == 200)
 }
