@@ -550,6 +550,29 @@ object SparkEntry {
   private val htmlGoodConst: String =
     "the table of data is on the disk & it has the rows for sure"
 
+  /** X68 messy-URL fixture: four planted shapes keyed by doc_id%4 — mixed
+    * case, default port, tracking params, fragment, trailing slash — whose
+    * canonical forms the oracle states closed-form (the plantedHtml
+    * discipline: the engine sees honest mess, the oracle replays the known
+    * planting). */
+  private def messyUrl(id: Column): Column = {
+    val idS = id.cast("string")
+    val k = pmod(id, lit(7)).cast("string")
+    when(pmod(id, lit(4)) === 0,
+      concat(lit("HTTP://WWW.Example.COM:80/docs/"), idS,
+        lit("/?utm_source=feed&utm_campaign=x#frag")))
+      .when(pmod(id, lit(4)) === 1,
+        concat(lit("https://Blog.Example.CO.UK:443/post/"), idS,
+          lit("?fbclid=zz11&id="), idS, lit("&utm_medium=rss")))
+      .when(pmod(id, lit(4)) === 2,
+        concat(lit("http://News.Site"), k, lit(".org/a/"), idS))
+      .otherwise(concat(lit("https://example.com:443/entry/"), idS, lit("/#sec-2")))
+  }
+
+  /** X68 fixture public-suffix subset (a literal the oracle replays, not a
+    * bundled Mozilla list). */
+  private val pslFixture = Seq("com", "net", "org", "co.uk")
+
   /** X67 distributed WARC shard synthesis: each partition writes one real
     * shard through the Hadoop FS API (no driver collect) — plain `.warc`
     * or Common-Crawl-shaped `.warc.gz` (ONE GZIP MEMBER PER RECORD) —
@@ -3128,6 +3151,66 @@ object SparkEntry {
         .toDF("doc_id", "html")
         .select(col("doc_id"),
           graft.plans.SketchFunctions.html_main_text(col("html")).as("main"))
+    }),
+
+    // X68: URL canonicalization — the URL-hygiene stage every web pipeline
+    // runs BEFORE parsing a page (FineWeb/RefinedWeb order: URL filter →
+    // URL dedup → extract; the URL is the only per-page key that exists
+    // pre-extraction). Normalize + host + registered domain are per-row
+    // codegen'd expressions inside the scan — no shuffle; the planted mess
+    // (case, default port, tracking params, fragment, trailing slash) is
+    // closed-form in doc_id so the oracle states the canonical directly.
+    "d_url_normalize" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      import graft.plans.{SketchFunctions => F}
+      t(s, dir, "documents")
+        .select(col("doc_id"), messyUrl(col("doc_id")).as("raw"))
+        .select(col("doc_id"), F.url_normalize(col("raw")).as("url"))
+        .select(col("doc_id"), col("url"), F.url_host(col("url")).as("host"))
+        .select(col("doc_id"), col("url"), col("host"),
+          F.url_registered_domain(col("host"), pslFixture).as("domain"))
+    }),
+
+    // X68b: URL-level exact dedup — three messy variants per page (plain /
+    // upper-host + default port + tracker / trailing slash + fragment) all
+    // canonicalize to one URL; groupBy on the canonical key (the one
+    // shuffle, hash-partitioned — the X1 exact-dedup discipline applied to
+    // the pre-extraction key) keeps the lowest doc_id and counts variants.
+    "d_url_dedup" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      val g = floor(col("doc_id") / 3).cast("long").cast("string")
+      val messy = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("https://dup.example.com/page/"), g))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit("https://DUP.Example.com:443/page/"), g, lit("?utm_source=tw")))
+        .otherwise(concat(lit("https://dup.example.com/page/"), g, lit("/#top")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), messy.as("raw"))
+        .select(col("doc_id"),
+          graft.plans.SketchFunctions.url_normalize(col("raw")).as("url"))
+        .groupBy("url")
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_variants"))
+    }),
+
+    // X68c: domain-level curation — registered-domain extraction against
+    // the fixture public-suffix subset (longest dot-boundary suffix + one
+    // label; unknown TLD falls back to the PSL last-label default) and a
+    // blocklist tag, aggregated per domain. Extraction is per-row in the
+    // scan; the aggregate exchanges one row per (domain, blocked).
+    "d_domain_filter" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      val host = when(pmod(col("doc_id"), lit(5)) === 0, lit("spam-mill.com"))
+        .when(pmod(col("doc_id"), lit(5)) === 1, lit("ads.tracker.net"))
+        .when(pmod(col("doc_id"), lit(5)) === 2, lit("docs.example.co.uk"))
+        .when(pmod(col("doc_id"), lit(5)) === 3, lit("deep.sub.example.com"))
+        .otherwise(lit("files.weirdtld"))
+      t(s, dir, "documents")
+        .select(host.as("host"))
+        .select(graft.plans.SketchFunctions
+          .url_registered_domain(col("host"), pslFixture).as("domain"))
+        .withColumn("blocked", col("domain").isin("spam-mill.com", "tracker.net"))
+        .groupBy("domain", "blocked")
+        .agg(count(lit(1)).as("n_docs"))
     }),
 
     // X66: Gopher repetition rules (Rae et al. 2021, token-adapted) — the
@@ -5737,6 +5820,53 @@ object SparkEntry {
              ELSE '$htmlGoodConst'
            END AS main
          FROM documents"""),
+
+    // X68 truth: the planted mess is closed-form in doc_id, so the oracle
+    // states each canonical URL / host / registered domain directly — the
+    // engine is the only side that ever sees the messy variant
+    "d_url_normalize" -> (
+      """SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN 'http://www.example.com/docs/' || CAST(doc_id AS VARCHAR)
+             WHEN 1 THEN 'https://blog.example.co.uk/post/' || CAST(doc_id AS VARCHAR)
+               || '?id=' || CAST(doc_id AS VARCHAR)
+             WHEN 2 THEN 'http://news.site' || CAST(doc_id % 7 AS VARCHAR)
+               || '.org/a/' || CAST(doc_id AS VARCHAR)
+             ELSE 'https://example.com/entry/' || CAST(doc_id AS VARCHAR)
+           END AS url,
+           CASE doc_id % 4
+             WHEN 0 THEN 'www.example.com'
+             WHEN 1 THEN 'blog.example.co.uk'
+             WHEN 2 THEN 'news.site' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+             ELSE 'example.com'
+           END AS host,
+           CASE doc_id % 4
+             WHEN 0 THEN 'example.com'
+             WHEN 1 THEN 'example.co.uk'
+             WHEN 2 THEN 'site' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+             ELSE 'example.com'
+           END AS domain
+         FROM documents"""),
+
+    "d_url_dedup" -> (
+      """SELECT 'https://dup.example.com/page/'
+             || CAST(CAST(floor(doc_id / 3) AS BIGINT) AS VARCHAR) AS url,
+           min(doc_id) AS keeper, count(*) AS n_variants
+         FROM documents GROUP BY 1"""),
+
+    "d_domain_filter" -> (
+      """WITH d AS (
+           SELECT CASE doc_id % 5
+             WHEN 0 THEN 'spam-mill.com'
+             WHEN 1 THEN 'tracker.net'
+             WHEN 2 THEN 'example.co.uk'
+             WHEN 3 THEN 'example.com'
+             ELSE 'files.weirdtld' END AS domain
+           FROM documents)
+         SELECT domain,
+           domain IN ('spam-mill.com', 'tracker.net') AS blocked,
+           count(*) AS n_docs
+         FROM d GROUP BY 1, 2"""),
 
     // X66 truth: the same chunk/bigram/5-gram constructions in list SQL;
     // fractions are IEEE double divisions of exact integers rounded at 6dp

@@ -329,6 +329,18 @@ object SketchFunctions {
         }, "built-in")
       reg.createOrReplaceTempFunction("normalize_text",
         exprs => NormalizeText(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction("url_normalize",
+        exprs => UrlNormalize(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction("url_host",
+        exprs => UrlHost(exprs(0)), "built-in")
+      // suffix-list literal folded into an expression field at resolution,
+      // same discipline as keyword_hits / bpe_encode
+      reg.createOrReplaceTempFunction("url_registered_domain",
+        exprs => {
+          require(exprs.length == 2,
+            s"url_registered_domain(host, suffixes) takes 2 arguments, got ${exprs.length}")
+          UrlRegisteredDomain(exprs(0), foldableStrings(exprs(1), "suffixes"))
+        }, "built-in")
       reg.createOrReplaceTempFunction("html_main_text",
         exprs => HtmlMainText(exprs(0), foldableInt(exprs(1), "minChars"),
           foldableInt(exprs(2), "maxLinkPct"), foldableInt(exprs(3), "minStopPct")),
@@ -416,4 +428,19 @@ object SketchFunctions {
       minStopPct: Int = 8): Column =
     call_function("html_main_text", html.cast("string"),
       lit(minChars), lit(maxLinkPct), lit(minStopPct))
+
+  /** URL canonicalization: lowercase scheme/host, fragment + default-port +
+    * tracking-param strip, path-slash normalization. Total on garbage. */
+  def url_normalize(url: Column): Column =
+    call_function("url_normalize", url.cast("string"))
+
+  /** Lowercased host of a URL ("" when not hierarchical). */
+  def url_host(url: Column): Column =
+    call_function("url_host", url.cast("string"))
+
+  /** Registered domain: one label + the longest matching suffix from the
+    * fixture public-suffix subset (PSL last-label default otherwise). */
+  def url_registered_domain(host: Column, suffixes: Seq[String]): Column =
+    call_function("url_registered_domain", host.cast("string"),
+      lit(suffixes.toArray))
 }
