@@ -2528,6 +2528,28 @@ object SparkEntry {
         .select(col("doc_id"), col("label").as("pred_lang"), col("score"))
     }),
 
+    // X69: char-n-gram Naive Bayes language ID — the fastText-shaped
+    // production lang-id (NB over character trigrams instead of words:
+    // robust to unseen vocabulary, script-aware, tiny model). X45's
+    // train/classify with a charNgramsOf(3) tokenizer over a STAGED
+    // lowercased column (slicing an attribute keeps the HOF lambda O(1)
+    // per gram — the X66 lesson). Same closed-form smoothing, so DuckDB
+    // replays training AND classification exactly; scores round to 4dp
+    // before the argmax, ties break to the smallest label on both sides.
+    "d_lang_id_ngram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), lower(trim(col("text"))).as("lc"))
+      val tok: Column => Column = c => TextFunctions.charNgramsOf(c, 3)
+      val (model, stats) = TextFunctions.naiveBayesTrain(
+        docs.where(col("doc_id") % 5 === 0), "lang", textCol = "lc", tokenizer = tok)
+      val scores = TextFunctions.naiveBayesClassify(
+          docs, model, stats, textCol = "lc", tokenizer = tok)
+        .withColumn("score", round(col("score"), 4))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("label"))
+      scores.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("doc_id"), col("label").as("pred_lang"), col("score"))
+    }),
+
     // X44 BPE-encode the corpus (native codegen'd expression, merge table as
     // a plan reference object). The FIXED seed-trained merge table makes the
     // truth replayable: the DuckDB oracle carries the same 48 merges as
@@ -2723,10 +2745,18 @@ object SparkEntry {
     // dedup, the recursive-CTE BPE counts, and the pack window.
     "d_curate_pipeline_v2" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // lang gate upgraded to the X69 char-trigram NB (round-13 directive
+      // #5): the word-NB gate misclassifies short/unseen-vocab docs; the
+      // trigram model is what production pipelines run. Tokenizer slices a
+      // STAGED lowercased attribute (the X66 HOF-lambda lesson).
+      val nbDocs = docs.select(col("doc_id"), col("lang"),
+        lower(trim(col("text"))).as("lc"))
+      val tok: Column => Column = c => TextFunctions.charNgramsOf(c, 3)
       val (model, stats) = TextFunctions.naiveBayesTrain(
-        docs.where(col("doc_id") % 5 === 0), "lang")
+        nbDocs.where(col("doc_id") % 5 === 0), "lang", textCol = "lc", tokenizer = tok)
       val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("label"))
-      val pred = TextFunctions.naiveBayesClassify(docs, model, stats)
+      val pred = TextFunctions.naiveBayesClassify(
+          nbDocs, model, stats, textCol = "lc", tokenizer = tok)
         .withColumn("score", round(col("score"), 4))
         .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
         .select(col("doc_id"), col("label").as("pred_lang"))
@@ -4701,10 +4731,14 @@ object SparkEntry {
              FROM documents),
            pos AS (
              SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS i FROM docw),
+           ngrams AS (
+             SELECT doc_id, lang,
+               list_transform(range(1, greatest(length(trim(lower(text))) - 1, 1)),
+                 i -> substring(trim(lower(text)), CAST(i AS INT), 3)) AS gs
+             FROM documents),
            ttoks AS (
-             SELECT lang AS label,
-                    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
-             FROM documents WHERE doc_id % 5 = 0),
+             SELECT lang AS label, unnest(gs) AS token
+             FROM ngrams WHERE doc_id % 5 = 0),
            counts AS (SELECT label, token, count(*) AS cnt
                       FROM ttoks WHERE token <> '' GROUP BY 1, 2),
            totals AS (SELECT label, sum(cnt) AS total FROM counts GROUP BY 1),
@@ -4719,18 +4753,13 @@ object SparkEntry {
                      CROSS JOIN (SELECT count(*) AS n FROM documents WHERE doc_id % 5 = 0)
                      JOIN totals ON t.label = totals.label
                      CROSS JOIN vocab),
-           nbtoks AS (
-             SELECT doc_id,
-                    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
-             FROM documents),
+           nbtoks AS (SELECT doc_id, unnest(gs) AS token FROM ngrams),
            matched AS (SELECT doc_id, label, sum(logp) AS s_matched,
                               count(*) AS n_matched
                        FROM (SELECT doc_id, token FROM nbtoks WHERE token <> '') d
                        JOIN model USING (token) GROUP BY 1, 2),
-           nbn AS (SELECT doc_id,
-                     len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-                       x -> x <> '')) AS n_toks
-                   FROM documents),
+           nbn AS (SELECT doc_id, len(list_filter(gs, x -> x <> '')) AS n_toks
+                   FROM ngrams),
            scores AS (SELECT n.doc_id, s.label,
                         round(s.logprior + coalesce(m.s_matched, 0) +
                           (n.n_toks - coalesce(m.n_matched, 0)) * s.logdefault, 4) AS score
@@ -5175,6 +5204,48 @@ object SparkEntry {
                      len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
                        x -> x <> '')) AS n_toks
                    FROM documents),
+         scores AS (SELECT n.doc_id, s.label,
+                      round(s.logprior + coalesce(m.s_matched, 0) +
+                        (n.n_toks - coalesce(m.n_matched, 0)) * s.logdefault, 4) AS score
+                    FROM ntoks n CROSS JOIN stats s
+                    LEFT JOIN matched m ON m.doc_id = n.doc_id AND m.label = s.label)
+         SELECT doc_id, label AS pred_lang, score
+         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, label) AS rn FROM scores)
+         WHERE rn = 1""",
+
+    // X69 truth: the d_nb_classify replay with char-TRIGRAM extraction in
+    // place of word tokens (range over start positions, 3-char substring;
+    // short strings yield an empty gram list on both engines)
+    "d_lang_id_ngram" ->
+      """WITH grams AS (
+           SELECT doc_id, lang,
+             list_transform(range(1, greatest(length(trim(lower(text))) - 1, 1)),
+               i -> substring(trim(lower(text)), CAST(i AS INT), 3)) AS gs
+           FROM documents),
+         ttoks AS (SELECT lang AS label, unnest(gs) AS token
+                   FROM grams WHERE doc_id % 5 = 0),
+         counts AS (SELECT label, token, count(*) AS cnt
+                    FROM ttoks WHERE token <> '' GROUP BY 1, 2),
+         totals AS (SELECT label, sum(cnt) AS total FROM counts GROUP BY 1),
+         vocab AS (SELECT count(DISTINCT token) AS v FROM counts),
+         model AS (SELECT label, token, ln((cnt + 1.0) / (total + 1.0 * v)) AS logp
+                   FROM counts JOIN totals USING (label) CROSS JOIN vocab),
+         stats AS (SELECT t.label,
+                     ln(n_label * 1.0 / n) AS logprior,
+                     ln(1.0 / (total + 1.0 * v)) AS logdefault
+                   FROM (SELECT lang AS label, count(*) AS n_label FROM documents
+                         WHERE doc_id % 5 = 0 GROUP BY 1) t
+                   CROSS JOIN (SELECT count(*) AS n FROM documents WHERE doc_id % 5 = 0)
+                   JOIN totals ON t.label = totals.label
+                   CROSS JOIN vocab),
+         dtoks AS (SELECT doc_id, unnest(gs) AS token FROM grams),
+         matched AS (SELECT doc_id, label, sum(logp) AS s_matched,
+                            count(*) AS n_matched
+                     FROM (SELECT doc_id, token FROM dtoks WHERE token <> '') d
+                     JOIN model USING (token) GROUP BY 1, 2),
+         ntoks AS (SELECT doc_id, len(list_filter(gs, x -> x <> '')) AS n_toks
+                   FROM grams),
          scores AS (SELECT n.doc_id, s.label,
                       round(s.logprior + coalesce(m.s_matched, 0) +
                         (n.n_toks - coalesce(m.n_matched, 0)) * s.logdefault, 4) AS score

@@ -98,10 +98,11 @@ object TextFunctions {
     * logdefault). Model size is |labels|×|vocab| — broadcastable, the
     * classifier's whole point at 100 TB. */
   def naiveBayesTrain(docs: org.apache.spark.sql.DataFrame, labelCol: String,
-      alpha: Double = 1.0, textCol: String = "text")
+      alpha: Double = 1.0, textCol: String = "text",
+      tokenizer: Column => Column = tokens)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val toks = docs.select(col(labelCol).as("label"),
-        explode(tokens(col(textCol))).as("token"))
+        explode(tokenizer(col(textCol))).as("token"))
       .where(col("token") =!= "")
     val counts = toks.groupBy(col("label"), col("token"))
       .agg(count(lit(1)).as("cnt"))
@@ -127,14 +128,15 @@ object TextFunctions {
     * per-(doc, label) partial-sum aggregate. Returns (idCol, label, score). */
   def naiveBayesClassify(docs: org.apache.spark.sql.DataFrame,
       model: org.apache.spark.sql.DataFrame, labelStats: org.apache.spark.sql.DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
-    val docToks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      idCol: String = "doc_id", textCol: String = "text",
+      tokenizer: Column => Column = tokens): org.apache.spark.sql.DataFrame = {
+    val docToks = docs.select(col(idCol), explode(tokenizer(col(textCol))).as("token"))
       .where(col("token") =!= "")
     val matched = docToks.join(broadcast(model), "token")
       .groupBy(col(idCol), col("label"))
       .agg(sum(col("logp")).as("s_matched"), count(lit(1)).as("n_matched"))
     val nToks = docs.select(col(idCol),
-      size(filter(tokens(col(textCol)), t => t =!= "")).cast("bigint").as("n_toks"))
+      size(filter(tokenizer(col(textCol)), t => t =!= "")).cast("bigint").as("n_toks"))
     nToks.crossJoin(broadcast(labelStats))
       .join(matched, Seq(idCol, "label"), "left_outer")
       .select(col(idCol), col("label"),
@@ -187,14 +189,19 @@ object TextFunctions {
     else plane
   }
 
-  /** Character n-grams of the normalized text. */
-  def charNgrams(text: Column, n: Int): Column = {
-    val s = lower(trim(text))
-    when(length(s) < n, array())
+  /** Character n-grams of an ALREADY-normalized string column. Pass an
+    * ATTRIBUTE, not an expression: a HOF lambda re-evaluates its subtree
+    * per element, so slicing anything but a named column rebuilds it once
+    * per gram (the X66 292 s lesson). */
+  def charNgramsOf(s: Column, n: Int): Column =
+    when(length(s) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(0), length(s) - lit(n)),
         i => s.substr(i + 1, lit(n))))
-  }
+
+  /** Character n-grams of the normalized text. For hot paths, stage
+    * lower(trim(text)) as its own column and call [[charNgramsOf]]. */
+  def charNgrams(text: Column, n: Int): Column = charNgramsOf(lower(trim(text)), n)
 
   /** Ratio of non-alphanumeric, non-space characters (punctuation density). */
   def punctRatio(text: Column): Column =
