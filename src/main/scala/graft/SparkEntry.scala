@@ -573,6 +573,154 @@ object SparkEntry {
     * bundled Mozilla list). */
   private val pslFixture = Seq("com", "net", "org", "co.uk")
 
+  // ---------------------------------------------- X70 web-pipeline fixtures
+
+  /** The mojibake tail planted into every page ("CafÃ© â€” dÃ©jÃ  vu"):
+    * normalize_text repairs it to " Café — déjà vu", which [[webTailSql]]
+    * states with chr() literals. */
+  private val mojibakeTail =
+    " Caf\u00c3\u00a9 \u00e2\u20ac\u201d d\u00c3\u00a9j\u00c3\u00a0 vu"
+
+  /** The REPAIRED tail as DuckDB SQL (é=233, —=8212, à=224). */
+  private val webTailSql =
+    "' Caf' || chr(233) || ' ' || chr(8212) || ' d' || chr(233) || 'j' || chr(224) || ' vu'"
+
+  /** X70 web-pipeline fixture: the n_chars<300 corpus (the d_minhash_pairs
+    * oracle-affordability subset — the all-pairs truth stays computable)
+    * with three planted preys, one per pipeline stage: self-concatenated
+    * docs (doc_id%6=0 — the Gopher gate's), near-dup clones (doc_id%7=0,
+    * +10M id, one appended token — the dedup stage's), and the mojibake
+    * tail on every page (the normalize stage's). Wrapped in planted page
+    * skeletons and written as DISTRIBUTED `.warc.gz` shards (one per
+    * partition, per-record gzip members); memoized per session so bench
+    * repeats charge the read+parse path. */
+  private def webPipeShards(s: SparkSession, dir: String): String =
+    sessionMemo("webpipedir", s, dir) {
+      import org.apache.spark.sql.Row
+      val wd = java.nio.file.Files.createTempDirectory("graft-webpipe").toString
+      val corpus = t(s, dir, "documents").where(col("n_chars") < 300)
+        .select(col("doc_id"), col("text"))
+      val ext = when(pmod(col("doc_id"), lit(6)) === 0,
+        concat_ws(" ", col("text"), col("text"))).otherwise(col("text"))
+      val base = corpus.select(col("doc_id"), ext.as("text"))
+      val input = base.unionByName(
+        base.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(col("text"), lit(" graftwebdup")).as("text")))
+      val html = plantedHtml(concat(col("text"), lit(mojibakeTail)),
+        pmod(col("doc_id"), lit(3)))
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration)
+      input.select(col("doc_id"), html.as("html"))
+        .repartition(4, pmod(col("doc_id"), lit(4)))
+        .foreachPartition { (it: Iterator[Row]) =>
+          val entries = it.map(r =>
+            (s"http://fixture.test/doc/${r.getLong(0)}", r.getString(1))).toSeq
+          if (entries.nonEmpty) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val path = new org.apache.hadoop.fs.Path(s"$wd/shard$pid.warc.gz")
+            val fs = path.getFileSystem(conf.value)
+            val out = fs.create(path, true)
+            out.write(graft.codec.WarcCodec.writeGz(entries))
+            out.close()
+          }
+        }
+      wd
+    }
+
+  /** The fixed 48-merge table as a DuckDB list literal (generated from
+    * [[TextFunctions.BpeSeedMerges]], so engine and oracle cannot drift). */
+  private lazy val bpeMergesSqlList: String = TextFunctions.BpeSeedMerges
+    .map { case (a, b) => s"('$a' || chr(1) || '$b')" }
+    .mkString("main.list_value(", ", ", ")")
+
+  /** Lowest-rank applicable merge over the chr(2)-framed piece string `s`
+    * (NULL when no merge applies) — the recursive step's driver. */
+  private lazy val bpeBestSql: String = {
+    val parts = "list_filter(string_split(s, chr(2)), x -> x <> '')"
+    s"list_min(list_filter(list_transform(range(1, len($parts)), " +
+      s"i -> list_position($bpeMergesSqlList, $parts[i] || chr(1) || $parts[i+1])), " +
+      "p -> p IS NOT NULL AND p > 0))"
+  }
+
+  /** The dwords/enc/done recursive-CTE trio: BPE-encode every distinct
+    * word of `textExpr` drawn from `fromSql` with the fixed merge table
+    * (the d_bpe_encode replay, parameterized by source). */
+  private def bpeCtesSql(fromSql: String, textExpr: String): String =
+    s"""dwords AS (
+             SELECT DISTINCT unnest(regexp_split_to_array(trim(lower($textExpr)), '\\s+')) AS word
+             FROM $fromSql),
+           enc AS (
+             SELECT word,
+               chr(2) || array_to_string(list_transform(range(1, length(word)+1),
+                 i -> word[i]), chr(2) || chr(2)) || chr(2) AS s
+             FROM dwords WHERE word <> ''
+             UNION ALL
+             SELECT word,
+               replace(s,
+                 chr(2) || split_part($bpeMergesSqlList[best], chr(1), 1) || chr(2) ||
+                 chr(2) || split_part($bpeMergesSqlList[best], chr(1), 2) || chr(2),
+                 chr(2) || replace($bpeMergesSqlList[best], chr(1), '') || chr(2)) AS s
+             FROM (SELECT word, s, $bpeBestSql AS best FROM enc) t
+             WHERE best IS NOT NULL),
+           done AS (
+             SELECT word, list_filter(string_split(s, chr(2)), x -> x <> '') AS toks
+             FROM (SELECT word, s, $bpeBestSql AS best FROM enc) t
+             WHERE best IS NULL)"""
+
+  /** The web-pipeline stages every twin shares: planted input → extraction
+    * CASE → token gate → Gopher repetition gate. Ends at CTE `gated`
+    * (doc_id, source, main). */
+  private lazy val webPipeCoreSql: String =
+    s"""corpus AS (
+             SELECT doc_id, source, text FROM documents WHERE n_chars < 300),
+           exted AS (
+             SELECT doc_id, source,
+               CASE WHEN doc_id % 6 = 0 THEN text || ' ' || text ELSE text END AS text
+             FROM corpus),
+           webin AS (
+             SELECT doc_id, source, text || $webTailSql AS text FROM exted
+             UNION ALL
+             SELECT doc_id + 10000000 AS doc_id, source,
+               text || ' graftwebdup' || $webTailSql AS text
+             FROM exted WHERE doc_id % 7 = 0),
+           extracted AS (
+             SELECT doc_id, source,
+               CASE WHEN $htmlGoodSql
+                 THEN text || chr(10) || '$htmlGoodConst'
+                 ELSE '$htmlGoodConst'
+               END AS main
+             FROM webin),
+           tokgate AS (
+             SELECT doc_id, source, main FROM extracted
+             WHERE len(regexp_split_to_array(main, '[ \\n]')) >= 20),
+           gtk AS (SELECT doc_id, source, main,
+               regexp_split_to_array(trim(lower(main)), '\\s+') AS t FROM tokgate),
+           gm AS (
+             SELECT doc_id, source, main, len(t) AS n,
+               list_transform(generate_series(0, CAST(ceil(len(t) / 10.0) AS INT) - 1),
+                 i -> array_to_string(t[i*10+1:i*10+10], ' ')) AS chunks,
+               CASE WHEN len(t) >= 2 THEN
+                 list_transform(generate_series(1, len(t) - 1),
+                   i -> array_to_string(t[i:i+1], ' '))
+                 ELSE CAST([] AS VARCHAR[]) END AS bi,
+               CASE WHEN len(t) >= 5 THEN
+                 list_transform(generate_series(1, len(t) - 4),
+                   i -> array_to_string(t[i:i+4], ' '))
+                 ELSE CAST([] AS VARCHAR[]) END AS g5
+             FROM gtk),
+           gc AS (
+             SELECT doc_id, source, main, n, len(chunks) AS tc,
+               len(list_distinct(chunks)) AS dc,
+               coalesce(list_max(list_transform(list_distinct(bi),
+                 g -> len(list_filter(bi, x -> x = g)))), 0) AS top2,
+               len(g5) AS t5, len(list_distinct(g5)) AS d5
+             FROM gm),
+           gated AS (
+             SELECT doc_id, source, main FROM gc
+             WHERE (tc - dc) * 10 <= tc * 3 AND top2 * 20 <= n * 2
+               AND (t5 - d5) * 10 <= t5 * 3)"""
+
   /** X67 distributed WARC shard synthesis: each partition writes one real
     * shard through the Hadoop FS API (no driver collect) — plain `.warc`
     * or Common-Crawl-shaped `.warc.gz` (ONE GZIP MEMBER PER RECORD) —
@@ -3241,6 +3389,111 @@ object SparkEntry {
         .withColumn("blocked", col("domain").isin("spam-mill.com", "tracker.net"))
         .groupBy("domain", "blocked")
         .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // X70: the END-TO-END web pipeline — the r12/r13 stages composed the
+    // way a real ingest runs them, with the oracle replaying EVERY stage
+    // (the d_curate_pipeline_v2 discipline): .warc.gz member-framed shards
+    // (X67gz) → HTML main-content extraction (X63) after normalize_text
+    // repairs the planted mojibake (X62) → token gate → Gopher repetition
+    // gate (X66, drops the planted self-concat docs) → MinHash+LSH near-dup
+    // dedup with exact verify (X2, drops the planted +10M clones) → BPE
+    // budget gate (X44) → per-source sequence packing (X15). Plan shape:
+    // the ingest+extract+gates are per-row projections inside the scan; the
+    // only exchanges are the dedup's banded equi-join, the semi/anti joins
+    // on doc_id, and the pack window — the 100 TB composition.
+    "d_web_pipeline" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      val warcDir = webPipeShards(s, dir)
+      import s.implicits._
+      val ingested = s.read.format("binaryFile").option("pathGlobFilter", "*.warc.gz")
+        .load(warcDir)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap(b => graft.codec.WarcCodec.responsesGz(b)
+          .map(r => (r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1).toLong,
+            r.body)))
+        .toDF("doc_id", "html")
+      val tokGated = ingested
+        .select(col("doc_id"),
+          graft.plans.SketchFunctions.html_main_text(
+            graft.plans.SketchFunctions.normalize_text(col("html"))).as("main"))
+        .where(size(split(col("main"), "[ \n]")) >= 20)
+      val keepIds = TextFunctions.repetitionSignals(tokGated, "doc_id", "main")
+        .where(col("keep")).select(col("doc_id"))
+      val gated = tokGated.join(keepIds, Seq("doc_id"), "left_semi")
+      val doomed = Dedup.minhashVerifiedPairs(gated, idCol = "doc_id",
+          textCol = "main", candidateThreshold = 0.2, verifyThreshold = 0.8)
+        .select(col("id_b").as("doc_id")).distinct()
+      val meta = t(s, dir, "documents").where(col("n_chars") < 300)
+        .select(col("doc_id"), col("source"))
+      val metaAll = meta.unionByName(
+        meta.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("source")))
+      val pw = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      gated.join(doomed, Seq("doc_id"), "left_anti")
+        .withColumn("n_tokens",
+          TextFunctions.bpeTokenCount(col("main"), TextFunctions.BpeSeedMerges)
+            .cast("bigint"))
+        .where(col("n_tokens") >= 40)
+        .join(metaAll, Seq("doc_id"))
+        .withColumn("cum", sum(col("n_tokens")).over(pw))
+        .select(col("source").as("shard"), col("doc_id"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / 4096.0).cast("bigint").as("pack_id"))
+    }),
+
+    // X70s: the pipeline's STREAMING twin — crawl shards arrive as a
+    // .warc.gz file stream; each micro-batch parses members, extracts,
+    // normalizes, and applies BOTH quality gates and the BPE budget gate
+    // STATELESSLY (per-row projections — repetitionSignals carries `main`
+    // through its staged selects because a stream can't join signals back
+    // by id without watermark state). Cross-row stages (near-dup dedup,
+    // packing) are batch/stateful concerns — the stateful dedup twin is
+    // s8_stream_dedup. Drained append sink equals the batch truth minus
+    // those stages.
+    "d_stream_web_pipeline" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      val warcDir = webPipeShards(s, dir)
+      import s.implicits._
+      val binSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType)))
+      val parsed = s.readStream.format("binaryFile").schema(binSchema)
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("maxFilesPerTrigger", 2)
+        .load(warcDir)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap(b => graft.codec.WarcCodec.responsesGz(b)
+          .map(r => (r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1).toLong,
+            r.body)))
+        .toDF("doc_id", "html")
+      val gatedStream = parsed
+        .select(col("doc_id"),
+          graft.plans.SketchFunctions.html_main_text(
+            graft.plans.SketchFunctions.normalize_text(col("html"))).as("main"))
+        .where(size(split(col("main"), "[ \n]")) >= 20)
+      val out = TextFunctions.repetitionSignals(gatedStream, "doc_id", "main",
+          carryCols = Seq("main"))
+        .where(col("keep"))
+        .withColumn("n_tokens",
+          TextFunctions.bpeTokenCount(col("main"), TextFunctions.BpeSeedMerges)
+            .cast("bigint"))
+        .where(col("n_tokens") >= 40)
+        .select(col("doc_id"), col("n_tokens"))
+      val q = out.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append")
+        .format("memory")
+        .queryName("web_pipeline_sink")
+        .start()
+      q.awaitTermination()
+      s.table("web_pipeline_sink")
     }),
 
     // X66: Gopher repetition rules (Rae et al. 2021, token-adapted) — the
@@ -5938,6 +6191,61 @@ object SparkEntry {
            domain IN ('spam-mill.com', 'tracker.net') AS blocked,
            count(*) AS n_docs
          FROM d GROUP BY 1, 2"""),
+
+    // X70 truth: every stage replayed — the planted input closed-form, the
+    // extraction CASE, both gates, the FULL all-pairs exact-Jaccard dedup
+    // (doomed = any doc with a smaller qualifying partner — the same rule
+    // the banded index must reproduce without forming all pairs), the
+    // recursive-CTE BPE counts, the budget gate, and the pack window.
+    // MARKER CONTRACT: tools/sf1_cert.py slices this SQL at "ng AS (" to
+    // reuse the linear core at sf1 — keep that CTE name stable.
+    "d_web_pipeline" -> (
+      s"""WITH RECURSIVE
+           $webPipeCoreSql,
+           ng AS (
+             SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, len(regexp_split_to_array(trim(lower(main)), '\\s+')) - 2),
+                 i -> array_to_string(regexp_split_to_array(trim(lower(main)), '\\s+')[i:i+2], ' '))) AS grams
+             FROM gated
+             WHERE len(regexp_split_to_array(trim(lower(main)), '\\s+')) >= 3),
+           doomed AS (
+             SELECT DISTINCT b.doc_id FROM ng a, ng b
+             WHERE a.doc_id < b.doc_id
+               AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                 (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.8),
+           surv AS (
+             SELECT g.doc_id, g.source, g.main FROM gated g
+             WHERE g.doc_id NOT IN (SELECT doc_id FROM doomed)),
+           ${bpeCtesSql("surv", "main")},
+           docw AS (SELECT doc_id, source,
+               regexp_split_to_array(trim(lower(main)), '\\s+') AS ws FROM surv),
+           pos AS (SELECT doc_id, unnest(ws) AS word FROM docw),
+           bpecnt AS (SELECT p.doc_id, CAST(sum(len(d.toks)) AS BIGINT) AS n_tokens
+                      FROM pos p JOIN done d USING (word) GROUP BY p.doc_id),
+           budg AS (SELECT s.doc_id, s.source, b.n_tokens
+                    FROM surv s JOIN bpecnt b USING (doc_id)
+                    WHERE b.n_tokens >= 40),
+           packed AS (SELECT source AS shard, doc_id, n_tokens,
+                        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum FROM budg)
+         SELECT shard, doc_id, n_tokens,
+           CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS pack_id FROM packed"""),
+
+    // X70s truth: the shared core minus the cross-row stages — exactly the
+    // stateless projection the stream runs per micro-batch
+    "d_stream_web_pipeline" -> (
+      s"""WITH RECURSIVE
+           $webPipeCoreSql,
+           ${bpeCtesSql("gated", "main")},
+           docw AS (SELECT doc_id,
+               regexp_split_to_array(trim(lower(main)), '\\s+') AS ws FROM gated),
+           pos AS (SELECT doc_id, unnest(ws) AS word FROM docw),
+           bpecnt AS (SELECT p.doc_id, CAST(sum(len(d.toks)) AS BIGINT) AS n_tokens
+                      FROM pos p JOIN done d USING (word) GROUP BY p.doc_id)
+         SELECT g.doc_id, b.n_tokens
+         FROM gated g JOIN bpecnt b USING (doc_id)
+         WHERE b.n_tokens >= 40"""),
 
     // X66 truth: the same chunk/bigram/5-gram constructions in list SQL;
     // fractions are IEEE double divisions of exact integers rounded at 6dp

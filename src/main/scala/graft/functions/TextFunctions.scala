@@ -882,7 +882,13 @@ object TextFunctions {
    */
   def repetitionSignals(docs: org.apache.spark.sql.DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      chunkTokens: Int = 10): org.apache.spark.sql.DataFrame = {
+      chunkTokens: Int = 10,
+      carryCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    // carryCols ride through every staged projection unchanged — a
+    // STREAMING consumer can't join the signals back by id (stream-stream
+    // join needs watermark state), so it carries the payload through the
+    // stateless projection instead.
+    val carry = carryCols.map(col)
     // STAGED projections, not one nested expression: a lambda body
     // re-evaluates its subtree per element, so `filter(grams, …)` inlined
     // inside `transform(distinct(grams), …)` would rebuild the whole gram
@@ -892,16 +898,16 @@ object TextFunctions {
     // aliases used more than once in their own projection, so the stages
     // survive optimization (asserted by the plan spec's timing contract).
     val toks = split(trim(lower(col(textCol))), "\\s+")
-    val toksDf = docs.select(col(idCol), toks.as("_t"))
+    val toksDf = docs.select(col(idCol) +: carry :+ toks.as("_t"): _*)
     val t = col("_t")
     val nSeg = ((size(t) + lit(chunkTokens - 1)) / lit(chunkTokens.toDouble)).cast("int")
     def grams(n: Int) = when(size(t) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(t) - n),
         i => array_join(slice(t, i + 1, lit(n)), " ")))
-    val arrays = toksDf.select(col(idCol), size(t).cast("bigint").as("n_tokens"),
+    val arrays = toksDf.select(col(idCol) +: carry :+ size(t).cast("bigint").as("n_tokens") :+
       transform(sequence(lit(0), nSeg - 1),
-        i => array_join(slice(t, i * chunkTokens + 1, lit(chunkTokens)), " ")).as("_chunks"),
-      grams(2).as("_bi"), grams(5).as("_g5"))
+        i => array_join(slice(t, i * chunkTokens + 1, lit(chunkTokens)), " ")).as("_chunks") :+
+      grams(2).as("_bi") :+ grams(5).as("_g5"): _*)
     // Top-bigram multiplicity via the X19 sorted run-length discipline:
     // after array_sort, equal bigrams are adjacent, so one O(m) aggregate
     // pass tracking (current run, best run) replaces the old
@@ -921,22 +927,22 @@ object TextFunctions {
         },
         acc => acc("best")))
     arrays
-      .select(col(idCol), col("n_tokens"),
-        size(col("_chunks")).cast("bigint").as("tc"),
-        size(array_distinct(col("_chunks"))).cast("bigint").as("dc"),
-        array_sort(col("_bi")).as("_bis"),
-        size(col("_g5")).cast("bigint").as("t5"),
-        size(array_distinct(col("_g5"))).cast("bigint").as("d5"))
-      .select(col(idCol), col("n_tokens"), col("tc"), col("dc"),
-        top2.cast("bigint").as("top2"), col("t5"), col("d5"))
-      .select(col(idCol), col("n_tokens"),
-        round((col("tc") - col("dc")).cast("double") / col("tc"), 6).as("dup_chunk_frac"),
-        round(lit(2) * col("top2").cast("double") / col("n_tokens"), 6).as("top_bigram_frac"),
+      .select(col(idCol) +: carry :+ col("n_tokens") :+
+        size(col("_chunks")).cast("bigint").as("tc") :+
+        size(array_distinct(col("_chunks"))).cast("bigint").as("dc") :+
+        array_sort(col("_bi")).as("_bis") :+
+        size(col("_g5")).cast("bigint").as("t5") :+
+        size(array_distinct(col("_g5"))).cast("bigint").as("d5"): _*)
+      .select(col(idCol) +: carry :+ col("n_tokens") :+ col("tc") :+ col("dc") :+
+        top2.cast("bigint").as("top2") :+ col("t5") :+ col("d5"): _*)
+      .select(col(idCol) +: carry :+ col("n_tokens") :+
+        round((col("tc") - col("dc")).cast("double") / col("tc"), 6).as("dup_chunk_frac") :+
+        round(lit(2) * col("top2").cast("double") / col("n_tokens"), 6).as("top_bigram_frac") :+
         when(col("t5") > 0,
           round((col("t5") - col("d5")).cast("double") / col("t5"), 6))
-          .otherwise(lit(0.0)).as("dup_5gram_frac"),
+          .otherwise(lit(0.0)).as("dup_5gram_frac") :+
         ((col("tc") - col("dc")) * 10 <= col("tc") * 3 &&
          col("top2") * 20 <= col("n_tokens") * 2 &&
-         (col("t5") - col("d5")) * 10 <= col("t5") * 3).as("keep"))
+         (col("t5") - col("d5")) * 10 <= col("t5") * 3).as("keep"): _*)
   }
 }

@@ -471,6 +471,89 @@ def cert_e_semdedup(con, dump):
             "cert": "pass" if ok else "fail"}
 
 
+def cert_d_web_pipeline(con, dump):
+    """X70 end-to-end web pipeline: the only quadratic stage is the near-dup
+    doom set; everything else is verified LINEARLY and exactly:
+      - the gates + BPE budget plane is the (linear) d_stream_web_pipeline
+        oracle, executed verbatim from the dump — every reported row must
+        sit in it with the same n_tokens and its gated source;
+      - pack_ids are recomputed with the window over the reported rows
+        (exact conditional on membership — membership is what the planted
+        and sampled checks pin);
+      - planted recall (full): every +10M clone in the budget plane whose
+        partner pair verifies at >= 0.8 must be ABSENT;
+      - sampled doom status (bounded): an md5-ordered sample of budget-plane
+        docs gets its EXACT doom status (any smaller-id >= 0.8 partner among
+        gated) from one sample x gated pass; presence must equal NOT doomed.
+    The core CTEs are sliced from the DUMPED oracle SQL at the stable
+    "ng AS (" marker (stated in SparkEntry next to the oracle), so a
+    SparkEntry edit cannot silently drift this certificate."""
+    sqls = json.load(open(f"{dump}/oracle_sql.json"))
+    full = sqls["d_web_pipeline"]
+    marker = "ng AS ("
+    assert marker in full, "d_web_pipeline oracle lost its 'ng AS (' marker"
+    core = full[:full.index(marker)].rstrip().rstrip(",")
+    con.execute(f"CREATE TEMP TABLE gated AS {core}\n"
+                "SELECT doc_id, source, main FROM gated")
+    con.execute(f"CREATE TEMP TABLE bplane AS {sqls['d_stream_web_pipeline']}")
+    rep = f"'{dump}/d_web_pipeline/*.parquet'"
+    out = {}
+    bad_rows = con.execute(f"""
+      SELECT count(*) FROM {rep} r
+      LEFT JOIN bplane b USING (doc_id)
+      LEFT JOIN gated g USING (doc_id)
+      WHERE b.doc_id IS NULL OR b.n_tokens <> r.n_tokens
+         OR g.source IS NULL OR g.source <> r.shard""").fetchone()[0]
+    out["rows_in_budget_plane"] = {"violations": bad_rows}
+    ok = bad_rows == 0
+    bad_pack = con.execute(f"""
+      WITH w AS (SELECT pack_id, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum FROM {rep})
+      SELECT count(*) FROM w
+      WHERE pack_id <> CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT)
+      """).fetchone()[0]
+    out["pack_window"] = {"violations": bad_pack}
+    ok = ok and bad_pack == 0
+    toksm = "regexp_split_to_array(trim(lower(main)), '\\s+')"
+    gramsm = (f"list_distinct(list_transform(generate_series(1, len({toksm}) - 2),"
+              f" i -> array_to_string({toksm}[i:i+2], ' ')))")
+    con.execute(f"""CREATE TEMP TABLE gg AS
+      SELECT doc_id, {gramsm} AS grams FROM gated WHERE len({toksm}) >= 3""")
+    jacc_cp = ("CAST(len(list_intersect(c.grams, p.grams)) AS DOUBLE) / "
+               "(len(c.grams) + len(p.grams) - len(list_intersect(c.grams, p.grams)))")
+    n_planted, planted_present = con.execute(f"""
+      WITH pl AS (
+        SELECT c.doc_id FROM gg c
+        JOIN gg p ON p.doc_id = c.doc_id - 10000000
+        JOIN bplane bp ON bp.doc_id = c.doc_id
+        WHERE c.doc_id >= 10000000 AND {jacc_cp} >= 0.8)
+      SELECT (SELECT count(*) FROM pl),
+        (SELECT count(*) FROM pl WHERE doc_id IN (SELECT doc_id FROM {rep}))
+      """).fetchone()
+    out["planted"] = {"n_planted_doomed": n_planted,
+                      "present_violations": planted_present}
+    ok = ok and planted_present == 0 and n_planted > 0
+    sample_table(con, from_table="bplane")
+    jacc_sb = ("CAST(len(list_intersect(s.grams, b.grams)) AS DOUBLE) / "
+               "(len(s.grams) + len(b.grams) - len(list_intersect(s.grams, b.grams)))")
+    bad_sample = con.execute(f"""
+      WITH sg AS (SELECT g.* FROM gg g SEMI JOIN samp USING (doc_id)),
+      sd AS (
+        SELECT s.doc_id, count(b.doc_id) AS npart
+        FROM sg s LEFT JOIN gg b
+          ON b.doc_id < s.doc_id AND {jacc_sb} >= 0.8
+        GROUP BY s.doc_id)
+      SELECT count(*) FROM sd
+      WHERE (npart > 0) = (doc_id IN (SELECT doc_id FROM {rep}))
+      """).fetchone()[0]
+    out["sample"] = {"doom_status_violations": bad_sample,
+                     "sampled_docs": SAMPLE}
+    ok = ok and bad_sample == 0
+    out["cert"] = "pass" if ok else "fail"
+    return out
+
+
 CERTS = {
     "d_ngram_jaccard": cert_d_ngram_jaccard,
     "d_minhash_pairs": cert_d_minhash_pairs,
@@ -481,6 +564,7 @@ CERTS = {
     "d_incr_neardup_gen2": cert_d_incr_neardup_gen2,
     "d_stream_neardup": cert_d_stream_neardup,
     "e_semdedup": cert_e_semdedup,
+    "d_web_pipeline": cert_d_web_pipeline,
 }
 
 

@@ -39,6 +39,10 @@ CERTIFIED = {
     # certificate proves planted recall + never-over-drops + a bounded
     # boundary-miss rate instead of an equality SemDeDup doesn't promise
     "e_semdedup",
+    # the X70 composition's near-dup doom set is the one quadratic stage;
+    # the cert replays the gates+BPE plane linearly (the stream twin's
+    # oracle) and pins membership via planted clones + a sampled doom pass
+    "d_web_pipeline",
 }
 
 
