@@ -506,7 +506,7 @@ object SparkEntry {
     * link chars, the constant paragraph always passes, and the doc-text
     * paragraph passes iff its stopword density reaches 8% — the one
     * data-dependent branch, which the oracle replays in SQL. */
-  private def plantedHtml(text: Column, m3: Column): Column = {
+  private[graft] def plantedHtml(text: Column, m3: Column): Column = {
     val nav = "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a>" +
       " <a href=\"/contact\">Contact</a></nav>"
     val good = "<p>the table of data is on the disk &amp; it has the rows for sure</p>"
@@ -578,7 +578,7 @@ object SparkEntry {
   /** The mojibake tail planted into every page ("CafÃ© â€” dÃ©jÃ  vu"):
     * normalize_text repairs it to " Café — déjà vu", which [[webTailSql]]
     * states with chr() literals. */
-  private val mojibakeTail =
+  private[graft] val mojibakeTail =
     " Caf\u00c3\u00a9 \u00e2\u20ac\u201d d\u00c3\u00a9j\u00c3\u00a0 vu"
 
   /** The REPAIRED tail as DuckDB SQL (é=233, —=8212, à=224). */

@@ -872,77 +872,34 @@ object TextFunctions {
    *    (0.3 / 0.2 / 0.3), decided by INTEGER cross-multiplication so the
    *    SQL oracle replays the flag without float-boundary risk.
    *
-   * Scale shape: every signal is computed per-row with higher-order array
-   * functions inside one codegen'd projection — NO shuffle, no groupBy, no
-   * window (PlanAuditSpec pins the plan is Exchange-free). The top-bigram
-   * count is O(m log m) per row (array_sort + one run-length aggregate
-   * pass) — bounded by document length, never by corpus size. The per-row
-   * discipline is what makes this the cheapest
-   * possible corpus filter at 100 TB: it runs inside the ingest scan.
+   * Scale shape: ONE native codegen'd kernel per row
+   * ([[graft.plans.RepetitionSignalsExpr]]) — no shuffle, no groupBy, no
+   * window (the plan spec pins Exchange-free + whole-stage codegen), O(m)
+   * in document length. HISTORY: this was first built from higher-order
+   * array functions with staged projections (the 292 s → 1.75 s staging
+   * fix), but staging only protects Project-to-Project collapse — a
+   * downstream `.where(keep)` lets predicate pushdown inline the whole
+   * tree into a Filter, where HOF lambdas re-evaluate their subtree per
+   * element (the X70 pipeline re-ran full HTML extraction once per n-gram:
+   * ~700 s on one sf0.1 partition). The kernel tokenizes once per call
+   * under ANY plan shape. `carryCols` ride through unchanged so a
+   * STREAMING consumer can keep its payload without a stream-stream join.
    */
   def repetitionSignals(docs: org.apache.spark.sql.DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       chunkTokens: Int = 10,
       carryCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
-    // carryCols ride through every staged projection unchanged — a
-    // STREAMING consumer can't join the signals back by id (stream-stream
-    // join needs watermark state), so it carries the payload through the
-    // stateless projection instead.
+    graft.plans.SketchFunctions.register(docs.sparkSession)
     val carry = carryCols.map(col)
-    // STAGED projections, not one nested expression: a lambda body
-    // re-evaluates its subtree per element, so `filter(grams, …)` inlined
-    // inside `transform(distinct(grams), …)` would rebuild the whole gram
-    // array (split + slices + joins) once per distinct gram — measured
-    // 292 s for the sf0.1 corpus vs ~1 s staged. Each array becomes a named
-    // column consumed by reference; CollapseProject leaves non-cheap
-    // aliases used more than once in their own projection, so the stages
-    // survive optimization (asserted by the plan spec's timing contract).
-    val toks = split(trim(lower(col(textCol))), "\\s+")
-    val toksDf = docs.select(col(idCol) +: carry :+ toks.as("_t"): _*)
-    val t = col("_t")
-    val nSeg = ((size(t) + lit(chunkTokens - 1)) / lit(chunkTokens.toDouble)).cast("int")
-    def grams(n: Int) = when(size(t) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(t) - n),
-        i => array_join(slice(t, i + 1, lit(n)), " ")))
-    val arrays = toksDf.select(col(idCol) +: carry :+ size(t).cast("bigint").as("n_tokens") :+
-      transform(sequence(lit(0), nSeg - 1),
-        i => array_join(slice(t, i * chunkTokens + 1, lit(chunkTokens)), " ")).as("_chunks") :+
-      grams(2).as("_bi") :+ grams(5).as("_g5"): _*)
-    // Top-bigram multiplicity via the X19 sorted run-length discipline:
-    // after array_sort, equal bigrams are adjacent, so one O(m) aggregate
-    // pass tracking (current run, best run) replaces the old
-    // distinct × filter scan, which was O(distinct·total) comparisons per
-    // row — a 10⁹-op single-row bomb on 100k-token web documents. The
-    // sorted array is staged as its own column so the aggregate lambda
-    // only dereferences an attribute (the 292 s lesson above).
-    val bis = col("_bis")
-    val top2 = when(size(bis) <= 1, size(bis))
-      .otherwise(aggregate(
-        sequence(lit(1), size(bis) - 1),
-        struct(lit(1).as("run"), lit(1).as("best")),
-        (acc, i) => {
-          val run = when(element_at(bis, i + 1) === element_at(bis, i),
-            acc("run") + lit(1)).otherwise(lit(1))
-          struct(run.as("run"), greatest(acc("best"), run).as("best"))
-        },
-        acc => acc("best")))
-    arrays
-      .select(col(idCol) +: carry :+ col("n_tokens") :+
-        size(col("_chunks")).cast("bigint").as("tc") :+
-        size(array_distinct(col("_chunks"))).cast("bigint").as("dc") :+
-        array_sort(col("_bi")).as("_bis") :+
-        size(col("_g5")).cast("bigint").as("t5") :+
-        size(array_distinct(col("_g5"))).cast("bigint").as("d5"): _*)
-      .select(col(idCol) +: carry :+ col("n_tokens") :+ col("tc") :+ col("dc") :+
-        top2.cast("bigint").as("top2") :+ col("t5") :+ col("d5"): _*)
-      .select(col(idCol) +: carry :+ col("n_tokens") :+
-        round((col("tc") - col("dc")).cast("double") / col("tc"), 6).as("dup_chunk_frac") :+
-        round(lit(2) * col("top2").cast("double") / col("n_tokens"), 6).as("top_bigram_frac") :+
-        when(col("t5") > 0,
-          round((col("t5") - col("d5")).cast("double") / col("t5"), 6))
-          .otherwise(lit(0.0)).as("dup_5gram_frac") :+
-        ((col("tc") - col("dc")) * 10 <= col("tc") * 3 &&
-         col("top2") * 20 <= col("n_tokens") * 2 &&
-         (col("t5") - col("d5")) * 10 <= col("t5") * 3).as("keep"): _*)
+    val r = call_function("repetition_signals",
+      col(textCol).cast("string"), lit(chunkTokens))
+    docs
+      .select(col(idCol) +: carry :+ r.as("_r"): _*)
+      .select(col(idCol) +: carry :+
+        col("_r.n_tokens").as("n_tokens") :+
+        col("_r.dup_chunk_frac").as("dup_chunk_frac") :+
+        col("_r.top_bigram_frac").as("top_bigram_frac") :+
+        col("_r.dup_5gram_frac").as("dup_5gram_frac") :+
+        col("_r.keep").as("keep"): _*)
   }
 }

@@ -331,6 +331,9 @@ object SketchFunctions {
         exprs => NormalizeText(exprs(0)), "built-in")
       reg.createOrReplaceTempFunction("url_normalize",
         exprs => UrlNormalize(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction("repetition_signals",
+        exprs => RepetitionSignalsExpr(exprs(0),
+          foldableInt(exprs(1), "chunkTokens")), "built-in")
       reg.createOrReplaceTempFunction("url_host",
         exprs => UrlHost(exprs(0)), "built-in")
       // suffix-list literal folded into an expression field at resolution,
