@@ -104,8 +104,15 @@ object TextFunctions {
     val toks = docs.select(col(labelCol).as("label"),
         explode(tokenizer(col(textCol))).as("token"))
       .where(col("token") =!= "")
+    // Eager localCheckpoint: counts feeds model, totals, vocab AND stats —
+    // without it each consumer re-explodes and re-shuffles the corpus
+    // (~5 tokenization passes; measured 4 s/row for the char-trigram
+    // models at sf0.1). The frame is |labels|x|vocab| — tiny — and
+    // lineage-free blocks are freed by the ContextCleaner (the round-3
+    // ADVICE discipline), so nothing accumulates across repeats.
     val counts = toks.groupBy(col("label"), col("token"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val totals = counts.groupBy(col("label")).agg(sum(col("cnt")).as("total"))
     val vocabN = counts.select(col("token")).distinct()
       .agg(count(lit(1)).as("v"))
