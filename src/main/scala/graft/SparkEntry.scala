@@ -3391,6 +3391,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // X71: deterministic EPOCH SHUFFLE — the seeded global permutation +
+    // sharding every pretraining run applies per epoch: order key =
+    // md5(seed:doc_id) (different epochs → different, REPRODUCIBLE
+    // permutations — no rand(), the d_hash_sample discipline), shard = the
+    // key's first hex nibble (16 shards), position = rank within the
+    // shard. Physical shape matches the real 100 TB write exactly: hash
+    // exchange on (epoch, shard) + sort within partitions — never a global
+    // total-order sort; two epochs materialize as one explode, proving the
+    // permutations differ while each replays bit-identically.
+    "d_epoch_shuffle" -> ((s, dir) => {
+      val keyed = t(s, dir, "documents")
+        .select(col("doc_id"), explode(array(lit(1), lit(2))).as("epoch"))
+        .withColumn("k", md5(concat(lit("ep"), col("epoch").cast("string"),
+          lit(":"), col("doc_id").cast("string"))))
+        .withColumn("shard",
+          expr("instr('0123456789abcdef', substring(k, 1, 1)) - 1"))
+      val w = Window.partitionBy(col("epoch"), col("shard"))
+        .orderBy(col("k"), col("doc_id"))
+      keyed.select(col("epoch"), col("shard"), col("doc_id"),
+        row_number().over(w).cast("bigint").as("pos"))
+    }),
+
     // X70: the END-TO-END web pipeline — the r12/r13 stages composed the
     // way a real ingest runs them, with the oracle replaying EVERY stage
     // (the d_curate_pipeline_v2 discipline): .warc.gz member-framed shards
@@ -6191,6 +6213,25 @@ object SparkEntry {
            domain IN ('spam-mill.com', 'tracker.net') AS blocked,
            count(*) AS n_docs
          FROM d GROUP BY 1, 2"""),
+
+    // X71 truth: DuckDB md5 produces the identical lowercase hex, so the
+    // permutation, sharding and ranks replay exactly
+    "d_epoch_shuffle" -> (
+      """WITH e AS (
+           SELECT doc_id, epoch
+           FROM documents, (SELECT unnest([1, 2]) AS epoch)),
+         k AS (
+           SELECT epoch, doc_id,
+             md5('ep' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS k
+           FROM e),
+         sh AS (
+           SELECT epoch, doc_id, k,
+             CAST(instr('0123456789abcdef', substring(k, 1, 1)) - 1 AS INT) AS shard
+           FROM k)
+         SELECT epoch, shard, doc_id,
+           CAST(row_number() OVER (PARTITION BY epoch, shard
+             ORDER BY k, doc_id) AS BIGINT) AS pos
+         FROM sh"""),
 
     // X70 truth: every stage replayed — the planted input closed-form, the
     // extraction CASE, both gates, the FULL all-pairs exact-Jaccard dedup

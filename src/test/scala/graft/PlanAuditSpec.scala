@@ -51,6 +51,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(!web.contains("Exchange"), s"web ingest shuffles:\n$web")
   }
 
+  test("URL canonicalization chain is one shuffle-free codegen'd projection per row") {
+    // url_normalize -> url_host -> url_registered_domain collapse into a
+    // single WholeStageCodegen scan-project stage: the URL-hygiene stage
+    // runs inside the ingest scan at 100 TB, before anything shuffles
+    val plan = planString(
+      SparkEntry.queries("d_url_normalize")(spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("Exchange"), s"url normalize shuffles:\n$plan")
+    assert(!plan.contains("Sort"), s"url normalize sorts:\n$plan")
+    assert(plan.contains("*(1) Project"), s"url chain fell out of codegen:\n$plan")
+  }
+
+  test("URL dedup shuffles exactly once, on the canonical key") {
+    // slice off the AQE "Initial Plan" section — it still shows the
+    // pre-adaptive exchanges (the round-10 plan-string trap)
+    val plan = planString(
+      SparkEntry.queries("d_url_dedup")(spark, "/root/testdata/sf0.001"))
+      .split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected ONE hash exchange on the canonical url:\n$plan")
+  }
+
+  test("gopher gate evaluates the native kernel, never an interpreted HOF tree") {
+    // the X70 regression class: a filter on `keep` must reference the
+    // repetition_signals kernel (one O(m) call per row), not an inlined
+    // higher-order-function tree that re-evaluates per array element
+    val df = graft.functions.TextFunctions
+      .repetitionSignals(spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"))
+      .where(col("keep")).select(col("doc_id"))
+    val plan = planString(df)
+    assert(plan.contains("repetition_signals"), s"kernel missing from plan:\n$plan")
+    assert(!plan.contains("transform("), s"HOF tree leaked into the plan:\n$plan")
+    assert(!plan.contains("Exchange"), s"gopher gate shuffles:\n$plan")
+  }
+
   test("JDBC source reads in 4 stripes with the filter pushed to the database") {
     val q = SparkEntry.queries("src_jdbc_agg")(spark, "/root/testdata/sf0.001")
     val plan = planString(q)
