@@ -86,6 +86,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"gopher gate shuffles:\n$plan")
   }
 
+  test("epoch shuffle plans as ONE exchange on (epoch, shard) + in-partition sort — no global sort") {
+    // the production write shape: a total-order sort (RangePartitioning)
+    // would be a cluster-wide bottleneck; the permutation only needs
+    // per-shard order
+    val plan = planString(
+      SparkEntry.queries("d_epoch_shuffle")(spark, "/root/testdata/sf0.001"))
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("rangepartitioning"),
+      s"epoch shuffle fell into a global total-order sort:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected ONE hash exchange on (epoch, shard):\n$plan")
+  }
+
   test("JDBC source reads in 4 stripes with the filter pushed to the database") {
     val q = SparkEntry.queries("src_jdbc_agg")(spark, "/root/testdata/sf0.001")
     val plan = planString(q)
