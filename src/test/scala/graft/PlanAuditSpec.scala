@@ -86,6 +86,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"gopher gate shuffles:\n$plan")
   }
 
+  test("web pipeline plans every join hash-based — no cartesian, no nested loop") {
+    // the X70 composition: gopher semi-gate, dedup anti-join and the meta
+    // join must all stay equi-joins (broadcast here; SMJ at scale under
+    // AQE) — a BroadcastNestedLoopJoin or CartesianProduct would mean a
+    // non-equi pairing snuck into the chain
+    val plan = planString(
+      SparkEntry.queries("d_web_pipeline")(spark, "/root/testdata/sf0.001"))
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"), s"pipeline went cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"pipeline joined non-equi:\n$plan")
+  }
+
   test("epoch shuffle plans as ONE exchange on (epoch, shard) + in-partition sort — no global sort") {
     // the production write shape: a total-order sort (RangePartitioning)
     // would be a cluster-wide bottleneck; the permutation only needs
