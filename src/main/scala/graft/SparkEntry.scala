@@ -3391,6 +3391,52 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // X68d: URL curation off the CRAWL URI — the composition FineWeb runs
+    // FIRST: WARC-Target-URI is the only per-page key that exists before
+    // any parsing, so domain-level curation consumes it straight off the
+    // member-framed shards. Shards carry MESSY per-page URIs (the X68
+    // planted shapes); the row splits gzip members, normalizes each URI,
+    // extracts the registered domain, recovers the page id from the
+    // canonical path, and aggregates per domain — bodies never parsed.
+    "d_warc_url_curate" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      import graft.plans.{SketchFunctions => F}
+      val warcDir = sessionMemo("warcurldir", s, dir) {
+        import org.apache.spark.sql.Row
+        val wd = java.nio.file.Files.createTempDirectory("graft-warcurl").toString
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          s.sparkContext.hadoopConfiguration)
+        t(s, dir, "documents")
+          .select(messyUrl(col("doc_id")).as("uri"))
+          .repartition(4, pmod(crc32(col("uri")), lit(4)))
+          .foreachPartition { (it: Iterator[Row]) =>
+            val entries = it.map(r => (r.getString(0), "<html><p>ok</p></html>")).toSeq
+            if (entries.nonEmpty) {
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              val path = new org.apache.hadoop.fs.Path(s"$wd/shard$pid.warc.gz")
+              val fs = path.getFileSystem(conf.value)
+              val out = fs.create(path, true)
+              out.write(graft.codec.WarcCodec.writeGz(entries))
+              out.close()
+            }
+          }
+        wd
+      }
+      import s.implicits._
+      s.read.format("binaryFile").option("pathGlobFilter", "*.warc.gz")
+        .load(warcDir)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap(b => graft.codec.WarcCodec.responsesGz(b).map(_.targetUri))
+        .toDF("uri")
+        .select(F.url_normalize(col("uri")).as("url"))
+        .select(
+          F.url_registered_domain(F.url_host(col("url")), pslFixture).as("domain"),
+          regexp_extract(col("url"), "/([0-9]+)(\\?.*)?$", 1)
+            .cast("long").as("doc_id"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_pages"), min(col("doc_id")).as("first_doc"))
+    }),
+
     // X71: deterministic EPOCH SHUFFLE — the seeded global permutation +
     // sharding every pretraining run applies per epoch: order key =
     // md5(seed:doc_id) (different epochs → different, REPRODUCIBLE
@@ -3435,11 +3481,17 @@ object SparkEntry {
           .map(r => (r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1).toLong,
             r.body)))
         .toDF("doc_id", "html")
+      // Eager localCheckpoint: the extracted frame feeds the gopher gate,
+      // the semi probe, the dedup signatures AND the anti probe — without
+      // materialization each consumer re-runs the gunzip+parse+extract
+      // subtree (tokenize-once discipline; lineage-free blocks are freed by
+      // the ContextCleaner, nothing accumulates across bench repeats)
       val tokGated = ingested
         .select(col("doc_id"),
           graft.plans.SketchFunctions.html_main_text(
             graft.plans.SketchFunctions.normalize_text(col("html"))).as("main"))
         .where(size(split(col("main"), "[ \n]")) >= 20)
+        .localCheckpoint(true)
       val keepIds = TextFunctions.repetitionSignals(tokGated, "doc_id", "main")
         .where(col("keep")).select(col("doc_id"))
       val gated = tokGated.join(keepIds, Seq("doc_id"), "left_semi")
@@ -6213,6 +6265,21 @@ object SparkEntry {
            domain IN ('spam-mill.com', 'tracker.net') AS blocked,
            count(*) AS n_docs
          FROM d GROUP BY 1, 2"""),
+
+    // X68d truth: the messy URIs are closed-form in doc_id, so the domain
+    // classes, page counts and recovered first ids replay directly
+    "d_warc_url_curate" -> (
+      """WITH d AS (
+           SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'example.com'
+               WHEN 1 THEN 'example.co.uk'
+               WHEN 2 THEN 'site' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+               ELSE 'example.com'
+             END AS domain
+           FROM documents)
+         SELECT domain, count(*) AS n_pages, min(doc_id) AS first_doc
+         FROM d GROUP BY 1"""),
 
     // X71 truth: DuckDB md5 produces the identical lowercase hex, so the
     // permutation, sharding and ranks replay exactly
