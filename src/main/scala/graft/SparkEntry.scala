@@ -2684,18 +2684,25 @@ object SparkEntry {
     // per gram — the X66 lesson). Same closed-form smoothing, so DuckDB
     // replays training AND classification exactly; scores round to 4dp
     // before the argmax, ties break to the smallest label on both sides.
+    // Scoring is the X72 native kernel (r13 directive #1): train stays the
+    // DataFrame job (one bounded shuffle over the train split), the
+    // vocab-bounded result collects into ONE plan reference object, and
+    // classify becomes a zero-shuffle codegen'd scan projection — no
+    // explode, no model join, no per-(doc,label) aggregate, no argmax
+    // window (4.0 s → sub-second at sf0.1; at sf1 this was the slowest row
+    // in the artifact at 34.6 s). The oracle is UNCHANGED: it replays the
+    // DataFrame formulation in SQL, and the kernel is bit-identical (same
+    // score formula, same 4dp round before the argmax, ties → smallest
+    // label via sorted-label first-strict-max).
     "d_lang_id_ngram" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), lower(trim(col("text"))).as("lc"))
       val tok: Column => Column = c => TextFunctions.charNgramsOf(c, 3)
       val (model, stats) = TextFunctions.naiveBayesTrain(
         docs.where(col("doc_id") % 5 === 0), "lang", textCol = "lc", tokenizer = tok)
-      val scores = TextFunctions.naiveBayesClassify(
-          docs, model, stats, textCol = "lc", tokenizer = tok)
-        .withColumn("score", round(col("score"), 4))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("label"))
-      scores.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("doc_id"), col("label").as("pred_lang"), col("score"))
+      val enc = TextFunctions.collectNbModel(model, stats)
+      docs.select(col("doc_id"), TextFunctions.nbArgmax(col("lc"), enc).as("p"))
+        .select(col("doc_id"), col("p.label").as("pred_lang"), col("p.score").as("score"))
     }),
 
     // X44 BPE-encode the corpus (native codegen'd expression, merge table as
@@ -2897,18 +2904,21 @@ object SparkEntry {
       // #5): the word-NB gate misclassifies short/unseen-vocab docs; the
       // trigram model is what production pipelines run. Tokenizer slices a
       // STAGED lowercased attribute (the X66 HOF-lambda lesson).
-      val nbDocs = docs.select(col("doc_id"), col("lang"),
-        lower(trim(col("text"))).as("lc"))
+      // Scoring via the X72 kernel (r13 directive #1): the gate is now a
+      // zero-shuffle projection ON the corpus scan — no explode/join/agg,
+      // no argmax window, and no doc_id join back (the prediction is
+      // computed in place). Oracle unchanged (kernel is bit-identical to
+      // the DataFrame formulation the SQL replays).
+      val nbDocs = docs.withColumn("lc", lower(trim(col("text"))))
       val tok: Column => Column = c => TextFunctions.charNgramsOf(c, 3)
       val (model, stats) = TextFunctions.naiveBayesTrain(
-        nbDocs.where(col("doc_id") % 5 === 0), "lang", textCol = "lc", tokenizer = tok)
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("label"))
-      val pred = TextFunctions.naiveBayesClassify(
-          nbDocs, model, stats, textCol = "lc", tokenizer = tok)
-        .withColumn("score", round(col("score"), 4))
-        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("doc_id"), col("label").as("pred_lang"))
-      val gated = docs.join(pred, "doc_id").where(col("pred_lang") === "en")
+        nbDocs.where(col("doc_id") % 5 === 0).select(col("lang"), col("lc")),
+        "lang", textCol = "lc", tokenizer = tok)
+      val enc = TextFunctions.collectNbModel(model, stats)
+      val gated = nbDocs
+        .withColumn("pred_lang", TextFunctions.nbArgmax(col("lc"), enc)("label"))
+        .where(col("pred_lang") === "en")
+        .drop("lc")
       val deduped = gated
         .withColumn("content_hash", TextFunctions.contentFingerprint(col("text")))
         .withColumn("_rk", row_number().over(

@@ -152,6 +152,37 @@ object TextFunctions {
           .as("score"))
   }
 
+  /** X72: collect a trained NB (model, labelStats) pair to the wire
+    * encoding [[graft.plans.NbModelRef.encode]] consumes — the model is
+    * vocab-bounded (|labels|×|vocab|, the classifier's whole point at
+    * 100 TB), so this collect is the same bounded-codebook discipline as
+    * `bpeTrainOn`'s vocab pull. Feed the result to [[nbArgmax]] /
+    * [[nbScores]], which score as a ZERO-SHUFFLE codegen'd scan projection
+    * (vs [[naiveBayesClassify]]'s full-corpus explode+join+agg — keep that
+    * formulation as the SQL-replayable truth; the kernel is bit-identical:
+    * same formula, same 4dp round, same smallest-label tiebreak). */
+  def collectNbModel(model: org.apache.spark.sql.DataFrame,
+      labelStats: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val labels = labelStats.select(col("label"), col("logprior"), col("logdefault"))
+      .collect().toSeq.map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val rows = model.select(col("token"), col("label"), col("logp"))
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    graft.plans.NbModelRef.encode(labels, rows)
+  }
+
+  /** nb_argmax(lc) → struct<label, score>: winning label over the collected
+    * model, scores rounded to 4dp before the argmax, ties → smallest label.
+    * Input must be the caller-staged normalized text (lower(trim(text))) —
+    * the kernel slices code-point n-grams of exactly what it's given, the
+    * same contract as [[charNgramsOf]]. Requires SketchFunctions.register. */
+  def nbArgmax(text: Column, encodedModel: Seq[String], n: Int = 3): Column =
+    call_function("nb_argmax", text.cast("string"), typedlit(encodedModel), lit(n))
+
+  /** nb_scores(lc) → array<double>: the full rounded-4dp score vector in
+    * sorted-label order (calibration / threshold-gating consumers). */
+  def nbScores(text: Column, encodedModel: Seq[String], n: Int = 3): Column =
+    call_function("nb_scores", text.cast("string"), typedlit(encodedModel), lit(n))
+
   /** BPE-ish subword count: word pieces + digits + punctuation as separate
     * tokens, the usual pre-tokenizer regex shape. */
   def subwordCount(text: Column): Column =

@@ -348,6 +348,22 @@ object SketchFunctions {
         exprs => HtmlMainText(exprs(0), foldableInt(exprs(1), "minChars"),
           foldableInt(exprs(2), "maxLinkPct"), foldableInt(exprs(3), "minStopPct")),
         "built-in")
+      // trained NB model folded into ONE reference object at resolution
+      // (X72) — the plan never carries the vocab as literals
+      reg.createOrReplaceTempFunction("nb_argmax",
+        exprs => {
+          require(exprs.length == 3,
+            s"nb_argmax(text, model, n) takes 3 arguments, got ${exprs.length}")
+          NbArgmax(exprs(0), NbModelRef.decode(foldableStrings(exprs(1), "model")),
+            foldableInt(exprs(2), "n"))
+        }, "built-in")
+      reg.createOrReplaceTempFunction("nb_scores",
+        exprs => {
+          require(exprs.length == 3,
+            s"nb_scores(text, model, n) takes 3 arguments, got ${exprs.length}")
+          NbScores(exprs(0), NbModelRef.decode(foldableStrings(exprs(1), "model")),
+            foldableInt(exprs(2), "n"))
+        }, "built-in")
       // same resolution-time fold for the keyword dictionary
       reg.createOrReplaceTempFunction("keyword_hits",
         exprs => {

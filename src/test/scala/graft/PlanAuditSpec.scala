@@ -86,6 +86,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"gopher gate shuffles:\n$plan")
   }
 
+  test("X72 lang-id classify is a zero-shuffle codegen'd scan projection") {
+    // the r13 scale-killer: the DataFrame NB classify was a full-corpus
+    // explode → join → per-(doc,label) aggregate → argmax window (4.0 s at
+    // sf0.1, 34.6 s at sf1). The kernel formulation must plan as a single
+    // scan-project stage: model rides as a reference object, NO Exchange.
+    val plan = planString(
+      SparkEntry.queries("d_lang_id_ngram")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("nb_argmax"), s"kernel missing from plan:\n$plan")
+    assert(!plan.contains("Exchange"), s"lang-id classify shuffles:\n$plan")
+    assert(!plan.contains("Generate"), s"classify still explodes tokens:\n$plan")
+    assert(!plan.contains("Window"), s"argmax window survived:\n$plan")
+  }
+
+  test("curate pipeline v2's lang gate adds no Exchange beyond the dedup + pack windows") {
+    // gate-in-scan: exactly the two legitimate exchanges remain (the
+    // content-hash dedup window and the per-source pack window); the NB
+    // gate itself contributes none (r12 had THREE extra: classify agg +
+    // argmax window + the doc_id join back)
+    val plan = planString(
+      SparkEntry.queries("d_curate_pipeline_v2")(spark, "/root/testdata/sf0.001"))
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("nb_argmax"), s"kernel missing from plan:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2,
+      s"expected exactly dedup + pack exchanges, got $exchanges:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"pipeline collapsed to one partition:\n$plan")
+  }
+
   test("web pipeline plans every join hash-based — no cartesian, no nested loop") {
     // the X70 composition: gopher semi-gate, dedup anti-join and the meta
     // join must all stay equi-joins (broadcast here; SMJ at scale under
