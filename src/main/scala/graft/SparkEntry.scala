@@ -3456,18 +3456,17 @@ object SparkEntry {
     // exchange on (epoch, shard) + sort within partitions — never a global
     // total-order sort; two epochs materialize as one explode, proving the
     // permutations differ while each replays bit-identically.
-    "d_epoch_shuffle" -> ((s, dir) => {
-      val keyed = t(s, dir, "documents")
-        .select(col("doc_id"), explode(array(lit(1), lit(2))).as("epoch"))
-        .withColumn("k", md5(concat(lit("ep"), col("epoch").cast("string"),
-          lit(":"), col("doc_id").cast("string"))))
-        .withColumn("shard",
-          expr("instr('0123456789abcdef', substring(k, 1, 1)) - 1"))
-      val w = Window.partitionBy(col("epoch"), col("shard"))
-        .orderBy(col("k"), col("doc_id"))
-      keyed.select(col("epoch"), col("shard"), col("doc_id"),
-        row_number().over(w).cast("bigint").as("pos"))
-    }),
+    "d_epoch_shuffle" -> ((s, dir) =>
+      TextFunctions.epochShuffle(t(s, dir, "documents"), epochs = Seq(1, 2))),
+
+    // X71 at the scale knob (r13 directive #5): shard = first TWO nibbles
+    // (256 shards) — at 100 TB a 16-way split means multi-TB per-shard
+    // sorts; 16^k parameterizes the per-shard sort volume to executor
+    // memory. Same oracle shape, same one-exchange + in-partition-sort
+    // plan (pinned in PlanAuditSpec for both rows).
+    "d_epoch_shuffle_256" -> ((s, dir) =>
+      TextFunctions.epochShuffle(t(s, dir, "documents"), epochs = Seq(1),
+        shardNibbles = 2)),
 
     // X70: the END-TO-END web pipeline — the r12/r13 stages composed the
     // way a real ingest runs them, with the oracle replaying EVERY stage
@@ -6304,6 +6303,22 @@ object SparkEntry {
          sh AS (
            SELECT epoch, doc_id, k,
              CAST(instr('0123456789abcdef', substring(k, 1, 1)) - 1 AS INT) AS shard
+           FROM k)
+         SELECT epoch, shard, doc_id,
+           CAST(row_number() OVER (PARTITION BY epoch, shard
+             ORDER BY k, doc_id) AS BIGINT) AS pos
+         FROM sh"""),
+
+    // X71 at 256 shards: identical nibble arithmetic, two hex digits
+    "d_epoch_shuffle_256" -> (
+      """WITH k AS (
+           SELECT 1 AS epoch, doc_id,
+             md5('ep1:' || CAST(doc_id AS VARCHAR)) AS k
+           FROM documents),
+         sh AS (
+           SELECT epoch, doc_id, k,
+             CAST((instr('0123456789abcdef', substring(k, 1, 1)) - 1) * 16
+               + (instr('0123456789abcdef', substring(k, 2, 1)) - 1) AS INT) AS shard
            FROM k)
          SELECT epoch, shard, doc_id,
            CAST(row_number() OVER (PARTITION BY epoch, shard

@@ -183,6 +183,39 @@ object TextFunctions {
   def nbScores(text: Column, encodedModel: Seq[String], n: Int = 3): Column =
     call_function("nb_scores", text.cast("string"), typedlit(encodedModel), lit(n))
 
+  /** X71: deterministic EPOCH SHUFFLE — the seeded global permutation +
+    * sharding every pretraining run applies per epoch: order key =
+    * md5("ep<epoch>:<doc_id>") (different epochs → different, REPRODUCIBLE
+    * permutations — no rand(), the d_hash_sample discipline), shard = the
+    * key's first `shardNibbles` hex nibbles (shard count = 16^k; at 100 TB
+    * one nibble means a multi-TB sort per shard — size k to the corpus so
+    * each shard's sort fits an executor), position = rank within the
+    * shard. Physical shape is the real 100 TB write: ONE hash exchange on
+    * (epoch, shard) + sort within partitions — never a global total-order
+    * sort. The nibble arithmetic is plain instr/substring so DuckDB
+    * replays the shard ids character-for-character. */
+  def epochShuffle(docs: org.apache.spark.sql.DataFrame, epochs: Seq[Int],
+      shardNibbles: Int = 1, idCol: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    require(shardNibbles >= 1 && shardNibbles <= 8,
+      s"shardNibbles must be in [1, 8], got $shardNibbles")
+    val shard = (1 to shardNibbles).map { i =>
+      val digit = s"(instr('0123456789abcdef', substring(k, $i, 1)) - 1)"
+      val scale = math.pow(16, shardNibbles - i).toLong
+      if (scale == 1L) digit else s"$digit * ${scale}L"
+    }.mkString(" + ")
+    val keyed = docs
+      .select(col(idCol), explode(array(epochs.map(lit): _*)).as("epoch"))
+      .withColumn("k", md5(concat(lit("ep"), col("epoch").cast("string"),
+        lit(":"), col(idCol).cast("string"))))
+      .withColumn("shard", expr(shard).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("k"), col(idCol))
+    keyed.select(col("epoch"), col("shard"), col(idCol),
+      row_number().over(w).cast("bigint").as("pos"))
+  }
+
   /** BPE-ish subword count: word pieces + digits + punctuation as separate
     * tokens, the usual pre-tokenizer regex shape. */
   def subwordCount(text: Column): Column =

@@ -132,13 +132,15 @@ class PlanAuditSpec extends SparkSpec {
     // the production write shape: a total-order sort (RangePartitioning)
     // would be a cluster-wide bottleneck; the permutation only needs
     // per-shard order
-    val plan = planString(
-      SparkEntry.queries("d_epoch_shuffle")(spark, "/root/testdata/sf0.001"))
-      .split("== Initial Plan ==")(0)
-    assert(!plan.contains("rangepartitioning"),
-      s"epoch shuffle fell into a global total-order sort:\n$plan")
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges == 1, s"expected ONE hash exchange on (epoch, shard):\n$plan")
+    Seq("d_epoch_shuffle", "d_epoch_shuffle_256").foreach { q =>
+      val plan = planString(
+        SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"))
+        .split("== Initial Plan ==")(0)
+      assert(!plan.contains("rangepartitioning"),
+        s"$q fell into a global total-order sort:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1, s"$q: expected ONE hash exchange on (epoch, shard):\n$plan")
+    }
   }
 
   test("JDBC source reads in 4 stripes with the filter pushed to the database") {
