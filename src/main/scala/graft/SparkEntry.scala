@@ -609,13 +609,23 @@ object SparkEntry {
             concat(col("text"), lit(" graftwebdup")).as("text")))
       val html = plantedHtml(concat(col("text"), lit(mojibakeTail)),
         pmod(col("doc_id"), lit(3)))
+      // crawl hosts vary by doc_id (the d_warc_url_curate closed form, with
+      // mixed case so the X73 domain cap exercises url_normalize's host
+      // lowering): registered domains example.com / example.co.uk /
+      // site<k>.org — the oracle replays the domain straight from doc_id
+      val host = when(pmod(col("doc_id"), lit(4)) === 0, lit("WWW.Example.COM"))
+        .when(pmod(col("doc_id"), lit(4)) === 1, lit("Blog.Example.CO.UK"))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(lit("News.Site"), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(".org")))
+        .otherwise(lit("example.com"))
       val conf = new org.apache.spark.util.SerializableConfiguration(
         s.sparkContext.hadoopConfiguration)
-      input.select(col("doc_id"), html.as("html"))
+      input.select(col("doc_id"), host.as("host"), html.as("html"))
         .repartition(4, pmod(col("doc_id"), lit(4)))
         .foreachPartition { (it: Iterator[Row]) =>
           val entries = it.map(r =>
-            (s"http://fixture.test/doc/${r.getLong(0)}", r.getString(1))).toSeq
+            (s"http://${r.getString(1)}/doc/${r.getLong(0)}", r.getString(2))).toSeq
           if (entries.nonEmpty) {
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val path = new org.apache.hadoop.fs.Path(s"$wd/shard$pid.warc.gz")
@@ -3481,6 +3491,7 @@ object SparkEntry {
     // on doc_id, and the pack window — the 100 TB composition.
     "d_web_pipeline" -> ((s, dir) => {
       graft.plans.SketchFunctions.register(s)
+      import graft.plans.{SketchFunctions => F}
       val warcDir = webPipeShards(s, dir)
       import s.implicits._
       val ingested = s.read.format("binaryFile").option("pathGlobFilter", "*.warc.gz")
@@ -3488,22 +3499,41 @@ object SparkEntry {
         .select(col("content")).as[Array[Byte]]
         .flatMap(b => graft.codec.WarcCodec.responsesGz(b)
           .map(r => (r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1).toLong,
-            r.body)))
-        .toDF("doc_id", "html")
+            r.targetUri, r.body)))
+        .toDF("doc_id", "uri", "html")
       // Eager localCheckpoint: the extracted frame feeds the gopher gate,
       // the semi probe, the dedup signatures AND the anti probe — without
       // materialization each consumer re-runs the gunzip+parse+extract
       // subtree (tokenize-once discipline; lineage-free blocks are freed by
       // the ContextCleaner, nothing accumulates across bench repeats)
       val tokGated = ingested
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("uri"),
           graft.plans.SketchFunctions.html_main_text(
             graft.plans.SketchFunctions.normalize_text(col("html"))).as("main"))
         .where(size(split(col("main"), "[ \n]")) >= 20)
         .localCheckpoint(true)
       val keepIds = TextFunctions.repetitionSignals(tokGated, "doc_id", "main")
         .where(col("keep")).select(col("doc_id"))
-      val gated = tokGated.join(keepIds, Seq("doc_id"), "left_semi")
+      val gophered = tokGated.join(keepIds, Seq("doc_id"), "left_semi")
+      // X73 (r13 directive #6): per-domain quality cap — keep the best
+      // 32 docs per registered domain (quality = extracted-text length,
+      // ties → smallest doc_id), the curation stage that stops one domain
+      // from dominating the corpus. X68's registered-domain extraction
+      // composed with the X61 top_k_by UDAF: ONE aggregate exchange
+      // produces the |domains|×k keep-list, which BROADCASTS back as a
+      // semi-join — the corpus itself never shuffles for the cap, and no
+      // window pass touches the full gated plane.
+      val domained = gophered.withColumn("domain",
+        F.url_registered_domain(
+          F.url_host(F.url_normalize(col("uri"))), pslFixture))
+      val capIds = domained
+        .select(col("domain"), col("doc_id"),
+          length(col("main")).cast("bigint").as("q"))
+        .groupBy(col("domain"))
+        .agg(expr("top_k_by(q, doc_id, 32)").as("ids"))
+        .select(explode(col("ids")).as("doc_id"))
+      val gated = domained.join(broadcast(capIds), Seq("doc_id"), "left_semi")
+        .drop("domain", "uri")
       val doomed = Dedup.minhashVerifiedPairs(gated, idCol = "doc_id",
           textCol = "main", candidateThreshold = 0.2, verifyThreshold = 0.8)
         .select(col("id_b").as("doc_id")).distinct()
@@ -6335,12 +6365,25 @@ object SparkEntry {
     "d_web_pipeline" -> (
       s"""WITH RECURSIVE
            $webPipeCoreSql,
+           dcap AS (
+             SELECT doc_id, source, main FROM (
+               SELECT doc_id, source, main,
+                 row_number() OVER (PARTITION BY
+                   CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN 'example.com'
+                     WHEN 1 THEN 'example.co.uk'
+                     WHEN 2 THEN 'site' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+                     ELSE 'example.com'
+                   END
+                   ORDER BY length(main) DESC, doc_id) AS rk
+               FROM gated)
+             WHERE rk <= 32),
            ng AS (
              SELECT doc_id,
                list_distinct(list_transform(
                  generate_series(1, len(regexp_split_to_array(trim(lower(main)), '\\s+')) - 2),
                  i -> array_to_string(regexp_split_to_array(trim(lower(main)), '\\s+')[i:i+2], ' '))) AS grams
-             FROM gated
+             FROM dcap
              WHERE len(regexp_split_to_array(trim(lower(main)), '\\s+')) >= 3),
            doomed AS (
              SELECT DISTINCT b.doc_id FROM ng a, ng b
@@ -6348,7 +6391,7 @@ object SparkEntry {
                AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
                  (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.8),
            surv AS (
-             SELECT g.doc_id, g.source, g.main FROM gated g
+             SELECT g.doc_id, g.source, g.main FROM dcap g
              WHERE g.doc_id NOT IN (SELECT doc_id FROM doomed)),
            ${bpeCtesSql("surv", "main")},
            docw AS (SELECT doc_id, source,

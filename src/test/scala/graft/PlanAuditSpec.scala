@@ -126,6 +126,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"pipeline went cartesian:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"pipeline joined non-equi:\n$plan")
+    // X73 domain cap: ONE top_k_by aggregate produces the keep-list; the
+    // cap must NOT plan as a window pass over the full gated plane (the
+    // pack window stays the pipeline's only WindowExec)
+    assert(plan.contains("top_k_by"), s"domain cap aggregate missing:\n$plan")
+    val windows = "Window \\[".r.findAllIn(plan).length
+    assert(windows == 1, s"expected only the pack window, got $windows:\n$plan")
   }
 
   test("epoch shuffle plans as ONE exchange on (epoch, shard) + in-partition sort — no global sort") {

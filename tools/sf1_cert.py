@@ -491,10 +491,17 @@ def cert_d_web_pipeline(con, dump):
     sqls = json.load(open(f"{dump}/oracle_sql.json"))
     full = sqls["d_web_pipeline"]
     marker = "ng AS ("
-    assert marker in full, "d_web_pipeline oracle lost its 'ng AS (' marker"
+    # exactly-one occurrence: a future CTE whose name merely ENDS in 'ng'
+    # ('packing AS (') placed earlier would otherwise silently truncate
+    # the core at the wrong spot
+    assert full.count(marker) == 1, (
+        f"d_web_pipeline oracle must contain 'ng AS (' exactly once, "
+        f"found {full.count(marker)}")
     core = full[:full.index(marker)].rstrip().rstrip(",")
+    # dedup input is the POST-domain-cap plane (dcap, X73); the doom rule
+    # and survivor set are defined over it
     con.execute(f"CREATE TEMP TABLE gated AS {core}\n"
-                "SELECT doc_id, source, main FROM gated")
+                "SELECT doc_id, source, main FROM dcap")
     con.execute(f"CREATE TEMP TABLE bplane AS {sqls['d_stream_web_pipeline']}")
     rep = f"'{dump}/d_web_pipeline/*.parquet'"
     out = {}
