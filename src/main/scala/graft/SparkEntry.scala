@@ -594,21 +594,30 @@ object SparkEntry {
     * skeletons and written as DISTRIBUTED `.warc.gz` shards (one per
     * partition, per-record gzip members); memoized per session so bench
     * repeats charge the read+parse path. */
+  /** The planted web-pipeline corpus as (doc_id, html) — shared by the
+    * batch-shard and stream-shard fixtures so their oracles replay ONE
+    * closed form. */
+  private def webPipeDocs(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val corpus = t(s, dir, "documents").where(col("n_chars") < 300)
+      .select(col("doc_id"), col("text"))
+    val ext = when(pmod(col("doc_id"), lit(6)) === 0,
+      concat_ws(" ", col("text"), col("text"))).otherwise(col("text"))
+    val base = corpus.select(col("doc_id"), ext.as("text"))
+    val input = base.unionByName(
+      base.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text"), lit(" graftwebdup")).as("text")))
+    input.select(col("doc_id"),
+      plantedHtml(concat(col("text"), lit(mojibakeTail)),
+        pmod(col("doc_id"), lit(3))).as("html"))
+  }
+
   private def webPipeShards(s: SparkSession, dir: String): String =
     sessionMemo("webpipedir", s, dir) {
       import org.apache.spark.sql.Row
       val wd = java.nio.file.Files.createTempDirectory("graft-webpipe").toString
-      val corpus = t(s, dir, "documents").where(col("n_chars") < 300)
-        .select(col("doc_id"), col("text"))
-      val ext = when(pmod(col("doc_id"), lit(6)) === 0,
-        concat_ws(" ", col("text"), col("text"))).otherwise(col("text"))
-      val base = corpus.select(col("doc_id"), ext.as("text"))
-      val input = base.unionByName(
-        base.where(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 10000000L).as("doc_id"),
-            concat(col("text"), lit(" graftwebdup")).as("text")))
-      val html = plantedHtml(concat(col("text"), lit(mojibakeTail)),
-        pmod(col("doc_id"), lit(3)))
+      val input = webPipeDocs(s, dir)
       // crawl hosts vary by doc_id (the d_warc_url_curate closed form, with
       // mixed case so the X73 domain cap exercises url_normalize's host
       // lowering): registered domains example.com / example.co.uk /
@@ -621,7 +630,7 @@ object SparkEntry {
         .otherwise(lit("example.com"))
       val conf = new org.apache.spark.util.SerializableConfiguration(
         s.sparkContext.hadoopConfiguration)
-      input.select(col("doc_id"), host.as("host"), html.as("html"))
+      input.select(col("doc_id"), host.as("host"), col("html"))
         .repartition(4, pmod(col("doc_id"), lit(4)))
         .foreachPartition { (it: Iterator[Row]) =>
           val entries = it.map(r =>
@@ -635,6 +644,45 @@ object SparkEntry {
             out.close()
           }
         }
+      wd
+    }
+
+  /** X70sd stream-dedup fixture: the SAME planted corpus re-sharded so
+    * batch membership is a CLOSED FORM the oracle can state — originals
+    * go to shards 0..2 by doc_id % 3, the +10M near-dup clones all to
+    * shard 3; mod times pinned ascending so the file source drains them
+    * in shard order (the d_stream_neardup move), and maxFilesPerTrigger=2
+    * makes batch0 = shards {0,1}, batch1 = {2,3}. Clones whose partner
+    * sits in batch0 get doomed BY THE INDEX; clones whose partner shares
+    * batch1 survive (the probe is intra-batch blind — exactly the
+    * sequential-greedy semantics the oracle states). */
+  private def webPipeStreamShards(s: SparkSession, dir: String): String =
+    sessionMemo("webpipestreamdir", s, dir) {
+      import org.apache.spark.sql.Row
+      val wd = java.nio.file.Files.createTempDirectory("graft-webstream").toString
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration)
+      val docs = webPipeDocs(s, dir).withColumn("shard",
+        when(col("doc_id") >= 10000000L, lit(3))
+          .otherwise(pmod(col("doc_id"), lit(3)).cast("int")))
+      (0 to 3).foreach { sh =>
+        docs.where(col("shard") === sh)
+          .select(col("doc_id"), col("html"))
+          .coalesce(1)
+          .foreachPartition { (it: Iterator[Row]) =>
+            val entries = it.map(r =>
+              (s"http://stream.fixture/doc/${r.getLong(0)}", r.getString(1))).toSeq
+            if (entries.nonEmpty) {
+              val path = new org.apache.hadoop.fs.Path(s"$wd/shard$sh.warc.gz")
+              val fs = path.getFileSystem(conf.value)
+              val out = fs.create(path, true)
+              out.write(graft.codec.WarcCodec.writeGz(entries))
+              out.close()
+            }
+          }
+        new java.io.File(s"$wd/shard$sh.warc.gz")
+          .setLastModified(1700000000000L + sh * 60000L)
+      }
       wd
     }
 
@@ -3609,6 +3657,81 @@ object SparkEntry {
       s.table("web_pipeline_sink")
     }),
 
+    // X70sd (r13 directive #2): the streaming web pipeline WITH the
+    // near-dup stage — the composition d_stream_web_pipeline omits. Each
+    // micro-batch runs the stateless stages (parse → extract → token gate
+    // → Gopher gate), PROBES the persisted X46s band index (everything
+    // kept so far), keeps only docs with no exact-verified ≥0.8 near-dup,
+    // APPENDS the survivors' planes + texts, then applies the BPE budget
+    // gate and emits (batch_id, doc_id, n_tokens). The index starts EMPTY:
+    // batch0 keeps everything (the probe is intra-batch blind), batch1
+    // dedups against kept(0) — the layered sequential-greedy truth the
+    // oracle states over the closed-form shard → batch mapping.
+    "d_stream_web_pipeline_dedup" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      import org.apache.spark.sql.types._
+      val warcDir = webPipeStreamShards(s, dir)
+      import s.implicits._
+      val binSchema = StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType)))
+      val idx = java.nio.file.Files.createTempDirectory("graft-wsd-idx").toString
+      val textDir = java.nio.file.Files.createTempDirectory("graft-wsd-text").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft-wsd-out").toString
+      val emptyDocs = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+      Dedup.writeNearDupIndex(emptyDocs, idx, k = 64, bands = 32)
+      emptyDocs.write.mode("overwrite").parquet(textDir)
+      withStatefulShuffle(s, 8) {
+        val q = s.readStream.format("binaryFile").schema(binSchema)
+          .option("pathGlobFilter", "*.warc.gz")
+          .option("maxFilesPerTrigger", 2)
+          .load(warcDir)
+          .select(col("content")).as[Array[Byte]]
+          .flatMap(b => graft.codec.WarcCodec.responsesGz(b)
+            .map(r => (r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1).toLong,
+              r.body)))
+          .toDF("doc_id", "html")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft-wsd-ckpt").toString)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val extracted = batch.select(col("doc_id"),
+                graft.plans.SketchFunctions.html_main_text(
+                  graft.plans.SketchFunctions.normalize_text(col("html"))).as("main"))
+              .where(size(split(col("main"), "[ \n]")) >= 20)
+            val gated = TextFunctions.repetitionSignals(extracted, "doc_id", "main",
+                carryCols = Seq("main"))
+              .where(col("keep"))
+              .select(col("doc_id"), col("main").as("text"))
+              .localCheckpoint(true) // probe + append + emit see ONE gate pass
+            val corpusText = s.read.parquet(textDir)
+            val doomedB = Dedup.probeNearDupIndex(gated, idx, corpusText,
+              k = 64, bands = 32, candidateThreshold = 0.2, verifyThreshold = 0.8)
+              .select(col("id_new").as("doc_id")).distinct()
+            val kept = gated.join(doomedB, Seq("doc_id"), "left_anti")
+              .localCheckpoint(true) // three writes must see ONE survivor set
+            Dedup.appendNearDupIndex(kept, idx, k = 64, bands = 32)
+            kept.write.mode("append").parquet(textDir)
+            kept.withColumn("n_tokens",
+                TextFunctions.bpeTokenCount(col("text"), TextFunctions.BpeSeedMerges)
+                  .cast("bigint"))
+              .where(col("n_tokens") >= 40)
+              .select(lit(batchId).cast("int").as("batch_id"),
+                col("doc_id"), col("n_tokens"))
+              .write.mode("append").parquet(outDir)
+            ()
+          }
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(outDir).select(col("batch_id"), col("doc_id"), col("n_tokens"))
+    }),
+
     // X66: Gopher repetition rules (Rae et al. 2021, token-adapted) — the
     // canonical duplicate-chunk / top-bigram-coverage / duplicate-5-gram
     // corpus filters as ONE shuffle-free codegen'd projection (every signal
@@ -6422,6 +6545,48 @@ object SparkEntry {
          SELECT g.doc_id, b.n_tokens
          FROM gated g JOIN bpecnt b USING (doc_id)
          WHERE b.n_tokens >= 40"""),
+
+    // X70sd truth: the shared core, batch membership as the closed shard
+    // form (originals → doc_id % 3, clones → shard 3; maxFilesPerTrigger=2
+    // → batch0 = shards {0,1}, batch1 = {2,3}), then the sequential-greedy
+    // layer rule: batch0 keeps every gated doc (empty index, intra-batch
+    // blind), batch1 keeps docs with NO ≥0.8 exact-trigram partner in
+    // batch0's kept set. The BPE budget replays per kept doc.
+    "d_stream_web_pipeline_dedup" -> (
+      s"""WITH RECURSIVE
+           $webPipeCoreSql,
+           b0 AS (
+             SELECT doc_id, main FROM gated
+             WHERE doc_id < 10000000 AND CAST(doc_id % 3 AS INT) IN (0, 1)),
+           b1 AS (
+             SELECT doc_id, main FROM gated
+             WHERE doc_id >= 10000000 OR CAST(doc_id % 3 AS INT) = 2),
+           wgrams AS (
+             SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, len(regexp_split_to_array(trim(lower(main)), '\\s+')) - 2),
+                 i -> array_to_string(regexp_split_to_array(trim(lower(main)), '\\s+')[i:i+2], ' '))) AS grams
+             FROM gated
+             WHERE len(regexp_split_to_array(trim(lower(main)), '\\s+')) >= 3),
+           kept1 AS (
+             SELECT c.doc_id FROM b1 c
+             WHERE NOT EXISTS (
+               SELECT 1 FROM wgrams a, wgrams b
+               WHERE a.doc_id = c.doc_id
+                 AND b.doc_id IN (SELECT doc_id FROM b0)
+                 AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                   (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.8)),
+           ${bpeCtesSql("gated", "main")},
+           docw AS (SELECT doc_id,
+               regexp_split_to_array(trim(lower(main)), '\\s+') AS ws FROM gated),
+           pos AS (SELECT doc_id, unnest(ws) AS word FROM docw),
+           bpecnt AS (SELECT p.doc_id, CAST(sum(len(d.toks)) AS BIGINT) AS n_tokens
+                      FROM pos p JOIN done d USING (word) GROUP BY p.doc_id)
+         SELECT CAST(0 AS INTEGER) AS batch_id, k.doc_id, b.n_tokens
+         FROM b0 k JOIN bpecnt b USING (doc_id) WHERE b.n_tokens >= 40
+         UNION ALL
+         SELECT CAST(1 AS INTEGER), k.doc_id, b.n_tokens
+         FROM kept1 k JOIN bpecnt b USING (doc_id) WHERE b.n_tokens >= 40"""),
 
     // X66 truth: the same chunk/bigram/5-gram constructions in list SQL;
     // fractions are IEEE double divisions of exact integers rounded at 6dp
