@@ -686,6 +686,64 @@ object SparkEntry {
       wd
     }
 
+  /** X74 CDX fixture: the planted web corpus written as `.warc.gz` shards
+    * PLUS a Common-Crawl-shaped CDXJ index file per shard — the index is
+    * derived from the REAL member extents the shard writer reports (X67
+    * honest synthesis: status/mime in the index are what each member's
+    * HTTP envelope actually says; offsets/lengths are the true byte
+    * ranges; digest is md5 of the true body). Plants: doc_id % 13 == 0
+    * captures are 404s, doc_id % 11 == 0 captures are application/pdf,
+    * hosts vary by doc_id % 4 (the webPipeShards closed form) — so the
+    * index filter has real work on every axis. */
+  private def cdxShards(s: SparkSession, dir: String): String =
+    sessionMemo("cdxdir", s, dir) {
+      import org.apache.spark.sql.Row
+      val wd = java.nio.file.Files.createTempDirectory("graft-cdx").toString
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration)
+      val host = when(pmod(col("doc_id"), lit(4)) === 0, lit("WWW.Example.COM"))
+        .when(pmod(col("doc_id"), lit(4)) === 1, lit("Blog.Example.CO.UK"))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(lit("News.Site"), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(".org")))
+        .otherwise(lit("example.com"))
+      webPipeDocs(s, dir)
+        .select(col("doc_id"), host.as("host"), col("html"))
+        .repartition(4, pmod(col("doc_id"), lit(4)))
+        .foreachPartition { (it: Iterator[Row]) =>
+          val entries = it.map { r =>
+            val id = r.getLong(0)
+            graft.codec.WarcCodec.GzEntry(
+              uri = s"http://${r.getString(1)}/doc/$id",
+              html = r.getString(2),
+              status = if (id % 13 == 0) 404 else 200,
+              mime = if (id % 11 == 0) "application/pdf" else "text/html")
+          }.toSeq
+          if (entries.nonEmpty) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val fname = s"shard$pid.warc.gz"
+            val (bytes, extents) = graft.codec.WarcCodec.writeGzIndexed(entries)
+            val fs = new org.apache.hadoop.fs.Path(wd).getFileSystem(conf.value)
+            val out = fs.create(new org.apache.hadoop.fs.Path(s"$wd/$fname"), true)
+            out.write(bytes)
+            out.close()
+            val byUri = entries.map(e => e.uri -> e).toMap
+            val lines = extents.map { case (uri, off, len) =>
+              val e = byUri(uri)
+              graft.codec.CdxCodec.formatLine(graft.codec.CdxCodec.CdxEntry(
+                url = uri, timestamp = "20260101000000", status = e.status,
+                mime = e.mime, digest = graft.codec.CdxCodec.md5Hex(e.html),
+                filename = fname, offset = off, length = len))
+            }
+            val cdx = fs.create(new org.apache.hadoop.fs.Path(
+              s"$wd/shard$pid.cdx"), true)
+            cdx.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+            cdx.close()
+          }
+        }
+      wd
+    }
+
   /** The fixed 48-merge table as a DuckDB list literal (generated from
     * [[TextFunctions.BpeSeedMerges]], so engine and oracle cannot drift). */
   private lazy val bpeMergesSqlList: String = TextFunctions.BpeSeedMerges
@@ -729,7 +787,9 @@ object SparkEntry {
   /** The web-pipeline stages every twin shares: planted input → extraction
     * CASE → token gate → Gopher repetition gate. Ends at CTE `gated`
     * (doc_id, source, main). */
-  private lazy val webPipeCoreSql: String =
+  /** The planted web corpus + extraction replay (corpus → exted → webin →
+    * extracted), shared by the pipeline core and the CDX-select oracle. */
+  private lazy val webCorpusSql: String =
     s"""corpus AS (
              SELECT doc_id, source, text FROM documents WHERE n_chars < 300),
            exted AS (
@@ -748,7 +808,10 @@ object SparkEntry {
                  THEN text || chr(10) || '$htmlGoodConst'
                  ELSE '$htmlGoodConst'
                END AS main
-             FROM webin),
+             FROM webin)"""
+
+  private lazy val webPipeCoreSql: String =
+    s"""$webCorpusSql,
            tokgate AS (
              SELECT doc_id, source, main FROM extracted
              WHERE len(regexp_split_to_array(main, '[ \\n]')) >= 20),
@@ -3503,6 +3566,48 @@ object SparkEntry {
             .cast("long").as("doc_id"))
         .groupBy("domain")
         .agg(count(lit(1)).as("n_pages"), min(col("doc_id")).as("first_doc"))
+    }),
+
+    // X74 (r13 directive #4): CDX(J)-index-driven SELECTIVE fetch — the
+    // way production Common Crawl curation actually runs: parse the
+    // published index (SURT key, timestamp, JSON payload), filter on
+    // status / mime / registered domain (the X68 ops, on index fields —
+    // shard bytes untouched), then range-read ONLY the selected members
+    // by (filename, offset, length) into the member parser. The CDXJ scan
+    // is split + from_json (codegen'd); the fetch hash-partitions on
+    // filename and seeks forward monotonically (WarcRangeReader). The
+    // output carries a BODY-derived value (token count of the extracted
+    // main) so equality proves the fetched bytes are the right members,
+    // not just the right ids; CdxSpec proves unselected members are never
+    // inflated (corrupted-member pin).
+    "d_cdx_select" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      import graft.plans.{SketchFunctions => F}
+      val warcDir = cdxShards(s, dir)
+      val parsed = s.read.textFile(s"$warcDir/*.cdx").toDF("line")
+        .select(split(col("line"), " ", 3).as("f"))
+        .select(col("f").getItem(0).as("surt_key"),
+          col("f").getItem(1).as("ts"),
+          from_json(col("f").getItem(2),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              graft.codec.CdxCodec.PayloadSchemaDdl)).as("j"))
+        .select(col("j.url").as("url"),
+          col("j.status").cast("int").as("status"),
+          col("j.mime").as("mime"),
+          concat(lit(warcDir + "/"), col("j.filename")).as("filename"),
+          col("j.offset").cast("long").as("offset"),
+          col("j.length").cast("long").as("length"))
+      val selected = parsed.where(col("status") === 200 &&
+        col("mime") === "text/html" &&
+        F.url_registered_domain(
+          F.url_host(F.url_normalize(col("url"))), pslFixture) === "example.co.uk")
+      graft.sources.WarcRangeReader
+        .fetchMembers(selected.select("filename", "offset", "length"))
+        .select(substring_index(col("uri"), "/", -1).cast("long").as("doc_id"),
+          col("uri").as("url"),
+          F.html_main_text(F.normalize_text(col("body"))).as("main"))
+        .select(col("doc_id"), col("url"),
+          size(split(col("main"), "[ \n]")).cast("bigint").as("n_main_toks"))
     }),
 
     // X71: deterministic EPOCH SHUFFLE — the seeded global permutation +
@@ -6442,6 +6547,22 @@ object SparkEntry {
            FROM documents)
          SELECT domain, count(*) AS n_pages, min(doc_id) AS first_doc
          FROM d GROUP BY 1"""),
+
+    // X74 truth: the index filter is closed-form on doc_id (status 404 ↔
+    // %13, pdf mime ↔ %11, example.co.uk ↔ %4 = 1), and the body-derived
+    // token count replays through the shared extraction CTEs — equality
+    // proves the fetched row set equals the index-predicted set AND the
+    // range reads returned the right members' bytes.
+    "d_cdx_select" -> (
+      s"""WITH $webCorpusSql,
+           sel AS (
+             SELECT doc_id FROM webin
+             WHERE doc_id % 13 <> 0 AND doc_id % 11 <> 0
+               AND CAST(doc_id % 4 AS INT) = 1)
+         SELECT e.doc_id,
+           'http://Blog.Example.CO.UK/doc/' || CAST(e.doc_id AS VARCHAR) AS url,
+           CAST(len(regexp_split_to_array(e.main, '[ \\n]')) AS BIGINT) AS n_main_toks
+         FROM extracted e SEMI JOIN sel USING (doc_id)"""),
 
     // X71 truth: DuckDB md5 produces the identical lowercase hex, so the
     // permutation, sharding and ranks replay exactly

@@ -235,13 +235,50 @@ object WarcCodec {
 
   /** Synthesize a Common-Crawl-shaped `.warc.gz`: one gzip member per
     * record (warcinfo first, then one response per entry), concatenated. */
-  def writeGz(entries: Seq[(String, String)]): Array[Byte] = {
+  def writeGz(entries: Seq[(String, String)]): Array[Byte] =
+    writeGzIndexed(entries.map(e => GzEntry(e._1, e._2)))._1
+
+  /** A response member to synthesize: status/mime parameterize the HTTP
+    * status line and Content-Type header, so index-bearing fixtures stay
+    * HONEST — whatever a CDX line claims about a member is what the member
+    * actually says on the wire. */
+  final case class GzEntry(uri: String, html: String, status: Int = 200,
+      mime: String = "text/html; charset=utf-8")
+
+  private val ReasonPhrases = Map(200 -> "OK", 301 -> "Moved Permanently",
+    404 -> "Not Found", 500 -> "Internal Server Error")
+
+  private def responseRecordWith(e: GzEntry): Array[Byte] = {
+    val body = e.html.getBytes(StandardCharsets.UTF_8)
+    val reason = ReasonPhrases.getOrElse(e.status, "Unknown")
+    val http = (s"HTTP/1.1 ${e.status} $reason${CRLF}Content-Type: ${e.mime}$CRLF" +
+      s"Content-Length: ${body.length}$CRLF$CRLF").getBytes(StandardCharsets.UTF_8)
+    val payload = new Array[Byte](http.length + body.length)
+    System.arraycopy(http, 0, payload, 0, http.length)
+    System.arraycopy(body, 0, payload, http.length, body.length)
+    recordBytes(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> e.uri,
+      "WARC-Date" -> "2026-01-01T00:00:00Z",
+      "WARC-Record-ID" -> s"<urn:graft:response:${e.uri.hashCode}>",
+      "Content-Type" -> "application/http; msgtype=response"), payload)
+  }
+
+  /** X74: like [[writeGz]] but also returns each response member's byte
+    * EXTENT (uri, offset, length) into the shard — exactly what a CDX(J)
+    * index records so a consumer can range-read single members without
+    * touching the rest of the file. The leading warcinfo member is not
+    * indexed (CC indexes capture records, not file metadata). */
+  def writeGzIndexed(entries: Seq[GzEntry])
+      : (Array[Byte], Seq[(String, Long, Long)]) = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(gzipMember(warcinfoRecord))
-    entries.foreach { case (uri, html) =>
-      out.write(gzipMember(responseRecord(uri, html)))
+    val extents = entries.map { e =>
+      val off = out.size().toLong
+      out.write(gzipMember(responseRecordWith(e)))
+      (e.uri, off, out.size().toLong - off)
     }
-    out.toByteArray
+    (out.toByteArray, extents)
   }
 
   /** Parse a `.warc.gz`: split gzip members, then parse each member's
