@@ -744,6 +744,14 @@ object SparkEntry {
       wd
     }
 
+  /** X75: the fixed WordPiece vocab as a DuckDB list literal + its max
+    * piece body length (generated from [[TextFunctions.WordPieceSeedVocab]]
+    * so engine and oracle cannot drift). */
+  private lazy val wpVocabSqlList: String = TextFunctions.WordPieceSeedVocab
+    .map(p => s"'$p'").mkString("main.list_value(", ", ", ")")
+  private lazy val wpMaxLen: Int = TextFunctions.WordPieceSeedVocab
+    .map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
+
   /** The fixed 48-merge table as a DuckDB list literal (generated from
     * [[TextFunctions.BpeSeedMerges]], so engine and oracle cannot drift). */
   private lazy val bpeMergesSqlList: String = TextFunctions.BpeSeedMerges
@@ -2839,6 +2847,20 @@ object SparkEntry {
         .select(col("doc_id"),
           TextFunctions.bpeEncode(col("text"), TextFunctions.BpeSeedMerges).as("arr"))
         .select(col("doc_id"), size(col("arr")).cast("bigint").as("n_bpe"),
+          array_join(col("arr"), " ").as("toks"))),
+
+    // X75: WordPiece-encode the corpus — the second tokenizer family
+    // (greedy longest-match-first over a FIXED vocab, the BERT shape) as
+    // a native codegen'd projection twin of d_bpe_encode. The oracle
+    // carries the same vocab as literals (GENERATED from
+    // WordPieceSeedVocab so engine and oracle can't drift) and re-derives
+    // every word's pieces with a recursive CTE implementing the identical
+    // longest-match walk, [unk] all-or-nothing rule included.
+    "d_wordpiece_encode" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.wordpieceEncode(col("text")).as("arr"))
+        .select(col("doc_id"), size(col("arr")).cast("bigint").as("n_wp"),
           array_join(col("arr"), " ").as("toks"))),
 
     // X15 sequence packing over REAL subword counts (the budget every
@@ -5885,6 +5907,45 @@ object SparkEntry {
            string_agg(array_to_string(toks, ' '), ' ' ORDER BY i) AS toks
          FROM pos JOIN done USING (word)
          GROUP BY doc_id""",
+
+    // X75 truth: the identical greedy longest-match-first walk — at each
+    // position the recursive step takes the LONGEST vocab piece matching
+    // (root pieces at pos 0, ##-continuations after), or [unk]s the whole
+    // word when nothing matches; vocab literals generated from the engine
+    // table
+    "d_wordpiece_encode" -> (
+      s"""WITH RECURSIVE
+           dwords AS (
+             SELECT DISTINCT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+             FROM documents),
+           enc AS (
+             SELECT word, 0 AS pos, CAST([] AS VARCHAR[]) AS toks
+             FROM dwords WHERE word <> ''
+             UNION ALL
+             SELECT word,
+               CASE WHEN bl IS NULL THEN len(word) ELSE pos + CAST(bl AS INT) END AS pos,
+               CASE WHEN bl IS NULL THEN ['[unk]']
+                 WHEN pos = 0 THEN list_append(toks, word[1:CAST(bl AS INT)])
+                 ELSE list_append(toks, '##' || word[pos+1:pos+CAST(bl AS INT)])
+               END AS toks
+             FROM (
+               SELECT word, pos, toks,
+                 list_max(list_filter(range(1, ${wpMaxLen + 1}),
+                   l -> l <= len(word) - pos AND list_contains($wpVocabSqlList,
+                     CASE WHEN pos = 0 THEN word[1:CAST(l AS INT)]
+                       ELSE '##' || word[pos+1:pos+CAST(l AS INT)] END))) AS bl
+               FROM enc WHERE pos < len(word)) s),
+           done AS (SELECT word, toks FROM enc WHERE pos >= len(word) AND pos > 0),
+           docw AS (
+             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+             FROM documents),
+           pos AS (
+             SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS i FROM docw)
+         SELECT doc_id,
+           CAST(sum(len(toks)) AS BIGINT) AS n_wp,
+           string_agg(array_to_string(toks, ' '), ' ' ORDER BY i) AS toks
+         FROM pos JOIN done USING (word)
+         GROUP BY doc_id"""),
 
     "d_pack_bpe" ->
       """WITH RECURSIVE

@@ -74,6 +74,33 @@ object TextFunctions {
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     size(bpeEncode(text, merges))
 
+  /** X75 fixed seed WordPiece vocab (the [[BpeSeedMerges]] discipline: a
+    * FIXED table makes the truth replayable — the oracle carries the same
+    * pieces as literals). Singles cover [a-z0-9] so any plain alphanumeric
+    * word encodes; words with any other character become "[unk]" whole
+    * (the standard all-or-nothing rule). */
+  val WordPieceSeedVocab: Seq[String] = {
+    val singles = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+    val roots = Seq("the", "and", "for", "with", "that", "th", "wh", "re",
+      "de", "con", "pro", "an", "be", "he", "we", "st", "ch", "sh", "tr",
+      "qu", "data", "stream", "filter", "merge", "join", "hash", "scan",
+      "sort", "batch", "window", "table", "query", "value", "row")
+    val conts = Seq("##ing", "##ed", "##er", "##es", "##ly", "##tion",
+      "##al", "##ent", "##ous", "##ness", "##th", "##nd", "##st", "##ble",
+      "##ow", "##am", "##ery", "##ata")
+    singles ++ singles.map("##" + _) ++ roots ++ conts
+  }
+
+  /** wordpiece_encode(text) → array<string> subword stream (native
+    * codegen'd; vocab rides as a reference object). Requires
+    * SketchFunctions.register on the session. */
+  def wordpieceEncode(text: Column, vocab: Seq[String] = WordPieceSeedVocab): Column =
+    call_function("wordpiece_encode", text.cast("string"), typedlit(vocab))
+
+  /** Subword token count under a WordPiece vocab. */
+  def wordpieceTokenCount(text: Column, vocab: Seq[String] = WordPieceSeedVocab): Column =
+    size(wordpieceEncode(text, vocab))
+
   /** keyword_hits(text, dict) → sorted distinct dictionary terms occurring
     * in the text (case-insensitive substring match) — ONE Aho–Corasick pass
     * per row regardless of dictionary size (X59, native codegen'd; the

@@ -348,6 +348,13 @@ object SketchFunctions {
         exprs => HtmlMainText(exprs(0), foldableInt(exprs(1), "minChars"),
           foldableInt(exprs(2), "maxLinkPct"), foldableInt(exprs(3), "minStopPct")),
         "built-in")
+      // vocab literal folded into an expression field at resolution (X75)
+      reg.createOrReplaceTempFunction("wordpiece_encode",
+        exprs => {
+          require(exprs.length == 2,
+            s"wordpiece_encode(text, vocab) takes 2 arguments, got ${exprs.length}")
+          WordPieceEncode(exprs(0), foldableStrings(exprs(1), "vocab"))
+        }, "built-in")
       // trained NB model folded into ONE reference object at resolution
       // (X72) — the plan never carries the vocab as literals
       reg.createOrReplaceTempFunction("nb_argmax",
