@@ -33,9 +33,15 @@ import java.util.Locale
 object UrlCodec {
 
   /** Tracking-parameter names stripped by [[normalize]] (case-insensitive),
-    * in addition to the `utm_` prefix family. */
+    * in addition to the `utm_` prefix family. Only UNAMBIGUOUS click/
+    * campaign ids belong here: a generic name like `ref` is often a
+    * semantic parameter (GitHub `?ref=branch`, pagination/referrer-content
+    * params), and stripping it would canonicalize genuinely distinct
+    * resources together — URL dedup would then over-merge on real crawls.
+    * `ref_src` stays (the Twitter `twsrc` campaign tag, never a resource
+    * selector). */
   val TrackingIds: Set[String] =
-    Set("gclid", "fbclid", "msclkid", "mc_eid", "igshid", "ref", "ref_src", "spm")
+    Set("gclid", "fbclid", "msclkid", "mc_eid", "igshid", "ref_src", "spm")
 
   private def isTracking(name: String): Boolean = {
     val n = name.toLowerCase(Locale.ROOT)

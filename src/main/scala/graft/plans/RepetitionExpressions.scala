@@ -57,6 +57,14 @@ case class RepetitionSignalsExpr(child: Expression, chunkTokens: Int)
     var e = raw.length
     while (b < e && raw.charAt(b) == ' ') b += 1
     while (e > b && raw.charAt(e - 1) == ' ') e -= 1
+    // DELIBERATELY default-locale toLowerCase: Spark's own lower() lowers
+    // non-ASCII via String.toLowerCase with the default locale (the
+    // UTF8String slow path), so this is what ENGINE-INTERNAL parity with
+    // the staged-HOF formulation requires — and what the oracle's corpus
+    // exercises (the gate compares engine vs DuckDB on the same box).
+    // Switching to Locale.ROOT here would diverge from Spark's lower()
+    // under a Turkish/Azeri JVM, trading one locale sensitivity for
+    // another; the engine-wide tokenizer contract wins.
     val toks = raw.substring(b, e).toLowerCase.split("\\s+", -1)
     val n = toks.length
     // chunks: ceil(n / chunkTokens) groups, joined by ' '

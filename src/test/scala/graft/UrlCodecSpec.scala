@@ -32,8 +32,12 @@ class UrlCodecSpec extends SparkSpec {
 
   test("normalize: tracking params stripped, order preserved, '?' dropped when emptied") {
     assert(UrlCodec.normalize("https://e.com/p?utm_source=x&id=7&UTM_Medium=y&ref=z") ==
-      "https://e.com/p?id=7")
+      "https://e.com/p?id=7&ref=z")
     assert(UrlCodec.normalize("https://e.com/p?gclid=1&fbclid=2") == "https://e.com/p")
+    // 'ref' is often SEMANTIC (GitHub ?ref=branch) — it must survive, only
+    // the unambiguous click/campaign ids (ref_src included) are stripped
+    assert(UrlCodec.normalize("https://e.com/tree?ref=main&ref_src=twsrc") ==
+      "https://e.com/tree?ref=main")
     // non-tracking params keep their original order (no sort)
     assert(UrlCodec.normalize("https://e.com/p?b=2&a=1") == "https://e.com/p?b=2&a=1")
     // empty params dropped; a valueless non-tracking param survives

@@ -12,7 +12,8 @@ cd "$(dirname "$0")/.."
 round="${GRAFT_ROUND:?set GRAFT_ROUND=<k> so the gate bench is persisted as BENCH_GATE_r<k>.json}"
 
 sbt -batch compile
-sbt -batch test
+sbt -batch test | tee /tmp/graft_gate_test.log
+grep -q "All tests passed." /tmp/graft_gate_test.log
 
 for sf in 0.001 0.01; do
   out="/tmp/graft_gate_sf$sf"
@@ -20,6 +21,17 @@ for sf in 0.001 0.01; do
   sbt -batch "runMain graft.Verify /root/testdata/sf$sf $out"
   python3 tools/check_oracle.py "/root/testdata/sf$sf" "$out"
 done
+
+# README counts are GENERATED here (r13 verdict #7: hand-maintained counts
+# drifted three rounds running) — the gate rewrites them from the run it
+# just did, so a count in the README is always a count that was measured.
+specs=$(grep -o 'Total number of tests run: [0-9]*' /tmp/graft_gate_test.log \
+  | tail -1 | grep -o '[0-9]*$')
+queries=$(python3 -c "import json; print(len(json.load(open('/tmp/graft_gate_sf0.001/oracle_sql.json'))))")
+sed -i -E "s/[0-9]+ specs, includes physical-plan audits/${specs} specs, includes physical-plan audits/" README.md
+sed -i -E "s/one entry per operator; [0-9]+ queries/one entry per operator; ${queries} queries/" README.md
+sed -i -E "s/SQL for ALL [0-9]+/SQL for ALL ${queries}/" README.md
+echo "README counts synced: ${specs} specs, ${queries} queries"
 
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench" | tee /tmp/graft_gate_bench.log
