@@ -561,6 +561,101 @@ def cert_d_web_pipeline(con, dump):
     return out
 
 
+def cert_d_stream_web_pipeline_dedup(con, dump):
+    """X70sd layered streaming dedup: batch0 is EXACT and linear (an empty
+    index keeps every gated doc in shards {0,1}); batch1's doom rule is the
+    quadratic stage, certified bounded:
+      - every reported row sits in the linear budget plane (the stream
+        twin's oracle) with the same n_tokens, and its batch_id matches the
+        closed shard->batch form;
+      - batch0 coverage is exact: reported batch0 ids == b0 (gated, shards
+        {0,1}) intersect the budget plane;
+      - planted recall (full): every +10M clone in batch1's budget plane
+        whose partner sits in b0 with >= 0.8 exact trigram jaccard must be
+        ABSENT from the report;
+      - sampled doom status: an md5-ordered sample of batch1 budget docs
+        gets its EXACT doom status (any >= 0.8 partner in b0's gated set —
+        kept0 is pre-budget, so partners need no token gate) from one
+        sample x b0 pass; presence in batch1 must equal NOT doomed.
+    The gated plane slices from the d_web_pipeline oracle prefix (the
+    UNCAPPED `gated` CTE — the stream rows never apply the X73 cap)."""
+    sqls = json.load(open(f"{dump}/oracle_sql.json"))
+    full = sqls["d_web_pipeline"]
+    marker = "ng AS ("
+    assert full.count(marker) == 1, "d_web_pipeline oracle lost its unique marker"
+    core = full[:full.index(marker)].rstrip().rstrip(",")
+    con.execute(f"CREATE TEMP TABLE gated AS {core}\n"
+                "SELECT doc_id, main FROM gated")
+    con.execute(f"CREATE TEMP TABLE bplane AS {sqls['d_stream_web_pipeline']}")
+    b_form = ("CASE WHEN doc_id < 10000000 AND CAST(doc_id % 3 AS INT) IN (0, 1) "
+              "THEN 0 ELSE 1 END")
+    con.execute(f"""CREATE TEMP TABLE b0 AS
+      SELECT doc_id, main FROM gated WHERE {b_form} = 0""")
+    con.execute(f"""CREATE TEMP TABLE b1 AS
+      SELECT doc_id, main FROM gated WHERE {b_form} = 1""")
+    rep = f"'{dump}/d_stream_web_pipeline_dedup/*.parquet'"
+    out = {}
+    bad_rows = con.execute(f"""
+      SELECT count(*) FROM {rep} r
+      LEFT JOIN bplane b USING (doc_id)
+      LEFT JOIN gated g USING (doc_id)
+      WHERE b.doc_id IS NULL OR b.n_tokens <> r.n_tokens
+         OR g.doc_id IS NULL
+         OR r.batch_id <> (CASE WHEN r.doc_id < 10000000
+              AND CAST(r.doc_id % 3 AS INT) IN (0, 1) THEN 0 ELSE 1 END)""").fetchone()[0]
+    out["rows_in_budget_plane"] = {"violations": bad_rows}
+    ok = bad_rows == 0
+    t0, g0, miss0, extra0 = diff_counts(con,
+        "SELECT doc_id FROM b0 SEMI JOIN bplane USING (doc_id)",
+        f"SELECT doc_id FROM {rep} WHERE batch_id = 0")
+    out["batch0_exact"] = {"truth": t0, "got": g0,
+                           "missing": miss0, "extra": extra0}
+    ok = ok and miss0 == 0 and extra0 == 0 and t0 > 0
+    toksm = "regexp_split_to_array(trim(lower(main)), '\\s+')"
+    gramsm = (f"list_distinct(list_transform(generate_series(1, len({toksm}) - 2),"
+              f" i -> array_to_string({toksm}[i:i+2], ' ')))")
+    con.execute(f"""CREATE TEMP TABLE gg AS
+      SELECT doc_id, {gramsm} AS grams FROM gated WHERE len({toksm}) >= 3""")
+    jacc_cp = ("CAST(len(list_intersect(c.grams, p.grams)) AS DOUBLE) / "
+               "(len(c.grams) + len(p.grams) - len(list_intersect(c.grams, p.grams)))")
+    n_planted, planted_present = con.execute(f"""
+      WITH pl AS (
+        SELECT c.doc_id FROM gg c
+        JOIN gg p ON p.doc_id = c.doc_id - 10000000
+        JOIN b1 ON b1.doc_id = c.doc_id
+        JOIN b0 ON b0.doc_id = p.doc_id
+        JOIN bplane bp ON bp.doc_id = c.doc_id
+        WHERE c.doc_id >= 10000000 AND {jacc_cp} >= 0.8)
+      SELECT (SELECT count(*) FROM pl),
+        (SELECT count(*) FROM pl
+         WHERE doc_id IN (SELECT doc_id FROM {rep} WHERE batch_id = 1))
+      """).fetchone()
+    out["planted"] = {"n_planted_doomed": n_planted,
+                      "present_violations": planted_present}
+    ok = ok and planted_present == 0 and n_planted > 0
+    con.execute("""CREATE TEMP TABLE b1b AS
+      SELECT doc_id FROM b1 SEMI JOIN bplane USING (doc_id)""")
+    sample_table(con, from_table="b1b")
+    jacc_sb = ("CAST(len(list_intersect(s.grams, b.grams)) AS DOUBLE) / "
+               "(len(s.grams) + len(b.grams) - len(list_intersect(s.grams, b.grams)))")
+    bad_sample = con.execute(f"""
+      WITH sg AS (SELECT g.* FROM gg g SEMI JOIN samp USING (doc_id)),
+      sd AS (
+        SELECT s.doc_id, count(b.doc_id) AS npart
+        FROM sg s LEFT JOIN (SELECT g.* FROM gg g SEMI JOIN b0 USING (doc_id)) b
+          ON {jacc_sb} >= 0.8
+        GROUP BY s.doc_id)
+      SELECT count(*) FROM sd
+      WHERE (npart > 0) = (doc_id IN
+        (SELECT doc_id FROM {rep} WHERE batch_id = 1))
+      """).fetchone()[0]
+    out["sample"] = {"doom_status_violations": bad_sample,
+                     "sampled_docs": SAMPLE}
+    ok = ok and bad_sample == 0
+    out["cert"] = "pass" if ok else "fail"
+    return out
+
+
 CERTS = {
     "d_ngram_jaccard": cert_d_ngram_jaccard,
     "d_minhash_pairs": cert_d_minhash_pairs,
@@ -572,6 +667,7 @@ CERTS = {
     "d_stream_neardup": cert_d_stream_neardup,
     "e_semdedup": cert_e_semdedup,
     "d_web_pipeline": cert_d_web_pipeline,
+    "d_stream_web_pipeline_dedup": cert_d_stream_web_pipeline_dedup,
 }
 
 

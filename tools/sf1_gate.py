@@ -43,6 +43,10 @@ CERTIFIED = {
     # the cert replays the gates+BPE plane linearly (the stream twin's
     # oracle) and pins membership via planted clones + a sampled doom pass
     "d_web_pipeline",
+    # the streaming dedup twin's batch1 doom rule is the same all-pairs
+    # truth (b1 x kept0 exact jaccard); batch0 + the budget plane verify
+    # linearly inside its certificate
+    "d_stream_web_pipeline_dedup",
 }
 
 
