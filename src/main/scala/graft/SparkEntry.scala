@@ -573,6 +573,93 @@ object SparkEntry {
     * bundled Mozilla list). */
   private val pslFixture = Seq("com", "net", "org", "co.uk")
 
+  // ------------------------------------------------ X76 robots.txt fixtures
+
+  /** X76: our crawler's product token (matched case-insensitively per
+    * RFC 9309 §2.2.1). */
+  private val robotsAgent = "graftbot"
+
+  /** X76 robots.txt seed — one honest file body per registered domain,
+    * exercising every RFC 9309 rule the matcher must honor: specific-group-
+    * beats-`*` selection (example.com would be blocked entirely under its
+    * `*` group), a longer Allow overriding a Disallow prefix
+    * (/private/pub/), the `*` wildcard + `$` end anchor ("no PDFs"), the
+    * same-length Allow-wins-tie (/doc/ vs /doc/), the empty-Disallow
+    * allow-all idiom (even sites), and a block-all fallback (odd sites).
+    * BOTH the engine's on-disk fixture files and the oracle's rule
+    * literals derive from THIS structure through [[graft.codec.RobotsCodec]]
+    * (the BpeSeedMerges no-drift discipline). */
+  private lazy val robotsSeed: Seq[(String, String)] = Seq(
+    "example.com" ->
+      """# graft fixture: the specific group must win over *
+        |User-Agent: GraftBot
+        |Disallow: /private/
+        |Allow: /private/pub/
+        |Disallow: /*.pdf$
+        |
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin,
+    "example.co.uk" ->
+      """User-agent: otherbot
+        |Disallow: /
+        |
+        |User-agent: *
+        |Disallow: /doc/
+        |Allow: /doc/
+        |Disallow: /files/
+        |""".stripMargin) ++
+    (0 to 6).map(k => s"site$k.org" ->
+      (if (k % 2 == 0) s"User-agent: $robotsAgent\nDisallow:\n"
+       else "User-agent: *\nDisallow: /\n"))
+
+  /** X76 fixture dir: one real robots.txt file per origin. Driver-side
+    * writes are honest here — robots files are inherently tiny per-domain
+    * artifacts (9 files, <1 KB each; at 100 TB the robots plane for the
+    * whole web index is still broadcast-sized). */
+  private def robotsDir(s: SparkSession, dir: String): String =
+    sessionMemo("robotsdir", s, dir) {
+      val wd = java.nio.file.Files.createTempDirectory("graft-robots").toString
+      robotsSeed.foreach { case (domain, text) =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$wd/$domain.robots.txt"), text)
+      }
+      wd
+    }
+
+  /** X76 crawl-frontier URLs: host by doc_id%4 (the webPipeShards closed
+    * form, mixed case so domain resolution exercises url_normalize), path
+    * family by doc_id%3 — /doc/<id>, /private/(pub/)<id> (pub when the id
+    * is even: the allow-override target), /files/<id>.pdf (the wildcard +
+    * end-anchor rule's target). */
+  private def robotsUrl(id: Column): Column = {
+    val idS = id.cast("string")
+    val host = when(pmod(id, lit(4)) === 0, lit("WWW.Example.COM"))
+      .when(pmod(id, lit(4)) === 1, lit("Blog.Example.CO.UK"))
+      .when(pmod(id, lit(4)) === 2,
+        concat(lit("News.Site"), pmod(id, lit(7)).cast("string"), lit(".org")))
+      .otherwise(lit("example.com"))
+    val path = when(pmod(id, lit(3)) === 0, concat(lit("/doc/"), idS))
+      .when(pmod(id, lit(3)) === 1,
+        when(pmod(id, lit(2)) === 0, concat(lit("/private/pub/"), idS))
+          .otherwise(concat(lit("/private/"), idS)))
+      .otherwise(concat(lit("/files/"), idS, lit(".pdf")))
+    concat(lit("http://"), host, path)
+  }
+
+  /** X76 oracle rule rows — generated by running the SAME RobotsCodec
+    * parse + regex compile over the seed, so the engine and the DuckDB
+    * oracle evaluate byte-identical automata (RE2 and java.util.regex
+    * agree on this anchored-escaped subset). Single quotes are SQL-escaped;
+    * backslashes pass through verbatim (standard SQL string literals). */
+  private lazy val robotsRulesSqlValues: String = robotsSeed.flatMap {
+    case (domain, text) =>
+      graft.codec.RobotsCodec.rulesFor(text, robotsAgent).map { r =>
+        val rx = graft.codec.RobotsCodec.patternRegex(r.pattern).replace("'", "''")
+        s"('$domain', ${r.pattern.length}, '$rx', ${r.allow})"
+      }
+  }.mkString(", ")
+
   // ---------------------------------------------- X70 web-pipeline fixtures
 
   /** The mojibake tail planted into every page ("CafÃ© â€” dÃ©jÃ  vu"):
@@ -742,6 +829,84 @@ object SparkEntry {
           }
         }
       wd
+    }
+
+  /** X77 re-crawl fixture: TWO crawl snapshots of the webPipeDocs corpus
+    * as member-framed `.warc.gz` shards + their CDXJ indexes (the
+    * cdxShards honest-synthesis discipline — digests and extents are the
+    * real bytes'). Crawl 2 plants the three re-crawl fates closed-form:
+    * doc_id%9==0 pages are GONE, doc_id%5==0 pages CHANGED (a trailing
+    * HTML comment — the digest moves, the extracted main does not), and
+    * each doc_id%17==0 page spawns a NEW capture at id+20000000 (same
+    * body, new URL). All captures are 200 text/html — status/mime routing
+    * is d_cdx_select's concern, not the diff's. */
+  private def recrawlDir(s: SparkSession, dir: String): String =
+    sessionMemo("recrawldir", s, dir) {
+      import org.apache.spark.sql.Row
+      val wd = java.nio.file.Files.createTempDirectory("graft-recrawl").toString
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration)
+      webPipeDocs(s, dir)
+        .select(col("doc_id"), col("html"))
+        .repartition(4, pmod(col("doc_id"), lit(4)))
+        .foreachPartition { (it: Iterator[Row]) =>
+          // mirrors the webPipeShards host closed form (the oracle never
+          // needs it — the uri's trailing id is the join key)
+          def hostOf(id: Long): String = (id % 4) match {
+            case 0 => "WWW.Example.COM"
+            case 1 => "Blog.Example.CO.UK"
+            case 2 => s"News.Site${id % 7}.org"
+            case _ => "example.com"
+          }
+          val rows = it.map(r => (r.getLong(0), r.getString(1))).toSeq
+          if (rows.nonEmpty) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val fs = new org.apache.hadoop.fs.Path(wd)
+              .getFileSystem(conf.value)
+            def writeSnapshot(tag: String,
+                entries: Seq[graft.codec.WarcCodec.GzEntry]): Unit = {
+              val fname = s"$tag-shard$pid.warc.gz"
+              val (bytes, extents) =
+                graft.codec.WarcCodec.writeGzIndexed(entries)
+              val out = fs.create(
+                new org.apache.hadoop.fs.Path(s"$wd/$fname"), true)
+              out.write(bytes)
+              out.close()
+              val byUri = entries.map(e => e.uri -> e).toMap
+              val lines = extents.map { case (uri, off, len) =>
+                graft.codec.CdxCodec.formatLine(graft.codec.CdxCodec.CdxEntry(
+                  url = uri, timestamp = if (tag == "c1") "20260101000000"
+                    else "20260301000000",
+                  status = 200, mime = "text/html",
+                  digest = graft.codec.CdxCodec.md5Hex(byUri(uri).html),
+                  filename = fname, offset = off, length = len))
+              }
+              val cdx = fs.create(
+                new org.apache.hadoop.fs.Path(s"$wd/$tag-shard$pid.cdx"), true)
+              cdx.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+              cdx.close()
+            }
+            def entry(id: Long, html: String) = graft.codec.WarcCodec.GzEntry(
+              uri = s"http://${hostOf(id)}/doc/$id", html = html)
+            writeSnapshot("c1", rows.map { case (id, html) => entry(id, html) })
+            writeSnapshot("c2",
+              rows.filter(_._1 % 9 != 0).map { case (id, html) =>
+                entry(id, if (id % 5 == 0) html + "<!-- graft recrawl v2 -->"
+                          else html)
+              } ++ rows.filter(_._1 % 17 == 0).map { case (id, html) =>
+                entry(id + 20000000L, html)
+              })
+          }
+        }
+      wd
+    }
+
+  /** X78 WET output dir: created once per session; the query OVERWRITES
+    * its shards on every call (the write is the operator under test, the
+    * dir is just a stable sink). */
+  private def wetOutDir(s: SparkSession, dir: String): String =
+    sessionMemo("wetdir", s, dir) {
+      java.nio.file.Files.createTempDirectory("graft-wet").toString
     }
 
   /** X75: the fixed WordPiece vocab as a DuckDB list literal + its max
@@ -3630,6 +3795,148 @@ object SparkEntry {
           F.html_main_text(F.normalize_text(col("body"))).as("main"))
         .select(col("doc_id"), col("url"),
           size(split(col("main"), "[ \n]")).cast("bigint").as("n_main_toks"))
+    }),
+
+    // X76: robots.txt exclusion (RFC 9309) — the crawl-politeness /
+    // opt-out-compliance gate a production corpus pipeline runs over its
+    // whole URL frontier: parse each origin's REAL robots.txt bytes into
+    // the merged rule group our product token must obey (specific group
+    // beats `*`; RobotsCodec), then evaluate every URL relationally —
+    // longest matching pattern wins, Allow wins ties, no match = allowed.
+    // Scale shape: the rules plane is origin-bounded (tiny even for a
+    // full web index) so it BROADCASTS; the per-URL work is a handful of
+    // anchored-regex probes; the decision is ONE map-side-combinable
+    // max_by over (pattern length, allow) — the frontier streams through
+    // with a single |docs|-sized combine, no corpus-scale join shuffle.
+    "d_robots_filter" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      import graft.plans.{SketchFunctions => F}
+      import s.implicits._
+      val rdir = robotsDir(s, dir)
+      val rules = s.read.format("text").option("wholetext", "true")
+        .load(s"$rdir/*.robots.txt")
+        .select(input_file_name().as("file"), col("value").as("content"))
+        .as[(String, String)]
+        .flatMap { case (f, c) =>
+          val domain = f.split('/').last.stripSuffix(".robots.txt")
+          graft.codec.RobotsCodec.rulesFor(c, robotsAgent).map(r =>
+            (domain, r.pattern.length,
+              graft.codec.RobotsCodec.patternRegex(r.pattern), r.allow))
+        }.toDF("domain", "plen", "regex", "allow")
+      val urls = t(s, dir, "documents")
+        .select(col("doc_id"), F.url_normalize(robotsUrl(col("doc_id"))).as("url"))
+        .select(col("doc_id"),
+          F.url_registered_domain(F.url_host(col("url")), pslFixture).as("domain"),
+          regexp_extract(col("url"), "^[a-z]+://[^/]+(/.*)$", 1).as("path"))
+      val j = urls.join(broadcast(rules), Seq("domain"), "left")
+      // score encodes the RFC precedence totally: longest pattern wins,
+      // Allow breaks ties (two rules can share a score only if they share
+      // the outcome); non-matching rules score NULL and max_by skips them
+      val score = when(col("regex").isNotNull &&
+        regexp_like(col("path"), col("regex")),
+        col("plen") * 2 + col("allow").cast("int"))
+      j.groupBy("doc_id", "domain")
+        .agg(coalesce(max_by(col("allow"), score), lit(true)).as("allowed"))
+    }),
+
+    // X77: CDX re-crawl digest diff — the incremental-crawl move
+    // production curation runs between snapshots: full-outer join the TWO
+    // crawls' INDEXES on URL and classify every capture by digest (gone /
+    // new / changed / unchanged) WITHOUT touching shard bytes — Common
+    // Crawl's own "dedupe by digest against the previous crawl". The only
+    // exchange carries index lines (url + 32-hex digest), never bodies:
+    // at 100 TB of shards the index plane is ~0.1% of the bytes and the
+    // diff cost is independent of page size.
+    "d_cdx_recrawl" -> ((s, dir) => {
+      val wd = recrawlDir(s, dir)
+      def idx(tag: String) = s.read.textFile(s"$wd/$tag-*.cdx").toDF("line")
+        .select(from_json(split(col("line"), " ", 3).getItem(2),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            graft.codec.CdxCodec.PayloadSchemaDdl)).as("j"))
+        .select(col("j.url").as("url"), col("j.digest").as(s"d_$tag"))
+      idx("c1").join(idx("c2"), Seq("url"), "full_outer")
+        .select(
+          regexp_extract(col("url"), "/([0-9]+)$", 1).cast("long").as("doc_id"),
+          when(col("d_c2").isNull, lit("gone"))
+            .when(col("d_c1").isNull, lit("new"))
+            .when(col("d_c1") =!= col("d_c2"), lit("changed"))
+            .otherwise(lit("unchanged")).as("change"))
+    }),
+
+    // X77 fetch: the diff composed with X74's selective range read —
+    // incremental ingest fetches ONLY the changed + new members from the
+    // crawl-2 shards (unchanged pages are never re-read, gone pages have
+    // nothing to read) and proves the extracted mains are right. The
+    // changed pages' plant is a trailing HTML comment: the digest moved
+    // (so the diff selects them) but the extraction is unchanged (so the
+    // oracle replays the same closed form).
+    "d_cdx_recrawl_fetch" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      import graft.plans.{SketchFunctions => F}
+      val wd = recrawlDir(s, dir)
+      def idx(tag: String) = s.read.textFile(s"$wd/$tag-*.cdx").toDF("line")
+        .select(from_json(split(col("line"), " ", 3).getItem(2),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            graft.codec.CdxCodec.PayloadSchemaDdl)).as("j"))
+      val c1 = idx("c1").select(col("j.url").as("url"),
+        col("j.digest").as("d_c1"))
+      val c2 = idx("c2").select(col("j.url").as("url"),
+        col("j.digest").as("d_c2"),
+        concat(lit(wd + "/"), col("j.filename")).as("filename"),
+        col("j.offset").cast("long").as("offset"),
+        col("j.length").cast("long").as("length"))
+      val sel = c2.join(c1, Seq("url"), "left")
+        .where(col("d_c1").isNull || col("d_c1") =!= col("d_c2"))
+      graft.sources.WarcRangeReader
+        .fetchMembers(sel.select("filename", "offset", "length"))
+        .select(
+          regexp_extract(col("uri"), "/([0-9]+)$", 1).cast("long").as("doc_id"),
+          size(split(F.html_main_text(F.normalize_text(col("body"))),
+            "[ \n]")).cast("bigint").as("n_main_toks"))
+    }),
+
+    // X78: WET conversion-record WRITER + round-trip — the derived-text
+    // artifact Common Crawl publishes next to every crawl: extract each
+    // response's main text and WRITE it as `conversion` records, ONE GZIP
+    // MEMBER PER RECORD (the derived shards stay member-splittable, same
+    // as the raw ones), then RE-READ them with the same member parser.
+    // The write runs on EVERY call (it IS the operator under test; one
+    // WET shard per input partition, executor-side file creation), and
+    // full-text equality against the extraction closed form proves the
+    // writer framed every record correctly — a fused member, lost record,
+    // or mangled payload changes the hash.
+    "d_wet_roundtrip" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      import graft.plans.{SketchFunctions => F}
+      import s.implicits._
+      val warcDir = warcShards(s, dir, gz = true)
+      val wetDir = wetOutDir(s, dir)
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration)
+      s.read.format("binaryFile").option("pathGlobFilter", "*.warc.gz")
+        .load(warcDir)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap(b => graft.codec.WarcCodec.responsesGz(b)
+          .map(r => (r.targetUri, r.body)))
+        .toDF("uri", "html")
+        .select(col("uri"), F.html_main_text(col("html")).as("main"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val entries = it.map(r => (r.getString(0), r.getString(1))).toSeq
+          if (entries.nonEmpty) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val path = new org.apache.hadoop.fs.Path(s"$wetDir/wet$pid.warc.gz")
+            val out = path.getFileSystem(conf.value).create(path, true)
+            out.write(graft.codec.WarcCodec.writeWetGz(entries))
+            out.close()
+          }
+        }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.warc.gz")
+        .load(wetDir)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap(b => graft.codec.WarcCodec.conversionsGz(b)
+          .map(r => (r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1).toLong,
+            r.body)))
+        .toDF("doc_id", "wet_text")
     }),
 
     // X71: deterministic EPOCH SHUFFLE — the seeded global permutation +
@@ -6624,6 +6931,84 @@ object SparkEntry {
            'http://Blog.Example.CO.UK/doc/' || CAST(e.doc_id AS VARCHAR) AS url,
            CAST(len(regexp_split_to_array(e.main, '[ \\n]')) AS BIGINT) AS n_main_toks
          FROM extracted e SEMI JOIN sel USING (doc_id)"""),
+
+    // X76 truth: the rules VALUES are generated from the SAME seed texts
+    // through the SAME RobotsCodec parse + regex compile the engine runs
+    // (no-drift), the urls replay the closed form, and DuckDB re-evaluates
+    // the identical longest-match/allow-wins decision — arg_max skips NULL
+    // scores exactly as Spark's max_by does
+    "d_robots_filter" -> (
+      s"""WITH urls AS (
+           SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'example.com'
+               WHEN 1 THEN 'example.co.uk'
+               WHEN 2 THEN 'site' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+               ELSE 'example.com' END AS domain,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN '/doc/' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN CASE WHEN doc_id % 2 = 0
+                 THEN '/private/pub/' || CAST(doc_id AS VARCHAR)
+                 ELSE '/private/' || CAST(doc_id AS VARCHAR) END
+               ELSE '/files/' || CAST(doc_id AS VARCHAR) || '.pdf' END AS path
+           FROM documents),
+         rules(domain, plen, regex, allow) AS (VALUES $robotsRulesSqlValues)
+         SELECT u.doc_id, u.domain,
+           coalesce(arg_max(r.allow,
+             CASE WHEN regexp_matches(u.path, r.regex)
+               THEN r.plen * 2 + CAST(r.allow AS INT) END), true) AS allowed
+         FROM urls u LEFT JOIN rules r USING (domain)
+         GROUP BY 1, 2"""),
+
+    // X77 truth: the re-crawl fates are planted closed-form in doc_id
+    // (gone ↔ %9, changed ↔ %5, new ↔ %17 at id+20M) over the webin id
+    // set — the ENGINE derives them the hard way, by actually comparing
+    // the two indexes' md5 digests; equality proves the digest comparison
+    // reproduces the planted truth
+    "d_cdx_recrawl" -> (
+      """WITH corpus AS (
+           SELECT doc_id FROM documents WHERE n_chars < 300),
+         webin AS (
+           SELECT doc_id FROM corpus
+           UNION ALL
+           SELECT doc_id + 10000000 AS doc_id FROM corpus WHERE doc_id % 7 = 0)
+         SELECT doc_id,
+           CASE WHEN doc_id % 9 = 0 THEN 'gone'
+                WHEN doc_id % 5 = 0 THEN 'changed'
+                ELSE 'unchanged' END AS change
+         FROM webin
+         UNION ALL
+         SELECT doc_id + 20000000 AS doc_id, 'new' AS change
+         FROM webin WHERE doc_id % 17 = 0"""),
+
+    // X77 fetch truth: changed pages' mains are UNCHANGED (the plant is a
+    // comment the extractor strips), new pages replay their base doc's
+    // main — both through the shared extraction CTEs
+    "d_cdx_recrawl_fetch" -> (
+      s"""WITH $webCorpusSql,
+           changed AS (
+             SELECT doc_id FROM webin WHERE doc_id % 9 <> 0 AND doc_id % 5 = 0),
+           newdocs AS (
+             SELECT doc_id + 20000000 AS doc_id, doc_id AS base
+             FROM webin WHERE doc_id % 17 = 0)
+         SELECT e.doc_id,
+           CAST(len(regexp_split_to_array(e.main, '[ \\n]')) AS BIGINT) AS n_main_toks
+         FROM extracted e SEMI JOIN changed USING (doc_id)
+         UNION ALL
+         SELECT n.doc_id,
+           CAST(len(regexp_split_to_array(e.main, '[ \\n]')) AS BIGINT) AS n_main_toks
+         FROM extracted e JOIN newdocs n ON e.doc_id = n.base"""),
+
+    // X78 truth: the d_warc_gz_ingest extraction closed form — but the
+    // engine side produced it by WRITING conversion records and re-reading
+    // them, so full-text equality is the writer's framing proof
+    "d_wet_roundtrip" -> (
+      s"""SELECT doc_id,
+           CASE WHEN $htmlGoodSql
+             THEN text || chr(10) || '$htmlGoodConst'
+             ELSE '$htmlGoodConst'
+           END AS wet_text
+         FROM documents"""),
 
     // X71 truth: DuckDB md5 produces the identical lowercase hex, so the
     // permutation, sharding and ranks replay exactly

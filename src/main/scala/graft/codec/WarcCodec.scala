@@ -290,4 +290,39 @@ object WarcCodec {
   /** The ingestion view over `.warc.gz`: 200-status HTTP responses only. */
   def responsesGz(bytes: Array[Byte]): Vector[WarcRecord] =
     parseGz(bytes).filter(r => r.recType == "response" && r.httpStatus == 200)
+
+  // ------------------------------------------------------ X78 WET writing
+
+  /** X78: a WET-style `conversion` record (ISO 28500 §6.8 / the Common
+    * Crawl WET convention): the extracted plain text of a capture, typed
+    * `conversion` with `Content-Type: text/plain`, pointing back at the
+    * source response via WARC-Refers-To (the same deterministic record id
+    * [[responseRecordWith]] assigns that uri). */
+  private def conversionRecord(uri: String, text: String): Array[Byte] =
+    recordBytes(Seq(
+      "WARC-Type" -> "conversion",
+      "WARC-Target-URI" -> uri,
+      "WARC-Date" -> "2026-01-01T00:00:00Z",
+      "WARC-Record-ID" -> s"<urn:graft:conversion:${uri.hashCode}>",
+      "WARC-Refers-To" -> s"<urn:graft:response:${uri.hashCode}>",
+      "Content-Type" -> "text/plain"),
+      text.getBytes(StandardCharsets.UTF_8))
+
+  /** X78 writer: a WET shard as CONCATENATED GZIP MEMBERS (warcinfo first,
+    * then one conversion record per (uri, text) entry — one member per
+    * record), so the DERIVED text shards keep the same member-parallel
+    * splittability the raw `.warc.gz` reader relies on. */
+  def writeWetGz(entries: Seq[(String, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(gzipMember(warcinfoRecord))
+    entries.foreach { case (uri, text) =>
+      out.write(gzipMember(conversionRecord(uri, text)))
+    }
+    out.toByteArray
+  }
+
+  /** The WET ingestion view: conversion records (their body IS the plain
+    * text — non-HTTP records carry the raw payload through [[parse]]). */
+  def conversionsGz(bytes: Array[Byte]): Vector[WarcRecord] =
+    parseGz(bytes).filter(_.recType == "conversion")
 }

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.codec.RobotsCodec
+import graft.codec.RobotsCodec.RobotsRule
+
+/**
+ * X76 robots.txt exclusion (RFC 9309): the parser must honor group
+ * structure (specific product token beats `*`), field/agent
+ * case-insensitivity, comments, and the empty-Disallow idiom; the matcher
+ * must apply longest-match precedence with Allow winning ties and the
+ * `*`/`$` pattern specials; and the engine's relational evaluation must
+ * agree row-for-row with the local reference model on the real fixture.
+ */
+class RobotsSpec extends SparkSpec {
+
+  private val exampleCom =
+    """# comment line
+      |User-Agent: GraftBot
+      |Disallow: /private/
+      |Allow: /private/pub/
+      |Disallow: /*.pdf$
+      |
+      |User-agent: *
+      |Disallow: /
+      |""".stripMargin
+
+  test("group selection: the specific product token's group wins over *") {
+    val rules = RobotsCodec.rulesFor(exampleCom, "graftbot")
+    assert(rules == Vector(
+      RobotsRule("/private/", allow = false),
+      RobotsRule("/private/pub/", allow = true),
+      RobotsRule("/*.pdf$", allow = false)))
+    // an agent with no specific group falls back to the * group
+    assert(RobotsCodec.rulesFor(exampleCom, "otherbot") ==
+      Vector(RobotsRule("/", allow = false)))
+  }
+
+  test("field names and agent tokens match case-insensitively; comments strip") {
+    val txt = "# lead\nUSER-AGENT: GRAFTBOT # trailing comment\nDISALLOW: /x/\nALLOW: /x/y/\n"
+    assert(RobotsCodec.rulesFor(txt, "GraftBot") == Vector(
+      RobotsRule("/x/", allow = false), RobotsRule("/x/y/", allow = true)))
+  }
+
+  test("empty Disallow matches nothing (allow-all idiom); rules before any group drop") {
+    assert(RobotsCodec.rulesFor("User-agent: graftbot\nDisallow:\n", "graftbot").isEmpty)
+    // a rule with no preceding user-agent line belongs to no group
+    assert(RobotsCodec.rulesFor("Disallow: /\nUser-agent: *\nAllow: /a\n", "graftbot") ==
+      Vector(RobotsRule("/a", allow = true)))
+  }
+
+  test("multi-agent groups share rules; a later user-agent starts a new group") {
+    val txt = "User-agent: a\nUser-agent: graftbot\nDisallow: /one\n" +
+      "User-agent: b\nDisallow: /two\n"
+    assert(RobotsCodec.rulesFor(txt, "graftbot") ==
+      Vector(RobotsRule("/one", allow = false)))
+    assert(RobotsCodec.rulesFor(txt, "b") == Vector(RobotsRule("/two", allow = false)))
+    // no specific group and no * group → empty → everything allowed
+    assert(RobotsCodec.rulesFor(txt, "c").isEmpty)
+  }
+
+  test("patternRegex: anchored prefix, * wildcard, trailing $ anchor, metachars escaped") {
+    assert(RobotsCodec.patternRegex("/doc/") == "^/doc/")
+    assert(RobotsCodec.patternRegex("/*.pdf$") == "^/.*\\.pdf$")
+    // a $ that is NOT at the end is a literal
+    assert(RobotsCodec.patternRegex("/a$b") == "^/a\\$b")
+    assert(RobotsCodec.patternRegex("/p(1)+x") == "^/p\\(1\\)\\+x")
+  }
+
+  test("decision: longest match wins, Allow wins ties, no match allows") {
+    val rules = Vector(
+      RobotsRule("/private/", allow = false),
+      RobotsRule("/private/pub/", allow = true),
+      RobotsRule("/*.pdf$", allow = false))
+    assert(!RobotsCodec.isAllowed(rules, "/private/7"))
+    assert(RobotsCodec.isAllowed(rules, "/private/pub/4")) // longer Allow wins
+    assert(!RobotsCodec.isAllowed(rules, "/files/9.pdf"))  // wildcard + $ anchor
+    assert(RobotsCodec.isAllowed(rules, "/files/9.pdfx"))  // $ anchors the end
+    assert(RobotsCodec.isAllowed(rules, "/doc/1"))         // no match
+    val tie = Vector(RobotsRule("/doc/", allow = false), RobotsRule("/doc/", allow = true))
+    assert(RobotsCodec.isAllowed(tie, "/doc/3"))           // same length → Allow
+  }
+
+  test("engine decision agrees with the local model on every sf0.001 row, broadcast plan") {
+    val df = SparkEntry.queries("d_robots_filter")(spark, "/root/testdata/sf0.001")
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "the rules plane must broadcast")
+    // local model: the same seed texts RobotsCodec-parsed, the same closed
+    // form for host/path, decided by the reference isAllowed
+    val rulesByDomain: Map[String, Vector[RobotsRule]] =
+      (Seq("example.com" -> exampleCom,
+        "example.co.uk" -> ("User-agent: otherbot\nDisallow: /\n\n" +
+          "User-agent: *\nDisallow: /doc/\nAllow: /doc/\nDisallow: /files/\n")) ++
+        (0 to 6).map(k => s"site$k.org" ->
+          (if (k % 2 == 0) "User-agent: graftbot\nDisallow:\n"
+           else "User-agent: *\nDisallow: /\n")))
+        .map { case (d, t) => d -> RobotsCodec.rulesFor(t, "graftbot") }.toMap
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val domain = r.getString(1)
+      val expectedDomain = (id % 4) match {
+        case 0 | 3 => "example.com"
+        case 1     => "example.co.uk"
+        case 2     => s"site${id % 7}.org"
+      }
+      assert(domain == expectedDomain, s"doc $id domain")
+      val path = (id % 3) match {
+        case 0 => s"/doc/$id"
+        case 1 => if (id % 2 == 0) s"/private/pub/$id" else s"/private/$id"
+        case 2 => s"/files/$id.pdf"
+      }
+      assert(r.getBoolean(2) == RobotsCodec.isAllowed(rulesByDomain(domain), path),
+        s"doc $id ($domain$path)")
+    }
+    // the fixture exercises both outcomes
+    assert(rows.exists(_.getBoolean(2)) && rows.exists(!_.getBoolean(2)))
+  }
+}
