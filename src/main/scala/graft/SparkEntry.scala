@@ -917,6 +917,16 @@ object SparkEntry {
   private lazy val wpMaxLen: Int = TextFunctions.WordPieceSeedVocab
     .map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
 
+  /** X79: the fixed unigram piece table as DuckDB list literals + its max
+    * piece length (generated from [[TextFunctions.UnigramSeedVocab]] so
+    * engine and oracle cannot drift). */
+  private lazy val ugPiecesSqlList: String = TextFunctions.UnigramSeedVocab
+    .map(p => s"'${p._1}'").mkString("main.list_value(", ", ", ")")
+  private lazy val ugCostsSqlList: String = TextFunctions.UnigramSeedVocab
+    .map(_._2).mkString("main.list_value(", ", ", ")")
+  private lazy val ugMaxLen: Int = TextFunctions.UnigramSeedVocab
+    .map(_._1.length).max
+
   /** The fixed 48-merge table as a DuckDB list literal (generated from
     * [[TextFunctions.BpeSeedMerges]], so engine and oracle cannot drift). */
   private lazy val bpeMergesSqlList: String = TextFunctions.BpeSeedMerges
@@ -3026,6 +3036,21 @@ object SparkEntry {
         .select(col("doc_id"),
           TextFunctions.wordpieceEncode(col("text")).as("arr"))
         .select(col("doc_id"), size(col("arr")).cast("bigint").as("n_wp"),
+          array_join(col("arr"), " ").as("toks"))),
+
+    // X79: Unigram-LM subword encoding (Kudo 2018; the SentencePiece
+    // unigram model) — the THIRD tokenizer family: Viterbi picks the
+    // globally optimal piece sequence per word, which the greedy families
+    // (BPE merge order, WordPiece longest-match) cannot. Integer-cost DP
+    // (exact on both engines) with the tie broken toward the longest
+    // final piece by key arithmetic; a native codegen'd projection in the
+    // scan — zero shuffle, the piece table rides the plan as a reference
+    // object.
+    "d_unigram_encode" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.unigramEncode(col("text")).as("arr"))
+        .select(col("doc_id"), size(col("arr")).cast("bigint").as("n_ug"),
           array_join(col("arr"), " ").as("toks"))),
 
     // X15 sequence packing over REAL subword counts (the budget every
@@ -6250,6 +6275,53 @@ object SparkEntry {
              SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS i FROM docw)
          SELECT doc_id,
            CAST(sum(len(toks)) AS BIGINT) AS n_wp,
+           string_agg(array_to_string(toks, ' '), ' ' ORDER BY i) AS toks
+         FROM pos JOIN done USING (word)
+         GROUP BY doc_id"""),
+
+    // X79 truth: the identical integer Viterbi replayed per distinct word
+    // — keys[p+1] = best_cost(p)*64 + (64 - chosen_len) (the same key
+    // arithmetic the engine minimizes, so cost ties break toward the same
+    // longest piece), a second recursion backtracks the chosen lengths,
+    // and cost >= 100000 (the INF sentinel) means [unk] whole-word
+    "d_unigram_encode" -> (
+      s"""WITH RECURSIVE
+           dwords AS (
+             SELECT DISTINCT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+             FROM documents),
+           enc AS (
+             SELECT word, 0 AS i, [CAST(0 AS BIGINT)] AS keys
+             FROM dwords WHERE word <> ''
+             UNION ALL
+             SELECT word, i + 1,
+               list_append(keys,
+                 list_min(list_transform(range(1, least($ugMaxLen, i + 1) + 1), l ->
+                   ((keys[CAST(i - l + 2 AS INT)] // 64)
+                     + coalesce($ugCostsSqlList[list_position($ugPiecesSqlList,
+                         word[CAST(i - l + 2 AS INT) : CAST(i + 1 AS INT)])], 100000))
+                   * 64 + (64 - l)))) AS keys
+             FROM enc WHERE i < len(word)),
+           back AS (
+             SELECT word, len(word) AS j, CAST([] AS VARCHAR[]) AS toks, keys
+             FROM enc WHERE i = len(word)
+             UNION ALL
+             SELECT word, j - CAST(64 - (keys[j + 1] % 64) AS INT) AS j,
+               list_prepend(word[j - CAST(64 - (keys[j + 1] % 64) AS INT) + 1 : j],
+                 toks) AS toks,
+               keys
+             FROM back WHERE j > 0),
+           done AS (
+             SELECT word,
+               CASE WHEN (keys[len(word) + 1] // 64) >= 100000
+                 THEN ['[unk]'] ELSE toks END AS toks
+             FROM back WHERE j = 0),
+           docw AS (
+             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+             FROM documents),
+           pos AS (
+             SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS i FROM docw)
+         SELECT doc_id,
+           CAST(sum(len(toks)) AS BIGINT) AS n_ug,
            string_agg(array_to_string(toks, ' '), ' ' ORDER BY i) AS toks
          FROM pos JOIN done USING (word)
          GROUP BY doc_id"""),

@@ -101,6 +101,38 @@ object TextFunctions {
   def wordpieceTokenCount(text: Column, vocab: Seq[String] = WordPieceSeedVocab): Column =
     size(wordpieceEncode(text, vocab))
 
+  /** X79 fixed seed Unigram-LM piece table as (piece, integer cost) — a
+    * -log p grid fixed here so the Viterbi DP is exact integer arithmetic
+    * on both engines (no float summation-order hazard). Singles cover
+    * [a-z0-9] at cost 10, so any plain alphanumeric word segments (the
+    * character fallback every real unigram vocab keeps); multi-char pieces
+    * cost less than their letters so the DP genuinely prefers them; any
+    * other character makes the whole word "[unk]". */
+  val UnigramSeedVocab: Seq[(String, Int)] = {
+    val singles = (('a' to 'z') ++ ('0' to '9')).map(_.toString -> 10)
+    val multi = Seq("th" -> 13, "the" -> 16, "re" -> 14, "in" -> 14,
+      "ing" -> 16, "er" -> 14, "an" -> 14, "and" -> 16, "on" -> 14,
+      "ion" -> 16, "tion" -> 19, "at" -> 14, "en" -> 14, "ed" -> 14,
+      "es" -> 14, "or" -> 14, "st" -> 14, "data" -> 20, "stream" -> 26,
+      "row" -> 17, "table" -> 23, "query" -> 24, "value" -> 23,
+      "batch" -> 23, "hash" -> 21, "join" -> 21, "scan" -> 20,
+      "sort" -> 20, "filter" -> 25, "merge" -> 23, "window" -> 26)
+    singles ++ multi
+  }
+
+  /** unigram_encode(text) → array<string> subword stream (native
+    * codegen'd Viterbi; the integer-cost piece table rides as a reference
+    * object). Requires SketchFunctions.register on the session. */
+  def unigramEncode(text: Column,
+      vocab: Seq[(String, Int)] = UnigramSeedVocab): Column =
+    call_function("unigram_encode", text.cast("string"),
+      typedlit(vocab.map { case (p, c) => p + "\u0001" + c }))
+
+  /** Subword token count under a unigram piece table. */
+  def unigramTokenCount(text: Column,
+      vocab: Seq[(String, Int)] = UnigramSeedVocab): Column =
+    size(unigramEncode(text, vocab))
+
   /** keyword_hits(text, dict) → sorted distinct dictionary terms occurring
     * in the text (case-insensitive substring match) — ONE Aho–Corasick pass
     * per row regardless of dictionary size (X59, native codegen'd; the

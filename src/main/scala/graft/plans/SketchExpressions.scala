@@ -355,6 +355,13 @@ object SketchFunctions {
             s"wordpiece_encode(text, vocab) takes 2 arguments, got ${exprs.length}")
           WordPieceEncode(exprs(0), foldableStrings(exprs(1), "vocab"))
         }, "built-in")
+      // integer-cost piece table folded the same way (X79)
+      reg.createOrReplaceTempFunction("unigram_encode",
+        exprs => {
+          require(exprs.length == 2,
+            s"unigram_encode(text, vocab) takes 2 arguments, got ${exprs.length}")
+          UnigramEncode(exprs(0), foldableStrings(exprs(1), "vocab"))
+        }, "built-in")
       // trained NB model folded into ONE reference object at resolution
       // (X72) — the plan never carries the vocab as literals
       reg.createOrReplaceTempFunction("nb_argmax",

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.plans.UnigramOps
+
+/**
+ * X79 Unigram-LM (Viterbi) subword encoding: the DP must be COST-OPTIMAL
+ * (proven against brute-force enumeration of every segmentation), break
+ * exact-cost ties toward the longest final piece, apply the all-or-nothing
+ * [unk] rule, genuinely beat greedy longest-match where the optimum needs
+ * lookahead, and the native expression must reproduce the reference DP on
+ * real corpus rows.
+ */
+class UnigramSpec extends SparkSpec {
+
+  private def vocabOf(pairs: (String, Int)*): UnigramOps.Vocab =
+    new UnigramOps.Vocab(pairs.map { case (p, c) => p + "\u0001" + c })
+
+  private val seedVocab = vocabOf(TextFunctions.UnigramSeedVocab: _*)
+
+  test("Viterbi picks the minimum-cost segmentation (vs brute force)") {
+    // brute force: enumerate every segmentation, min total cost
+    val costs = TextFunctions.UnigramSeedVocab.toMap
+    def brute(w: String): Option[Int] =
+      if (w.isEmpty) Some(0)
+      else (1 to w.length).flatMap { l =>
+        costs.get(w.substring(0, l)).flatMap(c => brute(w.substring(l)).map(c + _))
+      }.minOption
+    val words = Seq("the", "thee", "data", "database", "streaming", "sorting",
+      "filtered", "join", "joins", "window", "windows", "x9", "qzk", "rowdata")
+    words.foreach { w =>
+      val enc = UnigramOps.encodeWord(w, seedVocab)
+      val expected = brute(w)
+      assert(expected.nonEmpty, s"$w must segment under the seed vocab")
+      val got = enc.map(p => costs(p)).sum
+      assert(got == expected.get, s"$w: got ${enc.mkString("+")} cost $got, optimal ${expected.get}")
+      assert(enc.mkString("") == w, s"$w: pieces must tile the word")
+    }
+  }
+
+  test("exact-cost ties break toward the longest final piece") {
+    // a=10, b=10, ab=20: both segmentations of "ab" cost 20 → pick "ab"
+    val v = vocabOf("a" -> 10, "b" -> 10, "ab" -> 20)
+    assert(UnigramOps.encodeWord("ab", v).toSeq == Seq("ab"))
+    // and the tie is about the FINAL piece: "aab" ties a+ab vs a+a+b → ab last
+    assert(UnigramOps.encodeWord("aab", v).toSeq == Seq("a", "ab"))
+  }
+
+  test("globally optimal where greedy longest-match is not") {
+    // greedy takes "abc" (30); Viterbi finds ab+c = 22
+    val v = vocabOf("a" -> 10, "b" -> 10, "c" -> 10, "ab" -> 12, "abc" -> 30)
+    assert(UnigramOps.encodeWord("abc", v).toSeq == Seq("ab", "c"))
+  }
+
+  test("all-or-nothing [unk] on any uncoverable character") {
+    assert(UnigramOps.encodeWord("na-ve", seedVocab).toSeq == Seq(UnigramOps.Unk))
+    assert(UnigramOps.encodeWord("café", seedVocab).toSeq == Seq(UnigramOps.Unk))
+    // covered chars segment fine
+    assert(UnigramOps.encodeWord("cafe", seedVocab).mkString("") == "cafe")
+  }
+
+  test("native expression reproduces the reference DP on corpus rows") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    val rows = docs.select(col("doc_id"), col("text"),
+      TextFunctions.unigramEncode(col("text")).as("arr")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expected = r.getString(1).trim.toLowerCase.split("\\s+")
+        .filter(_.nonEmpty)
+        .flatMap(w => UnigramOps.encodeWord(w, seedVocab))
+      assert(r.getSeq[String](2) == expected.toSeq, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("encode is deterministic and a scan-stage projection (no exchange)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = docs.select(col("doc_id"),
+      TextFunctions.unigramEncode(col("text")).as("arr"))
+    assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
+    val a = q.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val b = q.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(a == b)
+  }
+}
