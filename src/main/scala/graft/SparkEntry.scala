@@ -647,6 +647,24 @@ object SparkEntry {
     concat(lit("http://"), host, path)
   }
 
+  /** X76: the parsed rules plane as a DataFrame — one row per (domain,
+    * pattern) our product token must obey, regex precompiled. Tiny by
+    * construction (origin-bounded), so consumers broadcast it. */
+  private def robotsRules(s: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    s.read.format("text").option("wholetext", "true")
+      .load(s"${robotsDir(s, dir)}/*.robots.txt")
+      .select(input_file_name().as("file"), col("value").as("content"))
+      .as[(String, String)]
+      .flatMap { case (f, c) =>
+        val domain = f.split('/').last.stripSuffix(".robots.txt")
+        graft.codec.RobotsCodec.rulesFor(c, robotsAgent).map(r =>
+          (domain, r.pattern.length,
+            graft.codec.RobotsCodec.patternRegex(r.pattern), r.allow))
+      }.toDF("domain", "plen", "regex", "allow")
+  }
+
   /** X76 oracle rule rows — generated by running the SAME RobotsCodec
     * parse + regex compile over the seed, so the engine and the DuckDB
     * oracle evaluate byte-identical automata (RE2 and java.util.regex
@@ -3836,18 +3854,7 @@ object SparkEntry {
     "d_robots_filter" -> ((s, dir) => {
       graft.plans.SketchFunctions.register(s)
       import graft.plans.{SketchFunctions => F}
-      import s.implicits._
-      val rdir = robotsDir(s, dir)
-      val rules = s.read.format("text").option("wholetext", "true")
-        .load(s"$rdir/*.robots.txt")
-        .select(input_file_name().as("file"), col("value").as("content"))
-        .as[(String, String)]
-        .flatMap { case (f, c) =>
-          val domain = f.split('/').last.stripSuffix(".robots.txt")
-          graft.codec.RobotsCodec.rulesFor(c, robotsAgent).map(r =>
-            (domain, r.pattern.length,
-              graft.codec.RobotsCodec.patternRegex(r.pattern), r.allow))
-        }.toDF("domain", "plen", "regex", "allow")
+      val rules = robotsRules(s, dir)
       val urls = t(s, dir, "documents")
         .select(col("doc_id"), F.url_normalize(robotsUrl(col("doc_id"))).as("url"))
         .select(col("doc_id"),
@@ -3862,6 +3869,52 @@ object SparkEntry {
         col("plen") * 2 + col("allow").cast("int"))
       j.groupBy("doc_id", "domain")
         .agg(coalesce(max_by(col("allow"), score), lit(true)).as("allowed"))
+    }),
+
+    // X76+X74+X68 composed: the production FRONTIER CURATION flow end to
+    // end — read the published CDX index, drop non-200/non-HTML captures
+    // on index fields alone, canonicalize URLs and resolve registered
+    // domains, apply each origin's robots.txt verdict (broadcast rules,
+    // one max_by), and only THEN range-read the surviving members. Pages
+    // that fail the index filter or the robots gate are never fetched,
+    // never inflated — the body-derived token count proves the fetched
+    // bytes are exactly the surviving members'.
+    "d_frontier_curate" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      import graft.plans.{SketchFunctions => F}
+      val warcDir = cdxShards(s, dir)
+      val parsed = s.read.textFile(s"$warcDir/*.cdx").toDF("line")
+        .select(split(col("line"), " ", 3).as("f"))
+        .select(from_json(col("f").getItem(2),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            graft.codec.CdxCodec.PayloadSchemaDdl)).as("j"))
+        .select(F.url_normalize(col("j.url")).as("url"),
+          col("j.status").cast("int").as("status"),
+          col("j.mime").as("mime"),
+          concat(lit(warcDir + "/"), col("j.filename")).as("filename"),
+          col("j.offset").cast("long").as("offset"),
+          col("j.length").cast("long").as("length"))
+        .where(col("status") === 200 && col("mime") === "text/html")
+        .select(col("url"),
+          F.url_registered_domain(F.url_host(col("url")), pslFixture).as("domain"),
+          regexp_extract(col("url"), "^[a-z]+://[^/]+(/.*)$", 1).as("path"),
+          col("filename"), col("offset"), col("length"))
+      val j = parsed.join(broadcast(robotsRules(s, dir)), Seq("domain"), "left")
+      val score = when(col("regex").isNotNull &&
+        regexp_like(col("path"), col("regex")),
+        col("plen") * 2 + col("allow").cast("int"))
+      val allowed = j
+        .groupBy("url", "domain", "filename", "offset", "length")
+        .agg(coalesce(max_by(col("allow"), score), lit(true)).as("allowed"))
+        .where(col("allowed"))
+      graft.sources.WarcRangeReader
+        .fetchMembers(allowed.select("filename", "offset", "length"))
+        .select(
+          regexp_extract(col("uri"), "/([0-9]+)$", 1).cast("long").as("doc_id"),
+          F.url_registered_domain(
+            F.url_host(F.url_normalize(col("uri"))), pslFixture).as("domain"),
+          size(split(F.html_main_text(F.normalize_text(col("body"))),
+            "[ \n]")).cast("bigint").as("n_main_toks"))
     }),
 
     // X77: CDX re-crawl digest diff — the incremental-crawl move
@@ -7031,6 +7084,38 @@ object SparkEntry {
                THEN r.plen * 2 + CAST(r.allow AS INT) END), true) AS allowed
          FROM urls u LEFT JOIN rules r USING (domain)
          GROUP BY 1, 2"""),
+
+    // X76+X74 composition truth: the index filter is the d_cdx_select
+    // closed form (%13 status, %11 mime), the robots verdict replays the
+    // generated rules over the /doc/<id> paths (odd .org sites block), and
+    // the survivors' token counts replay through the shared extraction
+    // CTEs — equality proves filter ∘ robots ∘ fetch end to end
+    "d_frontier_curate" -> (
+      s"""WITH $webCorpusSql,
+           sel AS (
+             SELECT doc_id FROM webin
+             WHERE doc_id % 13 <> 0 AND doc_id % 11 <> 0),
+           urls AS (
+             SELECT doc_id,
+               CASE CAST(doc_id % 4 AS INT)
+                 WHEN 0 THEN 'example.com'
+                 WHEN 1 THEN 'example.co.uk'
+                 WHEN 2 THEN 'site' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+                 ELSE 'example.com' END AS domain,
+               '/doc/' || CAST(doc_id AS VARCHAR) AS path
+             FROM sel),
+           rules(domain, plen, regex, allow) AS (VALUES $robotsRulesSqlValues),
+           dec AS (
+             SELECT u.doc_id, u.domain,
+               coalesce(arg_max(r.allow,
+                 CASE WHEN regexp_matches(u.path, r.regex)
+                   THEN r.plen * 2 + CAST(r.allow AS INT) END), true) AS allowed
+             FROM urls u LEFT JOIN rules r USING (domain)
+             GROUP BY 1, 2)
+         SELECT e.doc_id, d.domain,
+           CAST(len(regexp_split_to_array(e.main, '[ \\n]')) AS BIGINT) AS n_main_toks
+         FROM extracted e JOIN dec d USING (doc_id)
+         WHERE d.allowed"""),
 
     // X77 truth: the re-crawl fates are planted closed-form in doc_id
     // (gone ↔ %9, changed ↔ %5, new ↔ %17 at id+20M) over the webin id

@@ -118,4 +118,20 @@ class RobotsSpec extends SparkSpec {
     // the fixture exercises both outcomes
     assert(rows.exists(_.getBoolean(2)) && rows.exists(!_.getBoolean(2)))
   }
+
+  test("frontier curation fetches exactly the index-filtered, robots-allowed set") {
+    val df = SparkEntry.queries("d_frontier_curate")(spark, "/root/testdata/sf0.001")
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val fetched = df.collect().map(_.getLong(0)).toSet
+    assert(fetched.nonEmpty)
+    fetched.foreach { id =>
+      assert(id % 13 != 0 && id % 11 != 0, s"doc $id fails the index filter")
+      // odd .org sites are robots-blocked; everything else on /doc/ is allowed
+      assert(!(id % 4 == 2 && (id % 7) % 2 == 1), s"doc $id is robots-blocked")
+    }
+    // blocked domains are genuinely absent (k odd), allowed ones present
+    val domains = df.collect().map(_.getString(1)).toSet
+    assert(domains.exists(_.startsWith("site")) &&
+      !domains.exists(d => Set("site1.org", "site3.org", "site5.org")(d)))
+  }
 }
