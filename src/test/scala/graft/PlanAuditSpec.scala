@@ -134,6 +134,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(windows == 1, s"expected only the pack window, got $windows:\n$plan")
   }
 
+  test("frontier curation + re-crawl diff plan equi-joins only; rules plane broadcasts") {
+    // X76+X74: the robots verdict must ride a BROADCAST of the tiny rules
+    // plane; nothing in the composition may pair non-equi
+    val frontier = planString(
+      SparkEntry.queries("d_frontier_curate")(spark, "/root/testdata/sf0.001"))
+      .split("== Initial Plan ==")(0)
+    assert(frontier.contains("BroadcastHashJoin"), s"rules plane not broadcast:\n$frontier")
+    assert(!frontier.contains("CartesianProduct") &&
+      !frontier.contains("BroadcastNestedLoopJoin"),
+      s"frontier curation paired non-equi:\n$frontier")
+    // X77: the index diff is ONE equi full-outer join on url — index-line
+    // scale, never a cartesian
+    val diff = planString(
+      SparkEntry.queries("d_cdx_recrawl")(spark, "/root/testdata/sf0.001"))
+      .split("== Initial Plan ==")(0)
+    assert(diff.contains("FullOuter"), s"diff lost the full-outer shape:\n$diff")
+    assert(!diff.contains("CartesianProduct") &&
+      !diff.contains("BroadcastNestedLoopJoin"),
+      s"recrawl diff paired non-equi:\n$diff")
+  }
+
   test("epoch shuffle plans as ONE exchange on (epoch, shard) + in-partition sort — no global sort") {
     // the production write shape: a total-order sort (RangePartitioning)
     // would be a cluster-wide bottleneck; the permutation only needs
