@@ -1512,11 +1512,15 @@ object SparkEntry {
       val sup = t(s, dir, "supplier")
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_name"))
+      // two-level aggregate instead of two countDistinct: a multi-distinct
+      // aggregation plans as an Expand that DOUBLES the lineitem rows into
+      // the shuffle; per-(order, supplier) partials first, then a narrow
+      // per-order count — half the exchange volume, no Expand at all
       val perOrder = t(s, dir, "lineitem")
-        .groupBy(col("l_orderkey").as("k"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-            .as("n_ret_supp"))
+        .groupBy(col("l_orderkey").as("k"), col("l_suppkey"))
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("ret"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("ret")).as("n_ret_supp"))
         .where(col("n_supp") > 1 && col("n_ret_supp") === 1)
         .select(col("k"))
       t(s, dir, "lineitem").where(col("l_returnflag") === "R")
