@@ -119,6 +119,36 @@ class RobotsSpec extends SparkSpec {
     assert(rows.exists(_.getBoolean(2)) && rows.exists(!_.getBoolean(2)))
   }
 
+  test("property: patternRegex agrees with a direct wildcard matcher on random pairs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[T](g: Gen[T], n: Int, seed: Long): Seq[T] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+    // independent reference: RFC 9309 wildcard matching by recursion —
+    // pattern matches a PREFIX of path; '*' spans any run; trailing '$'
+    // anchors the end; no regex machinery involved
+    def wildMatch(pat: String, path: String): Boolean = {
+      def go(pi: Int, si: Int): Boolean =
+        if (pi == pat.length) true
+        else if (pat.charAt(pi) == '$' && pi == pat.length - 1) si == path.length
+        else if (pat.charAt(pi) == '*')
+          (si to path.length).exists(s2 => go(pi + 1, s2))
+        else si < path.length && path.charAt(si) == pat.charAt(pi) && go(pi + 1, si + 1)
+      go(0, 0)
+    }
+    val segGen = Gen.listOf(Gen.frequency(
+      8 -> Gen.oneOf('a', 'b', '/', '.'),
+      1 -> Gen.const('*'),
+      1 -> Gen.const('$'))).map(_.mkString)
+    val pathGen = Gen.listOf(Gen.oneOf('a', 'b', 'c', '/', '.')).map("/" + _.mkString)
+    sample(Gen.zip(segGen.map("/" + _), pathGen), 400, 4242L).foreach {
+      case (pat, path) =>
+        val rx = java.util.regex.Pattern.compile(RobotsCodec.patternRegex(pat))
+        assert(rx.matcher(path).find() == wildMatch(pat, path),
+          s"pattern '$pat' vs path '$path'")
+    }
+  }
+
   test("frontier curation fetches exactly the index-filtered, robots-allowed set") {
     val df = SparkEntry.queries("d_frontier_curate")(spark, "/root/testdata/sf0.001")
     assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))

@@ -75,6 +75,48 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("property: DP cost equals brute-force minimum on random words and vocabs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[T](g: Gen[T], n: Int, seed: Long): Seq[T] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+    // random small vocab: singles over {a,b,c} (so some words are coverable)
+    // plus random multi-char pieces with random costs; 'z' stays uncovered
+    val pieceGen = for {
+      len <- Gen.choose(2, 4)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+      cost <- Gen.choose(3, 40)
+    } yield (cs.mkString, cost)
+    val vocabGen = Gen.listOfN(6, pieceGen).map { multi =>
+      (Seq("a" -> 10, "b" -> 11, "c" -> 12) ++ multi).distinctBy(_._1)
+    }
+    val wordGen = for {
+      len <- Gen.choose(1, 10)
+      cs <- Gen.listOfN(len, Gen.frequency(9 -> Gen.oneOf('a', 'b', 'c'),
+        1 -> Gen.const('z')))
+    } yield cs.mkString
+    sample(vocabGen, 30, 7001L).zipWithIndex.foreach { case (vpairs, vi) =>
+      val costs = vpairs.toMap
+      val v = vocabOf(vpairs: _*)
+      def brute(w: String): Option[Int] =
+        if (w.isEmpty) Some(0)
+        else (1 to w.length).flatMap { l =>
+          costs.get(w.substring(0, l)).flatMap(c => brute(w.substring(l)).map(c + _))
+        }.minOption
+      sample(wordGen, 40, 9000L * (vi + 1)).foreach { w =>
+        val enc = UnigramOps.encodeWord(w, v)
+        brute(w) match {
+          case None =>
+            assert(enc.toSeq == Seq(UnigramOps.Unk), s"'$w' must be [unk] under $vpairs")
+          case Some(opt) =>
+            assert(enc.mkString("") == w, s"'$w' pieces must tile under $vpairs")
+            assert(enc.map(costs).sum == opt,
+              s"'$w': ${enc.mkString("+")} not optimal under $vpairs")
+        }
+      }
+    }
+  }
+
   test("encode is deterministic and a scan-stage projection (no exchange)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val q = docs.select(col("doc_id"),
