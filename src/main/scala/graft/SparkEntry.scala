@@ -665,6 +665,50 @@ object SparkEntry {
       }.toDF("domain", "plen", "regex", "allow")
   }
 
+  /** X76+X74 shared core: one batch of raw CDXJ `value` lines → parse,
+    * index filter (200 + text/html on index fields alone), canonical URL /
+    * registered domain / path, robots verdict over the BROADCAST rules
+    * plane (longest-match, Allow wins ties, no match = allowed), then the
+    * SELECTIVE range fetch of only the surviving members. Called by the
+    * batch row (whole index) and the streaming twin (per micro-batch) so
+    * the two cannot drift. */
+  private def frontierCurate(lines: org.apache.spark.sql.DataFrame,
+      warcDir: String,
+      rules: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.plans.{SketchFunctions => F}
+    val parsed = lines
+      .select(from_json(split(col("value"), " ", 3).getItem(2),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          graft.codec.CdxCodec.PayloadSchemaDdl)).as("j"))
+      .select(F.url_normalize(col("j.url")).as("url"),
+        col("j.status").cast("int").as("status"),
+        col("j.mime").as("mime"),
+        concat(lit(warcDir + "/"), col("j.filename")).as("filename"),
+        col("j.offset").cast("long").as("offset"),
+        col("j.length").cast("long").as("length"))
+      .where(col("status") === 200 && col("mime") === "text/html")
+      .select(col("url"),
+        F.url_registered_domain(F.url_host(col("url")), pslFixture).as("domain"),
+        regexp_extract(col("url"), "^[a-z]+://[^/]+(/.*)$", 1).as("path"),
+        col("filename"), col("offset"), col("length"))
+    val j = parsed.join(broadcast(rules), Seq("domain"), "left")
+    val score = when(col("regex").isNotNull &&
+      regexp_like(col("path"), col("regex")),
+      col("plen") * 2 + col("allow").cast("int"))
+    val allowed = j
+      .groupBy("url", "domain", "filename", "offset", "length")
+      .agg(coalesce(max_by(col("allow"), score), lit(true)).as("allowed"))
+      .where(col("allowed"))
+    graft.sources.WarcRangeReader
+      .fetchMembers(allowed.select("filename", "offset", "length"))
+      .select(
+        regexp_extract(col("uri"), "/([0-9]+)$", 1).cast("long").as("doc_id"),
+        F.url_registered_domain(
+          F.url_host(F.url_normalize(col("uri"))), pslFixture).as("domain"),
+        size(split(F.html_main_text(F.normalize_text(col("body"))),
+          "[ \n]")).cast("bigint").as("n_main_toks"))
+  }
+
   /** X76 oracle rule rows — generated by running the SAME RobotsCodec
     * parse + regex compile over the seed, so the engine and the DuckDB
     * oracle evaluate byte-identical automata (RE2 and java.util.regex
@@ -3885,40 +3929,47 @@ object SparkEntry {
     // bytes are exactly the surviving members'.
     "d_frontier_curate" -> ((s, dir) => {
       graft.plans.SketchFunctions.register(s)
-      import graft.plans.{SketchFunctions => F}
       val warcDir = cdxShards(s, dir)
-      val parsed = s.read.textFile(s"$warcDir/*.cdx").toDF("line")
-        .select(split(col("line"), " ", 3).as("f"))
-        .select(from_json(col("f").getItem(2),
-          org.apache.spark.sql.types.StructType.fromDDL(
-            graft.codec.CdxCodec.PayloadSchemaDdl)).as("j"))
-        .select(F.url_normalize(col("j.url")).as("url"),
-          col("j.status").cast("int").as("status"),
-          col("j.mime").as("mime"),
-          concat(lit(warcDir + "/"), col("j.filename")).as("filename"),
-          col("j.offset").cast("long").as("offset"),
-          col("j.length").cast("long").as("length"))
-        .where(col("status") === 200 && col("mime") === "text/html")
-        .select(col("url"),
-          F.url_registered_domain(F.url_host(col("url")), pslFixture).as("domain"),
-          regexp_extract(col("url"), "^[a-z]+://[^/]+(/.*)$", 1).as("path"),
-          col("filename"), col("offset"), col("length"))
-      val j = parsed.join(broadcast(robotsRules(s, dir)), Seq("domain"), "left")
-      val score = when(col("regex").isNotNull &&
-        regexp_like(col("path"), col("regex")),
-        col("plen") * 2 + col("allow").cast("int"))
-      val allowed = j
-        .groupBy("url", "domain", "filename", "offset", "length")
-        .agg(coalesce(max_by(col("allow"), score), lit(true)).as("allowed"))
-        .where(col("allowed"))
-      graft.sources.WarcRangeReader
-        .fetchMembers(allowed.select("filename", "offset", "length"))
-        .select(
-          regexp_extract(col("uri"), "/([0-9]+)$", 1).cast("long").as("doc_id"),
-          F.url_registered_domain(
-            F.url_host(F.url_normalize(col("uri"))), pslFixture).as("domain"),
-          size(split(F.html_main_text(F.normalize_text(col("body"))),
-            "[ \n]")).cast("bigint").as("n_main_toks"))
+      frontierCurate(s.read.textFile(s"$warcDir/*.cdx").toDF("value"),
+        warcDir, robotsRules(s, dir))
+    }),
+
+    // X76s: the STREAMING frontier twin — the index arrives continuously
+    // (real crawls publish CDX shards incrementally); every micro-batch
+    // runs the SAME stateless curation (parse → index filter → robots
+    // verdict → selective fetch of that batch's survivors), appending its
+    // fetch results per batch. Stateless stages make the batch split
+    // invisible, so the drained union replays the batch oracle verbatim.
+    "d_stream_frontier" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      val warcDir = cdxShards(s, dir)
+      val rules = robotsRules(s, dir)
+      val streamDir = sessionMemo("cdxstream", s, dir) {
+        val sd = java.nio.file.Files.createTempDirectory("graft-cdxstream")
+        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(warcDir))
+        try {
+          val it = ls.filter(_.toString.endsWith(".cdx")).iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            java.nio.file.Files.copy(p, sd.resolve(p.getFileName.toString))
+          }
+        } finally ls.close()
+        sd.toString
+      }
+      val outDir = java.nio.file.Files.createTempDirectory("graft-frontier").toString
+      val q = s.readStream.option("maxFilesPerTrigger", 2).text(streamDir)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-frontier-ckpt").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          frontierCurate(batch, warcDir, rules)
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
     }),
 
     // X77: CDX re-crawl digest diff — the incremental-crawl move
@@ -7095,6 +7146,36 @@ object SparkEntry {
     // the survivors' token counts replay through the shared extraction
     // CTEs — equality proves filter ∘ robots ∘ fetch end to end
     "d_frontier_curate" -> (
+      s"""WITH $webCorpusSql,
+           sel AS (
+             SELECT doc_id FROM webin
+             WHERE doc_id % 13 <> 0 AND doc_id % 11 <> 0),
+           urls AS (
+             SELECT doc_id,
+               CASE CAST(doc_id % 4 AS INT)
+                 WHEN 0 THEN 'example.com'
+                 WHEN 1 THEN 'example.co.uk'
+                 WHEN 2 THEN 'site' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+                 ELSE 'example.com' END AS domain,
+               '/doc/' || CAST(doc_id AS VARCHAR) AS path
+             FROM sel),
+           rules(domain, plen, regex, allow) AS (VALUES $robotsRulesSqlValues),
+           dec AS (
+             SELECT u.doc_id, u.domain,
+               coalesce(arg_max(r.allow,
+                 CASE WHEN regexp_matches(u.path, r.regex)
+                   THEN r.plen * 2 + CAST(r.allow AS INT) END), true) AS allowed
+             FROM urls u LEFT JOIN rules r USING (domain)
+             GROUP BY 1, 2)
+         SELECT e.doc_id, d.domain,
+           CAST(len(regexp_split_to_array(e.main, '[ \\n]')) AS BIGINT) AS n_main_toks
+         FROM extracted e JOIN dec d USING (doc_id)
+         WHERE d.allowed"""),
+
+    // X76s truth: identical to the batch row — the stream twin's stages
+    // are stateless, so the drained per-batch union equals the whole-index
+    // answer (batch-split invisibility is exactly what this row proves)
+    "d_stream_frontier" -> (
       s"""WITH $webCorpusSql,
            sel AS (
              SELECT doc_id FROM webin
