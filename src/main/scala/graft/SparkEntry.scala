@@ -573,6 +573,136 @@ object SparkEntry {
     * bundled Mozilla list). */
   private val pslFixture = Seq("com", "net", "org", "co.uk")
 
+  // --------------------------------------------- X80–X83 link-graph fixtures
+
+  /** X80 fixture: a real page skeleton whose outlinks are planted closed-form
+    * from doc_id (the plantedHtml discipline: the engine runs the real
+    * parser over honest markup, the oracle states the known planting).
+    * Doc i carries, in document order:
+    *  - 3 relative nav links (Home / About / Contact) and 1 relative footer
+    *    link (Terms) — dropped by the absolute-href gate downstream;
+    *  - L = 1 + (i % 3) absolute content links; link j (0-based) targets
+    *    host sub{(i+j)%3}.site{(i*7+13j+1)%101}.org with anchor text
+    *    "tok{(i+5j)%17} page".
+    * FIXTURE INVARIANT (LinkGraphSpec): document text contains no '<' or
+    * '&', so the doc paragraph cannot open or close an anchor. */
+  private[graft] def linkedHtml(id: Column, text: Column): Column = {
+    def linkJ(j: Int): Column = {
+      val tgt = pmod(id * 7 + lit(13 * j + 1), lit(101)).cast("string")
+      val sub = pmod(id + lit(j), lit(3)).cast("string")
+      val tok = pmod(id + lit(5 * j), lit(17)).cast("string")
+      when(pmod(id, lit(3)) >= j, concat(
+        lit("<a href=\"http://sub"), sub, lit(".site"), tgt, lit(".org/p/"),
+        id.cast("string"), lit(s"?j=$j\">tok"), tok, lit(" page</a> ")))
+        .otherwise(lit(""))
+    }
+    concat(
+      lit("<html><body><nav><a href=\"/\">Home</a> <a href=\"/about\">About</a>" +
+        " <a href=\"/contact\">Contact</a></nav><div><p>"),
+      text,
+      lit("</p><p>See also: "), linkJ(0), linkJ(1), linkJ(2),
+      lit("</p></div><footer><a href=\"/tos\">Terms</a></footer></body></html>"))
+  }
+
+  /** The page's own URL (what WARC-Target-URI carries for a crawled page):
+    * doc i lives at http://sub{i%3}.site{i%101}.org/p/{i} — so every one of
+    * the 101 site domains hosts pages and links out (no dangling nodes). */
+  private def linkPageUrl(id: Column): Column =
+    concat(lit("http://sub"), pmod(id, lit(3)).cast("string"),
+      lit(".site"), pmod(id, lit(101)).cast("string"),
+      lit(".org/p/"), id.cast("string"))
+
+  /** X81: registered-domain outlink graph + integer-grid PageRank.
+    *
+    * Graph: parse every page's anchors (X80 kernel, per-row in the scan),
+    * keep absolute http:// hrefs, map both endpoints through
+    * url_host → url_registered_domain (X68), drop self-edges, and aggregate
+    * multi-links to weighted edges. That groupBy is the ONE corpus-scale
+    * exchange; everything after runs on the domain-bounded plane (the edge
+    * list is localCheckpoint'd so five iterations don't re-run the parser).
+    *
+    * PageRank, 5 fixed iterations on a BIGINT grid (S = 1e6):
+    *   rank0(v) = S
+    *   rank'(v) = 0.15·S + floor(0.85 · Σ_u floor(rank(u)·w(u,v) / out(u)))
+    * Integer sums are order-independent, so DuckDB replays every iteration
+    * bit-exactly (floats would diverge on summation order). Dangling mass is
+    * dropped — stated semantics; the fixture has no dangling domains. Per
+    * iteration the rank plane BROADCASTS into the edge join and the only
+    * exchange is the groupBy(dst) partial-sum: at 100 TB the corpus is
+    * touched once (edge extraction), never per iteration.
+    *
+    * Returns (edges(src,dst,w), outw(src,ow), nodes(d), ranks(d,pr)). */
+  private def linkGraphRanks(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    graft.plans.SketchFunctions.register(s)
+    import graft.plans.{SketchFunctions => F}
+    val edges = t(s, dir, "documents")
+      .select(
+        F.url_registered_domain(
+          F.url_host(linkPageUrl(col("doc_id"))), pslFixture).as("src"),
+        explode(F.html_links(linkedHtml(col("doc_id"), col("text")))).as("lnk"))
+      .select(col("src"), col("lnk.href").as("href"))
+      .where(col("href").startsWith("http://"))
+      .select(col("src"),
+        F.url_registered_domain(F.url_host(col("href")), pslFixture).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
+    val outw = edges.groupBy("src").agg(sum("w").as("ow"))
+    val nodes = edges.select(col("src").as("d"))
+      .union(edges.select(col("dst").as("d"))).distinct()
+    val ej = edges.join(outw, "src")
+    var ranks = nodes.select(col("d"), lit(1000000L).as("pr"))
+    for (_ <- 1 to 5) {
+      val contribs = ej.join(broadcast(ranks), ej("src") === ranks("d"))
+        .select(col("dst"), expr("(pr * w) div ow").as("c"))
+        .groupBy("dst").agg(sum("c").as("c"))
+      ranks = nodes.join(contribs, nodes("d") === contribs("dst"), "left")
+        .select(col("d"),
+          (lit(150000L) +
+            expr("(85 * coalesce(c, bigint(0))) div 100")).as("pr"))
+    }
+    (edges, outw, nodes, ranks)
+  }
+
+  /** X81 oracle truth, stage 1: the closed-form link plant + the domain
+    * graph, as CTEs (lnk / edges / outw / nodes / r0). The engine derives
+    * the same graph the hard way — parsing real markup and running the real
+    * URL ops — so equality proves parser + host + registered-domain + graph
+    * aggregation reproduce the plant. */
+  private val linkGraphCteSql: String =
+    """lnk AS (
+         SELECT d.doc_id AS id, j,
+           ((d.doc_id * 7 + 13 * j + 1) % 101) AS tgt,
+           ((d.doc_id + 5 * j) % 17) AS tok_n
+         FROM documents d, (SELECT unnest(generate_series(0, 2)) AS j) js
+         WHERE j <= d.doc_id % 3),
+       edges AS (
+         SELECT 'site' || (id % 101) || '.org' AS src,
+                'site' || tgt || '.org' AS dst, count(*) AS w
+         FROM lnk WHERE (id % 101) <> tgt GROUP BY 1, 2),
+       outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+       nodes AS (SELECT DISTINCT d FROM
+         (SELECT src AS d FROM edges UNION ALL SELECT dst FROM edges)),
+       r0 AS (SELECT d, CAST(1000000 AS BIGINT) AS pr FROM nodes)"""
+
+  /** X81 oracle truth, stage 2: the five PageRank iterations UNROLLED —
+    * each r{i} replays the identical BIGINT-grid arithmetic (floor-div on
+    * non-negative values, so DuckDB `//` equals Spark `div`; integer sums
+    * are summation-order-independent). Generated by a loop so the iteration
+    * count can't drift between the chain and its consumers. */
+  private val prChainSql: String = (1 to 5).map { i =>
+    s"""r$i AS (
+         SELECT n.d,
+           CAST(150000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS pr
+         FROM nodes n LEFT JOIN (
+           SELECT e.dst AS d, sum((r.pr * e.w) // o.ow) AS c
+           FROM r${i - 1} r
+           JOIN edges e ON e.src = r.d
+           JOIN outw o ON o.src = e.src
+           GROUP BY e.dst) s ON s.d = n.d)"""
+  }.mkString(",\n       ")
+
   // ------------------------------------------------ X76 robots.txt fixtures
 
   /** X76: our crawler's product token (matched case-insensitively per
@@ -3798,6 +3928,88 @@ object SparkEntry {
         .withColumn("blocked", col("domain").isin("spam-mill.com", "tracker.net"))
         .groupBy("domain", "blocked")
         .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // X80: anchor harvest — the real parser (quote-aware attributes, entity
+    // decode, implicit-close nesting) runs over every page as a zero-shuffle
+    // scan projection; posexplode carries each link's document-order
+    // position, so the oracle's closed-form plant checks extraction ORDER,
+    // not just the set (nav links at pos 0–2, content links at 3.., footer
+    // last).
+    "d_link_extract" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.plans.SketchFunctions.html_links(
+            linkedHtml(col("doc_id"), col("text")))))
+        .select(col("doc_id"), col("pos").cast("bigint").as("pos"),
+          col("col.href").as("href"), col("col.text").as("anchor"))
+    }),
+
+    // X81: integer-grid PageRank over the registered-domain link graph —
+    // THE domain-authority signal production crawl curation ranks hosts by
+    // (the Common Crawl webgraph move). See linkGraphRanks for the plan
+    // shape; the oracle replays all five iterations as unrolled CTEs on the
+    // same BIGINT grid, bit-exactly.
+    "d_pagerank" -> ((s, dir) => {
+      val (edges, outw, _, ranks) = linkGraphRanks(s, dir)
+      val inw = edges.groupBy("dst").agg(sum("w").as("in_w"))
+      ranks.join(inw, ranks("d") === inw("dst"), "left")
+        .join(outw, ranks("d") === outw("src"), "left")
+        .select(col("d").as("domain"), col("pr"),
+          coalesce(col("in_w"), lit(0L)).as("in_w"),
+          coalesce(col("ow"), lit(0L)).as("out_w"))
+        .orderBy(col("pr").desc, col("domain"))
+    }),
+
+    // X82: anchor-text aggregation — the classic weak-label signal: what the
+    // REST of the web calls a domain. Tokens count per (target domain,
+    // token) in one exchange; the per-domain top-3 rides the X61 top_k_by
+    // aggregate (bounded heap state, map-side partials), and the tiny
+    // (domain × vocab) count plane joins back to attach counts.
+    "d_anchor_topk" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      import graft.plans.{SketchFunctions => F}
+      val counts = t(s, dir, "documents")
+        .select(explode(F.html_links(
+          linkedHtml(col("doc_id"), col("text")))).as("lnk"))
+        .select(col("lnk.href").as("href"), col("lnk.text").as("anchor"))
+        .where(col("href").startsWith("http://"))
+        .select(
+          F.url_registered_domain(F.url_host(col("href")), pslFixture)
+            .as("domain"),
+          regexp_extract(col("anchor"), "^tok([0-9]+) ", 1)
+            .cast("long").as("tok_n"))
+        .groupBy("domain", "tok_n").agg(count(lit(1)).as("cnt"))
+      counts.groupBy("domain")
+        .agg(expr("top_k_by(cnt, tok_n, 3)").as("ids"))
+        .select(col("domain"), posexplode(col("ids")).as(Seq("pos", "tok_n")))
+        .select(col("domain"), (col("pos") + 1).cast("bigint").as("rank"),
+          col("tok_n"))
+        .join(counts, Seq("domain", "tok_n"))
+        .select(col("domain"), col("rank"),
+          concat(lit("tok"), col("tok_n").cast("string")).as("token"),
+          col("cnt"))
+    }),
+
+    // X83: authority-gated curation — the composition the ranks exist FOR:
+    // keep only documents hosted on domains whose PageRank clears the grid
+    // mean (pr ≥ S = 1e6), then profile the kept corpus per source. The
+    // rank plane (|domains| rows) BROADCASTS back into the corpus scan —
+    // the X73 keep-list shape: the corpus never shuffles for the gate.
+    "d_authority_curate" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      import graft.plans.{SketchFunctions => F}
+      val (_, _, _, ranks) = linkGraphRanks(s, dir)
+      val keep = ranks.where(col("pr") >= lit(1000000L))
+      t(s, dir, "documents")
+        .select(col("source"), col("n_chars"),
+          F.url_registered_domain(
+            F.url_host(linkPageUrl(col("doc_id"))), pslFixture).as("domain"))
+        .join(broadcast(keep), col("domain") === keep("d"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("bigint").as("sum_chars"))
     }),
 
     // X68d: URL curation off the CRAWL URI — the composition FineWeb runs
@@ -7080,6 +7292,68 @@ object SparkEntry {
            domain IN ('spam-mill.com', 'tracker.net') AS blocked,
            count(*) AS n_docs
          FROM d GROUP BY 1, 2"""),
+
+    // X80 truth: the anchor plant is closed-form in doc_id — 3 nav links at
+    // pos 0–2, content link j at pos 3+j, footer at pos 3+L — so position
+    // equality checks document-order extraction, not just the set.
+    "d_link_extract" -> (
+      """WITH docs AS (SELECT doc_id AS id FROM documents),
+         l AS (
+           SELECT id, j,
+             'http://sub' || ((id + j) % 3) || '.site'
+               || ((id * 7 + 13 * j + 1) % 101) || '.org/p/' || id
+               || '?j=' || j AS href,
+             'tok' || ((id + 5 * j) % 17) || ' page' AS anchor
+           FROM docs, (SELECT unnest(generate_series(0, 2)) AS j) js
+           WHERE j <= id % 3)
+         SELECT id AS doc_id, CAST(p AS BIGINT) AS pos, h AS href, a AS anchor
+         FROM docs, (VALUES (0, '/', 'Home'), (1, '/about', 'About'),
+                            (2, '/contact', 'Contact')) v(p, h, a)
+         UNION ALL
+         SELECT id, 3 + j, href, anchor FROM l
+         UNION ALL
+         SELECT id, 4 + id % 3, '/tos', 'Terms' FROM docs"""),
+
+    // X81 truth: closed-form graph + five unrolled integer-grid iterations
+    // (see linkGraphCteSql / prChainSql) — bit-exact, no float summation.
+    "d_pagerank" -> (
+      s"""WITH $linkGraphCteSql,
+         $prChainSql,
+         inw AS (SELECT dst, CAST(sum(w) AS BIGINT) AS in_w
+                 FROM edges GROUP BY dst)
+         SELECT n.d AS domain, r5.pr AS pr,
+           COALESCE(inw.in_w, 0) AS in_w, COALESCE(outw.ow, 0) AS out_w
+         FROM nodes n
+         JOIN r5 ON r5.d = n.d
+         LEFT JOIN inw ON inw.dst = n.d
+         LEFT JOIN outw ON outw.src = n.d
+         ORDER BY pr DESC, domain"""),
+
+    // X82 truth: token counts per target domain from the plant; top-3 by
+    // (cnt DESC, tok_n ASC) replays top_k_by's deterministic total order.
+    "d_anchor_topk" -> (
+      s"""WITH $linkGraphCteSql,
+         c AS (SELECT 'site' || tgt || '.org' AS domain, tok_n,
+                 count(*) AS cnt
+               FROM lnk GROUP BY 1, 2),
+         r AS (SELECT domain, tok_n, cnt,
+                 row_number() OVER (PARTITION BY domain
+                                    ORDER BY cnt DESC, tok_n) AS rank
+               FROM c)
+         SELECT domain, rank, 'tok' || tok_n AS token, cnt
+         FROM r WHERE rank <= 3"""),
+
+    // X83 truth: the authority gate composes the full rank chain — domains
+    // with r5 pr ≥ 1e6 keep their documents, profiled per source.
+    "d_authority_curate" -> (
+      s"""WITH $linkGraphCteSql,
+         $prChainSql,
+         auth AS (SELECT d FROM r5 WHERE pr >= 1000000)
+         SELECT doc.source, count(*) AS n_docs,
+           CAST(sum(doc.n_chars) AS BIGINT) AS sum_chars
+         FROM documents doc
+         JOIN auth a ON a.d = 'site' || (doc.doc_id % 101) || '.org'
+         GROUP BY doc.source"""),
 
     // X68d truth: the messy URIs are closed-form in doc_id, so the domain
     // classes, page counts and recovered first ids replay directly

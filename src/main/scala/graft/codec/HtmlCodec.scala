@@ -187,6 +187,163 @@ object HtmlCodec {
     out.result()
   }
 
+  /** One harvested hyperlink: raw href attribute value (NOT entity-decoded —
+    * URL percent/entity bytes are the URL ops' business, never rewritten
+    * here) and the entity-decoded, whitespace-collapsed, trimmed anchor
+    * text. */
+  final case class Anchor(href: String, text: String)
+
+  /** X80: anchor (hyperlink) harvest — the link-extraction pass of a web
+    * corpus (outlink graph, anchor-text weak labels). Same grammar as
+    * [[blocks]]: comments/doctypes/PIs skipped, raw-text sections
+    * (`<script>`…) skipped to their close tag, quote-aware attribute
+    * scanning (a '>' inside a quoted value does not close the tag), and the
+    * same entity decoding + whitespace collapse for the anchor TEXT.
+    * Anchor-specific semantics (each pinned by LinkGraphSpec):
+    *  - only `<a>` tags with an `href` attribute emit (a bare `<a name=…>`
+    *    is a named target, not a link); the FIRST href attribute wins;
+    *  - attribute names are case-insensitive; values may be double-quoted,
+    *    single-quoted, or unquoted (to whitespace or '>');
+    *  - a new `<a>` implicitly closes an open one (the HTML5 rule — nested
+    *    anchors are invalid markup), `</a>` closes, EOF closes;
+    *  - block tags do NOT close an anchor (segmentation is [[blocks]]'s
+    *    job; an anchor spanning a `<br>` keeps accumulating text);
+    *  - text outside an open anchor is ignored, inline tags inside one are
+    *    invisible, raw-text content never contributes. */
+  def anchors(html: String): Vector[Anchor] = {
+    val out = Vector.newBuilder[Anchor]
+    val lower = html.toLowerCase
+    val n = html.length
+    var open = false
+    var curHref: String = null
+    val sb = new java.lang.StringBuilder
+    var pendingSpace = false
+
+    def appendChar(c: Char): Unit = {
+      if (Character.isWhitespace(c)) { if (sb.length() > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+    }
+
+    def emit(): Unit = {
+      if (open && curHref != null) out += Anchor(curHref, sb.toString)
+      open = false; curHref = null; sb.setLength(0); pendingSpace = false
+    }
+
+    // entity decoding shared with blocks(): same named/decimal/hex table,
+    // unknown or unterminated entities stay a literal '&'
+    def entity(amp: Int): Int = {
+      val semi = html.indexOf(';', amp + 1)
+      if (semi < 0 || semi - amp > 12) { if (open) appendChar('&'); return amp + 1 }
+      val body = html.substring(amp + 1, semi)
+      val decoded: Option[String] =
+        if (body.startsWith("#x") || body.startsWith("#X"))
+          try Some(new String(Character.toChars(Integer.parseInt(body.substring(2), 16))))
+          catch { case _: Exception => None }
+        else if (body.startsWith("#"))
+          try Some(new String(Character.toChars(Integer.parseInt(body.substring(1)))))
+          catch { case _: Exception => None }
+        else Entities.get(body)
+      decoded match {
+        case Some(s) => if (open) s.foreach(appendChar); semi + 1
+        case None    => if (open) appendChar('&'); amp + 1
+      }
+    }
+
+    /** Scan a tag from `lt`, extracting the first href attribute value;
+      * returns (index just past '>', name, closing, selfClosed, href|null). */
+    def scanTag(lt: Int): (Int, String, Boolean, Boolean, String) = {
+      var i = lt + 1
+      val closing = i < n && html.charAt(i) == '/'
+      if (closing) i += 1
+      val nameStart = i
+      while (i < n && html.charAt(i).isLetterOrDigit) i += 1
+      val name = html.substring(nameStart, i).toLowerCase
+      var href: String = null
+      while (i < n && html.charAt(i) != '>') {
+        val c = html.charAt(i)
+        if (Character.isWhitespace(c) || c == '/') i += 1
+        else {
+          val as = i
+          while (i < n && { val ch = html.charAt(i)
+            ch != '=' && ch != '>' && ch != '/' && !Character.isWhitespace(ch) }) i += 1
+          val aname = html.substring(as, i).toLowerCase
+          while (i < n && Character.isWhitespace(html.charAt(i))) i += 1
+          var avalue: String = null
+          if (i < n && html.charAt(i) == '=') {
+            i += 1
+            while (i < n && Character.isWhitespace(html.charAt(i))) i += 1
+            if (i < n && (html.charAt(i) == '"' || html.charAt(i) == '\'')) {
+              val q = html.charAt(i); i += 1
+              val vs = i
+              while (i < n && html.charAt(i) != q) i += 1
+              avalue = html.substring(vs, i)
+              if (i < n) i += 1
+            } else {
+              val vs = i
+              while (i < n && { val ch = html.charAt(i)
+                ch != '>' && !Character.isWhitespace(ch) }) i += 1
+              avalue = html.substring(vs, i)
+            }
+          }
+          if (aname == "href" && href == null && avalue != null) href = avalue
+        }
+      }
+      var selfClosed = false
+      if (i > lt + 1 && i <= n) {
+        var j = i - 1
+        while (j > lt && Character.isWhitespace(html.charAt(j))) j -= 1
+        selfClosed = html.charAt(j) == '/'
+      }
+      (if (i < n) i + 1 else n, name, closing, selfClosed, href)
+    }
+
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<' && i + 1 < n &&
+          (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?' ||
+           html.charAt(i + 1) == '/' || html.charAt(i + 1).isLetter)) {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?') {
+          val end = html.indexOf('>', i + 1)
+          i = if (end < 0) n else end + 1
+        } else {
+          val (next, name, closing, selfClosed, href) = scanTag(i)
+          i = next
+          if (name.isEmpty) { /* "</>" or "< >": ignore */ }
+          else if (!closing && !selfClosed && RawTextTags(name)) {
+            val close = lower.indexOf("</" + name, i)
+            if (close < 0) i = n
+            else {
+              val gt = html.indexOf('>', close)
+              i = if (gt < 0) n else gt + 1
+            }
+          } else if (name == "a") {
+            if (closing) emit()
+            else {
+              if (open) emit() // implicit close: nested <a> is invalid HTML
+              if (!selfClosed) { open = true; curHref = href }
+              else if (href != null) out += Anchor(href, "") // <a href=… />
+            }
+          }
+          // all other tags: inline/invisible for the anchor pass
+        }
+      } else if (c == '&') {
+        i = entity(i)
+      } else {
+        if (open) appendChar(c)
+        i += 1
+      }
+    }
+    emit()
+    out.result()
+  }
+
   /** Stage-2 classifier (integer thresholds; see class doc). */
   def isMain(b: Block, minChars: Int, maxLinkPct: Int, minStopPct: Int): Boolean = {
     if (b.nChars < minChars) return false

@@ -348,6 +348,8 @@ object SketchFunctions {
         exprs => HtmlMainText(exprs(0), foldableInt(exprs(1), "minChars"),
           foldableInt(exprs(2), "maxLinkPct"), foldableInt(exprs(3), "minStopPct")),
         "built-in")
+      reg.createOrReplaceTempFunction("html_links",
+        exprs => HtmlLinks(exprs(0)), "built-in")
       // vocab literal folded into an expression field at resolution (X75)
       reg.createOrReplaceTempFunction("wordpiece_encode",
         exprs => {
@@ -461,6 +463,11 @@ object SketchFunctions {
       minStopPct: Int = 8): Column =
     call_function("html_main_text", html.cast("string"),
       lit(minChars), lit(maxLinkPct), lit(minStopPct))
+
+  /** Anchor harvest: (raw href, entity-decoded collapsed text) per <a>, in
+    * document order (X80). */
+  def html_links(html: Column): Column =
+    call_function("html_links", html.cast("string"))
 
   /** URL canonicalization: lowercase scheme/host, fragment + default-port +
     * tracking-param strip, path-slash normalization. Total on garbage. */
