@@ -671,20 +671,58 @@ object SparkEntry {
     * URL ops — so equality proves parser + host + registered-domain + graph
     * aggregation reproduce the plant. */
   private val linkGraphCteSql: String =
-    """lnk AS (
+    """lnk AS MATERIALIZED (
          SELECT d.doc_id AS id, j,
            ((d.doc_id * 7 + 13 * j + 1) % 101) AS tgt,
            ((d.doc_id + 5 * j) % 17) AS tok_n
          FROM documents d, (SELECT unnest(generate_series(0, 2)) AS j) js
          WHERE j <= d.doc_id % 3),
-       edges AS (
+       edges AS MATERIALIZED (
          SELECT 'site' || (id % 101) || '.org' AS src,
                 'site' || tgt || '.org' AS dst, count(*) AS w
          FROM lnk WHERE (id % 101) <> tgt GROUP BY 1, 2),
-       outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY src),
-       nodes AS (SELECT DISTINCT d FROM
+       outw AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+       nodes AS MATERIALIZED (SELECT DISTINCT d FROM
          (SELECT src AS d FROM edges UNION ALL SELECT dst FROM edges)),
-       r0 AS (SELECT d, CAST(1000000 AS BIGINT) AS pr FROM nodes)"""
+       r0 AS MATERIALIZED (SELECT d, CAST(1000000 AS BIGINT) AS pr FROM nodes)"""
+
+  /** X84 oracle truth: the ENTIRE distributed BPE training loop as unrolled
+    * CTEs — w0 is the corpus-weighted word plane with per-char
+    * segmentation; each step i derives the overlapping adjacent-pair counts
+    * (p$i), the winner by (count DESC, pair ASC) (b$i), and the padded
+    * two-pass replace rewrite (w$i) — the same literal-replace semantics
+    * the engine runs, so every iteration replays bit-exactly. Generated by
+    * a loop: iteration count can't drift between engine and oracle. */
+  private def bpeTrainChainSql(n: Int): String = {
+    // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+    // reference, and w$i references b$i four times → the chain would
+    // re-expand the whole prefix EXPONENTIALLY (4^n documents scans blew
+    // the fd limit at n = 8 before this)
+    val w0 =
+      """w0 AS MATERIALIZED (
+           SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+             trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS seg
+           FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+                 FROM documents)
+           WHERE w <> '' GROUP BY w)"""
+    val steps = (1 to n).map { i =>
+      s"""p$i AS MATERIALIZED (
+           SELECT sym[i] || ' ' || sym[i + 1] AS pair,
+                  CAST(sum(cnt) AS BIGINT) AS c
+           FROM (SELECT cnt, string_split(seg, ' ') AS sym FROM w${i - 1}),
+                LATERAL (SELECT unnest(generate_series(1, len(sym) - 1)) AS i) q
+           GROUP BY 1),
+         b$i AS MATERIALIZED (SELECT pair, c FROM p$i ORDER BY c DESC, pair LIMIT 1),
+         w$i AS MATERIALIZED (
+           SELECT w, cnt, trim(replace(replace(' ' || seg || ' ',
+             ' ' || (SELECT pair FROM b$i) || ' ',
+             ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' '),
+             ' ' || (SELECT pair FROM b$i) || ' ',
+             ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ')) AS seg
+           FROM w${i - 1})"""
+    }
+    (w0 +: steps).mkString(",\n         ")
+  }
 
   /** X81 oracle truth, stage 2: the five PageRank iterations UNROLLED —
     * each r{i} replays the identical BIGINT-grid arithmetic (floor-div on
@@ -692,7 +730,7 @@ object SparkEntry {
     * are summation-order-independent). Generated by a loop so the iteration
     * count can't drift between the chain and its consumers. */
   private val prChainSql: String = (1 to 5).map { i =>
-    s"""r$i AS (
+    s"""r$i AS MATERIALIZED (
          SELECT n.d,
            CAST(150000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS pr
          FROM nodes n LEFT JOIN (
@@ -3219,6 +3257,31 @@ object SparkEntry {
           TextFunctions.bpeEncode(col("text"), TextFunctions.BpeSeedMerges).as("arr"))
         .select(col("doc_id"), size(col("arr")).cast("bigint").as("n_bpe"),
           array_join(col("arr"), " ").as("toks"))),
+
+    // X84: DISTRIBUTED BPE TRAINING — the merge-learning loop itself as a
+    // Spark job (bpeTrainOn's driver pool capped at 4096 words biases the
+    // table at web scale; here the corpus-weighted word plane stays
+    // distributed and only the per-step winning pair is collected). Eight
+    // merges; each step is one pair-count aggregate + a padded two-pass
+    // literal replace — string semantics chosen BECAUSE Spark and DuckDB
+    // replace() agree exactly, so the oracle replays the whole training
+    // loop as eight unrolled CTE blocks (see bpeTrainChainSql).
+    "d_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val (merges, _) = TextFunctions.bpeTrainDistributed(
+        t(s, dir, "documents"), 8)
+      merges.toDF("step", "pair", "cnt")
+    }),
+
+    // X84b: the segmentation plane the training produced — top-20 words by
+    // corpus weight with their post-merge subword split; proves the eight
+    // rewrites applied correctly, not just that the argmax rows matched.
+    "d_bpe_train_segments" -> ((s, dir) => {
+      val (_, words) = TextFunctions.bpeTrainDistributed(
+        t(s, dir, "documents"), 8)
+      words.select(col("w").as("word"), col("cnt"), col("seg"))
+        .orderBy(col("cnt").desc, col("word")).limit(20)
+    }),
 
     // X75: WordPiece-encode the corpus — the second tokenizer family
     // (greedy longest-match-first over a FIXED vocab, the BERT shape) as
@@ -6563,6 +6626,20 @@ object SparkEntry {
     // X75 truth: the identical greedy longest-match-first walk — at each
     // position the recursive step takes the LONGEST vocab piece matching
     // (root pieces at pos 0, ##-continuations after), or [unk]s the whole
+    // X84 truth: the eight unrolled training iterations (bpeTrainChainSql)
+    // — each b$i IS the engine's per-step collected winner
+    "d_bpe_train" -> (
+      s"""WITH ${bpeTrainChainSql(8)}
+         ${(1 to 8).map(i => s"SELECT $i AS step, pair, c AS cnt FROM b$i")
+           .mkString("\n         UNION ALL\n         ")}"""),
+
+    // X84b truth: the post-merge segmentation plane after all eight
+    // rewrites, top-20 by corpus weight
+    "d_bpe_train_segments" -> (
+      s"""WITH ${bpeTrainChainSql(8)}
+         SELECT w AS word, cnt, seg FROM w8
+         ORDER BY cnt DESC, w LIMIT 20"""),
+
     // word when nothing matches; vocab literals generated from the engine
     // table
     "d_wordpiece_encode" -> (

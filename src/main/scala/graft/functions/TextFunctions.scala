@@ -63,6 +63,74 @@ object TextFunctions {
     graft.plans.BpeOps.train(vocab, numMerges)
   }
 
+  /** X84: the padded two-pass merge rewrite `bpeTrainDistributed` applies —
+    * public so the spec can property-test the fixpoint (two passes leave no
+    * ' a b ' occurrence; a third pass is a no-op). String semantics: literal
+    * non-overlapping left-to-right replace, second pass catching the
+    * occurrences whose shared boundary space the first pass consumed —
+    * IDENTICAL in java.lang.String.replace and DuckDB replace(), which is
+    * the whole point (the oracle replays every training iteration). */
+  def mergeSeg(seg: String, pair: String): String = {
+    val pat = " " + pair + " "
+    val rep = " " + pair.replace(" ", "") + " "
+    (" " + seg + " ").replace(pat, rep).replace(pat, rep).trim
+  }
+
+  /** X84: DISTRIBUTED BPE merge learning — [[bpeTrainOn]] without the
+    * driver vocab cap: at web scale the distinct-word plane can hold 10⁸+
+    * rows (beyond any driver pool, and a cap biases the learned merges), so
+    * it stays a DataFrame. Each of the `numMerges` iterations counts
+    * adjacent symbol pairs with ONE aggregate over the corpus-weighted word
+    * plane (map-side partials — the exchange carries distinct pairs, never
+    * the corpus) and collects exactly ONE row: the winner by (count DESC,
+    * pair ASC). The merge applies as the [[mergeSeg]] padded two-pass
+    * replace on the space-joined segmentation, then the plane is
+    * localCheckpoint'd so the next iteration's job stays shallow.
+    *
+    * Semantics note (BpeTrainSpec pins both): pair counts are OVERLAPPING
+    * adjacent counts and the rewrite equals BpeOps.train's textbook
+    * list-walk everywhere except a run of ≥5 identical symbols inside one
+    * word (list-walk merges (1,2)(3,4)…, the string rewrite merges
+    * (1,2)(4,5)… — same multiset at run 5, divergent beyond), a shape the
+    * whitespace-token corpus cannot produce. The string form is chosen
+    * because Spark and DuckDB replace() agree exactly, making the training
+    * loop itself SQL-replayable.
+    *
+    * Returns (merges as (step, "a b", summed count), final word plane
+    * (w, cnt, seg)). */
+  def bpeTrainDistributed(docs: org.apache.spark.sql.DataFrame, numMerges: Int,
+      textCol: String = "text"): (Seq[(Int, String, Long)], org.apache.spark.sql.DataFrame) = {
+    var words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("w"), col("cnt"),
+        trim(regexp_replace(col("w"), "(.)", "$1 ")).as("seg"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    for (step <- 1 to numMerges) {
+      val best = words
+        .select(col("cnt"), split(col("seg"), " ").as("sym"))
+        .select(col("cnt"), explode(expr(
+          "zip_with(slice(sym, 1, size(sym) - 1), slice(sym, 2, size(sym) - 1)," +
+            " (a, b) -> concat(a, ' ', b))")).as("pair"))
+        .groupBy("pair").agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("pair"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val pair = best(0).getString(0)
+        merges += ((step, pair, best(0).getLong(1)))
+        val pat = lit(" " + pair + " ")
+        val rep = lit(" " + pair.replace(" ", "") + " ")
+        val padded = concat(lit(" "), col("seg"), lit(" "))
+        words = words.withColumn("seg",
+          trim(replace(replace(padded, pat, rep), pat, rep)))
+          .localCheckpoint(true)
+      }
+    }
+    (merges.result(), words)
+  }
+
   /** bpe_encode(text) → array<string> subword stream (native codegen'd
     * expression; merge table rides as a reference object). Requires
     * SketchFunctions.register on the session. */
