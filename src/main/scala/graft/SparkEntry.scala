@@ -4075,6 +4075,77 @@ object SparkEntry {
           sum("n_chars").cast("bigint").as("sum_chars"))
     }),
 
+    // X85: RFC 3986 §5.2 relative-reference resolution — ten planted ref
+    // shapes per page (absolute path, merge, dot segments, query-only,
+    // empty, network-path, absolute-with-dots, fragment-only, mailto)
+    // resolved against the page URL as a zero-shuffle scan projection; the
+    // oracle states every resolution closed-form.
+    "d_link_resolve" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      val refs = array(
+        lit("/about"), lit("a/b.html"), lit("../up.html"), lit("./here"),
+        lit("?page=2"), lit(""), lit("//cdn.site0.org/lib.js"),
+        lit("https://other.example.com/x/../y"), lit("#frag"),
+        lit("mailto:admin@site.org"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), linkPageUrl(col("doc_id")).as("base"))
+        .select(col("doc_id"), col("base"), posexplode(refs))
+        .select(col("doc_id"), col("pos").cast("bigint").as("pos"),
+          col("col").as("ref"),
+          graft.plans.SketchFunctions.url_resolve(col("base"), col("col"))
+            .as("url"))
+    }),
+
+    // X86: the link graph END-TO-END off real shard bytes — .warc.gz
+    // member framing (X67gz) → anchor harvest from each response body
+    // (X80) → RFC 3986 resolution against the capture URI (X85, so
+    // RELATIVE links participate — they become same-domain self-edges
+    // here and drop out) → registered domains (X68) → weighted edge
+    // aggregate. Same truth as the planted graph, derived the production
+    // way; only exchange is the edge groupBy.
+    "d_warc_link_graph" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      import graft.plans.{SketchFunctions => F}
+      val warcDir = sessionMemo("warclinkdir", s, dir) {
+        import org.apache.spark.sql.Row
+        val wd = java.nio.file.Files.createTempDirectory("graft-warclink").toString
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          s.sparkContext.hadoopConfiguration)
+        t(s, dir, "documents")
+          .select(linkPageUrl(col("doc_id")).as("uri"),
+            linkedHtml(col("doc_id"), col("text")).as("html"))
+          .repartition(4, pmod(crc32(col("uri")), lit(4)))
+          .foreachPartition { (it: Iterator[Row]) =>
+            val entries = it.map(r => (r.getString(0), r.getString(1))).toSeq
+            if (entries.nonEmpty) {
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              val path = new org.apache.hadoop.fs.Path(s"$wd/shard$pid.warc.gz")
+              val fs = path.getFileSystem(conf.value)
+              val out = fs.create(path, true)
+              out.write(graft.codec.WarcCodec.writeGz(entries))
+              out.close()
+            }
+          }
+        wd
+      }
+      import s.implicits._
+      s.read.format("binaryFile").option("pathGlobFilter", "*.warc.gz")
+        .load(warcDir)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap(b => graft.codec.WarcCodec.responsesGz(b)
+          .map(r => (r.targetUri, r.body)))
+        .toDF("uri", "html")
+        .select(col("uri"),
+          F.url_registered_domain(F.url_host(col("uri")), pslFixture).as("src"),
+          explode(F.html_links(col("html"))).as("lnk"))
+        .select(col("src"),
+          F.url_resolve(col("uri"), col("lnk.href")).as("url"))
+        .select(col("src"),
+          F.url_registered_domain(F.url_host(col("url")), pslFixture).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    }),
+
     // X68d: URL curation off the CRAWL URI — the composition FineWeb runs
     // FIRST: WARC-Target-URI is the only per-page key that exists before
     // any parsing, so domain-level curation consumes it straight off the
@@ -7431,6 +7502,39 @@ object SparkEntry {
          FROM documents doc
          JOIN auth a ON a.d = 'site' || (doc.doc_id % 101) || '.org'
          GROUP BY doc.source"""),
+
+    // X85 truth: every planted ref shape resolves closed-form against the
+    // page URL (origin = scheme://host, base path = /p/{id})
+    "d_link_resolve" -> (
+      """WITH d AS (SELECT doc_id AS id,
+             'http://sub' || (doc_id % 3) || '.site' || (doc_id % 101)
+               || '.org' AS origin
+           FROM documents)
+         SELECT id AS doc_id, CAST(p AS BIGINT) AS pos, r AS ref,
+           CASE p
+             WHEN 0 THEN origin || '/about'
+             WHEN 1 THEN origin || '/p/a/b.html'
+             WHEN 2 THEN origin || '/up.html'
+             WHEN 3 THEN origin || '/p/here'
+             WHEN 4 THEN origin || '/p/' || id || '?page=2'
+             WHEN 5 THEN origin || '/p/' || id
+             WHEN 6 THEN 'http://cdn.site0.org/lib.js'
+             WHEN 7 THEN 'https://other.example.com/y'
+             WHEN 8 THEN origin || '/p/' || id
+             ELSE 'mailto:admin@site.org'
+           END AS url
+         FROM d, (VALUES (0, '/about'), (1, 'a/b.html'), (2, '../up.html'),
+           (3, './here'), (4, '?page=2'), (5, ''),
+           (6, '//cdn.site0.org/lib.js'),
+           (7, 'https://other.example.com/x/../y'), (8, '#frag'),
+           (9, 'mailto:admin@site.org')) v(p, r)"""),
+
+    // X86 truth: the end-to-end WARC-derived graph equals the planted edge
+    // set — relative links resolve to their own domain and drop as
+    // self-edges, so the closed-form edges CTE IS the answer
+    "d_warc_link_graph" -> (
+      s"""WITH $linkGraphCteSql
+         SELECT src, dst, w FROM edges"""),
 
     // X68d truth: the messy URIs are closed-form in doc_id, so the domain
     // classes, page counts and recovered first ids replay directly

@@ -127,4 +127,106 @@ object UrlCodec {
       prefix.substring(prefix.lastIndexOf('.') + 1) + "." + sfx
     }
   }
+
+  /** X85: RFC 3986 §5.2.4 remove_dot_segments over a path (no query). The
+    * standard output-buffer algorithm; TOTAL on any string. */
+  def removeDotSegments(path: String): String = {
+    val out = new scala.collection.mutable.ArrayBuffer[String]
+    var in = path
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../")) {
+        in = "/" + in.substring(4)
+        if (out.nonEmpty) out.remove(out.length - 1)
+      } else if (in == "/..") {
+        in = "/"
+        if (out.nonEmpty) out.remove(out.length - 1)
+      } else if (in == "." || in == "..") in = ""
+      else {
+        val start = if (in.startsWith("/")) 1 else 0
+        val next = in.indexOf('/', start)
+        val seg = if (next < 0) in else in.substring(0, next)
+        out += seg
+        in = if (next < 0) "" else in.substring(next)
+      }
+    }
+    out.mkString
+  }
+
+  /** True iff `s` begins with a URI scheme ("letter(letter|digit|+|-|.)* :")
+    * before any '/', '?' or '#'. */
+  private def hasScheme(s: String): Boolean = {
+    val colon = s.indexOf(':')
+    if (colon <= 0) return false
+    val head = s.substring(0, colon)
+    if (!head.charAt(0).isLetter) return false
+    if (!head.forall(c => c.isLetterOrDigit || c == '+' || c == '-' || c == '.'))
+      return false
+    val stop = s.indexWhere(c => c == '/' || c == '?' || c == '#')
+    stop < 0 || colon < stop
+  }
+
+  /** Dot-segment removal applied to a full URL's path (query preserved);
+    * non-hierarchical URLs (mailto:…) pass through untouched. */
+  private def withDotsRemoved(url: String): String = {
+    val sep = url.indexOf("://")
+    if (sep <= 0) return url
+    val rest = url.substring(sep + 3)
+    val pathAt = rest.indexWhere(c => c == '/' || c == '?')
+    if (pathAt < 0) return url
+    val origin = url.substring(0, sep + 3) + rest.substring(0, pathAt)
+    val tail = rest.substring(pathAt)
+    val qAt = tail.indexOf('?')
+    val path = if (qAt >= 0) tail.substring(0, qAt) else tail
+    val query = if (qAt >= 0) tail.substring(qAt) else ""
+    origin + removeDotSegments(path) + query
+  }
+
+  /** X85: RFC 3986 §5.2 relative-reference resolution — the step between
+    * anchor harvest (X80) and URL hygiene (X68): a crawled page's relative
+    * hrefs only become graph edges after resolving against the capture URI.
+    * TOTAL and fragment-dropping (this codec never keeps fragments). Stated
+    * semantics, each replayed by spec/oracle:
+    *  - ref with its own scheme → ref, path dot-segments removed
+    *    (non-hierarchical refs like mailto: pass through whole);
+    *  - base not hierarchical (no "scheme://") → ref unchanged (a garbage
+    *    base can't anchor anything);
+    *  - "//host/…" (network-path) → base scheme + ":" + ref;
+    *  - "" or "#f" → base (sans fragment), query kept;
+    *  - "?q" → base path + new query;
+    *  - "/abs" → base origin + remove_dot_segments("/abs");
+    *  - relative → merge(base directory, ref), dot segments removed. */
+  def resolve(base: String, ref0: String): String = {
+    val refT = ref0.trim
+    val refH = refT.indexOf('#')
+    val ref = (if (refH >= 0) refT.substring(0, refH) else refT).trim
+    if (hasScheme(ref)) return withDotsRemoved(ref)
+    val bT = base.trim
+    val bH = bT.indexOf('#')
+    val b = (if (bH >= 0) bT.substring(0, bH) else bT).trim
+    val sep = b.indexOf("://")
+    if (sep <= 0) return ref
+    if (ref.startsWith("//")) return withDotsRemoved(b.substring(0, sep + 1) + ref)
+    val rest = b.substring(sep + 3)
+    val pathAt0 = rest.indexWhere(c => c == '/' || c == '?')
+    val pathAt = if (pathAt0 < 0) rest.length else pathAt0
+    val origin = b.substring(0, sep + 3) + rest.substring(0, pathAt)
+    val tail = rest.substring(pathAt)
+    val qAt = tail.indexOf('?')
+    val basePath0 = if (qAt >= 0) tail.substring(0, qAt) else tail
+    val baseQuery = if (qAt >= 0) tail.substring(qAt) else ""
+    val basePath = if (basePath0.isEmpty) "/" else basePath0
+    if (ref.isEmpty) return origin + basePath + baseQuery
+    if (ref.startsWith("?")) return origin + basePath + ref
+    val refQAt = ref.indexOf('?')
+    val refPath = if (refQAt >= 0) ref.substring(0, refQAt) else ref
+    val refQuery = if (refQAt >= 0) ref.substring(refQAt) else ""
+    if (refPath.startsWith("/"))
+      return origin + removeDotSegments(refPath) + refQuery
+    val dir = basePath.substring(0, basePath.lastIndexOf('/') + 1)
+    origin + removeDotSegments(dir + refPath) + refQuery
+  }
 }

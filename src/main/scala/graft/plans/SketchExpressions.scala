@@ -336,6 +336,8 @@ object SketchFunctions {
           foldableInt(exprs(1), "chunkTokens")), "built-in")
       reg.createOrReplaceTempFunction("url_host",
         exprs => UrlHost(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction("url_resolve",
+        exprs => UrlResolve(exprs(0), exprs(1)), "built-in")
       // suffix-list literal folded into an expression field at resolution,
       // same discipline as keyword_hits / bpe_encode
       reg.createOrReplaceTempFunction("url_registered_domain",
@@ -477,6 +479,10 @@ object SketchFunctions {
   /** Lowercased host of a URL ("" when not hierarchical). */
   def url_host(url: Column): Column =
     call_function("url_host", url.cast("string"))
+
+  /** RFC 3986 §5.2 relative-reference resolution against a base URL (X85). */
+  def url_resolve(base: Column, ref: Column): Column =
+    call_function("url_resolve", base.cast("string"), ref.cast("string"))
 
   /** Registered domain: one label + the longest matching suffix from the
     * fixture public-suffix subset (PSL last-label default otherwise). */

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -77,4 +77,31 @@ case class UrlRegisteredDomain(child: Expression, suffixes: Seq[String])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** url_resolve(base, ref) → string: RFC 3986 §5.2 relative-reference
+  * resolution ([[graft.codec.UrlCodec.resolve]]) as a codegen'd per-row
+  * expression — the step between anchor harvest (html_links) and URL
+  * hygiene: a crawled page's relative hrefs only become graph edges after
+  * resolving against the capture URI. Total; fragments dropped. */
+case class UrlResolve(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "url_resolve"
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = StringType
+
+  def resolveRow(base: UTF8String, ref: UTF8String): UTF8String =
+    UTF8String.fromString(UrlCodec.resolve(base.toString, ref.toString))
+
+  override def nullSafeEval(base: Any, ref: Any): Any =
+    resolveRow(base.asInstanceOf[UTF8String], ref.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("urlResolve", this, classOf[UrlResolve].getName)
+    nullSafeCodeGen(ctx, ev, (b, f) => s"${ev.value} = $r.resolveRow($b, $f);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
