@@ -724,6 +724,45 @@ object SparkEntry {
     (w0 +: steps).mkString(",\n         ")
   }
 
+  /** X87 oracle truth: the WordPiece training loop unrolled — same plane
+    * and rewrite as [[bpeTrainChainSql]], the winner picked by the integer
+    * likelihood grid floor(cab·10⁹/(ca·cb)) with symbol counts from a per-
+    * step aggregate. MATERIALIZED for the same exponential-inlining reason. */
+  private def wpTrainChainSql(n: Int): String = {
+    val w0 =
+      """w0 AS MATERIALIZED (
+           SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+             trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS seg
+           FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+                 FROM documents)
+           WHERE w <> '' GROUP BY w)"""
+    val steps = (1 to n).map { i =>
+      s"""s$i AS MATERIALIZED (
+           SELECT sym, CAST(sum(cnt) AS BIGINT) AS c
+           FROM (SELECT cnt, unnest(string_split(seg, ' ')) AS sym FROM w${i - 1})
+           GROUP BY sym),
+         p$i AS MATERIALIZED (
+           SELECT sym[i] AS a, sym[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS cab
+           FROM (SELECT cnt, string_split(seg, ' ') AS sym FROM w${i - 1}),
+                LATERAL (SELECT unnest(generate_series(1, len(sym) - 1)) AS i) q
+           GROUP BY 1, 2),
+         b$i AS MATERIALIZED (
+           SELECT a || ' ' || b AS pair,
+             (cab * CAST(1000000000 AS BIGINT)) // (sa.c * sb.c) AS score,
+             cab
+           FROM p$i JOIN s$i sa ON sa.sym = a JOIN s$i sb ON sb.sym = b
+           ORDER BY score DESC, pair LIMIT 1),
+         w$i AS MATERIALIZED (
+           SELECT w, cnt, trim(replace(replace(' ' || seg || ' ',
+             ' ' || (SELECT pair FROM b$i) || ' ',
+             ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' '),
+             ' ' || (SELECT pair FROM b$i) || ' ',
+             ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ')) AS seg
+           FROM w${i - 1})"""
+    }
+    (w0 +: steps).mkString(",\n         ")
+  }
+
   /** X81 oracle truth, stage 2: the five PageRank iterations UNROLLED —
     * each r{i} replays the identical BIGINT-grid arithmetic (floor-div on
     * non-negative values, so DuckDB `//` equals Spark `div`; integer sums
@@ -3281,6 +3320,20 @@ object SparkEntry {
         t(s, dir, "documents"), 8)
       words.select(col("w").as("word"), col("cnt"), col("seg"))
         .orderBy(col("cnt").desc, col("word")).limit(20)
+    }),
+
+    // X87: DISTRIBUTED WordPiece TRAINING — d_bpe_train's loop under the
+    // BERT objective: merge the pair maximizing likelihood gain
+    // count(ab)/(count(a)·count(b)), computed as an INTEGER grid score
+    // (floor(cab·1e9/(ca·cb)), ties → pair ASC) so both engines agree
+    // exactly. Picks RARE-but-correlated pairs where raw frequency picks
+    // common ones — the two trainers' divergence on the same corpus is
+    // itself pinned by WordPieceTrainSpec.
+    "d_wordpiece_train" -> ((s, dir) => {
+      import s.implicits._
+      val (merges, _) = TextFunctions.wordpieceTrainDistributed(
+        t(s, dir, "documents"), 8)
+      merges.toDF("step", "pair", "score", "cnt")
     }),
 
     // X75: WordPiece-encode the corpus — the second tokenizer family
@@ -6710,6 +6763,13 @@ object SparkEntry {
       s"""WITH ${bpeTrainChainSql(8)}
          SELECT w AS word, cnt, seg FROM w8
          ORDER BY cnt DESC, w LIMIT 20"""),
+
+    // X87 truth: eight unrolled likelihood-scored iterations
+    "d_wordpiece_train" -> (
+      s"""WITH ${wpTrainChainSql(8)}
+         ${(1 to 8).map(i =>
+           s"SELECT $i AS step, pair, score, cab AS cnt FROM b$i")
+           .mkString("\n         UNION ALL\n         ")}"""),
 
     // word when nothing matches; vocab literals generated from the engine
     // table

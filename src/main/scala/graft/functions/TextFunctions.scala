@@ -131,6 +131,64 @@ object TextFunctions {
     (merges.result(), words)
   }
 
+  /** X87: DISTRIBUTED WordPiece training — [[bpeTrainDistributed]]'s loop
+    * with the BERT objective: each step merges the pair maximizing
+    * LIKELIHOOD gain score(a,b) = count(ab) / (count(a)·count(b)) instead
+    * of raw pair frequency (Schuster & Nakajima 2012; the "wordpiece"
+    * section of the BERT paper). Determinism discipline: the score is the
+    * INTEGER floor(count(ab)·10⁹ / (count(a)·count(b))) — a fixed grid
+    * both engines compute exactly (ties → pair ASC), no float division.
+    * Per step: one symbol-count aggregate + one pair-count aggregate over
+    * the distributed word plane (map-side partials), two broadcast-size
+    * joins (symbol plane ≤ alphabet+merges), ONE collected row. The merge
+    * applies as the same [[mergeSeg]] two-pass replace, so the oracle
+    * replays every iteration. Returns (merges as (step, "a b", score,
+    * pairCount), final word plane). */
+  def wordpieceTrainDistributed(docs: org.apache.spark.sql.DataFrame,
+      numMerges: Int, textCol: String = "text")
+      : (Seq[(Int, String, Long, Long)], org.apache.spark.sql.DataFrame) = {
+    var words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("w"), col("cnt"),
+        trim(regexp_replace(col("w"), "(.)", "$1 ")).as("seg"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, Long, Long)]
+    for (step <- 1 to numMerges) {
+      val syms = words
+        .select(col("cnt"), explode(split(col("seg"), " ")).as("sym"))
+        .groupBy("sym").agg(sum("cnt").as("c"))
+      val pairs = words
+        .select(col("cnt"), split(col("seg"), " ").as("sym"))
+        .select(col("cnt"), explode(expr(
+          "zip_with(slice(sym, 1, size(sym) - 1), slice(sym, 2, size(sym) - 1)," +
+            " (x, y) -> named_struct('a', x, 'b', y))")).as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum("cnt").as("cab"))
+      val sa = syms.select(col("sym").as("a"), col("c").as("ca"))
+      val sb = syms.select(col("sym").as("b"), col("c").as("cb"))
+      val best = pairs
+        .join(broadcast(sa), "a").join(broadcast(sb), "b")
+        .select(concat(col("a"), lit(" "), col("b")).as("pair"),
+          expr("(cab * bigint(1000000000)) div (ca * cb)").as("score"),
+          col("cab"))
+        .orderBy(col("score").desc, col("pair"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val pair = best(0).getString(0)
+        merges += ((step, pair, best(0).getLong(1), best(0).getLong(2)))
+        val pat = lit(" " + pair + " ")
+        val rep = lit(" " + pair.replace(" ", "") + " ")
+        val padded = concat(lit(" "), col("seg"), lit(" "))
+        words = words.withColumn("seg",
+          trim(replace(replace(padded, pat, rep), pat, rep)))
+          .localCheckpoint(true)
+      }
+    }
+    (merges.result(), words)
+  }
+
   /** bpe_encode(text) → array<string> subword stream (native codegen'd
     * expression; merge table rides as a reference object). Requires
     * SketchFunctions.register on the session. */
