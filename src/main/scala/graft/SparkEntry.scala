@@ -665,6 +665,63 @@ object SparkEntry {
     (edges, outw, nodes, ranks)
   }
 
+  /** X86/X88 fixture: member-framed `.warc.gz` shards carrying every page's
+    * linkedHtml under its linkPageUrl capture URI (the d_warc_url_curate
+    * synthesis discipline; memoized per session). */
+  private def warcLinkShards(s: SparkSession, dir: String): String =
+    sessionMemo("warclinkdir", s, dir) {
+      import org.apache.spark.sql.Row
+      val wd = java.nio.file.Files.createTempDirectory("graft-warclink").toString
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration)
+      t(s, dir, "documents")
+        .select(linkPageUrl(col("doc_id")).as("uri"),
+          linkedHtml(col("doc_id"), col("text")).as("html"))
+        .repartition(4, pmod(crc32(col("uri")), lit(4)))
+        .foreachPartition { (it: Iterator[Row]) =>
+          val entries = it.map(r => (r.getString(0), r.getString(1))).toSeq
+          if (entries.nonEmpty) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val path = new org.apache.hadoop.fs.Path(s"$wd/shard$pid.warc.gz")
+            val fs = path.getFileSystem(conf.value)
+            val out = fs.create(path, true)
+            out.write(graft.codec.WarcCodec.writeGz(entries))
+            out.close()
+          }
+        }
+      wd
+    }
+
+  /** X86/X88 shared extraction: shard bytes → member split → anchor harvest
+    * from each response body → RFC 3986 resolution against the capture URI
+    * → registered-domain endpoints, self-edges dropped. Per-row and
+    * stateless, so the same code runs batch and per-micro-batch (`stream`
+    * carries the binaryFile schema when reading as a stream). */
+  private def warcLinkEdges(s: SparkSession, warcDir: String,
+      stream: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    import graft.plans.{SketchFunctions => F}
+    import s.implicits._
+    val raw = stream match {
+      case Some(schema) => s.readStream.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz").option("maxFilesPerTrigger", 1)
+        .schema(schema).load(warcDir)
+      case None => s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz").load(warcDir)
+    }
+    raw.select(col("content")).as[Array[Byte]]
+      .flatMap(b => graft.codec.WarcCodec.responsesGz(b)
+        .map(r => (r.targetUri, r.body)))
+      .toDF("uri", "html")
+      .select(col("uri"),
+        F.url_registered_domain(F.url_host(col("uri")), pslFixture).as("src"),
+        explode(F.html_links(col("html"))).as("lnk"))
+      .select(col("src"),
+        F.url_resolve(col("uri"), col("lnk.href")).as("url"))
+      .select(col("src"),
+        F.url_registered_domain(F.url_host(col("url")), pslFixture).as("dst"))
+      .where(col("src") =!= col("dst"))
+  }
+
   /** X81 oracle truth, stage 1: the closed-form link plant + the domain
     * graph, as CTEs (lnk / edges / outw / nodes / r0). The engine derives
     * the same graph the hard way — parsing real markup and running the real
@@ -4158,45 +4215,67 @@ object SparkEntry {
     // way; only exchange is the edge groupBy.
     "d_warc_link_graph" -> ((s, dir) => {
       graft.plans.SketchFunctions.register(s)
-      import graft.plans.{SketchFunctions => F}
-      val warcDir = sessionMemo("warclinkdir", s, dir) {
-        import org.apache.spark.sql.Row
-        val wd = java.nio.file.Files.createTempDirectory("graft-warclink").toString
-        val conf = new org.apache.spark.util.SerializableConfiguration(
-          s.sparkContext.hadoopConfiguration)
-        t(s, dir, "documents")
-          .select(linkPageUrl(col("doc_id")).as("uri"),
-            linkedHtml(col("doc_id"), col("text")).as("html"))
-          .repartition(4, pmod(crc32(col("uri")), lit(4)))
-          .foreachPartition { (it: Iterator[Row]) =>
-            val entries = it.map(r => (r.getString(0), r.getString(1))).toSeq
-            if (entries.nonEmpty) {
-              val pid = org.apache.spark.TaskContext.getPartitionId()
-              val path = new org.apache.hadoop.fs.Path(s"$wd/shard$pid.warc.gz")
-              val fs = path.getFileSystem(conf.value)
-              val out = fs.create(path, true)
-              out.write(graft.codec.WarcCodec.writeGz(entries))
-              out.close()
-            }
-          }
-        wd
-      }
-      import s.implicits._
-      s.read.format("binaryFile").option("pathGlobFilter", "*.warc.gz")
-        .load(warcDir)
-        .select(col("content")).as[Array[Byte]]
-        .flatMap(b => graft.codec.WarcCodec.responsesGz(b)
-          .map(r => (r.targetUri, r.body)))
-        .toDF("uri", "html")
-        .select(col("uri"),
-          F.url_registered_domain(F.url_host(col("uri")), pslFixture).as("src"),
-          explode(F.html_links(col("html"))).as("lnk"))
-        .select(col("src"),
-          F.url_resolve(col("uri"), col("lnk.href")).as("url"))
-        .select(col("src"),
-          F.url_registered_domain(F.url_host(col("url")), pslFixture).as("dst"))
-        .where(col("src") =!= col("dst"))
+      warcLinkEdges(s, warcLinkShards(s, dir))
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    }),
+
+    // X88: STREAMING link-graph accumulation — shards arrive as files and
+    // the edge aggregate is a true STATEFUL streaming aggregation in
+    // complete output mode: each micro-batch's per-row extraction is
+    // stateless, the (src, dst) counts accumulate in the state store
+    // across batches, and every trigger overwrites the sink with the
+    // complete graph so far. Complete mode is justified HERE (unlike the
+    // s7_stream_tumbling demo) because the edge key space is domain-
+    // bounded — state is |domains|² no matter how many shards stream in.
+    // Drained state equals the batch truth (the same edges oracle).
+    "d_stream_link_graph" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      val warcDir = warcLinkShards(s, dir)
+      val schema = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz").load(warcDir).schema
+      val outDir = java.nio.file.Files.createTempDirectory("graft-slg").toString
+      val q = warcLinkEdges(s, warcDir, stream = Some(schema))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .writeStream
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-slg-ckpt").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(outDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+    }),
+
+    // X89: bounded HARMONIC CENTRALITY (r ≤ 3) — the other webgraph rank
+    // Common Crawl actually publishes next to PageRank: H(v) = Σ_u 1/d(u,v)
+    // over directed shortest paths, here on the integer grid Σ floor(S/d)
+    // with S = 1e6 so the sum is order-independent and exact. Min-plus
+    // iteration on the domain-bounded distance plane: d1 = edges, d_k =
+    // min(d_{k-1}, d_{k-1} ⋈ edges + 1) — two joins, never the corpus.
+    "d_harmonic_centrality" -> ((s, dir) => {
+      val (edges, _, nodes, _) = linkGraphRanks(s, dir)
+      val e1 = edges.select(col("src").as("u"), col("dst").as("v"))
+        .withColumn("d", lit(1L))
+      def step(dk: DataFrame): DataFrame = {
+        val ext = dk.join(e1.select(col("u").as("m"), col("v").as("w2")),
+            dk("v") === col("m"))
+          .select(col("u"), col("w2").as("v"), (col("d") + 1L).as("d"))
+        dk.union(ext).where(col("u") =!= col("v"))
+          .groupBy("u", "v").agg(min("d").as("d"))
+      }
+      val d3 = step(step(e1))
+      val h = d3.groupBy("v")
+        .agg(sum(expr("bigint(1000000) div d")).cast("bigint").as("harmonic"),
+          count(lit(1)).as("n_reach"))
+      nodes.join(h, nodes("d") === h("v"), "left")
+        .select(col("d").as("domain"),
+          coalesce(col("harmonic"), lit(0L)).as("harmonic"),
+          coalesce(col("n_reach"), lit(0L)).as("n_reach"))
+        .orderBy(col("harmonic").desc, col("domain"))
     }),
 
     // X68d: URL curation off the CRAWL URI — the composition FineWeb runs
@@ -7595,6 +7674,41 @@ object SparkEntry {
     "d_warc_link_graph" -> (
       s"""WITH $linkGraphCteSql
          SELECT src, dst, w FROM edges"""),
+
+    // X88 truth: the drained complete-mode state equals the batch graph
+    "d_stream_link_graph" -> (
+      s"""WITH $linkGraphCteSql
+         SELECT src, dst, w FROM edges"""),
+
+    // X89 truth: two unrolled min-plus steps over the closed-form edges,
+    // then the integer harmonic sum — MATERIALIZED for the same
+    // exponential-inlining reason as the training chains
+    "d_harmonic_centrality" -> (
+      s"""WITH $linkGraphCteSql,
+         d1 AS MATERIALIZED (
+           SELECT DISTINCT src AS u, dst AS v, CAST(1 AS BIGINT) AS d
+           FROM edges),
+         d2 AS MATERIALIZED (
+           SELECT u, v, min(d) AS d FROM (
+             SELECT u, v, d FROM d1
+             UNION ALL
+             SELECT a.u, e.dst AS v, a.d + 1 AS d
+             FROM d1 a JOIN edges e ON e.src = a.v)
+           WHERE u <> v GROUP BY u, v),
+         d3 AS MATERIALIZED (
+           SELECT u, v, min(d) AS d FROM (
+             SELECT u, v, d FROM d2
+             UNION ALL
+             SELECT a.u, e.dst AS v, a.d + 1 AS d
+             FROM d2 a JOIN edges e ON e.src = a.v)
+           WHERE u <> v GROUP BY u, v),
+         h AS (SELECT v, CAST(sum(1000000 // d) AS BIGINT) AS harmonic,
+                 count(*) AS n_reach
+               FROM d3 GROUP BY v)
+         SELECT n.d AS domain, COALESCE(h.harmonic, 0) AS harmonic,
+           COALESCE(h.n_reach, 0) AS n_reach
+         FROM nodes n LEFT JOIN h ON h.v = n.d
+         ORDER BY harmonic DESC, domain"""),
 
     // X68d truth: the messy URIs are closed-form in doc_id, so the domain
     // classes, page counts and recovered first ids replay directly

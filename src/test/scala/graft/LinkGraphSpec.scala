@@ -110,6 +110,40 @@ class LinkGraphSpec extends SparkSpec {
       s"mass drifted: $total")
   }
 
+  test("d_harmonic_centrality matches a brute-force BFS reference") {
+    val dir = "/root/testdata/sf0.001"
+    val n = 500
+    val edges = (0 until n).flatMap { i =>
+      (0 to i % 3).map { j =>
+        (s"site${i % 101}.org", s"site${(i * 7 + 13 * j + 1) % 101}.org")
+      }
+    }.filter { case (s, d) => s != d }.distinct
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    // shortest directed distance u→v up to 3 via BFS from every u
+    val want = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    for (u <- nodes) {
+      var frontier = out.getOrElse(u, Set.empty) - u
+      val dist = scala.collection.mutable.Map.empty[String, Int]
+      frontier.foreach(v => dist(v) = 1)
+      for (d <- 2 to 3) {
+        frontier = frontier.flatMap(m => out.getOrElse(m, Set.empty))
+          .filter(v => v != u && !dist.contains(v))
+        frontier.foreach(v => dist(v) = d)
+      }
+      dist.foreach { case (v, d) =>
+        val (h, c) = want.getOrElse(v, (0L, 0L))
+        want(v) = (h + 1000000L / d, c + 1)
+      }
+    }
+    val got = SparkEntry.queries("d_harmonic_centrality")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size == nodes.size)
+    nodes.foreach { v =>
+      assert(got(v) == want.getOrElse(v, (0L, 0L)), s"mismatch at $v")
+    }
+  }
+
   test("plan shapes: extraction is scan-side, rank plane broadcasts, corpus never re-shuffles") {
     val dir = "/root/testdata/sf0.001"
     val pr = SparkEntry.queries("d_pagerank")(spark, dir)
