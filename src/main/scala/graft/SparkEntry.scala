@@ -4185,6 +4185,61 @@ object SparkEntry {
           sum("n_chars").cast("bigint").as("sum_chars"))
     }),
 
+    // X90: SITEMAP ingestion — the frontier-seeding move crawlers run
+    // before any fetch: per-host sitemap.xml files (real urlset markup,
+    // honestly synthesized) read with the built-in XML source, lastmod
+    // recency filter ON INDEX FIELDS (pages untouched — the X74
+    // discipline), URL hygiene via X68, then the per-domain frontier
+    // profile. One aggregate exchange; the XML scan is per-file parallel.
+    "d_sitemap_frontier" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      import graft.plans.{SketchFunctions => F}
+      val smDir = sessionMemo("sitemapdir", s, dir) {
+        import org.apache.spark.sql.Row
+        val wd = java.nio.file.Files.createTempDirectory("graft-sitemap").toString
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          s.sparkContext.hadoopConfiguration)
+        t(s, dir, "documents")
+          .select(linkPageUrl(col("doc_id")).as("loc"),
+            date_format(date_add(lit("2026-01-01").cast("date"),
+              pmod(col("doc_id"), lit(60)).cast("int")), "yyyy-MM-dd")
+              .as("lastmod"),
+            pmod(col("doc_id"), lit(101)).as("dom"))
+          .repartition(4, col("dom"))
+          .foreachPartition { (it: Iterator[Row]) =>
+            val rows = it.toSeq
+            if (rows.nonEmpty) {
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              val sb = new StringBuilder
+              sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+              sb.append("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n")
+              rows.foreach { r =>
+                sb.append("  <url><loc>").append(r.getString(0))
+                  .append("</loc><lastmod>").append(r.getString(1))
+                  .append("</lastmod></url>\n")
+              }
+              sb.append("</urlset>\n")
+              val path = new org.apache.hadoop.fs.Path(s"$wd/sitemap$pid.xml")
+              val fs = path.getFileSystem(conf.value)
+              val out = fs.create(path, true)
+              out.write(sb.toString.getBytes("UTF-8"))
+              out.close()
+            }
+          }
+        wd
+      }
+      s.read.schema("loc STRING, lastmod STRING")
+        .option("rowTag", "url").xml(s"$smDir/*.xml")
+        .where(col("lastmod").cast("date") >= lit("2026-02-15").cast("date"))
+        .select(F.url_normalize(col("loc")).as("url"))
+        .select(
+          F.url_registered_domain(F.url_host(col("url")), pslFixture)
+            .as("domain"),
+          regexp_extract(col("url"), "/([0-9]+)$", 1).cast("long").as("doc_id"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"), min("doc_id").as("first_doc"))
+    }),
+
     // X85: RFC 3986 §5.2 relative-reference resolution — ten planted ref
     // shapes per page (absolute path, merge, dot segments, query-only,
     // empty, network-path, absolute-with-dots, fragment-only, mailto)
@@ -7641,6 +7696,15 @@ object SparkEntry {
          FROM documents doc
          JOIN auth a ON a.d = 'site' || (doc.doc_id % 101) || '.org'
          GROUP BY doc.source"""),
+
+    // X90 truth: lastmod = 2026-01-01 + (doc_id % 60) days, so the
+    // ≥ 2026-02-15 recency filter is exactly doc_id % 60 >= 45
+    "d_sitemap_frontier" -> (
+      """WITH f AS (
+           SELECT doc_id, 'site' || (doc_id % 101) || '.org' AS domain
+           FROM documents WHERE doc_id % 60 >= 45)
+         SELECT domain, count(*) AS n_urls, min(doc_id) AS first_doc
+         FROM f GROUP BY domain"""),
 
     // X85 truth: every planted ref shape resolves closed-form against the
     // page URL (origin = scheme://host, base path = /p/{id})
