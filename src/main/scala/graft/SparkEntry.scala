@@ -837,6 +837,63 @@ object SparkEntry {
            GROUP BY e.dst) s ON s.d = n.d)"""
   }.mkString(",\n       ")
 
+  /** X91 oracle truth: the TrustRank iterations unrolled — the identical
+    * BIGINT-grid arithmetic as [[prChainSql]] with the teleport mass
+    * confined to the trusted seed set (requires a `seeds(d, trusted)` CTE
+    * upstream). Generated by a loop so the iteration count can't drift. */
+  private val trChainSql: String = {
+    val t0 =
+      """t0 AS MATERIALIZED (
+           SELECT d, CASE WHEN trusted THEN CAST(1000000 AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS tr
+           FROM seeds)"""
+    val steps = (1 to 5).map { i =>
+      s"""t$i AS MATERIALIZED (
+           SELECT n.d,
+             CAST(CASE WHEN n.trusted THEN 150000 ELSE 0 END
+               + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS tr
+           FROM seeds n LEFT JOIN (
+             SELECT e.dst AS d, sum((t.tr * e.w) // o.ow) AS c
+             FROM t${i - 1} t
+             JOIN edges e ON e.src = t.d
+             JOIN outw o ON o.src = e.src
+             GROUP BY e.dst) s ON s.d = n.d)"""
+    }.mkString(",\n       ")
+    t0 + ",\n       " + steps
+  }
+
+  /** X92 oracle truth: three HITS mutual-reinforcement rounds unrolled —
+    * after each half-step the plane renormalizes to the grid via
+    * floor(x·1e6/max(x)); max over the domain plane and integer sums are
+    * both order-independent, so every round replays bit-exactly. */
+  private val hitsChainSql: String = {
+    val a0 =
+      """a0 AS MATERIALIZED (SELECT d, CAST(1000000 AS BIGINT) AS x FROM nodes)"""
+    val steps = (1 to 3).map { i =>
+      s"""hr$i AS MATERIALIZED (
+           SELECT n.d, COALESCE(s.x, 0) AS x
+           FROM nodes n LEFT JOIN (
+             SELECT e.src AS d, sum(e.w * a.x) AS x
+             FROM a${i - 1} a JOIN edges e ON e.dst = a.d
+             GROUP BY e.src) s ON s.d = n.d),
+         h$i AS MATERIALIZED (
+           SELECT d,
+             CAST((x * 1000000) // (SELECT max(x) FROM hr$i) AS BIGINT) AS x
+           FROM hr$i),
+         ar$i AS MATERIALIZED (
+           SELECT n.d, COALESCE(s.x, 0) AS x
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS d, sum(e.w * h.x) AS x
+             FROM h$i h JOIN edges e ON e.src = h.d
+             GROUP BY e.dst) s ON s.d = n.d),
+         a$i AS MATERIALIZED (
+           SELECT d,
+             CAST((x * 1000000) // (SELECT max(x) FROM ar$i) AS BIGINT) AS x
+           FROM ar$i)"""
+    }.mkString(",\n       ")
+    a0 + ",\n       " + steps
+  }
+
   // ------------------------------------------------ X76 robots.txt fixtures
 
   /** X76: our crawler's product token (matched case-insensitively per
@@ -4133,6 +4190,71 @@ object SparkEntry {
           coalesce(col("in_w"), lit(0L)).as("in_w"),
           coalesce(col("ow"), lit(0L)).as("out_w"))
         .orderBy(col("pr").desc, col("domain"))
+    }),
+
+    // X91: TrustRank (Gyöngyi et al., VLDB 2004) — seeded PageRank: the
+    // teleport mass lands ONLY on a trusted seed set, so trust decays with
+    // link distance from the seeds and spam clusters that vanilla PageRank
+    // rewards for dense self-linking score near zero. Same BIGINT grid and
+    // plan shape as X81 — per iteration the trust plane BROADCASTS into
+    // the edge join, the corpus is touched once. Seeds are the closed-form
+    // plant site{10k}.org (trusted ⇔ site number ≡ 0 mod 10), derived by
+    // the same regexp on both engines.
+    "d_trustrank" -> ((s, dir) => {
+      val (edges, outw, nodes, _) = linkGraphRanks(s, dir)
+      val flags = nodes.select(col("d"),
+        (regexp_extract(col("d"), "^site([0-9]+)\\.org$", 1).cast("long")
+          % 10 === 0).as("trusted"))
+      val ej = edges.join(outw, "src")
+      var tr = flags.select(col("d"), col("trusted"),
+        when(col("trusted"), lit(1000000L)).otherwise(lit(0L)).as("tr"))
+      for (_ <- 1 to 5) {
+        val contribs = ej.join(broadcast(tr), ej("src") === tr("d"))
+          .select(col("dst"), expr("(tr * w) div ow").as("c"))
+          .groupBy("dst").agg(sum("c").as("c"))
+        tr = flags.join(contribs, flags("d") === contribs("dst"), "left")
+          .select(flags("d"), col("trusted"),
+            (when(col("trusted"), lit(150000L)).otherwise(lit(0L)) +
+              expr("(85 * coalesce(c, bigint(0))) div 100")).as("tr"))
+      }
+      tr.select(col("d").as("domain"), col("trusted"), col("tr"))
+        .orderBy(col("tr").desc, col("domain"))
+    }),
+
+    // X92: HITS hubs & authorities (Kleinberg 1999) on the integer grid —
+    // the complementary webgraph pair to PageRank's single score: a good
+    // hub links to good authorities, a good authority is linked from good
+    // hubs. Three mutual-reinforcement rounds; after each half-step the
+    // plane renormalizes to the grid via floor(x·S/max(x)) (max over the
+    // domain-bounded plane is deterministic, integer sums and floor-divs
+    // are order-independent — DuckDB replays every round bit-exactly).
+    // Scale shape: per round the score plane BROADCASTS into the edge
+    // join; the corpus is never touched after edge extraction.
+    "d_hits" -> ((s, dir) => {
+      val (edges, _, nodes, _) = linkGraphRanks(s, dir)
+      def norm(df: DataFrame): DataFrame =
+        df.crossJoin(broadcast(df.agg(max("x").as("mx"))))
+          .select(col("d"), expr("(x * bigint(1000000)) div mx").as("x"))
+      var auth = nodes.select(col("d"), lit(1000000L).as("x"))
+      var hub: DataFrame = null
+      for (_ <- 1 to 3) {
+        val h = edges.join(broadcast(auth), edges("dst") === auth("d"))
+          .select(col("src"), (col("w") * col("x")).as("x"))
+          .groupBy("src").agg(sum("x").as("x"))
+        hub = norm(nodes.join(h, nodes("d") === h("src"), "left")
+          .select(nodes("d"), coalesce(col("x"), lit(0L)).as("x")))
+        val a = edges.join(broadcast(hub), edges("src") === hub("d"))
+          .select(col("dst"), (col("w") * col("x")).as("x"))
+          .groupBy("dst").agg(sum("x").as("x"))
+        auth = norm(nodes.join(a, nodes("d") === a("dst"), "left")
+          .select(nodes("d"), coalesce(col("x"), lit(0L)).as("x")))
+      }
+      val hubN = hub.select(col("d").as("hd"), col("x").as("hub"))
+      val authN = auth.select(col("d").as("ad"), col("x").as("auth"))
+      nodes.join(hubN, nodes("d") === hubN("hd"))
+        .join(authN, nodes("d") === authN("ad"))
+        .select(nodes("d").as("domain"), col("hub"), col("auth"))
+        .orderBy(col("auth").desc, col("hub").desc, col("domain"))
     }),
 
     // X82: anchor-text aggregation — the classic weak-label signal: what the
@@ -7670,6 +7792,29 @@ object SparkEntry {
          LEFT JOIN inw ON inw.dst = n.d
          LEFT JOIN outw ON outw.src = n.d
          ORDER BY pr DESC, domain"""),
+
+    // X91 truth: seeds derived by the same regexp plant (site number ≡ 0
+    // mod 10), then five unrolled seeded iterations on the shared grid
+    "d_trustrank" -> (
+      s"""WITH $linkGraphCteSql,
+         seeds AS MATERIALIZED (
+           SELECT d,
+             CAST(regexp_extract(d, '^site([0-9]+)\\.org$$', 1) AS BIGINT)
+               % 10 = 0 AS trusted
+           FROM nodes),
+         $trChainSql
+         SELECT s.d AS domain, s.trusted, t5.tr AS tr
+         FROM seeds s JOIN t5 ON t5.d = s.d
+         ORDER BY tr DESC, domain"""),
+
+    // X92 truth: three unrolled HITS rounds with the floor(x·1e6/max)
+    // renormalization after each half-step
+    "d_hits" -> (
+      s"""WITH $linkGraphCteSql,
+         $hitsChainSql
+         SELECT h3.d AS domain, h3.x AS hub, a3.x AS auth
+         FROM h3 JOIN a3 ON a3.d = h3.d
+         ORDER BY auth DESC, hub DESC, domain"""),
 
     // X82 truth: token counts per target domain from the plant; top-3 by
     // (cnt DESC, tok_n ASC) replays top_k_by's deterministic total order.

@@ -110,6 +110,72 @@ class LinkGraphSpec extends SparkSpec {
       s"mass drifted: $total")
   }
 
+  test("d_trustrank matches a brute-force seeded reference") {
+    val dir = "/root/testdata/sf0.001"
+    val n = 500
+    val edges = (0 until n).flatMap { i =>
+      (0 to i % 3).map { j =>
+        (s"site${i % 101}.org", s"site${(i * 7 + 13 * j + 1) % 101}.org")
+      }
+    }.filter { case (s, d) => s != d }
+      .groupBy(identity).map { case ((s, d), g) => (s, d, g.size.toLong) }.toSeq
+    val outw = edges.groupBy(_._1).map { case (s, es) => (s, es.map(_._3).sum) }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    def trusted(d: String): Boolean =
+      d.stripPrefix("site").stripSuffix(".org").toLong % 10 == 0
+    var tr = nodes.map(d => d -> (if (trusted(d)) 1000000L else 0L)).toMap
+    for (_ <- 1 to 5) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _, w) => tr(src) * w / outw(src) }.sum
+      }
+      tr = nodes.map(d => d -> ((if (trusted(d)) 150000L else 0L) +
+        85L * contrib.getOrElse(d, 0L) / 100L)).toMap
+    }
+    val got = SparkEntry.queries("d_trustrank")(spark, dir)
+      .select("domain", "tr").as[(String, Long)].collect().toMap
+    assert(got == tr)
+    // every seed keeps at least its own teleport mass; trust never exceeds
+    // the vanilla-PageRank grid ceiling on this graph
+    nodes.filter(trusted).foreach(d => assert(got(d) >= 150000L, s"seed $d lost its teleport"))
+  }
+
+  test("d_hits matches a brute-force reference with integer renormalization") {
+    val dir = "/root/testdata/sf0.001"
+    val n = 500
+    val edges = (0 until n).flatMap { i =>
+      (0 to i % 3).map { j =>
+        (s"site${i % 101}.org", s"site${(i * 7 + 13 * j + 1) % 101}.org")
+      }
+    }.filter { case (s, d) => s != d }
+      .groupBy(identity).map { case ((s, d), g) => (s, d, g.size.toLong) }.toSeq
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    def norm(m: Map[String, Long]): Map[String, Long] = {
+      val mx = m.values.max
+      m.map { case (k, v) => k -> v * 1000000L / mx }
+    }
+    var auth = nodes.map(_ -> 1000000L).toMap
+    var hub = Map.empty[String, Long]
+    for (_ <- 1 to 3) {
+      val h = edges.groupBy(_._1).map { case (src, es) =>
+        src -> es.map { case (_, dst, w) => w * auth(dst) }.sum
+      }
+      hub = norm(nodes.map(d => d -> h.getOrElse(d, 0L)).toMap)
+      val a = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _, w) => w * hub(src) }.sum
+      }
+      auth = norm(nodes.map(d => d -> a.getOrElse(d, 0L)).toMap)
+    }
+    val got = SparkEntry.queries("d_hits")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size == nodes.size)
+    nodes.foreach { d =>
+      assert(got(d) == ((hub(d), auth(d))), s"mismatch at $d")
+    }
+    // renormalization pins each plane's max to exactly the grid unit
+    assert(got.values.map(_._1).max == 1000000L)
+    assert(got.values.map(_._2).max == 1000000L)
+  }
+
   test("d_harmonic_centrality matches a brute-force BFS reference") {
     val dir = "/root/testdata/sf0.001"
     val n = 500
