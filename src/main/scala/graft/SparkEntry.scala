@@ -917,21 +917,30 @@ object SparkEntry {
         |Disallow: /private/
         |Allow: /private/pub/
         |Disallow: /*.pdf$
+        |Crawl-delay: fast
+        |Crawl-delay: 3
         |
         |User-agent: *
         |Disallow: /
+        |Crawl-delay: 9
         |""".stripMargin,
     "example.co.uk" ->
       """User-agent: otherbot
         |Disallow: /
+        |Crawl-delay: 99
         |
         |User-agent: *
+        |Crawl-delay: 2
         |Disallow: /doc/
         |Allow: /doc/
         |Disallow: /files/
         |""".stripMargin) ++
+    // even sites allow-all; k = 0 states NO delay (the politeness-default
+    // path), k = 2/4/6 state 2/3/1 s; odd sites block everything
     (0 to 6).map(k => s"site$k.org" ->
-      (if (k % 2 == 0) s"User-agent: $robotsAgent\nDisallow:\n"
+      (if (k == 0) s"User-agent: $robotsAgent\nDisallow:\n"
+       else if (k % 2 == 0)
+         s"User-agent: $robotsAgent\nDisallow:\nCrawl-delay: ${k / 2 % 3 + 1}\n"
        else "User-agent: *\nDisallow: /\n"))
 
   /** X76 fixture dir: one real robots.txt file per origin. Driver-side
@@ -1041,6 +1050,31 @@ object SparkEntry {
         val rx = graft.codec.RobotsCodec.patternRegex(r.pattern).replace("'", "''")
         s"('$domain', ${r.pattern.length}, '$rx', ${r.allow})"
       }
+  }.mkString(", ")
+
+  /** X93: the per-origin Crawl-delay plane — one row per domain whose
+    * robots.txt states a delay for our product token (parsed by the same
+    * codec walk as the rules; origin-bounded, so consumers broadcast it). */
+  private def robotsDelays(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.format("text").option("wholetext", "true")
+      .load(s"${robotsDir(s, dir)}/*.robots.txt")
+      .select(input_file_name().as("file"), col("value").as("content"))
+      .as[(String, String)]
+      .flatMap { case (f, c) =>
+        val domain = f.split('/').last.stripSuffix(".robots.txt")
+        graft.codec.RobotsCodec.crawlDelayFor(c, robotsAgent)
+          .map(d => (domain, d))
+      }.toDF("domain", "delay_s")
+  }
+
+  /** X93 oracle delay rows — generated through the SAME
+    * [[graft.codec.RobotsCodec.crawlDelayFor]] walk over the seed (the
+    * robotsRulesSqlValues no-drift discipline). */
+  private lazy val robotsDelaysSqlValues: String = robotsSeed.flatMap {
+    case (domain, text) =>
+      graft.codec.RobotsCodec.crawlDelayFor(text, robotsAgent)
+        .map(d => s"('$domain', $d)")
   }.mkString(", ")
 
   // ---------------------------------------------- X70 web-pipeline fixtures
@@ -4574,6 +4608,44 @@ object SparkEntry {
         .agg(coalesce(max_by(col("allow"), score), lit(true)).as("allowed"))
     }),
 
+    // X93: crawl-delay POLITENESS SCHEDULING — the fetch planner between
+    // frontier curation and the actual GET: robots-allowed URLs queue FIFO
+    // per host (politeness is per-server), each host's queue is spaced by
+    // its origin's robots Crawl-delay (de-facto extension; whole seconds,
+    // first valid value in the selected groups, absent → 1 s default), and
+    // every host pins to one worker (md5-hash partition — same-host
+    // requests must serialize, different hosts spread). Plan shape: rules
+    // and delay planes BROADCAST; the one frontier-scale exchange is the
+    // per-host window (irreducible — per-host ordering IS the semantics);
+    // fetch_at/worker are scan-side arithmetic on top of it.
+    "d_crawl_schedule" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      import graft.plans.{SketchFunctions => F}
+      val rules = robotsRules(s, dir)
+      val urls = t(s, dir, "documents")
+        .select(col("doc_id"), F.url_normalize(robotsUrl(col("doc_id"))).as("url"))
+        .select(col("doc_id"),
+          F.url_host(col("url")).as("host"),
+          F.url_registered_domain(F.url_host(col("url")), pslFixture).as("domain"),
+          regexp_extract(col("url"), "^[a-z]+://[^/]+(/.*)$", 1).as("path"))
+      val j = urls.join(broadcast(rules), Seq("domain"), "left")
+      val score = when(col("regex").isNotNull &&
+        regexp_like(col("path"), col("regex")),
+        col("plen") * 2 + col("allow").cast("int"))
+      val allowed = j.groupBy("doc_id", "host", "domain")
+        .agg(coalesce(max_by(col("allow"), score), lit(true)).as("allowed"))
+        .where(col("allowed"))
+      allowed.join(broadcast(robotsDelays(s, dir)), Seq("domain"), "left")
+        .select(col("doc_id"), col("host"),
+          coalesce(col("delay_s"), lit(1L)).as("delay_s"))
+        .withColumn("slot", (row_number().over(
+          Window.partitionBy(col("host")).orderBy(col("doc_id"))) - 1)
+          .cast("bigint"))
+        .select(col("doc_id"), col("host"), col("slot"),
+          (col("slot") * col("delay_s") * lit(1000L)).as("fetch_at_ms"),
+          pmod(TextFunctions.hash48(col("host")), lit(8L)).as("worker"))
+    }),
+
     // X76+X74+X68 composed: the production FRONTIER CURATION flow end to
     // end — read the published CDX index, drop non-200/non-HTML captures
     // on index fields alone, canonicalize URLs and resolve registered
@@ -7977,6 +8049,51 @@ object SparkEntry {
                THEN r.plen * 2 + CAST(r.allow AS INT) END), true) AS allowed
          FROM urls u LEFT JOIN rules r USING (domain)
          GROUP BY 1, 2"""),
+
+    // X93 truth: the closed-form URL plant with its normalized HOST, the
+    // robots verdict replay, delay VALUES generated by the same codec walk
+    // (absent → the 1 s default), per-host FIFO slots by row_number, and
+    // the md5-hash48 worker pin
+    "d_crawl_schedule" -> (
+      s"""WITH urls AS (
+           SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'www.example.com'
+               WHEN 1 THEN 'blog.example.co.uk'
+               WHEN 2 THEN 'news.site' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+               ELSE 'example.com' END AS host,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'example.com'
+               WHEN 1 THEN 'example.co.uk'
+               WHEN 2 THEN 'site' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+               ELSE 'example.com' END AS domain,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN '/doc/' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN CASE WHEN doc_id % 2 = 0
+                 THEN '/private/pub/' || CAST(doc_id AS VARCHAR)
+                 ELSE '/private/' || CAST(doc_id AS VARCHAR) END
+               ELSE '/files/' || CAST(doc_id AS VARCHAR) || '.pdf' END AS path
+           FROM documents),
+         rules(domain, plen, regex, allow) AS (VALUES $robotsRulesSqlValues),
+         verdict AS (
+           SELECT u.doc_id, u.host, u.domain,
+             coalesce(arg_max(r.allow,
+               CASE WHEN regexp_matches(u.path, r.regex)
+                 THEN r.plen * 2 + CAST(r.allow AS INT) END), true) AS allowed
+           FROM urls u LEFT JOIN rules r USING (domain)
+           GROUP BY 1, 2, 3),
+         delays(domain, delay_s) AS (VALUES $robotsDelaysSqlValues),
+         sched AS (
+           SELECT v.doc_id, v.host,
+             CAST(COALESCE(d.delay_s, 1) AS BIGINT) AS delay_s
+           FROM verdict v LEFT JOIN delays d USING (domain)
+           WHERE v.allowed)
+         SELECT doc_id, host,
+           row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1 AS slot,
+           (row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1)
+             * delay_s * 1000 AS fetch_at_ms,
+           CAST(concat('0x', substr(md5(host), 1, 12)) AS BIGINT) % 8 AS worker
+         FROM sched"""),
 
     // X76+X74 composition truth: the index filter is the d_cdx_select
     // closed form (%13 status, %11 mime), the robots verdict replays the

@@ -40,20 +40,25 @@ object RobotsCodec {
     * pattern as written (its length is the precedence key). */
   final case class RobotsRule(pattern: String, allow: Boolean)
 
-  /** Parse `content` and return the merged rule list the given product
-    * token must obey (specific groups if any match, else the `*` groups,
-    * else empty = allow-all). */
-  def rulesFor(content: String, agent: String): Vector[RobotsRule] = {
+  /** One parsed group: its user-agent values (lowercased), its rules, and
+    * any `Crawl-delay` values (whole seconds; malformed values dropped at
+    * parse time). */
+  final case class RobotsGroup(agents: Vector[String],
+      rules: Vector[RobotsRule], delays: Vector[Long])
+
+  /** The groups the given product token must obey (specific groups if any
+    * match, else the `*` groups, else empty = allow-all). */
+  private def groupsFor(content: String, agent: String): Vector[RobotsGroup] = {
     val token = agent.toLowerCase(Locale.ROOT)
-    // (agents of the group, rules of the group)
-    val groups = Vector.newBuilder[(Vector[String], Vector[RobotsRule])]
+    val groups = Vector.newBuilder[RobotsGroup]
     var agents = Vector.empty[String]
     var rules = Vector.empty[RobotsRule]
+    var delays = Vector.empty[Long]
     var inAgents = false // true while consecutive user-agent lines accumulate
     var seenGroup = false
     def flush(): Unit = {
-      if (seenGroup) groups += ((agents, rules))
-      agents = Vector.empty; rules = Vector.empty
+      if (seenGroup) groups += RobotsGroup(agents, rules, delays)
+      agents = Vector.empty; rules = Vector.empty; delays = Vector.empty
     }
     content.split("\r?\n", -1).foreach { raw =>
       val noComment = raw.indexOf('#') match {
@@ -74,16 +79,32 @@ object RobotsCodec {
             // empty pattern matches nothing (RFC: "Disallow:" allows all)
             if (value.nonEmpty)
               rules :+= RobotsRule(value, allow = field == "allow")
-          case _ => // unknown field (crawl-delay, sitemap, ...) — ignored
+          case "crawl-delay" if seenGroup =>
+            // de-facto extension (not in RFC 9309): whole seconds only;
+            // malformed values are ignored like any unknown line
+            inAgents = false
+            if (value.matches("[0-9]{1,9}")) delays :+= value.toLong
+          case _ => // unknown field (sitemap, ...) — ignored
         }
       }
     }
     flush()
     val all = groups.result()
-    val specific = all.filter(_._1.contains(token))
-    val chosen = if (specific.nonEmpty) specific else all.filter(_._1.contains("*"))
-    chosen.flatMap(_._2)
+    val specific = all.filter(_.agents.contains(token))
+    if (specific.nonEmpty) specific else all.filter(_.agents.contains("*"))
   }
+
+  /** Parse `content` and return the merged rule list the given product
+    * token must obey. */
+  def rulesFor(content: String, agent: String): Vector[RobotsRule] =
+    groupsFor(content, agent).flatMap(_.rules)
+
+  /** The `Crawl-delay` (whole seconds) the given product token must obey:
+    * the FIRST valid value in its merged selected groups — a delay in a
+    * group the token doesn't select is ignored. None = the file states no
+    * delay (callers apply their politeness default). */
+  def crawlDelayFor(content: String, agent: String): Option[Long] =
+    groupsFor(content, agent).flatMap(_.delays).headOption
 
   /** Compile a path pattern to the anchored regex both the engine and the
     * DuckDB oracle evaluate: `^` + literal chars with regex metachars

@@ -164,4 +164,65 @@ class RobotsSpec extends SparkSpec {
     assert(domains.exists(_.startsWith("site")) &&
       !domains.exists(d => Set("site1.org", "site3.org", "site5.org")(d)))
   }
+
+  test("crawlDelayFor: selected group wins, invalid values skip, decoys ignore") {
+    val txt =
+      """User-agent: otherbot
+        |Crawl-delay: 99
+        |Disallow: /
+        |
+        |User-agent: graftbot
+        |Disallow: /x
+        |Crawl-delay: fast
+        |Crawl-delay: 3
+        |Crawl-delay: 5
+        |
+        |User-agent: *
+        |Crawl-delay: 7
+        |""".stripMargin
+    // first VALID value in the selected (specific) group; * group ignored
+    assert(RobotsCodec.crawlDelayFor(txt, "GraftBot") == Some(3L))
+    // no specific group → the * group's delay
+    assert(RobotsCodec.crawlDelayFor(txt, "somebot") == Some(7L))
+    // no delay stated anywhere for the selected groups
+    assert(RobotsCodec.crawlDelayFor(
+      "User-agent: graftbot\nDisallow:\n", "graftbot").isEmpty)
+    // a crawl-delay line ends the user-agent accumulation like a rule does
+    val split = "User-agent: a\nCrawl-delay: 2\nUser-agent: b\nCrawl-delay: 4\n"
+    assert(RobotsCodec.crawlDelayFor(split, "b") == Some(4L))
+    assert(RobotsCodec.crawlDelayFor(split, "a") == Some(2L))
+  }
+
+  test("d_crawl_schedule: per-host FIFO spacing honors each origin's delay, one worker per host") {
+    val rows = SparkEntry.queries("d_crawl_schedule")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // expected per-domain delays from the seed: example.com graftbot group
+    // 3 s (invalid 'fast' skipped, * group's 9 ignored), example.co.uk *
+    // group 2 s, site2/4/6 → 2/3/1 s, site0 absent → 1 s default
+    val delayOf: String => Long = {
+      case h if h.endsWith("example.com") => 3L
+      case h if h.endsWith("example.co.uk") => 2L
+      case "news.site2.org" => 2L
+      case "news.site4.org" => 3L
+      case "news.site6.org" => 1L
+      case "news.site0.org" => 1L // no Crawl-delay stated → default
+      case h => fail(s"unexpected host $h")
+    }
+    rows.groupBy(_._2).foreach { case (host, hs) =>
+      val byId = hs.sortBy(_._1)
+      // slots are 0..n-1 in doc_id order; fetch_at = slot · delay · 1000
+      byId.zipWithIndex.foreach { case ((_, _, slot, at, _), i) =>
+        assert(slot == i.toLong, s"$host slot gap at $i")
+        assert(at == slot * delayOf(host) * 1000L, s"$host fetch_at mismatch")
+      }
+      assert(hs.map(_._5).distinct.length == 1, s"$host spans workers")
+    }
+    // robots-blocked hosts never appear: odd .org sites, and nothing from
+    // a blocked path family survives on example.com (/private/ non-pub)
+    val hosts = rows.map(_._2).toSet
+    assert(!hosts.exists(h => Set("news.site1.org", "news.site3.org",
+      "news.site5.org")(h)))
+  }
 }
