@@ -3928,6 +3928,33 @@ object SparkEntry {
           array_join(transform(col("_ids"), _.cast("string")), ",").as("top_ids"))
     }),
 
+    // X96: the corpus DATASHEET — the "datasheets for datasets" reporting
+    // card every released corpus ships: one aggregation pass over the
+    // corpus producing the full (source × lang) breakdown PLUS per-source
+    // and global totals via ROLLUP (grouping-set partials — the corpus is
+    // scanned once, never per stratum). All stats live on integer grids
+    // (counts, exact sums, min/max, floor-div chars-per-kilotoken, exact
+    // md5-distinct as the dup-rate numerator), so DuckDB replays every
+    // cell bit-exactly.
+    "d_corpus_datasheet" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(split(trim(lower(col("text"))), "\\s+")).cast("bigint").as("n_toks"),
+          md5(trim(lower(col("text")))).as("h"))
+        .rollup("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_uniq"),
+          sum("n_toks").as("sum_toks"),
+          sum("n_chars").cast("bigint").as("sum_chars"),
+          min("n_toks").as("min_toks"),
+          max("n_toks").as("max_toks"),
+          expr("(sum(n_chars) * 1000) div sum(n_toks)").as("chars_per_ktok"))
+        .select(coalesce(col("source"), lit("<all>")).as("source"),
+          coalesce(col("lang"), lit("<all>")).as("lang"),
+          col("n_docs"), col("n_uniq"), col("sum_toks"), col("sum_chars"),
+          col("min_toks"), col("max_toks"), col("chars_per_ktok"))
+    }),
+
     // X60: mergeable fixed-grid histogram quantile sketch — the QUANTILE
     // sketch next to HLL (cardinality) and CMS (frequency): state = 128
     // long counters per group, merge = elementwise sum (map-side partials,
@@ -5182,6 +5209,34 @@ object SparkEntry {
           concat(col("text"), lit(" graftplantdup")).as("text"))
       Dedup.minhashVerifiedPairs(base.unionByName(planted),
         k = 64, bands = 32, candidateThreshold = 0.2, verifyThreshold = 0.8)
+    }),
+
+    // X94: LANGUAGE-ROUTED near-dup discovery — the FineWeb production
+    // discipline: dedup runs WITHIN each language partition, never across
+    // (a multilingual corpus must keep its translations and per-language
+    // twins; cross-language collisions are never merge evidence). The
+    // routing key rides EVERY dedup exchange — the identical-signature
+    // group window, the hot-bucket cap and the banded self-join are all
+    // keyed (lang, …) — so byte-identical docs in different languages
+    // structurally cannot pair. Planted proof: +10M near-dup twins share
+    // their base's language (must pair), +20M EXACT clones carry a
+    // different language (global dedup's easiest catch — routed dedup must
+    // NOT pair them). Routing here consumes the materialized lang column,
+    // i.e. the upstream lang-id stage's output (the live-gate composition
+    // is d_curate_pipeline_v2's).
+    "d_lang_routed_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "documents").where(col("n_chars") < 300)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val twins = base.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+          concat(col("text"), lit(" graftplantdup")).as("text"))
+      val xlang = base.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          concat(lit("x-"), col("lang")).as("lang"), col("text"))
+      Dedup.minhashVerifiedPairs(
+        base.unionByName(twins).unionByName(xlang),
+        k = 64, bands = 32, candidateThreshold = 0.2, verifyThreshold = 0.8,
+        routeCols = Seq("lang"))
     }),
 
     // X46 INCREMENTAL near-dup: the corpus's MinHash band index persists
@@ -7644,6 +7699,26 @@ object SparkEntry {
          FROM agg JOIN sk ON agg.source = sk.source
          JOIN tops ON agg.source = tops.source""",
 
+    // X96 truth: the same ROLLUP card — every stat on an integer grid, so
+    // each (source, lang) cell and every subtotal replays bit-exactly
+    "d_corpus_datasheet" ->
+      """WITH d AS (
+           SELECT source, lang, n_chars,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_toks,
+             md5(trim(lower(text))) AS h
+           FROM documents)
+         SELECT COALESCE(source, '<all>') AS source,
+           COALESCE(lang, '<all>') AS lang,
+           count(*) AS n_docs,
+           count(DISTINCT h) AS n_uniq,
+           CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(n_toks) AS min_toks,
+           max(n_toks) AS max_toks,
+           CAST((sum(n_chars) * 1000) // sum(n_toks) AS BIGINT) AS chars_per_ktok
+         FROM d
+         GROUP BY ROLLUP (source, lang)""",
+
     // X61 truth: the window form the aggregate replaces — row for row
     "d_top_per_source" ->
       """SELECT source, CAST(rnk AS INT) AS rank, doc_id
@@ -8476,6 +8551,35 @@ object SparkEntry {
              (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
          FROM g a, g b
          WHERE a.doc_id < b.doc_id
+           AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.8""",
+
+    // X94 truth: all-pairs exact trigram Jaccard WITH the language-equality
+    // routing predicate — the +20M exact clones (different language) must
+    // be absent, the +10M same-language twins present
+    "d_lang_routed_dedup" ->
+      """WITH base AS (
+           SELECT doc_id, lang, text FROM documents WHERE n_chars < 300),
+         corpus AS (
+           SELECT doc_id, lang, text FROM base
+           UNION ALL
+           SELECT doc_id + 10000000, lang, text || ' graftplantdup'
+           FROM base WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 20000000, 'x-' || lang, text
+           FROM base WHERE doc_id % 11 = 0),
+         g AS (
+           SELECT doc_id, lang,
+             list_distinct(list_transform(
+               generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2),
+               i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[i:i+2], ' '))) AS grams
+           FROM corpus WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 3)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard,
+           a.lang AS lang
+         FROM g a, g b
+         WHERE a.doc_id < b.doc_id AND a.lang = b.lang
            AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
              (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.8""",
 

@@ -183,19 +183,27 @@ object Dedup {
     result
   }
 
-  /** (id, sig) plane — one fused native pass per row. Caller persists. */
+  /** (id[, route...], sig) plane — one fused native pass per row. Caller
+    * persists. `routeCols` (X94) carry the partition-routing keys every
+    * downstream exchange must include. */
   private def signatures(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, shingleN: Int): DataFrame =
-    docs.select(col(idCol).as("id"), minhashSignature(col(textCol), k, shingleN).as("sig"))
+      k: Int, shingleN: Int, routeCols: Seq[String] = Nil): DataFrame =
+    docs.select(col(idCol).as("id") +: routeCols.map(col) :+
+      minhashSignature(col(textCol), k, shingleN).as("sig"): _*)
 
   /** Identical-signature grouping (one shuffle on the signature):
     * membership plane (id, rep) with rep = min id of the group, and the
-    * rep (id, sig) plane that feeds banding — a flood of N identical docs
-    * contributes ONE banding row, never a quadratic bucket. */
-  private def sigGroups(signed: DataFrame): (DataFrame, DataFrame) = {
-    val withRep = signed.withColumn("rep", min(col("id")).over(Window.partitionBy(col("sig"))))
+    * rep (id[, route...], sig) plane that feeds banding — a flood of N
+    * identical docs contributes ONE banding row, never a quadratic bucket.
+    * With `routeCols` the group key is (route..., sig): byte-identical
+    * docs in different routes stay separate groups by construction. */
+  private def sigGroups(signed: DataFrame,
+      routeCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    val withRep = signed.withColumn("rep", min(col("id"))
+      .over(Window.partitionBy(routeCols.map(col) :+ col("sig"): _*)))
     (withRep.select(col("id"), col("rep")),
-      withRep.where(col("id") === col("rep")).select(col("id"), col("sig")))
+      withRep.where(col("id") === col("rep"))
+        .select(col("id") +: routeCols.map(col) :+ col("sig"): _*))
   }
 
   /** Rep-level banded candidate pairs with the hot-bucket cap.
@@ -209,15 +217,17 @@ object Dedup {
     * Because identical signatures collapsed to reps upstream, the cap only
     * ever drops buckets of genuinely DISTINCT signatures (a hash pile-up) —
     * never the duplicate floods dedup exists to catch. */
-  private def bandedCandidates(reps: DataFrame, bands: Int, maxBucketSize: Int): DataFrame = {
-    val banded = reps.select(col("id"),
-      posexplode(SketchFunctions.minhash_bands(col("sig"), bands)).as(Seq("band", "bucket")))
-    val hot = banded.groupBy("band", "bucket").agg(count(lit(1)).as("_bsz"))
-      .where(col("_bsz") > maxBucketSize).select("band", "bucket")
-    val capped = banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
-    val l = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val r = capped.select(col("band"), col("bucket"), col("id").as("id_b"))
-    l.join(r, Seq("band", "bucket"))
+  private def bandedCandidates(reps: DataFrame, bands: Int, maxBucketSize: Int,
+      routeCols: Seq[String] = Nil): DataFrame = {
+    val banded = reps.select(col("id") +: routeCols.map(col) :+
+      posexplode(SketchFunctions.minhash_bands(col("sig"), bands)).as(Seq("band", "bucket")): _*)
+    val bucketKey = routeCols ++ Seq("band", "bucket")
+    val hot = banded.groupBy(bucketKey.map(col): _*).agg(count(lit(1)).as("_bsz"))
+      .where(col("_bsz") > maxBucketSize).select(bucketKey.map(col): _*)
+    val capped = banded.join(broadcast(hot), bucketKey, "left_anti")
+    val l = capped.select(bucketKey.map(col) :+ col("id").as("id_a"): _*)
+    val r = capped.select(bucketKey.map(col) :+ col("id").as("id_b"): _*)
+    l.join(r, bucketKey)
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
@@ -249,18 +259,19 @@ object Dedup {
       shingleN: Int = 3,
       candidateThreshold: Double = 0.2,
       verifyThreshold: Double = 0.8,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      routeCols: Seq[String] = Nil): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
     SketchFunctions.register(docs.sparkSession)
-    val signed = signatures(docs, idCol, textCol, k, shingleN)
+    val signed = signatures(docs, idCol, textCol, k, shingleN, routeCols)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val (members0, reps) = sigGroups(signed)
+    val (members0, reps) = sigGroups(signed, routeCols)
     val members = members0.persist(StorageLevel.MEMORY_AND_DISK)
 
     // Rep-level candidates, gated on the signature estimate while pairs are
     // still one-per-signature-group (members share the rep's signature
     // EXACTLY, so the gate generalizes to every expanded member pair).
-    val repCands0 = bandedCandidates(reps, bands, maxBucketSize)
+    val repCands0 = bandedCandidates(reps, bands, maxBucketSize, routeCols)
     val repCands =
       if (candidateThreshold <= 0) repCands0
       else repCands0
@@ -294,13 +305,19 @@ object Dedup {
       .where(size(col("grams")) > 0)
       .withColumn("n_grams", size(col("grams")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val result = cands
+    val verified = cands
       .join(shingled.select(col("id").as("id_a"), col("grams").as("ga"), col("n_grams").as("na")), Seq("id_a"))
       .join(shingled.select(col("id").as("id_b"), col("grams").as("gb"), col("n_grams").as("nb")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= verifyThreshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    // Route columns ride back onto the (small) verified pair frame from the
+    // signature cache — pairs are within-route by construction, so id_a's
+    // route is the pair's route.
+    val result = (if (routeCols.isEmpty) verified
+      else verified.join(
+        signed.select(col("id").as("id_a") +: routeCols.map(col): _*), Seq("id_a")))
       .localCheckpoint(true)
     shingled.unpersist()
     members.unpersist()

@@ -404,4 +404,27 @@ class DedupSimilaritySpec extends SparkSpec {
     // winner site (doc 1, pos 0) is never excised
     assert(!sites.contains((1L, 0L)))
   }
+
+  test("routed pairs: byte-identical docs in different routes never pair; unrouted does") {
+    val docs = Seq(
+      (1L, "en", base1), (2L, "en", base1 + " tailtok"),   // same-route near-dups
+      (3L, "de", base1),                                    // exact clone, other route
+      (4L, "en", base2), (5L, "de", base2)                  // exact clones across routes
+    ).toDF("doc_id", "lang", "text")
+    val routed = Dedup.minhashVerifiedPairs(docs, verifyThreshold = 0.8,
+      routeCols = Seq("lang"))
+      .select("id_a", "id_b", "lang")
+      .as[(Long, Long, String)].collect().toSet
+    // within-route near-dup found, tagged with its route
+    assert(routed.contains((1L, 2L, "en")), s"missed in-route pair: $routed")
+    // the cross-route exact clones are structurally invisible to every
+    // routed exchange — group window, hot cap, banded join
+    assert(!routed.exists { case (a, b, _) =>
+      Set((1L, 3L), (2L, 3L), (4L, 5L))(a -> b) }, s"cross-route leak: $routed")
+    // differential: the UNROUTED operator on the same corpus pairs them
+    val unrouted = Dedup.minhashVerifiedPairs(docs, verifyThreshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(unrouted.contains((1L, 3L)) && unrouted.contains((4L, 5L)),
+      s"unrouted baseline lost the exact clones: $unrouted")
+  }
 }
