@@ -820,6 +820,107 @@ object SparkEntry {
     (w0 +: steps).mkString(",\n         ")
   }
 
+  /** X95 oracle truth, DP block generator: the X79 Viterbi key recurrence
+    * as UNROLLED JOIN CTEs (no recursion — piece lookups are hash joins
+    * against the iteration's `$pieces(piece, cost)` CTE, never a
+    * list_position scan): forward key levels b1..bL over the shared
+    * substring plane `ugtall`, the tall position-key plane K, the
+    * backtrack walk s0..sL (each step pops the chosen piece via the
+    * 64 − (key mod 64) length the kernel encodes), and the usage recount
+    * `${p}u`. MATERIALIZED throughout (the bpeTrainChainSql
+    * exponential-inlining lesson). */
+  private def ugDpSql(p: String, pieces: String, maxWordLen: Int,
+      maxPieceLen: Int): String = {
+    val cc =
+      s"""${p}cc AS MATERIALIZED (
+           SELECT t.word, t.i, t.l, COALESCE(pc.cost, 100000) AS cost
+           FROM ugtall t LEFT JOIN $pieces pc ON pc.piece = t.piece),
+         ${p}b0 AS (SELECT word, CAST(0 AS BIGINT) AS k FROM ugw)"""
+    val fwd = (1 to maxWordLen).map { i =>
+      val prev = (1 to math.min(maxPieceLen, i)).map { l =>
+        s"SELECT word, CAST(${i - l} AS INT) AS j, k FROM ${p}b${i - l}"
+      }.mkString(" UNION ALL ")
+      s"""${p}b$i AS MATERIALIZED (
+           SELECT c.word, min((q.k // 64 + c.cost) * 64 + (64 - c.l)) AS k
+           FROM ${p}cc c JOIN ($prev) q
+             ON q.word = c.word AND c.l = $i - q.j
+           WHERE c.i = $i GROUP BY c.word)"""
+    }
+    val kPlane = (1 to maxWordLen).map(i =>
+      s"SELECT word, CAST($i AS INT) AS i, k FROM ${p}b$i")
+      .mkString(" UNION ALL ")
+    val kCte = s"${p}K AS MATERIALIZED ($kPlane)"
+    val s0 =
+      s"""${p}s0 AS (SELECT word, cnt, CAST(length(word) AS INT) AS j,
+           CAST([] AS VARCHAR[]) AS toks FROM ugw)"""
+    val back = (1 to maxWordLen).map { t =>
+      s"""${p}s$t AS MATERIALIZED (
+           SELECT s.word, s.cnt,
+             CASE WHEN s.j = 0 THEN 0
+               ELSE s.j - CAST(64 - (k.k % 64) AS INT) END AS j,
+             CASE WHEN s.j = 0 THEN s.toks
+               ELSE list_prepend(
+                 s.word[s.j - CAST(64 - (k.k % 64) AS INT) + 1 : s.j],
+                 s.toks) END AS toks
+           FROM ${p}s${t - 1} s
+           LEFT JOIN ${p}K k ON k.word = s.word AND k.i = s.j)"""
+    }
+    val u =
+      s"""${p}u AS MATERIALIZED (
+           SELECT piece, CAST(sum(cnt) AS BIGINT) AS c
+           FROM (SELECT cnt, unnest(toks) AS piece FROM ${p}s$maxWordLen)
+           GROUP BY piece)"""
+    (Seq(cc) ++ fwd ++ Seq(kCte, s0) ++ back ++ Seq(u)).mkString(",\n         ")
+  }
+
+  /** X95 oracle truth: the COMPLETE two-round hard-EM unigram training —
+    * word plane (≤16-char words), substring plane, seed inventory
+    * (singles + top-64 multis), both floor-log2 cost grids
+    * (FL2 = length(bin(x)) − 1, exactly the engine's bit-length), and
+    * both unrolled Viterbi E-steps. */
+  private lazy val ugTrainSql: String = {
+    val (maxW, maxP) = (16, 4)
+    s"""WITH ugw AS MATERIALIZED (
+         SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+               FROM documents)
+         WHERE word <> '' AND length(word) <= $maxW GROUP BY word),
+       ugtall AS MATERIALIZED (
+         SELECT word, cnt, i, l, word[i - l + 1 : i] AS piece
+         FROM ugw,
+           LATERAL (SELECT unnest(generate_series(1, CAST(length(word) AS INT))) AS i) a,
+           LATERAL (SELECT unnest(generate_series(1, least($maxP, i))) AS l) b),
+       ugsc AS MATERIALIZED (
+         SELECT piece, CAST(sum(cnt) AS BIGINT) AS c FROM ugtall GROUP BY piece),
+       uginv AS MATERIALIZED (
+         SELECT piece, c FROM ugsc WHERE length(piece) = 1
+         UNION ALL
+         SELECT piece, c FROM (
+           SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rn
+           FROM ugsc WHERE length(piece) >= 2) t WHERE rn <= 64),
+       ugp1 AS MATERIALIZED (
+         SELECT piece,
+           (length(bin(CAST((SELECT sum(c) FROM uginv) AS BIGINT))) - 1)
+             - (length(bin(c)) - 1) + 1 AS cost
+         FROM uginv),
+       ${ugDpSql("ug1", "ugp1", maxW, maxP)},
+       ugc2 AS MATERIALIZED (
+         SELECT i.piece, CAST(COALESCE(u.c, 0) + 1 AS BIGINT) AS c
+         FROM uginv i LEFT JOIN ug1u u ON u.piece = i.piece),
+       ugp2 AS MATERIALIZED (
+         SELECT piece,
+           (length(bin(CAST((SELECT sum(c) FROM ugc2) AS BIGINT))) - 1)
+             - (length(bin(c)) - 1) + 1 AS cost
+         FROM ugc2),
+       ${ugDpSql("ug2", "ugp2", maxW, maxP)}
+       SELECT piece, n_uses, cost FROM (
+         SELECT i.piece, COALESCE(u.c, 0) AS n_uses, CAST(p.cost AS BIGINT) AS cost,
+           row_number() OVER (ORDER BY COALESCE(u.c, 0) DESC, i.piece) AS rn
+         FROM uginv i LEFT JOIN ug2u u ON u.piece = i.piece
+         JOIN ugp2 p ON p.piece = i.piece) t
+       WHERE rn <= 40"""
+  }
+
   /** X81 oracle truth, stage 2: the five PageRank iterations UNROLLED —
     * each r{i} replays the identical BIGINT-grid arithmetic (floor-div on
     * non-negative values, so DuckDB `//` equals Spark `div`; integer sums
@@ -3483,6 +3584,20 @@ object SparkEntry {
         t(s, dir, "documents"), 8)
       merges.toDF("step", "pair", "score", "cnt")
     }),
+
+    // X95: DISTRIBUTED Unigram-LM TRAINING — the hard-EM loop that
+    // completes the trainer triple (X84 frequency, X87 likelihood-gain,
+    // this): seed inventory = every single char + the 64 most frequent
+    // substrings of length 2..4, costs on the exact floor-log2 grid
+    // FL2(T) − FL2(c) + 1 (FL2 = bit length − 1, no float log), then two
+    // rounds of Viterbi-segment (the X79 native kernel, per-word scan
+    // projection) + usage recount (one ≤|inventory|-row exchange) + cost
+    // refresh with c ← uses + 1 smoothing. The oracle replays BOTH full
+    // E-steps as unrolled join-DP chains — forward key levels, backtrack
+    // walk, recount — plus the seed statistics and both cost grids, so
+    // training replays end to end with zero drift surface.
+    "d_unigram_train" -> ((s, dir) =>
+      TextFunctions.unigramTrainDistributed(t(s, dir, "documents"))),
 
     // X75: WordPiece-encode the corpus — the second tokenizer family
     // (greedy longest-match-first over a FIXED vocab, the BERT shape) as
@@ -7153,6 +7268,10 @@ object SparkEntry {
          ${(1 to 8).map(i =>
            s"SELECT $i AS step, pair, score, cab AS cnt FROM b$i")
            .mkString("\n         UNION ALL\n         ")}"""),
+
+    // X95 truth: seed statistics + both cost grids + both E-steps replayed
+    // as unrolled join-DP chains (see ugDpSql / ugTrainSql)
+    "d_unigram_train" -> ugTrainSql,
 
     // word when nothing matches; vocab literals generated from the engine
     // table

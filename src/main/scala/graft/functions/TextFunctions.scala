@@ -189,6 +189,84 @@ object TextFunctions {
     (merges.result(), words)
   }
 
+  /** X95: DISTRIBUTED Unigram-LM training — the hard-EM loop completing
+    * the trainer triple next to [[bpeTrainDistributed]] (frequency) and
+    * [[wordpieceTrainDistributed]] (likelihood gain): seed a piece
+    * inventory from corpus substring statistics (the SentencePiece seed
+    * stage — every single char, plus the `topMulti` most frequent
+    * substrings of length 2..`maxPieceLen` by (count DESC, piece ASC)),
+    * then alternate (E) Viterbi-segment the word plane under the current
+    * integer costs via the NATIVE X79 kernel and (M) recount piece usage
+    * and refresh costs. Determinism discipline: cost(p) = FL2(T) − FL2(c)
+    * + 1 on the exact floor-log2 grid (FL2 via bit length — DuckDB
+    * replays it as length(bin(x)) − 1, no float log), usage smoothing
+    * c ← u + 1 keeps every inventory piece finite, and the DP tie key is
+    * X79's cost·64 + (64 − len). Words longer than `maxWordLen` chars are
+    * excluded from the training plane (stated — SentencePiece caps its
+    * candidate lengths the same way).
+    *
+    * Shuffle shape for 100 TB: the corpus collapses ONCE into the word
+    * plane (bounded by distinct words — Heaps' law), the substring plane
+    * is ≤ maxWordLen·maxPieceLen rows per word, the inventory is
+    * alphabet + topMulti rows (broadcast as the kernel's reference
+    * object), and each E-step is a scan projection over the word plane
+    * whose usage aggregate exchanges ≤ |inventory| rows after map-side
+    * partials. Two bounded collects per iteration — the X84 discipline.
+    *
+    * Returns the top-`reportK` final pieces by (n_uses DESC, piece ASC)
+    * with the usage count and the cost the final segmentation ran under. */
+  def unigramTrainDistributed(docs: org.apache.spark.sql.DataFrame,
+      iters: Int = 2, maxPieceLen: Int = 4, maxWordLen: Int = 16,
+      topMulti: Int = 64, reportK: Int = 40,
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    graft.plans.SketchFunctions.register(spark)
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .where(col("word") =!= "" && length(col("word")) <= maxWordLen)
+      .groupBy("word").agg(count(lit(1)).cast("long").as("cnt"))
+      .localCheckpoint(true)
+    val tall = words
+      .select(col("word"), col("cnt"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("word"), col("cnt"), col("i"),
+        explode(sequence(lit(1), least(lit(maxPieceLen), col("i")))).as("l"))
+      .select(col("cnt"), expr("substring(word, i - l + 1, l)").as("piece"))
+    val sc = tall.groupBy("piece").agg(sum("cnt").as("c"))
+    val singles = sc.where(length(col("piece")) === 1)
+    val multis = sc.where(length(col("piece")) >= 2)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("piece"))))
+      .where(col("rn") <= topMulti).drop("rn")
+    // inventory: bounded by construction (|alphabet| + topMulti)
+    val inv: Array[(String, Long)] = singles.unionByName(multis)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def fl2(x: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    def costsOf(counts: Map[String, Long]): Seq[(String, Int)] = {
+      val t = counts.values.sum
+      inv.toSeq.map { case (p, _) => (p, fl2(t) - fl2(counts(p)) + 1) }
+    }
+    var counts: Map[String, Long] = inv.toMap
+    var vocab: Seq[(String, Int)] = Nil
+    var usage: Map[String, Long] = Map.empty
+    for (_ <- 1 to iters) {
+      vocab = costsOf(counts)
+      usage = words
+        .select(col("cnt"), explode(unigramEncode(col("word"), vocab)).as("piece"))
+        .groupBy("piece").agg(sum("cnt").as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap // ≤ |inv|
+      counts = inv.map { case (p, _) => (p, usage.getOrElse(p, 0L) + 1L) }.toMap
+    }
+    val costOf = vocab.toMap
+    val report = inv.toSeq
+      .map { case (p, _) => (p, usage.getOrElse(p, 0L), costOf(p).toLong) }
+      .sortBy { case (p, u, _) => (-u, p) }
+      .take(reportK)
+    import spark.implicits._
+    report.toDF("piece", "n_uses", "cost")
+  }
+
   /** bpe_encode(text) → array<string> subword stream (native codegen'd
     * expression; merge table rides as a reference object). Requires
     * SketchFunctions.register on the session. */

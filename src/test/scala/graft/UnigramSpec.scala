@@ -126,4 +126,70 @@ class UnigramSpec extends SparkSpec {
     val b = q.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(a == b)
   }
+
+  /** Local hard-EM reference: the same seed statistics, floor-log2 cost
+    * grid, smoothing and Viterbi (via the kernel's own encodeWord) as
+    * unigramTrainDistributed — but single-threaded plain Scala. */
+  private def localUnigramTrain(texts: Seq[String], iters: Int,
+      maxPieceLen: Int = 4, maxWordLen: Int = 16, topMulti: Int = 64,
+      reportK: Int = 40): Seq[(String, Long, Long)] = {
+    val words = texts.flatMap(_.trim.toLowerCase.split("\\s+"))
+      .filter(w => w.nonEmpty && w.length <= maxWordLen)
+      .groupBy(identity).map { case (w, g) => (w, g.size.toLong) }
+    val sub = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, c) <- words; i <- 1 to w.length;
+         l <- 1 to math.min(maxPieceLen, i))
+      sub(w.substring(i - l, i)) = sub.getOrElse(w.substring(i - l, i), 0L) + c
+    val singles = sub.filter(_._1.length == 1).toSeq
+    val multis = sub.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(topMulti)
+    val inv = (singles ++ multis).sortBy(_._1)
+    def fl2(x: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    var counts = inv.toMap
+    var vocab: Seq[(String, Int)] = Nil
+    var usage = Map.empty[String, Long]
+    for (_ <- 1 to iters) {
+      val t = counts.values.sum
+      vocab = inv.map { case (p, _) => (p, fl2(t) - fl2(counts(p)) + 1) }
+      val v = new UnigramOps.Vocab(
+        vocab.map { case (p, c) => p + "\u0001" + c })
+      val u = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, c) <- words; p <- UnigramOps.encodeWord(w, v))
+        u(p) = u.getOrElse(p, 0L) + c
+      usage = u.toMap
+      counts = inv.map { case (p, _) => (p, usage.getOrElse(p, 0L) + 1L) }.toMap
+    }
+    val costOf = vocab.toMap
+    inv.map { case (p, _) => (p, usage.getOrElse(p, 0L), costOf(p).toLong) }
+      .sortBy { case (p, u, _) => (-u, p) }.take(reportK)
+  }
+
+  test("distributed hard-EM training equals the local reference on corpus rows") {
+    val texts = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").collect().map(_.getString(0)).toSeq
+    val want = localUnigramTrain(texts, iters = 2)
+    val got = SparkEntry.queries("d_unigram_train")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
+  test("the E-step matters: iteration-2 costs differ from seed costs on a planted corpus") {
+    import spark.implicits._
+    // 'abab' words make seed substring counts favor 'ab'/'ba'/'aba'/'bab'
+    // equally-ish, but the first Viterbi pass commits to specific pieces —
+    // usage-derived costs must then diverge from the seed grid
+    val docs = (Seq.fill(30)("abab cdcd abab") ++ Seq.fill(10)("ab cd") ++
+      Seq("xyz zyx")).toDF("text")
+    val one = TextFunctions.unigramTrainDistributed(docs, iters = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val two = TextFunctions.unigramTrainDistributed(docs, iters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(one.nonEmpty && two.nonEmpty)
+    assert(one != two, "second EM round changed nothing — the loop is dead")
+    // both settings still agree with the local reference
+    val texts = Seq.fill(30)("abab cdcd abab") ++ Seq.fill(10)("ab cd") ++
+      Seq("xyz zyx")
+    assert(one == localUnigramTrain(texts, iters = 1))
+    assert(two == localUnigramTrain(texts, iters = 2))
+  }
 }
