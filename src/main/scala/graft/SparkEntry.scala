@@ -1178,6 +1178,53 @@ object SparkEntry {
         .map(d => s"('$domain', $d)")
   }.mkString(", ")
 
+  /** X93/X93s shared truth: the closed-form URL plant with its normalized
+    * host, the robots verdict replay, the codec-generated delay table
+    * (absent → 1 s default), per-host FIFO slots and the md5-hash48 worker
+    * pin. The STREAMING twin replays the same SQL verbatim: its range
+    * batches arrive in ascending doc_id order and each batch sorts within
+    * host, so the incremental slots equal the global row_number. */
+  private lazy val crawlScheduleSql: String =
+    s"""WITH urls AS (
+           SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'www.example.com'
+               WHEN 1 THEN 'blog.example.co.uk'
+               WHEN 2 THEN 'news.site' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+               ELSE 'example.com' END AS host,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'example.com'
+               WHEN 1 THEN 'example.co.uk'
+               WHEN 2 THEN 'site' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+               ELSE 'example.com' END AS domain,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN '/doc/' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN CASE WHEN doc_id % 2 = 0
+                 THEN '/private/pub/' || CAST(doc_id AS VARCHAR)
+                 ELSE '/private/' || CAST(doc_id AS VARCHAR) END
+               ELSE '/files/' || CAST(doc_id AS VARCHAR) || '.pdf' END AS path
+           FROM documents),
+         rules(domain, plen, regex, allow) AS (VALUES $robotsRulesSqlValues),
+         verdict AS (
+           SELECT u.doc_id, u.host, u.domain,
+             coalesce(arg_max(r.allow,
+               CASE WHEN regexp_matches(u.path, r.regex)
+                 THEN r.plen * 2 + CAST(r.allow AS INT) END), true) AS allowed
+           FROM urls u LEFT JOIN rules r USING (domain)
+           GROUP BY 1, 2, 3),
+         delays(domain, delay_s) AS (VALUES $robotsDelaysSqlValues),
+         sched AS (
+           SELECT v.doc_id, v.host,
+             CAST(COALESCE(d.delay_s, 1) AS BIGINT) AS delay_s
+           FROM verdict v LEFT JOIN delays d USING (domain)
+           WHERE v.allowed)
+         SELECT doc_id, host,
+           row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1 AS slot,
+           (row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1)
+             * delay_s * 1000 AS fetch_at_ms,
+           CAST(concat('0x', substr(md5(host), 1, 12)) AS BIGINT) % 8 AS worker
+         FROM sched"""
+
   // ---------------------------------------------- X70 web-pipeline fixtures
 
   /** The mojibake tail planted into every page ("CafÃ© â€” dÃ©jÃ  vu"):
@@ -4719,6 +4766,59 @@ object SparkEntry {
           size(split(col("main"), "[ \n]")).cast("bigint").as("n_main_toks"))
     }),
 
+    // X97: the COLUMNAR index — production Common Crawl publishes the
+    // cc-index-table as PARQUET next to the CDX files precisely so engines
+    // can select captures with pushed-down columnar predicates before
+    // touching shard bytes. The fixture derives the parquet index from the
+    // SAME .cdx lines (one parse at write time) and materializes url_host /
+    // url_registered_domain as their OWN columns the way cc-index-table
+    // does — so the domain filter is a plain string equality the parquet
+    // scan pushes. Status + mime + domain all land in PushedFilters, the
+    // scan reads only the four consumed columns (CdxSpec pins both), and
+    // the fetch is X74's range reader — at 100 TB this is the difference
+    // between scanning a ~0.1%-of-shards index with row-group pruning and
+    // parsing JSON lines.
+    "d_cdx_parquet_select" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      import graft.plans.{SketchFunctions => F}
+      val warcDir = cdxShards(s, dir)
+      val idxDir = sessionMemo("cdxparquet", s, dir) {
+        val out = java.nio.file.Files.createTempDirectory("graft-cdxpq").toString
+        s.read.textFile(s"$warcDir/*.cdx").toDF("line")
+          .select(split(col("line"), " ", 3).as("f"))
+          .select(col("f").getItem(0).as("surt_key"),
+            col("f").getItem(1).as("ts"),
+            from_json(col("f").getItem(2),
+              org.apache.spark.sql.types.StructType.fromDDL(
+                graft.codec.CdxCodec.PayloadSchemaDdl)).as("j"))
+          .select(col("surt_key"), col("ts"),
+            col("j.url").as("url"),
+            F.url_host(F.url_normalize(col("j.url"))).as("url_host"),
+            F.url_registered_domain(
+              F.url_host(F.url_normalize(col("j.url"))), pslFixture)
+              .as("url_registered_domain"),
+            col("j.status").cast("int").as("status"),
+            col("j.mime").as("mime"),
+            col("j.filename").as("filename"),
+            col("j.offset").cast("long").as("offset"),
+            col("j.length").cast("long").as("length"))
+          .write.mode("overwrite").parquet(out)
+        out
+      }
+      val selected = s.read.parquet(idxDir)
+        .where(col("status") === 200 && col("mime") === "text/html" &&
+          col("url_registered_domain") === "example.co.uk")
+        .select(concat(lit(warcDir + "/"), col("filename")).as("filename"),
+          col("offset"), col("length"))
+      graft.sources.WarcRangeReader
+        .fetchMembers(selected)
+        .select(substring_index(col("uri"), "/", -1).cast("long").as("doc_id"),
+          col("uri").as("url"),
+          F.html_main_text(F.normalize_text(col("body"))).as("main"))
+        .select(col("doc_id"), col("url"),
+          size(split(col("main"), "[ \n]")).cast("bigint").as("n_main_toks"))
+    }),
+
     // X76: robots.txt exclusion (RFC 9309) — the crawl-politeness /
     // opt-out-compliance gate a production corpus pipeline runs over its
     // whole URL frontier: parse each origin's REAL robots.txt bytes into
@@ -4786,6 +4886,74 @@ object SparkEntry {
         .select(col("doc_id"), col("host"), col("slot"),
           (col("slot") * col("delay_s") * lit(1000L)).as("fetch_at_ms"),
           pmod(TextFunctions.hash48(col("host")), lit(8L)).as("worker"))
+    }),
+
+    // X93s: INCREMENTAL politeness scheduling — the live-crawler form of
+    // d_crawl_schedule: the frontier arrives in micro-batches (range-
+    // sharded files, ascending mtimes) and each host's slot counter
+    // CONTINUES across batches via flatMapGroupsWithState (state = one
+    // long per host; a counter that reset per batch would schedule
+    // colliding fetch times). URL hygiene stays the same relational scan
+    // projections; the robots verdict inside the state function is the
+    // codec's reference decision, spec-proven equal to the batch max_by.
+    // Drained output replays the batch oracle verbatim.
+    "d_stream_crawl_schedule" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      import graft.plans.{SketchFunctions => F}
+      import s.implicits._
+      val sd = sessionMemo("crawlstreamdir", s, dir) {
+        import org.apache.spark.sql.Row
+        val wd = java.nio.file.Files.createTempDirectory("graft-crawlstream").toString
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          s.sparkContext.hadoopConfiguration)
+        val ids = t(s, dir, "documents").select(col("doc_id"))
+        val maxId = ids.agg(max("doc_id")).head().getLong(0)
+        val qsz = maxId / 4 + 1
+        (0 to 3).foreach { sh =>
+          ids.where(col("doc_id") >= sh * qsz && col("doc_id") < (sh + 1) * qsz)
+            .coalesce(1)
+            .foreachPartition { (it: Iterator[Row]) =>
+              val lines = it.map(_.getLong(0)).toArray.sorted.mkString("\n")
+              if (lines.nonEmpty) {
+                val path = new org.apache.hadoop.fs.Path(s"$wd/frontier$sh.txt")
+                val fs = path.getFileSystem(conf.value)
+                val out = fs.create(path, true)
+                out.write(lines.getBytes("UTF-8"))
+                out.close()
+              }
+            }
+          val f = new java.io.File(s"$wd/frontier$sh.txt")
+          if (f.exists) f.setLastModified(1700000000000L + sh * 60000L)
+        }
+        wd
+      }
+      // rules + delays from the SAME seed the fixture files carry (the
+      // robotsRulesSqlValues no-drift discipline); both origin-bounded
+      val rules = robotsSeed.map { case (d, txt) =>
+        d -> graft.codec.RobotsCodec.rulesFor(txt, robotsAgent) }.toMap
+      val delays = robotsSeed.flatMap { case (d, txt) =>
+        graft.codec.RobotsCodec.crawlDelayFor(txt, robotsAgent).map(d -> _) }.toMap
+      val urls = s.readStream.format("text")
+        .option("maxFilesPerTrigger", 1).load(sd)
+        .select(col("value").cast("long").as("doc_id"))
+        .select(col("doc_id"), F.url_normalize(robotsUrl(col("doc_id"))).as("url"))
+        .select(col("doc_id"),
+          F.url_host(col("url")).as("host"),
+          F.url_registered_domain(F.url_host(col("url")), pslFixture).as("domain"),
+          regexp_extract(col("url"), "^[a-z]+://[^/]+(/.*)$", 1).as("path"))
+        .as[graft.streaming.CrawlScheduler.FrontierUrl]
+      withStatefulShuffle(s, 8) {
+        val q = graft.streaming.CrawlScheduler.schedule(urls, rules, delays)
+          .toDF()
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("append")
+          .format("memory")
+          .queryName("crawl_sched_sink")
+          .start()
+        q.awaitTermination()
+      }
+      s.table("crawl_sched_sink")
     }),
 
     // X76+X74+X68 composed: the production FRONTIER CURATION flow end to
@@ -8216,6 +8384,20 @@ object SparkEntry {
            CAST(len(regexp_split_to_array(e.main, '[ \\n]')) AS BIGINT) AS n_main_toks
          FROM extracted e SEMI JOIN sel USING (doc_id)"""),
 
+    // X97 truth: the columnar path must land on exactly the same selected
+    // set and the same member bytes as the line-index path — the closed
+    // form is d_cdx_select's
+    "d_cdx_parquet_select" -> (
+      s"""WITH $webCorpusSql,
+           sel AS (
+             SELECT doc_id FROM webin
+             WHERE doc_id % 13 <> 0 AND doc_id % 11 <> 0
+               AND CAST(doc_id % 4 AS INT) = 1)
+         SELECT e.doc_id,
+           'http://Blog.Example.CO.UK/doc/' || CAST(e.doc_id AS VARCHAR) AS url,
+           CAST(len(regexp_split_to_array(e.main, '[ \\n]')) AS BIGINT) AS n_main_toks
+         FROM extracted e SEMI JOIN sel USING (doc_id)"""),
+
     // X76 truth: the rules VALUES are generated from the SAME seed texts
     // through the SAME RobotsCodec parse + regex compile the engine runs
     // (no-drift), the urls replay the closed form, and DuckDB re-evaluates
@@ -8248,46 +8430,13 @@ object SparkEntry {
     // robots verdict replay, delay VALUES generated by the same codec walk
     // (absent → the 1 s default), per-host FIFO slots by row_number, and
     // the md5-hash48 worker pin
-    "d_crawl_schedule" -> (
-      s"""WITH urls AS (
-           SELECT doc_id,
-             CASE CAST(doc_id % 4 AS INT)
-               WHEN 0 THEN 'www.example.com'
-               WHEN 1 THEN 'blog.example.co.uk'
-               WHEN 2 THEN 'news.site' || CAST(doc_id % 7 AS VARCHAR) || '.org'
-               ELSE 'example.com' END AS host,
-             CASE CAST(doc_id % 4 AS INT)
-               WHEN 0 THEN 'example.com'
-               WHEN 1 THEN 'example.co.uk'
-               WHEN 2 THEN 'site' || CAST(doc_id % 7 AS VARCHAR) || '.org'
-               ELSE 'example.com' END AS domain,
-             CASE CAST(doc_id % 3 AS INT)
-               WHEN 0 THEN '/doc/' || CAST(doc_id AS VARCHAR)
-               WHEN 1 THEN CASE WHEN doc_id % 2 = 0
-                 THEN '/private/pub/' || CAST(doc_id AS VARCHAR)
-                 ELSE '/private/' || CAST(doc_id AS VARCHAR) END
-               ELSE '/files/' || CAST(doc_id AS VARCHAR) || '.pdf' END AS path
-           FROM documents),
-         rules(domain, plen, regex, allow) AS (VALUES $robotsRulesSqlValues),
-         verdict AS (
-           SELECT u.doc_id, u.host, u.domain,
-             coalesce(arg_max(r.allow,
-               CASE WHEN regexp_matches(u.path, r.regex)
-                 THEN r.plen * 2 + CAST(r.allow AS INT) END), true) AS allowed
-           FROM urls u LEFT JOIN rules r USING (domain)
-           GROUP BY 1, 2, 3),
-         delays(domain, delay_s) AS (VALUES $robotsDelaysSqlValues),
-         sched AS (
-           SELECT v.doc_id, v.host,
-             CAST(COALESCE(d.delay_s, 1) AS BIGINT) AS delay_s
-           FROM verdict v LEFT JOIN delays d USING (domain)
-           WHERE v.allowed)
-         SELECT doc_id, host,
-           row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1 AS slot,
-           (row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1)
-             * delay_s * 1000 AS fetch_at_ms,
-           CAST(concat('0x', substr(md5(host), 1, 12)) AS BIGINT) % 8 AS worker
-         FROM sched"""),
+    "d_crawl_schedule" -> crawlScheduleSql,
+
+    // X93s truth: the drained incremental schedule equals the batch truth
+    // verbatim — range batches arrive in ascending doc_id order and the
+    // state function sorts within host, so the continuing per-host slot
+    // counters reproduce the global row_number
+    "d_stream_crawl_schedule" -> crawlScheduleSql,
 
     // X76+X74 composition truth: the index filter is the d_cdx_select
     // closed form (%13 status, %11 mime), the robots verdict replays the

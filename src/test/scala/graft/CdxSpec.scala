@@ -116,4 +116,37 @@ class CdxSpec extends SparkSpec {
       WarcRangeReader.fetchMembers(bad).collect()
     }
   }
+
+  test("columnar index: status/mime/domain predicates push to the parquet scan, columns prune") {
+    // the default metadata string length elides the PushedFilters list
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try {
+    val df = SparkEntry.queries("d_cdx_parquet_select")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the index scan section: the one parquet FileScan over the index
+    val scan = plan.split("FileScan").find(_.contains("PushedFilters"))
+      .getOrElse(fail(s"no parquet index scan in plan:\n$plan"))
+    // all three selection predicates land in PushedFilters — at 100 TB this
+    // is row-group pruning on the index instead of a full JSON-lines parse
+    Seq("EqualTo(status,200)", "EqualTo(mime,text/html)",
+      "EqualTo(url_registered_domain,example.co.uk)").foreach { f =>
+      assert(scan.contains(f), s"missing pushed filter $f in:\n$scan")
+    }
+    // column pruning: the wide index narrows to the consumed columns —
+    // surt_key/ts/url_host never reach the scan schema
+    val readSchema = scan.split("ReadSchema:").lift(1)
+      .getOrElse(fail(s"no ReadSchema in:\n$scan"))
+    Seq("surt_key", "ts:", "url_host:").foreach { c =>
+      assert(!readSchema.contains(c), s"unpruned column $c in:\n$readSchema")
+    }
+    // and the columnar path agrees with the line-index path row for row
+    val a = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val b = SparkEntry.queries("d_cdx_select")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(a == b, "columnar and line-index selections diverge")
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+  }
 }

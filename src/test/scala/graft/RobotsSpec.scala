@@ -225,4 +225,18 @@ class RobotsSpec extends SparkSpec {
     assert(!hosts.exists(h => Set("news.site1.org", "news.site3.org",
       "news.site5.org")(h)))
   }
+
+  test("d_stream_crawl_schedule: slot counters continue across micro-batches = batch schedule") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(name: String) = SparkEntry.queries(name)(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val stream = rows("d_stream_crawl_schedule")
+    val batch = rows("d_crawl_schedule")
+    assert(stream.nonEmpty)
+    // every host spans all four range batches (hosts hash by doc_id % 4/7),
+    // so equality here proves the per-host counter genuinely CONTINUED
+    // across micro-batches instead of restarting at 0
+    assert(stream == batch)
+  }
 }

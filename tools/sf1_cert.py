@@ -656,6 +656,68 @@ def cert_d_stream_web_pipeline_dedup(con, dump):
     return out
 
 
+def cert_d_lang_routed_dedup(con, dump):
+    """X94: the routed pair truth is all-pairs WITH the language-equality
+    predicate. Same sample + planted machinery as the unrouted rows, plus a
+    linear structural check that the cross-language exact clones (+20M,
+    'x-'||lang) never pair with their base — the routing guarantee."""
+    corpus = """SELECT doc_id, lang, text FROM documents WHERE n_chars < 300
+      UNION ALL
+      SELECT doc_id + 10000000, lang, text || ' graftplantdup'
+      FROM documents WHERE n_chars < 300 AND doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 20000000, 'x-' || lang, text
+      FROM documents WHERE n_chars < 300 AND doc_id % 11 = 0"""
+    con.execute(f"""CREATE TEMP TABLE g AS
+      WITH corpus AS ({corpus})
+      SELECT doc_id, lang, {GRAMS} AS grams FROM corpus
+      WHERE len({TOKS}) >= 3""")
+    sample_table(con)
+    out = {}
+    pred = f"a.lang = b.lang AND {JACC} >= 0.8"
+    truth = f"""
+      SELECT id_a, id_b, jaccard, lang FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          round({JACC}, 6) AS jaccard, a.lang AS lang
+        FROM (SELECT * FROM g SEMI JOIN samp USING (doc_id)) a
+        JOIN g b ON a.doc_id < b.doc_id WHERE {pred}
+        UNION
+        SELECT a.doc_id, b.doc_id, round({JACC}, 6), a.lang
+        FROM g a JOIN (SELECT * FROM g SEMI JOIN samp USING (doc_id)) b
+          ON a.doc_id < b.doc_id WHERE {pred})"""
+    got = f"""
+      SELECT id_a, id_b, round(jaccard, 6) AS jaccard, lang
+      FROM '{dump}/d_lang_routed_dedup/*.parquet'
+      WHERE id_a IN (SELECT doc_id FROM samp)
+         OR id_b IN (SELECT doc_id FROM samp)"""
+    nt, ng, miss, extra = diff_counts(con, truth, got)
+    out["sample"] = {"n_truth": nt, "n_got": ng, "missing": miss,
+                     "extra": extra, "sampled_docs": SAMPLE}
+    ok = miss == 0 and extra == 0
+    # planted same-language twins: full linear recall on the (d, d+10M) slice
+    truth_p = f"""
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, round({JACC}, 6) AS jaccard
+      FROM g a JOIN g b ON b.doc_id = a.doc_id + 10000000
+      WHERE a.doc_id % 7 = 0 AND a.lang = b.lang AND {JACC} >= 0.8"""
+    got_p = f"""
+      SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+      FROM '{dump}/d_lang_routed_dedup/*.parquet'
+      WHERE id_b = id_a + 10000000 AND id_a % 7 = 0"""
+    nt, ng, miss, extra = diff_counts(con, truth_p, got_p)
+    out["planted"] = {"n_truth": nt, "n_got": ng, "missing": miss,
+                      "extra": extra}
+    ok = ok and miss == 0 and extra == 0 and nt > 0
+    # routing guarantee (full, linear): a cross-language exact clone never
+    # pairs with its base, even though their Jaccard is 1.0
+    leak = con.execute(f"""
+      SELECT count(*) FROM '{dump}/d_lang_routed_dedup/*.parquet'
+      WHERE id_b = id_a + 20000000""").fetchone()[0]
+    out["xlang_leak_pairs"] = leak
+    ok = ok and leak == 0
+    out["cert"] = "pass" if ok else "fail"
+    return out
+
+
 CERTS = {
     "d_ngram_jaccard": cert_d_ngram_jaccard,
     "d_minhash_pairs": cert_d_minhash_pairs,
@@ -668,6 +730,7 @@ CERTS = {
     "e_semdedup": cert_e_semdedup,
     "d_web_pipeline": cert_d_web_pipeline,
     "d_stream_web_pipeline_dedup": cert_d_stream_web_pipeline_dedup,
+    "d_lang_routed_dedup": cert_d_lang_routed_dedup,
 }
 
 

@@ -47,6 +47,9 @@ CERTIFIED = {
     # truth (b1 x kept0 exact jaccard); batch0 + the budget plane verify
     # linearly inside its certificate
     "d_stream_web_pipeline_dedup",
+    # X94 routed pairs: the same all-pairs truth class with the language
+    # predicate; certificate adds the cross-language no-leak structural check
+    "d_lang_routed_dedup",
 }
 
 
