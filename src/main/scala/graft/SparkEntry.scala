@@ -4480,6 +4480,33 @@ object SparkEntry {
         .orderBy(col("auth").desc, col("hub").desc, col("domain"))
     }),
 
+    // X98: reciprocal-link (NEPOTISM) signal — the classic link-farm
+    // detector (Davison 2000 "recognizing nepotistic links"): domains
+    // whose out-weight is dominated by RECIPROCATED edges (u→v and v→u
+    // both present; mutual weight = min of the two directions) are trading
+    // links, not citing. One self-join on the domain-bounded edge plane,
+    // score on the integer grid floor(recip_w·1e6/out_w) — no corpus
+    // touch after edge extraction, bit-exact replay.
+    "d_mutual_links" -> ((s, dir) => {
+      val (edges, outw, nodes, _) = linkGraphRanks(s, dir)
+      val rev = edges.select(col("dst").as("src"), col("src").as("dst"),
+        col("w").as("rw"))
+      val recip = edges.join(rev, Seq("src", "dst"))
+        .select(col("src"), least(col("w"), col("rw")).as("m"))
+        .groupBy("src").agg(sum("m").as("recip_w"))
+        .select(col("src").as("rd"), col("recip_w"))
+      val ow = outw.select(col("src").as("od"), col("ow"))
+      nodes.join(ow, nodes("d") === col("od"), "left")
+        .join(recip, nodes("d") === col("rd"), "left")
+        .select(nodes("d").as("domain"),
+          coalesce(col("ow"), lit(0L)).as("out_w"),
+          coalesce(col("recip_w"), lit(0L)).as("recip_w"),
+          when(coalesce(col("ow"), lit(0L)) === 0, lit(0L))
+            .otherwise(expr("(coalesce(recip_w, bigint(0)) * 1000000) div ow"))
+            .as("nepotism_e6"))
+        .orderBy(col("nepotism_e6").desc, col("domain"))
+    }),
+
     // X82: anchor-text aggregation — the classic weak-label signal: what the
     // REST of the web calls a domain. Tokens count per (target domain,
     // token) in one exchange; the per-domain top-3 rides the X61 top_k_by
@@ -8249,6 +8276,25 @@ object SparkEntry {
          SELECT h3.d AS domain, h3.x AS hub, a3.x AS auth
          FROM h3 JOIN a3 ON a3.d = h3.d
          ORDER BY auth DESC, hub DESC, domain"""),
+
+    // X98 truth: mutual weight = min of the two directions over the edge
+    // self-join, nepotism on the integer grid
+    "d_mutual_links" -> (
+      s"""WITH $linkGraphCteSql,
+         recip AS (
+           SELECT e.src, CAST(sum(least(e.w, r.w)) AS BIGINT) AS recip_w
+           FROM edges e JOIN edges r ON r.src = e.dst AND r.dst = e.src
+           GROUP BY e.src)
+         SELECT n.d AS domain,
+           COALESCE(o.ow, 0) AS out_w,
+           COALESCE(rc.recip_w, 0) AS recip_w,
+           CASE WHEN COALESCE(o.ow, 0) = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST((COALESCE(rc.recip_w, 0) * 1000000) // o.ow AS BIGINT)
+           END AS nepotism_e6
+         FROM nodes n
+         LEFT JOIN outw o ON o.src = n.d
+         LEFT JOIN recip rc ON rc.src = n.d
+         ORDER BY nepotism_e6 DESC, domain"""),
 
     // X82 truth: token counts per target domain from the plant; top-3 by
     // (cnt DESC, tok_n ASC) replays top_k_by's deterministic total order.

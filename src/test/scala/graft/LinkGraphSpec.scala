@@ -176,6 +176,35 @@ class LinkGraphSpec extends SparkSpec {
     assert(got.values.map(_._2).max == 1000000L)
   }
 
+  test("d_mutual_links matches a brute-force reciprocal-weight reference") {
+    val dir = "/root/testdata/sf0.001"
+    val n = 500
+    val edges = (0 until n).flatMap { i =>
+      (0 to i % 3).map { j =>
+        (s"site${i % 101}.org", s"site${(i * 7 + 13 * j + 1) % 101}.org")
+      }
+    }.filter { case (s, d) => s != d }
+      .groupBy(identity).map { case ((s, d), g) => ((s, d), g.size.toLong) }
+    val nodes = (edges.keys.map(_._1) ++ edges.keys.map(_._2)).toSeq.distinct
+    val outw = edges.groupBy(_._1._1).map { case (s, es) => (s, es.values.sum) }
+    val recip = nodes.map { u =>
+      u -> edges.collect {
+        case ((s, d), w) if s == u && edges.contains((d, s)) =>
+          math.min(w, edges((d, s)))
+      }.sum
+    }.toMap
+    val got = SparkEntry.queries("d_mutual_links")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.size == nodes.size)
+    nodes.foreach { u =>
+      val ow = outw.getOrElse(u, 0L)
+      val rw = recip.getOrElse(u, 0L)
+      val nep = if (ow == 0) 0L else rw * 1000000L / ow
+      assert(got(u) == ((ow, rw, nep)), s"mismatch at $u")
+    }
+  }
+
   test("d_harmonic_centrality matches a brute-force BFS reference") {
     val dir = "/root/testdata/sf0.001"
     val n = 500
