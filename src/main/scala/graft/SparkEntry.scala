@@ -223,8 +223,11 @@ object SparkEntry {
         val part = tmp.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
         val dest = streamDir.resolve(f"chunk$i%02d.parquet")
         java.nio.file.Files.move(part.toPath, dest)
-        // distinct ascending mtimes pin the drain order deterministically
-        dest.toFile.setLastModified(1700000000000L + i * 60000L)
+        // distinct ascending mtimes pin the drain order deterministically;
+        // fail FAST if stamping doesn't take (FileStreamSource would then
+        // admit chunks out of order and stream≠batch equality silently dies)
+        require(dest.toFile.setLastModified(1700000000000L + i * 60000L),
+          s"could not stamp mtime on $dest — drain order would be undefined")
       }
       streamDir.toString
     }
@@ -657,10 +660,15 @@ object SparkEntry {
       val contribs = ej.join(broadcast(ranks), ej("src") === ranks("d"))
         .select(col("dst"), expr("(pr * w) div ow").as("c"))
         .groupBy("dst").agg(sum("c").as("c"))
+      // materialize each plane: broadcasts re-evaluate their input's FULL
+      // lineage, so without this iteration i re-runs the whole i−1 join
+      // chain (the d_hits 8.3 s mechanism) — the plane is domain-bounded,
+      // so the checkpoint is cheap and the next iteration's job is shallow
       ranks = nodes.join(contribs, nodes("d") === contribs("dst"), "left")
         .select(col("d"),
           (lit(150000L) +
             expr("(85 * coalesce(c, bigint(0))) div 100")).as("pr"))
+        .localCheckpoint(true)
     }
     (edges, outw, nodes, ranks)
   }
@@ -831,9 +839,17 @@ object SparkEntry {
     * exponential-inlining lesson). */
   private def ugDpSql(p: String, pieces: String, maxWordLen: Int,
       maxPieceLen: Int): String = {
+    // Non-inventory sentinel: a path through ANY sentinel piece must never
+    // beat the all-vocab path the engine kernel (vocab-only candidates) is
+    // forced onto. Every single char is in the inventory and floor-log2
+    // costs are ≤ 63 by construction (counts are BIGINT: FL2(T)−FL2(c)+1 ≤
+    // bit_length(T) ≤ 63), so the worst all-vocab path costs ≤ maxWordLen·63
+    // — the sentinel is DERIVED with that headroom baked in rather than
+    // hoping a future maxWordLen/cost-grid bump stays under a magic 100000.
+    val sentinel = maxWordLen.toLong * 64 + 1
     val cc =
       s"""${p}cc AS MATERIALIZED (
-           SELECT t.word, t.i, t.l, COALESCE(pc.cost, 100000) AS cost
+           SELECT t.word, t.i, t.l, COALESCE(pc.cost, $sentinel) AS cost
            FROM ugtall t LEFT JOIN $pieces pc ON pc.piece = t.piece),
          ${p}b0 AS (SELECT word, CAST(0 AS BIGINT) AS k FROM ugw)"""
     val fwd = (1 to maxWordLen).map { i =>
@@ -1332,8 +1348,9 @@ object SparkEntry {
               out.close()
             }
           }
-        new java.io.File(s"$wd/shard$sh.warc.gz")
-          .setLastModified(1700000000000L + sh * 60000L)
+        require(new java.io.File(s"$wd/shard$sh.warc.gz")
+          .setLastModified(1700000000000L + sh * 60000L),
+          s"could not stamp mtime on $wd/shard$sh.warc.gz")
       }
       wd
     }
@@ -4091,30 +4108,45 @@ object SparkEntry {
     }),
 
     // X96: the corpus DATASHEET — the "datasheets for datasets" reporting
-    // card every released corpus ships: one aggregation pass over the
-    // corpus producing the full (source × lang) breakdown PLUS per-source
-    // and global totals via ROLLUP (grouping-set partials — the corpus is
-    // scanned once, never per stratum). All stats live on integer grids
+    // card every released corpus ships: the full (source × lang) breakdown
+    // PLUS per-source and global totals, all stats on integer grids
     // (counts, exact sums, min/max, floor-div chars-per-kilotoken, exact
     // md5-distinct as the dup-rate numerator), so DuckDB replays every
-    // cell bit-exactly.
+    // cell bit-exactly. Plan shape: the naive rollup + count_distinct
+    // plans as a 3× Expand of the FULL corpus scan (the r14 sf1 flag);
+    // instead the corpus pre-aggregates ONCE onto the (source, lang, md5)
+    // distinct plane — bounded by distinct texts, not docs — and all three
+    // tiers re-aggregate that plane (exact distinct included: it's a
+    // count over plane keys). One corpus exchange, three plane-sized ones.
+    // Subtotal rows carry a LITERAL '<all>' label by construction (not a
+    // value-domain coalesce), so a genuine NULL source/lang stays NULL and
+    // can never masquerade as a total; the oracle labels via GROUPING().
     "d_corpus_datasheet" -> ((s, dir) => {
-      t(s, dir, "documents")
+      val plane = t(s, dir, "documents")
         .select(col("source"), col("lang"), col("n_chars"),
           size(split(trim(lower(col("text"))), "\\s+")).cast("bigint").as("n_toks"),
           md5(trim(lower(col("text")))).as("h"))
-        .rollup("source", "lang")
-        .agg(count(lit(1)).as("n_docs"),
+        .groupBy("source", "lang", "h")
+        .agg(count(lit(1)).as("cnt"), sum("n_toks").as("s_toks"),
+          sum("n_chars").cast("bigint").as("s_chars"),
+          min("n_toks").as("mn"), max("n_toks").as("mx"))
+        .localCheckpoint(true) // three tier consumers — the d_hits rule
+      def tier(grouped: org.apache.spark.sql.RelationalGroupedDataset) =
+        grouped.agg(sum("cnt").as("n_docs"),
           countDistinct(col("h")).as("n_uniq"),
-          sum("n_toks").as("sum_toks"),
-          sum("n_chars").cast("bigint").as("sum_chars"),
-          min("n_toks").as("min_toks"),
-          max("n_toks").as("max_toks"),
-          expr("(sum(n_chars) * 1000) div sum(n_toks)").as("chars_per_ktok"))
-        .select(coalesce(col("source"), lit("<all>")).as("source"),
-          coalesce(col("lang"), lit("<all>")).as("lang"),
-          col("n_docs"), col("n_uniq"), col("sum_toks"), col("sum_chars"),
-          col("min_toks"), col("max_toks"), col("chars_per_ktok"))
+          sum("s_toks").as("sum_toks"),
+          sum("s_chars").as("sum_chars"),
+          min("mn").as("min_toks"),
+          max("mx").as("max_toks"),
+          expr("(sum(s_chars) * 1000) div sum(s_toks)").as("chars_per_ktok"))
+      val stats = Seq("n_docs", "n_uniq", "sum_toks", "sum_chars",
+        "min_toks", "max_toks", "chars_per_ktok").map(col)
+      tier(plane.groupBy("source", "lang"))
+        .select(col("source") +: col("lang") +: stats: _*)
+        .unionByName(tier(plane.groupBy("source"))
+          .select(col("source") +: lit("<all>").as("lang") +: stats: _*))
+        .unionByName(tier(plane.groupBy())
+          .select(lit("<all>").as("source") +: lit("<all>").as("lang") +: stats: _*))
     }),
 
     // X60: mergeable fixed-grid histogram quantile sketch — the QUANTILE
@@ -4435,10 +4467,14 @@ object SparkEntry {
         val contribs = ej.join(broadcast(tr), ej("src") === tr("d"))
           .select(col("dst"), expr("(tr * w) div ow").as("c"))
           .groupBy("dst").agg(sum("c").as("c"))
+        // per-round materialization — the linkGraphRanks/d_hits rule: a
+        // broadcast plane that is itself the next round's input must be
+        // localCheckpoint'd or round i re-evaluates the full i−1 chain
         tr = flags.join(contribs, flags("d") === contribs("dst"), "left")
           .select(flags("d"), col("trusted"),
             (when(col("trusted"), lit(150000L)).otherwise(lit(0L)) +
               expr("(85 * coalesce(c, bigint(0))) div 100")).as("tr"))
+          .localCheckpoint(true)
       }
       tr.select(col("d").as("domain"), col("trusted"), col("tr"))
         .orderBy(col("tr").desc, col("domain"))
@@ -4956,8 +4992,13 @@ object SparkEntry {
                 out.close()
               }
             }
+          // the streaming twin's stream==batch equality rides on these
+          // mtimes (FileStreamSource admits shards in mtime order, and the
+          // per-host slot counters must see ranges in ascending order) —
+          // fail FAST in the fixture builder if a stamp doesn't take
           val f = new java.io.File(s"$wd/frontier$sh.txt")
-          if (f.exists) f.setLastModified(1700000000000L + sh * 60000L)
+          require(!f.exists || f.setLastModified(1700000000000L + sh * 60000L),
+            s"could not stamp mtime on $f — shard admission order would be undefined")
         }
         wd
       }
@@ -5685,7 +5726,8 @@ object SparkEntry {
           val part = tmp.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
           val dest = cd.resolve(f"chunk$i%02d.parquet")
           java.nio.file.Files.move(part.toPath, dest)
-          dest.toFile.setLastModified(1700000000000L + i * 60000L) // pin order
+          require(dest.toFile.setLastModified(1700000000000L + i * 60000L),
+            s"could not stamp mtime on $dest") // pin drain order, fail fast
         }
         cd.toString
       }
@@ -6113,13 +6155,17 @@ object SparkEntry {
     // identical argmin), so the within-cluster pruning equals the all-pairs
     // truth the oracle computes: the fixture has ZERO natural ≥0.999 pairs
     // at every SF (measured; max natural cosine ≈ 0.60), and SemDeDupSpec
-    // pins that invariant plus the no-cross-cluster contract.
+    // pins that invariant plus the no-cross-cluster contract. The shipped
+    // config SCALES the quantizer with the corpus (k = ceil(N/256), the
+    // Abbas et al. discipline) so the within-cell pair plane stays linear —
+    // the oracle is k-independent (planted-dup truth), so the same SQL
+    // certifies every SF.
     "e_semdedup" -> ((s, dir) => {
       val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val planted = base.where(col("vec_id") % 7 === 0)
         .select((col("vec_id") + 20000000L).as("vec_id"), col("embedding"))
-      Similarity.semDeDup(base.unionByName(planted), threshold = 0.999,
-        dim = 64, nCentroids = 16)
+      Similarity.semDeDupScaled(base.unionByName(planted), threshold = 0.999,
+        dim = 64, targetCellSize = 256)
         .select(col("vec_id"))
     }),
 
@@ -8020,16 +8066,18 @@ object SparkEntry {
          FROM agg JOIN sk ON agg.source = sk.source
          JOIN tops ON agg.source = tops.source""",
 
-    // X96 truth: the same ROLLUP card — every stat on an integer grid, so
-    // each (source, lang) cell and every subtotal replays bit-exactly
+    // X96 truth: the same card straight off ROLLUP — every stat on an
+    // integer grid, so each (source, lang) cell and every subtotal replays
+    // bit-exactly; subtotal rows are labeled via GROUPING() (not a
+    // value-domain COALESCE), matching the engine's literal tier labels
     "d_corpus_datasheet" ->
       """WITH d AS (
            SELECT source, lang, n_chars,
              CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_toks,
              md5(trim(lower(text))) AS h
            FROM documents)
-         SELECT COALESCE(source, '<all>') AS source,
-           COALESCE(lang, '<all>') AS lang,
+         SELECT CASE WHEN GROUPING(source) = 1 THEN '<all>' ELSE source END AS source,
+           CASE WHEN GROUPING(lang) = 1 THEN '<all>' ELSE lang END AS lang,
            count(*) AS n_docs,
            count(DISTINCT h) AS n_uniq,
            CAST(sum(n_toks) AS BIGINT) AS sum_toks,

@@ -81,8 +81,13 @@ object RobotsCodec {
               rules :+= RobotsRule(value, allow = field == "allow")
           case "crawl-delay" if seenGroup =>
             // de-facto extension (not in RFC 9309): whole seconds only;
-            // malformed values are ignored like any unknown line
-            inAgents = false
+            // malformed values are ignored like any unknown line. The value
+            // is RECORDED but the line otherwise behaves like any unknown
+            // field — it does NOT end a run of consecutive User-agent lines
+            // (RFC 9309 §2.2.2: unrecognized lines don't break the group),
+            // so 'User-agent: a / Crawl-delay: 1 / User-agent: b' keeps a
+            // and b in ONE merged group, exactly as a parser that ignored
+            // the field entirely would group them.
             if (value.matches("[0-9]{1,9}")) delays :+= value.toLong
           case _ => // unknown field (sitemap, ...) — ignored
         }

@@ -335,6 +335,39 @@ object Similarity {
     vectors.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
   }
 
+  /** The corpus-derived quantizer size [[semDeDupScaled]] ships: enough
+    * cells that the expected cell holds ~`targetCellSize` vectors, floored
+    * at 16. This is SemDeDup's own scaling law (Abbas et al. 2023 run
+    * k ≈ 100k on LAION): k MUST grow with N or the within-cell pair plane
+    * Σ|cell|² degenerates to N²/k — quadratic at fixed k, which is exactly
+    * what the sf1 gate measured on the old fixed-16 config. */
+  def semDeDupK(n: Long, targetCellSize: Int = 256): Int =
+    math.max(16L, (n + targetCellSize - 1) / targetCellSize).toInt
+
+  /**
+   * X64 as SHIPPED: [[semDeDup]] with the quantizer sized FROM the corpus —
+   * k = max(16, ceil(N / targetCellSize)) keeps the expected cell size (and
+   * with it the per-cell pair fan-out) CONSTANT as N grows, so the pair
+   * plane is O(N · targetCellSize) — linear, not N²/k. The Lloyd training
+   * pool subsamples to ~64 points per cell via `trainMod` (a coarse
+   * quantizer needs cell-scale statistics, not the corpus; assignment still
+   * runs over every vector). Costs one extra `count()` job over the input —
+   * metadata-cheap next to the pair plane it right-sizes.
+   */
+  def semDeDupScaled(
+      vectors: DataFrame,
+      threshold: Double = 0.999,
+      dim: Int = 64,
+      targetCellSize: Int = 256,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val n = vectors.count()
+    val k = semDeDupK(n, targetCellSize)
+    val trainMod = math.max(1L, n / (k.toLong * 64L)).toInt
+    semDeDup(vectors, threshold, dim, k, iters, idCol, vecCol, trainMod)
+  }
+
   // --------------------------------------------------------- quantized scan
 
   /** Driver-side twin of the native quantize_i8 (symmetric int8:

@@ -187,10 +187,19 @@ class RobotsSpec extends SparkSpec {
     // no delay stated anywhere for the selected groups
     assert(RobotsCodec.crawlDelayFor(
       "User-agent: graftbot\nDisallow:\n", "graftbot").isEmpty)
-    // a crawl-delay line ends the user-agent accumulation like a rule does
+    // a crawl-delay line between consecutive User-agent lines does NOT end
+    // the accumulation (it is an unknown field per RFC 9309 — recorded, but
+    // grouping behaves as if the line were ignored): a and b share ONE
+    // merged group carrying both delays, and each token gets the FIRST one
     val split = "User-agent: a\nCrawl-delay: 2\nUser-agent: b\nCrawl-delay: 4\n"
-    assert(RobotsCodec.crawlDelayFor(split, "b") == Some(4L))
+    assert(RobotsCodec.crawlDelayFor(split, "b") == Some(2L))
     assert(RobotsCodec.crawlDelayFor(split, "a") == Some(2L))
+    // ...and b therefore INHERITS a rule stated after its User-agent line
+    // under the shared group (the real-world shape the old splitting parser
+    // silently broke)
+    val shared = "User-agent: a\nCrawl-delay: 1\nUser-agent: b\nDisallow: /x\n"
+    assert(!RobotsCodec.isAllowed(RobotsCodec.rulesFor(shared, "a"), "/x/y"))
+    assert(!RobotsCodec.isAllowed(RobotsCodec.rulesFor(shared, "b"), "/x/y"))
   }
 
   test("d_crawl_schedule: per-host FIFO spacing honors each origin's delay, one worker per host") {

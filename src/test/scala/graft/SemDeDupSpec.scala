@@ -62,6 +62,35 @@ class SemDeDupSpec extends SparkSpec {
       s"extra=${out -- base.map(_._1)} missing=${base.map(_._1).toSet -- out}")
   }
 
+  test("shipped quantizer scales with the corpus: k grows with N, cells stay bounded") {
+    // the scaling law itself: k = max(16, ceil(N / targetCellSize)) — fixed
+    // k would make the within-cell pair plane N²/k (quadratic); scaled k
+    // keeps expected |cell| (and the per-cell pair fan-out) CONSTANT
+    assert(Similarity.semDeDupK(500) == 16)
+    assert(Similarity.semDeDupK(22857) == 90)
+    assert(Similarity.semDeDupK(1000000) == 3907)
+    val ks = Seq(1000L, 10000L, 100000L, 1000000L).map(Similarity.semDeDupK(_))
+    assert(ks == ks.sorted && ks.distinct.size >= 3, s"k must grow with N: $ks")
+    Seq(10000L, 1000000L, 100000000L).foreach { n =>
+      val cell = n.toDouble / Similarity.semDeDupK(n)
+      assert(cell <= 256.0 + 1e-9, s"expected cell size $cell at N=$n")
+    }
+  }
+
+  test("semDeDupScaled: planted recall stays structural under the derived k") {
+    // 600 vectors → k = 16 via the same derivation the shipped query uses;
+    // planted exact copies must vanish, everything else survives
+    val base = (0L until 600L).map { i =>
+      (i, vec(math.cos(i / 9.0), math.sin(i / 9.0), (i % 11) / 11.0, 1.0))
+    }
+    val dups = base.filter(_._1 % 6 == 0).map { case (i, v) => (i + 100000L, v) }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val out = Similarity.semDeDupScaled(df, threshold = 0.9999999, dim = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out == base.map(_._1).toSet,
+      s"extra=${out -- base.map(_._1)} missing=${base.map(_._1).toSet -- out}")
+  }
+
   test("fixture invariant the e_semdedup oracle rests on: no natural near-1 pairs") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val withCells = Similarity.exactNearDupPairs(e, threshold = 0.999)
