@@ -1549,6 +1549,63 @@ object SparkEntry {
              FROM (SELECT word, s, $bpeBestSql AS best FROM enc) t
              WHERE best IS NULL)"""
 
+  // ----------------------------------------------- X99 byte-level BPE truth
+
+  /** The 256-entry byte→unicode table as a DuckDB list literal (GENERATED
+    * from [[graft.plans.ByteBpeOps.ByteTable]], so engine and oracle cannot
+    * drift). 1-based list index = byte value + 1. */
+  private lazy val byteTabSqlList: String = graft.plans.ByteBpeOps.ByteTable
+    .map(sym => s"'${sym.replace("'", "''")}'")
+    .mkString("main.list_value(", ", ", ")")
+
+  /** The fixed 48-merge byte-level table as a DuckDB list literal
+    * (generated from [[TextFunctions.ByteBpeSeedMerges]]). */
+  private lazy val byteBpeMergesSqlList: String = TextFunctions.ByteBpeSeedMerges
+    .map { case (a, b) =>
+      s"('${a.replace("'", "''")}' || chr(1) || '${b.replace("'", "''")}')" }
+    .mkString("main.list_value(", ", ", ")")
+
+  /** Lowest-rank applicable BYTE-level merge over the chr(2)-framed piece
+    * string (the [[bpeBestSql]] driver on the byte-symbol plane; chr(1)/
+    * chr(2) stay collision-free — bytes 1 and 2 map to 256+n symbols). */
+  private lazy val byteBpeBestSql: String = {
+    val parts = "list_filter(string_split(s, chr(2)), x -> x <> '')"
+    s"list_min(list_filter(list_transform(range(1, len($parts)), " +
+      s"i -> list_position($byteBpeMergesSqlList, $parts[i] || chr(1) || $parts[i+1])), " +
+      "p -> p IS NOT NULL AND p > 0))"
+  }
+
+  /** The dwords/bsyms/enc/done recursive-CTE chain: every distinct word of
+    * `textExpr` becomes its UTF-8 byte symbols — hex(encode(word)) sliced
+    * into hex pairs, each looked up in the generated 256-entry table — and
+    * the identical lowest-rank merge-all loop runs over the byte plane. */
+  private def byteBpeCtesSql(fromSql: String, textExpr: String): String =
+    s"""dwords AS (
+             SELECT DISTINCT unnest(regexp_split_to_array(trim(lower($textExpr)), '\\s+')) AS word
+             FROM $fromSql),
+           bsyms AS (
+             SELECT word, hex(encode(word)) AS hx FROM dwords WHERE word <> ''),
+           enc AS (
+             SELECT word,
+               chr(2) || array_to_string(list_transform(range(0, length(hx) // 2),
+                 i -> $byteTabSqlList[
+                   (strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16
+                   + strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1))]),
+                 chr(2) || chr(2)) || chr(2) AS s
+             FROM bsyms
+             UNION ALL
+             SELECT word,
+               replace(s,
+                 chr(2) || split_part($byteBpeMergesSqlList[best], chr(1), 1) || chr(2) ||
+                 chr(2) || split_part($byteBpeMergesSqlList[best], chr(1), 2) || chr(2),
+                 chr(2) || replace($byteBpeMergesSqlList[best], chr(1), '') || chr(2)) AS s
+             FROM (SELECT word, s, $byteBpeBestSql AS best FROM enc) t
+             WHERE best IS NOT NULL),
+           done AS (
+             SELECT word, list_filter(string_split(s, chr(2)), x -> x <> '') AS toks
+             FROM (SELECT word, s, $byteBpeBestSql AS best FROM enc) t
+             WHERE best IS NULL)"""
+
   /** The web-pipeline stages every twin shares: planted input → extraction
     * CASE → token gate → Gopher repetition gate. Ends at CTE `gated`
     * (doc_id, source, main). */
@@ -3610,6 +3667,25 @@ object SparkEntry {
         .select(col("doc_id"), size(col("arr")).cast("bigint").as("n_bpe"),
           array_join(col("arr"), " ").as("toks"))),
 
+    // X99: BYTE-LEVEL BPE encode — the production tokenizer family
+    // (GPT-2/tiktoken lineage): words become UTF-8 bytes mapped through
+    // the public 256-entry byte→unicode table, merges run over byte
+    // symbols, so there is NO [unk] by construction (multilingual text,
+    // emoji, URLs all encode losslessly — exactly where the code-point
+    // families mis-count the packing/carving budgets). Same plan shape as
+    // d_bpe_encode: one codegen'd projection, zero shuffle, the merge
+    // table a plan reference object. The oracle replays the byte mapping
+    // (hex(encode(word)) → generated table literals) and the identical
+    // lowest-rank merge loop; ByteBpeSpec pins the trained table, the
+    // encode∘decode identity, and the non-ASCII/emoji/URL behavior.
+    "d_bytebpe_encode" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.byteBpeEncode(col("text"),
+            TextFunctions.ByteBpeSeedMerges).as("arr"))
+        .select(col("doc_id"), size(col("arr")).cast("bigint").as("n_bbpe"),
+          array_join(col("arr"), " ").as("toks"))),
+
     // X84: DISTRIBUTED BPE TRAINING — the merge-learning loop itself as a
     // Spark job (bpeTrainOn's driver pool capped at 4096 words biases the
     // table at web scale; here the corpus-weighted word plane stays
@@ -3699,6 +3775,15 @@ object SparkEntry {
       TextFunctions.packSequences(t(s, dir, "documents"),
         budgetTokens = 4096L, shardCol = "source",
         tokenCounter = c => TextFunctions.bpeTokenCount(c, TextFunctions.BpeSeedMerges))),
+
+    // X15+X99: packing billed in BYTE-LEVEL subword counts — the budget a
+    // production trainer actually packs to (no [unk] under-counting on
+    // non-ASCII content). Same window plan; only the counter kernel swaps.
+    "d_pack_bytebpe" -> ((s, dir) =>
+      TextFunctions.packSequences(t(s, dir, "documents"),
+        budgetTokens = 4096L, shardCol = "source",
+        tokenCounter = c => TextFunctions.byteBpeTokenCount(c,
+          TextFunctions.ByteBpeSeedMerges))),
 
     // TF-IDF relevance scores per (doc, token) — X12's per-document extension
     "d_tfidf" -> ((s, dir) => {
@@ -7492,6 +7577,43 @@ object SparkEntry {
            string_agg(array_to_string(toks, ' '), ' ' ORDER BY i) AS toks
          FROM pos JOIN done USING (word)
          GROUP BY doc_id""",
+
+    // X99 truth: every distinct word → UTF-8 bytes (hex pairs) → the
+    // GENERATED 256-entry byte→unicode table → the identical lowest-rank
+    // merge-all recursive loop over the byte-level merge literals
+    "d_bytebpe_encode" -> (
+      s"""WITH RECURSIVE
+           ${byteBpeCtesSql("documents", "text")},
+           docw AS (
+             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+             FROM documents),
+           pos AS (
+             SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS i FROM docw)
+         SELECT doc_id,
+           CAST(sum(len(toks)) AS BIGINT) AS n_bbpe,
+           string_agg(array_to_string(toks, ' '), ' ' ORDER BY i) AS toks
+         FROM pos JOIN done USING (word)
+         GROUP BY doc_id"""),
+
+    // X15+X99 truth: the d_pack_bpe replay with the byte-level counts
+    "d_pack_bytebpe" -> (
+      s"""WITH RECURSIVE
+           ${byteBpeCtesSql("documents", "text")},
+           docw AS (
+             SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+             FROM documents),
+           pos AS (
+             SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS i FROM docw),
+           counts AS (
+             SELECT p.doc_id, CAST(sum(len(d.toks)) AS BIGINT) AS n_tokens
+             FROM pos p JOIN done d USING (word) GROUP BY p.doc_id),
+           sh AS (
+             SELECT dw.source AS shard, c.doc_id, c.n_tokens,
+               sum(c.n_tokens) OVER (PARTITION BY dw.source ORDER BY c.doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+             FROM counts c JOIN docw dw USING (doc_id))
+         SELECT shard, doc_id, n_tokens,
+           CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS pack_id FROM sh"""),
 
     // X75 truth: the identical greedy longest-match-first walk — at each
     // position the recursive step takes the LONGEST vocab piece matching

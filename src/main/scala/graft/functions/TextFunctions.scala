@@ -278,6 +278,44 @@ object TextFunctions {
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     size(bpeEncode(text, merges))
 
+  // -------------------------------------------------- byte-level BPE (X99)
+
+  /** Deterministic seed vocabulary for the byte-level merge table —
+    * sf-independent like [[BpeSeedVocab]], but deliberately carrying the
+    * content byte-level tokenizers exist FOR: accented latin (2-byte
+    * UTF-8), CJK (3-byte), an emoji (4-byte), and URL-shaped strings. The
+    * code-point families [unk] or mis-merge on these; byte-level encodes
+    * them losslessly. `ByteBpeSpec` pins
+    * `ByteBpeOps.train(ByteBpeSeedVocab, 48)` == the table the oracle
+    * embeds. */
+  val ByteBpeSeedVocab: Seq[(String, Long)] = Seq(
+    "table" -> 40L, "row" -> 35L, "data" -> 30L, "query" -> 28L, "value" -> 26L,
+    "batch" -> 24L, "window" -> 22L, "stream" -> 20L, "filter" -> 18L,
+    "merge" -> 16L, "join" -> 15L, "hash" -> 14L, "scan" -> 13L, "sort" -> 12L,
+    "spark" -> 11L, "column" -> 10L, "café" -> 9L, "über" -> 8L,
+    "naïve" -> 7L, "https://example.com/a" -> 6L, "日本語" -> 5L,
+    "🙂🙂" -> 4L, "part" -> 6L, "order" -> 5L, "line" -> 4L,
+    "customer" -> 3L, "agg" -> 2L, "the" -> 2L, "a" -> 1L)
+
+  /** The fixed 48-merge byte-level table trained from [[ByteBpeSeedVocab]]. */
+  lazy val ByteBpeSeedMerges: Seq[(String, String)] =
+    graft.plans.ByteBpeOps.train(ByteBpeSeedVocab, 48)
+
+  /** byte_bpe_encode(text) → array<string> byte-symbol subword stream
+    * (native codegen'd expression; merge table rides as a reference
+    * object). No [unk] by construction — the 256 byte singles always
+    * encode. Requires SketchFunctions.register on the session. */
+  def byteBpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    call_function("byte_bpe_encode", text.cast("string"),
+      typedlit(merges.map { case (a, b) => a + "\u0001" + b }))
+
+  /** Subword token count under a byte-level merge table — the EXACT count
+    * the packing/carving budget gates should bill with (whitespace and
+    * code-point counts drift on exactly the multilingual/URL content a
+    * web corpus is full of). */
+  def byteBpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    size(byteBpeEncode(text, merges))
+
   /** X75 fixed seed WordPiece vocab (the [[BpeSeedMerges]] discipline: a
     * FIXED table makes the truth replayable — the oracle carries the same
     * pieces as literals). Singles cover [a-z0-9] so any plain alphanumeric

@@ -66,6 +66,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"bpe_encode(text, merges) takes 2 arguments, got ${exprs.length}")
       BpeEncode(exprs(0), SketchFunctions.foldableMerges(exprs(1)))
     })
+    inject(ext, "byte_bpe_encode", exprs => {
+      require(exprs.length == 2,
+        s"byte_bpe_encode(text, merges) takes 2 arguments, got ${exprs.length}")
+      ByteBpeEncode(exprs(0), SketchFunctions.foldableMerges(exprs(1)))
+    })
     // as-of join operator (§2.8c): strategy + its two optimizer rules.
     // injectOptimizerRule lands them INSIDE the operator-optimization
     // fixed point, so the child Projects/Filters the rules insert cascade

@@ -327,6 +327,12 @@ object SketchFunctions {
             s"bpe_encode(text, merges) takes 2 arguments, got ${exprs.length}")
           BpeEncode(exprs(0), foldableMerges(exprs(1)))
         }, "built-in")
+      reg.createOrReplaceTempFunction("byte_bpe_encode",
+        exprs => {
+          require(exprs.length == 2,
+            s"byte_bpe_encode(text, merges) takes 2 arguments, got ${exprs.length}")
+          ByteBpeEncode(exprs(0), foldableMerges(exprs(1)))
+        }, "built-in")
       reg.createOrReplaceTempFunction("normalize_text",
         exprs => NormalizeText(exprs(0)), "built-in")
       reg.createOrReplaceTempFunction("url_normalize",
