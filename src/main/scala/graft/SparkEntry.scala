@@ -1074,6 +1074,20 @@ object SparkEntry {
       wd
     }
 
+  /** X100 artifact dir: the 2048-token packed plane (the PROVEN
+    * d_pack_sequences assignment) joined back to its text and written as
+    * WebDataset-shape tar shards once per (session, sf). The WRITE is the
+    * operator under test; both d_shard rows then re-read the artifacts. */
+  private def shardDir(s: SparkSession, dir: String): String =
+    sessionMemo("sharddir", s, dir) {
+      val wd = java.nio.file.Files.createTempDirectory("graft-shards").toString
+      val packed = TextFunctions.packSequences(t(s, dir, "documents"),
+        budgetTokens = 2048L, shardCol = "source")
+        .join(t(s, dir, "documents").select(col("doc_id"), col("text")), Seq("doc_id"))
+      graft.sources.TrainingShards.writeTarShards(packed, wd)
+      wd
+    }
+
   /** X76 crawl-frontier URLs: host by doc_id%4 (the webPipeShards closed
     * form, mixed case so domain resolution exercises url_normalize), path
     * family by doc_id%3 — /doc/<id>, /private/(pub/)<id> (pub when the id
@@ -3594,6 +3608,31 @@ object SparkEntry {
     "d_pack_sequences" -> ((s, dir) =>
       TextFunctions.packSequences(t(s, dir, "documents"),
         budgetTokens = 2048L, shardCol = "source")),
+
+    // X100: the TRAINING-SHARD artifact — the stage X15/X50 fed but never
+    // materialized: the packed plane WRITTEN as WebDataset-shape tar
+    // shards (one tar per (source, pack), entries {doc_id}.txt in doc_id
+    // order, pure-JVM ustar framing, executor-side distributed write with
+    // data-derived file names), then RE-READ member by member with header
+    // checksums verified. Round-trip truth: every member's (shard file,
+    // doc id, byte length, md5) must equal what the oracle derives from
+    // the corpus + the proven pack replay — a wrong header, a lost member,
+    // or a mangled payload all fail the row.
+    "d_shard_write" -> ((s, dir) =>
+      graft.sources.TrainingShards.readTarShards(s, shardDir(s, dir))
+        .select(col("shard_file"),
+          regexp_extract(col("entry"), "^([0-9]+)\\.txt$", 1).cast("long").as("doc_id"),
+          expr("octet_length(text)").cast("bigint").as("n_bytes"),
+          md5(col("text")).as("h"))),
+
+    // X100b: the shard MANIFEST recomputed from the written artifacts —
+    // per tar: member count, payload byte total, and the order-sensitive
+    // digest md5(concat of per-member md5 hexes). The oracle rebuilds the
+    // identical digest from the corpus (string_agg ORDER BY doc_id = the
+    // writer's entry order), so manifest integrity is cross-checked
+    // against the logical content, not against the writer's own output.
+    "d_shard_manifest" -> ((s, dir) =>
+      graft.sources.TrainingShards.manifestFromShards(s, shardDir(s, dir))),
 
     // X50: fixed-context-window example carving — per-shard concatenated
     // token streams cut into exactly-512-token examples ACROSS document
@@ -7437,6 +7476,39 @@ object SparkEntry {
            FROM d)
          SELECT shard, doc_id, n_tokens,
            CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id FROM w""",
+
+    // X100 truth: corpus + the proven pack replay name each member's shard
+    // file; byte length and md5 come straight from the text
+    "d_shard_write" ->
+      """WITH d AS (SELECT source AS shard, doc_id, text,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         w AS (SELECT shard, doc_id, text,
+           sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS prior
+           FROM d)
+         SELECT shard || '-' || CAST(CAST(floor(prior / 2048.0) AS BIGINT) AS VARCHAR) || '.tar' AS shard_file,
+           doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS h
+         FROM w""",
+
+    // X100b truth: the manifest rebuilt from the LOGICAL corpus — the
+    // order-sensitive digest chains per-member md5 hexes in doc_id order,
+    // exactly the writer's entry order
+    "d_shard_manifest" ->
+      """WITH d AS (SELECT source AS shard, doc_id, text,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         w AS (SELECT shard, doc_id, text,
+           sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS prior
+           FROM d),
+         p AS (SELECT shard || '-' || CAST(CAST(floor(prior / 2048.0) AS BIGINT) AS VARCHAR) || '.tar' AS shard_file,
+           doc_id, text FROM w)
+         SELECT shard_file,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS payload_bytes,
+           md5(string_agg(md5(text), '' ORDER BY doc_id)) AS digest
+         FROM p GROUP BY shard_file""",
 
     // integer replay of the context-window carve: cumsum window, per-doc
     // spanned-example expansion, overlap sums
