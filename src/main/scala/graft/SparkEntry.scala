@@ -700,6 +700,49 @@ object SparkEntry {
       wd
     }
 
+  /** X101 WAT derivation: the capture-level metadata shards DERIVED from
+    * the raw `.warc.gz` link shards — per response, the X80 anchor harvest
+    * + X85 RFC 3986 resolution produce the capture's resolved outlink set,
+    * serialized as the WAT JSON payload (`{"url": …, "links": […]}`), one
+    * gzip member per metadata record, one `.wat.gz` per worker's slice of
+    * the capture space (hash of the capture URI — data-derived, not
+    * partition-id). This is the Common Crawl WARC→WAT production step:
+    * downstream graph consumers read the SMALL metadata plane and never
+    * touch page bytes again. */
+  private def watShards(s: SparkSession, dir: String): String =
+    sessionMemo("watdir", s, dir) {
+      import org.apache.spark.sql.Row
+      import graft.plans.{SketchFunctions => F}
+      graft.plans.SketchFunctions.register(s)
+      import s.implicits._
+      val wd = java.nio.file.Files.createTempDirectory("graft-wat").toString
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz").load(warcLinkShards(s, dir))
+        .select(col("content")).as[Array[Byte]]
+        .flatMap(b => graft.codec.WarcCodec.responsesGz(b)
+          .map(r => (r.targetUri, r.body)))
+        .toDF("uri", "html")
+        .select(col("uri"), to_json(struct(col("uri").as("url"),
+          transform(F.html_links(col("html")),
+            l => F.url_resolve(col("uri"), l.getField("href"))).as("links")))
+          .as("payload"))
+        .repartition(4, pmod(crc32(col("uri")), lit(4)))
+        .foreachPartition { (it: Iterator[Row]) =>
+          val entries = it.map(r => (r.getString(0), r.getString(1))).toSeq
+          if (entries.nonEmpty) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val path = new org.apache.hadoop.fs.Path(s"$wd/shard$pid.wat.gz")
+            val fs = path.getFileSystem(conf.value)
+            val out = fs.create(path, true)
+            out.write(graft.codec.WarcCodec.writeWatGz(entries))
+            out.close()
+          }
+        }
+      wd
+    }
+
   /** X86/X88 shared extraction: shard bytes → member split → anchor harvest
     * from each response body → RFC 3986 resolution against the capture URI
     * → registered-domain endpoints, self-edges dropped. Per-row and
@@ -1030,6 +1073,7 @@ object SparkEntry {
   private lazy val robotsSeed: Seq[(String, String)] = Seq(
     "example.com" ->
       """# graft fixture: the specific group must win over *
+        |Sitemap: http://example.com/sitemap.xml
         |User-Agent: GraftBot
         |Disallow: /private/
         |Allow: /private/pub/
@@ -1051,13 +1095,19 @@ object SparkEntry {
         |Disallow: /doc/
         |Allow: /doc/
         |Disallow: /files/
+        |Sitemap: http://example.co.uk/sitemap.xml
         |""".stripMargin) ++
-    // even sites allow-all; k = 0 states NO delay (the politeness-default
-    // path), k = 2/4/6 state 2/3/1 s; odd sites block everything
+    // even sites allow-all (and DECLARE a sitemap — the X102 discovery
+    // chain reads exactly these; odd block-all sites declare none, so
+    // their pages must never surface in the sitemap frontier); k = 0
+    // states NO delay (the politeness-default path), k = 2/4/6 state
+    // 2/3/1 s
     (0 to 6).map(k => s"site$k.org" ->
-      (if (k == 0) s"User-agent: $robotsAgent\nDisallow:\n"
+      (if (k == 0)
+         s"User-agent: $robotsAgent\nDisallow:\nSitemap: http://site$k.org/sitemap.xml\n"
        else if (k % 2 == 0)
-         s"User-agent: $robotsAgent\nDisallow:\nCrawl-delay: ${k / 2 % 3 + 1}\n"
+         s"User-agent: $robotsAgent\nDisallow:\nCrawl-delay: ${k / 2 % 3 + 1}\n" +
+           s"Sitemap: http://site$k.org/sitemap.xml\n"
        else "User-agent: *\nDisallow: /\n"))
 
   /** X76 fixture dir: one real robots.txt file per origin. Driver-side
@@ -1085,6 +1135,55 @@ object SparkEntry {
         budgetTokens = 2048L, shardCol = "source")
         .join(t(s, dir, "documents").select(col("doc_id"), col("text")), Seq("doc_id"))
       graft.sources.TrainingShards.writeTarShards(packed, wd)
+      wd
+    }
+
+  /** X102 fixture: one sitemap.xml PER REGISTERED DOMAIN of the crawl-
+    * frontier plant — the artifact a robots `Sitemap:` directive names.
+    * Honest urlset markup, locs = the domain's [[robotsUrl]] pages,
+    * lastmod on the closed-form date grid; one file per domain written
+    * executor-side from data-derived names (the tar/WARC shard
+    * discipline). */
+  private def domainSitemapDir(s: SparkSession, dir: String): String =
+    sessionMemo("domsitemapdir", s, dir) {
+      import org.apache.spark.sql.Row
+      val wd = java.nio.file.Files.createTempDirectory("graft-domsm").toString
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration)
+      t(s, dir, "documents")
+        .select(
+          when(pmod(col("doc_id"), lit(4)) === 1, lit("example.co.uk"))
+            .when(pmod(col("doc_id"), lit(4)) === 2,
+              concat(lit("site"), pmod(col("doc_id"), lit(7)).cast("string"),
+                lit(".org")))
+            .otherwise(lit("example.com")).as("domain"),
+          robotsUrl(col("doc_id")).as("loc"),
+          date_format(date_add(lit("2026-01-01").cast("date"),
+            pmod(col("doc_id"), lit(60)).cast("int")), "yyyy-MM-dd").as("lastmod"))
+        .repartition(8, col("domain"))
+        .sortWithinPartitions("domain", "loc")
+        .foreachPartition { (it: Iterator[Row]) =>
+          var cur: String = null
+          val sb = new StringBuilder
+          def flush(): Unit = if (cur != null && sb.nonEmpty) {
+            val path = new org.apache.hadoop.fs.Path(s"$wd/$cur.sitemap.xml")
+            val fs = path.getFileSystem(conf.value)
+            val out = fs.create(path, true)
+            out.write(("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+              "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+              sb.toString + "</urlset>\n").getBytes("UTF-8"))
+            out.close()
+            sb.clear()
+          }
+          it.foreach { r =>
+            val d = r.getString(0)
+            if (d != cur) { flush(); cur = d }
+            sb.append("  <url><loc>").append(r.getString(1))
+              .append("</loc><lastmod>").append(r.getString(2))
+              .append("</lastmod></url>\n")
+          }
+          flush()
+        }
       wd
     }
 
@@ -1182,6 +1281,15 @@ object SparkEntry {
         s"('$domain', ${r.pattern.length}, '$rx', ${r.allow})"
       }
   }.mkString(", ")
+
+  /** X102 oracle truth rows — the sitemap-DECLARING domains, generated by
+    * running the SAME [[graft.codec.RobotsCodec.sitemapsFor]] harvest over
+    * the seed (the robotsRulesSqlValues no-drift discipline). */
+  private lazy val robotsSitemapDomainsSqlValues: String = robotsSeed
+    .flatMap { case (_, text) => graft.codec.RobotsCodec.sitemapsFor(text) }
+    .map(u => u.stripPrefix("http://").takeWhile(_ != '/'))
+    .distinct.sorted
+    .map(d => s"('$d')").mkString(", ")
 
   /** X93: the per-origin Crawl-delay plane — one row per domain whose
     * robots.txt states a delay for our product token (parsed by the same
@@ -4779,6 +4887,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_urls"), min("doc_id").as("first_doc"))
     }),
 
+    // X102: the robots→sitemap DISCOVERY chain — what X76 and X90 each do
+    // alone, composed the way a crawler actually runs them: fetch each
+    // origin's robots.txt (the ONE url a crawler always fetches), harvest
+    // its group-independent `Sitemap:` directives, and read ONLY the
+    // declared sitemap artifacts — pages of origins that declare none
+    // (the odd block-all sites) structurally cannot surface. The declared
+    // set is origin-bounded (the robots plane is broadcast-sized by
+    // nature), so the bounded collect is the established discipline; the
+    // XML scan parallelizes per declared file and index fields alone feed
+    // the frontier profile — page bytes are never touched.
+    "d_robots_sitemap_frontier" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      import graft.plans.{SketchFunctions => F}
+      import s.implicits._
+      val smDir = domainSitemapDir(s, dir)
+      val declared = s.read.format("text").option("wholetext", "true")
+        .load(s"${robotsDir(s, dir)}/*.robots.txt")
+        .select(col("value")).as[String]
+        .flatMap(c => graft.codec.RobotsCodec.sitemapsFor(c))
+        .collect().toSeq.distinct.sorted
+      val paths = declared.map { u =>
+        val host = u.stripPrefix("http://").takeWhile(_ != '/')
+        s"$smDir/$host.sitemap.xml"
+      }
+      s.read.schema("loc STRING, lastmod STRING")
+        .option("rowTag", "url").xml(paths: _*)
+        .select(F.url_registered_domain(
+            F.url_host(F.url_normalize(col("loc"))), pslFixture).as("domain"),
+          col("lastmod"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"),
+          sum(when(col("lastmod") >= "2026-01-31", 1L).otherwise(0L)).as("n_recent"),
+          max("lastmod").as("latest"))
+    }),
+
     // X85: RFC 3986 §5.2 relative-reference resolution — ten planted ref
     // shapes per page (absolute path, merge, dot segments, query-only,
     // empty, network-path, absolute-with-dots, fragment-only, mailto)
@@ -4810,6 +4953,38 @@ object SparkEntry {
     "d_warc_link_graph" -> ((s, dir) => {
       graft.plans.SketchFunctions.register(s)
       warcLinkEdges(s, warcLinkShards(s, dir))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    }),
+
+    // X101: the WAT round trip completes the WARC/WET/WAT derived-artifact
+    // trio — raw shards → per-capture metadata records (JSON outlink sets,
+    // one gzip member each, WARC-Refers-To lineage) WRITTEN distributed,
+    // then the link graph rebuilt FROM THE METADATA ALONE: members parse,
+    // payloads from_json, links explode to registered-domain edges. Same
+    // edge truth as d_warc_link_graph — equality proves the WAT plane
+    // carries the complete graph without ever re-touching page bytes
+    // (at 100 TB that is the whole point: the WAT plane is ~1% of the
+    // corpus and every graph consumer reads it instead of the crawl).
+    "d_wat_roundtrip" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      import graft.plans.{SketchFunctions => F}
+      import s.implicits._
+      val watDir = watShards(s, dir)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wat.gz").load(watDir)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap(b => graft.codec.WarcCodec.metadataGz(b)
+          .map(r => (r.targetUri, r.body)))
+        .toDF("uri", "json")
+        .select(col("uri"), from_json(col("json"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "url STRING, links ARRAY<STRING>")).as("j"))
+        .select(
+          F.url_registered_domain(F.url_host(col("uri")), pslFixture).as("src"),
+          explode(col("j.links")).as("url"))
+        .select(col("src"),
+          F.url_registered_domain(F.url_host(col("url")), pslFixture).as("dst"))
+        .where(col("src") =!= col("dst"))
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
     }),
 
@@ -8580,6 +8755,25 @@ object SparkEntry {
          SELECT domain, count(*) AS n_urls, min(doc_id) AS first_doc
          FROM f GROUP BY domain"""),
 
+    // X102 truth: the codec-harvested sitemap-declaring domains (generated
+    // literals) gate the closed-form frontier plant — odd block-all sites
+    // never join, so discovery semantics are in the equality itself
+    "d_robots_sitemap_frontier" -> (
+      s"""WITH smd(domain) AS (VALUES $robotsSitemapDomainsSqlValues),
+         urls AS (
+           SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 1 THEN 'example.co.uk'
+               WHEN 2 THEN 'site' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+               ELSE 'example.com' END AS domain,
+             strftime(DATE '2026-01-01' + CAST(doc_id % 60 AS INT), '%Y-%m-%d') AS lastmod
+           FROM documents)
+         SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(sum(CASE WHEN lastmod >= '2026-01-31' THEN 1 ELSE 0 END) AS BIGINT) AS n_recent,
+           max(lastmod) AS latest
+         FROM urls JOIN smd USING (domain)
+         GROUP BY domain"""),
+
     // X85 truth: every planted ref shape resolves closed-form against the
     // page URL (origin = scheme://host, base path = /p/{id})
     "d_link_resolve" -> (
@@ -8615,6 +8809,13 @@ object SparkEntry {
 
     // X88 truth: the drained complete-mode state equals the batch graph
     "d_stream_link_graph" -> (
+      s"""WITH $linkGraphCteSql
+         SELECT src, dst, w FROM edges"""),
+
+    // X101 truth: the graph rebuilt from the WAT metadata plane equals the
+    // planted edge set — the same closed-form edges CTE certifies that the
+    // write→re-read→from_json→resolve chain lost nothing
+    "d_wat_roundtrip" -> (
       s"""WITH $linkGraphCteSql
          SELECT src, dst, w FROM edges"""),
 

@@ -111,6 +111,30 @@ object RobotsCodec {
   def crawlDelayFor(content: String, agent: String): Option[Long] =
     groupsFor(content, agent).flatMap(_.delays).headOption
 
+  /** All `Sitemap:` directive values in file order. The sitemap extension
+    * (the sitemaps.org protocol's robots.txt hook) is GROUP-INDEPENDENT:
+    * the directive may appear anywhere in the file and applies regardless
+    * of user-agent, so harvesting ignores group structure entirely — this
+    * is the crawler's sitemap DISCOVERY input (robots.txt is the one URL
+    * per origin a crawler always fetches; everything else is found). */
+  def sitemapsFor(content: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    content.split("\r?\n", -1).foreach { raw =>
+      val noComment = raw.indexOf('#') match {
+        case -1 => raw
+        case i  => raw.substring(0, i)
+      }
+      val line = noComment.trim
+      val cut = line.indexOf(':')
+      if (cut > 0 &&
+          line.substring(0, cut).trim.toLowerCase(Locale.ROOT) == "sitemap") {
+        val v = line.substring(cut + 1).trim
+        if (v.nonEmpty) out += v
+      }
+    }
+    out.result()
+  }
+
   /** Compile a path pattern to the anchored regex both the engine and the
     * DuckDB oracle evaluate: `^` + literal chars with regex metachars
     * escaped, `*` → `.*`, a trailing `$` → the end anchor (a non-trailing

@@ -325,4 +325,40 @@ object WarcCodec {
     * text — non-HTTP records carry the raw payload through [[parse]]). */
   def conversionsGz(bytes: Array[Byte]): Vector[WarcRecord] =
     parseGz(bytes).filter(_.recType == "conversion")
+
+  // ------------------------------------------------------ X101 WAT writing
+
+  /** X101: a WAT-style `metadata` record (ISO 28500 §6.9 / the Common
+    * Crawl WAT convention): JSON metadata ABOUT a capture — canonically
+    * the harvested outlink set — typed `metadata` with
+    * `Content-Type: application/json`, pointing back at the source
+    * response via WARC-Refers-To (the same deterministic id scheme the
+    * response/conversion records share, so the WARC/WET/WAT trio of one
+    * capture cross-references). */
+  private def metadataRecord(uri: String, json: String): Array[Byte] =
+    recordBytes(Seq(
+      "WARC-Type" -> "metadata",
+      "WARC-Target-URI" -> uri,
+      "WARC-Date" -> "2026-01-01T00:00:00Z",
+      "WARC-Record-ID" -> s"<urn:graft:metadata:${uri.hashCode}>",
+      "WARC-Refers-To" -> s"<urn:graft:response:${uri.hashCode}>",
+      "Content-Type" -> "application/json"),
+      json.getBytes(StandardCharsets.UTF_8))
+
+  /** X101 writer: a WAT shard as CONCATENATED GZIP MEMBERS (warcinfo
+    * first, then one metadata record per (uri, json) entry) — the derived
+    * metadata shards keep the member-parallel splittability of the raw
+    * `.warc.gz` (the X78 WET discipline applied to the metadata plane). */
+  def writeWatGz(entries: Seq[(String, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(gzipMember(warcinfoRecord))
+    entries.foreach { case (uri, json) =>
+      out.write(gzipMember(metadataRecord(uri, json)))
+    }
+    out.toByteArray
+  }
+
+  /** The WAT ingestion view: metadata records (body = the JSON payload). */
+  def metadataGz(bytes: Array[Byte]): Vector[WarcRecord] =
+    parseGz(bytes).filter(_.recType == "metadata")
 }

@@ -202,6 +202,33 @@ class RobotsSpec extends SparkSpec {
     assert(!RobotsCodec.isAllowed(RobotsCodec.rulesFor(shared, "b"), "/x/y"))
   }
 
+  test("sitemapsFor: group-independent harvest, comments and blanks ignored, order kept") {
+    val txt = """# header comment
+      |Sitemap: http://a.test/sm1.xml
+      |User-agent: x
+      |Disallow: /
+      |Sitemap: http://a.test/sm2.xml # trailing comment
+      |sitemap: http://a.test/sm3.xml
+      |Sitemap:
+      |User-agent: y
+      |Sitemap: http://a.test/sm4.xml
+      |""".stripMargin
+    assert(RobotsCodec.sitemapsFor(txt) == Vector(
+      "http://a.test/sm1.xml", "http://a.test/sm2.xml",
+      "http://a.test/sm3.xml", "http://a.test/sm4.xml"))
+    // harvesting never disturbs group parsing: x still blocks everything
+    assert(!RobotsCodec.isAllowed(RobotsCodec.rulesFor(txt, "x"), "/p"))
+    assert(RobotsCodec.sitemapsFor("User-agent: *\nDisallow: /\n").isEmpty)
+  }
+
+  test("d_robots_sitemap_frontier: only DECLARED sitemaps are read — block-all origins absent") {
+    val rows = SparkEntry.queries("d_robots_sitemap_frontier")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0)).toSet
+    // even sites + both example domains declare; odd block-all sites do not
+    assert(rows == Set("example.com", "example.co.uk",
+      "site0.org", "site2.org", "site4.org", "site6.org"), rows)
+  }
+
   test("d_crawl_schedule: per-host FIFO spacing honors each origin's delay, one worker per host") {
     val rows = SparkEntry.queries("d_crawl_schedule")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
