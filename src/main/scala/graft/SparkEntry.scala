@@ -813,7 +813,35 @@ object SparkEntry {
            FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
                  FROM documents)
            WHERE w <> '' GROUP BY w)"""
-    val steps = (1 to n).map { i =>
+    (w0 +: bpeTrainStepsSql(n)).mkString(",\n         ")
+  }
+
+  /** X99t oracle truth: the SAME unrolled training chain seeded with the
+    * BYTE-symbol segmentation (hex(encode(w)) pairs → the generated
+    * 256-entry table) — steps are shared verbatim with
+    * [[bpeTrainChainSql]], so the two replays cannot drift in loop
+    * semantics, only in their w0 plane. */
+  private def byteBpeTrainChainSql(n: Int): String = {
+    val w0 =
+      s"""w0 AS MATERIALIZED (
+           SELECT w, cnt,
+             array_to_string(list_transform(range(0, length(hx) // 2),
+               i -> $byteTabSqlList[
+                 (strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16
+                 + strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1))]), ' ') AS seg
+           FROM (SELECT w, cnt, hex(encode(w)) AS hx FROM (
+             SELECT w, CAST(count(*) AS BIGINT) AS cnt
+             FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+                   FROM documents)
+             WHERE w <> '' GROUP BY w)))"""
+    (w0 +: bpeTrainStepsSql(n)).mkString(",\n         ")
+  }
+
+  /** The segmentation-agnostic per-step CTE trio (pair counts p$i → winner
+    * b$i → padded two-pass rewrite w$i), shared by the code-point and
+    * byte-level training replays. */
+  private def bpeTrainStepsSql(n: Int): Seq[String] =
+    (1 to n).map { i =>
       s"""p$i AS MATERIALIZED (
            SELECT sym[i] || ' ' || sym[i + 1] AS pair,
                   CAST(sum(cnt) AS BIGINT) AS c
@@ -829,8 +857,6 @@ object SparkEntry {
              ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ')) AS seg
            FROM w${i - 1})"""
     }
-    (w0 +: steps).mkString(",\n         ")
-  }
 
   /** X87 oracle truth: the WordPiece training loop unrolled — same plane
     * and rewrite as [[bpeTrainChainSql]], the winner picked by the integer
@@ -3853,6 +3879,30 @@ object SparkEntry {
     // rewrites applied correctly, not just that the argmax rows matched.
     "d_bpe_train_segments" -> ((s, dir) => {
       val (_, words) = TextFunctions.bpeTrainDistributed(
+        t(s, dir, "documents"), 8)
+      words.select(col("w").as("word"), col("cnt"), col("seg"))
+        .orderBy(col("cnt").desc, col("word")).limit(20)
+    }),
+
+    // X99t: DISTRIBUTED BYTE-LEVEL BPE TRAINING — d_bpe_train's loop
+    // seeded with the byte-symbol plane (byte_bpe_encode with ZERO merges
+    // = the pre-merge byte stream); the loop itself — one pair-count
+    // aggregate per step, one collected winner row, padded two-pass
+    // rewrite — is SHARED code with X84, and the oracle shares the same
+    // unrolled step generator, so only the w0 planes differ. Completes
+    // train+encode for the byte family like the other three tokenizers.
+    "d_bytebpe_train" -> ((s, dir) => {
+      import s.implicits._
+      graft.plans.SketchFunctions.register(s)
+      val (merges, _) = TextFunctions.byteBpeTrainDistributed(
+        t(s, dir, "documents"), 8)
+      merges.toDF("step", "pair", "cnt")
+    }),
+
+    // X99tb: the byte-plane segmentation after all eight rewrites
+    "d_bytebpe_train_segments" -> ((s, dir) => {
+      graft.plans.SketchFunctions.register(s)
+      val (_, words) = TextFunctions.byteBpeTrainDistributed(
         t(s, dir, "documents"), 8)
       words.select(col("w").as("word"), col("cnt"), col("seg"))
         .orderBy(col("cnt").desc, col("word")).limit(20)
@@ -7876,6 +7926,18 @@ object SparkEntry {
     // rewrites, top-20 by corpus weight
     "d_bpe_train_segments" -> (
       s"""WITH ${bpeTrainChainSql(8)}
+         SELECT w AS word, cnt, seg FROM w8
+         ORDER BY cnt DESC, w LIMIT 20"""),
+
+    // X99t truth: the byte-seeded chain, steps shared with the X84 replay
+    "d_bytebpe_train" -> (
+      s"""WITH ${byteBpeTrainChainSql(8)}
+         ${(1 to 8).map(i => s"SELECT $i AS step, pair, c AS cnt FROM b$i")
+           .mkString("\n         UNION ALL\n         ")}"""),
+
+    // X99tb truth: the byte-plane segmentation after all eight rewrites
+    "d_bytebpe_train_segments" -> (
+      s"""WITH ${byteBpeTrainChainSql(8)}
          SELECT w AS word, cnt, seg FROM w8
          ORDER BY cnt DESC, w LIMIT 20"""),
 

@@ -99,14 +99,50 @@ object TextFunctions {
     * Returns (merges as (step, "a b", summed count), final word plane
     * (w, cnt, seg)). */
   def bpeTrainDistributed(docs: org.apache.spark.sql.DataFrame, numMerges: Int,
-      textCol: String = "text"): (Seq[(Int, String, Long)], org.apache.spark.sql.DataFrame) = {
-    var words = docs
-      .select(explode(tokens(col(textCol))).as("w"))
-      .where(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(col("w"), col("cnt"),
-        trim(regexp_replace(col("w"), "(.)", "$1 ")).as("seg"))
-      .localCheckpoint(true)
+      textCol: String = "text"): (Seq[(Int, String, Long)], org.apache.spark.sql.DataFrame) =
+    bpeMergeLoop(
+      docs.select(explode(tokens(col(textCol))).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .select(col("w"), col("cnt"),
+          trim(regexp_replace(col("w"), "(.)", "$1 ")).as("seg"))
+        .localCheckpoint(true),
+      numMerges)
+
+  /** X99t: the X84 loop on the BYTE plane — the distributed trainer for
+    * the byte-level family: the initial segmentation is the word's UTF-8
+    * byte symbols (the 256-entry table; `byte_bpe_encode` with an empty
+    * merge list IS that segmentation), everything downstream — pair
+    * counting, the (count DESC, pair ASC) winner, the padded two-pass
+    * rewrite — is segmentation-agnostic and shared verbatim, so the two
+    * trainers cannot drift in loop semantics. */
+  def byteBpeTrainDistributed(docs: org.apache.spark.sql.DataFrame, numMerges: Int,
+      textCol: String = "text"): (Seq[(Int, String, Long)], org.apache.spark.sql.DataFrame) =
+    bpeMergeLoop(
+      docs.select(explode(tokens(col(textCol))).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .select(col("w"), col("cnt"),
+          array_join(byteBpeSymbols(col("w")), " ").as("seg"))
+        .localCheckpoint(true),
+      numMerges)
+
+  /** The raw byte-symbol segmentation of a word: `byte_bpe_encode` with
+    * ZERO merges (a byte-level encoder's pre-merge state is exactly the
+    * mapped byte stream). */
+  def byteBpeSymbols(text: Column): Column =
+    call_function("byte_bpe_encode", text.cast("string"),
+      typedlit(Seq.empty[String]))
+
+  /** The shared X84/X99t merge-learning loop over a corpus-weighted
+    * (w, cnt, seg) plane: each of the `numMerges` iterations counts
+    * adjacent symbol pairs with ONE aggregate (map-side partials — the
+    * exchange carries distinct pairs, never the corpus), collects exactly
+    * the winner row, and applies the [[mergeSeg]] padded two-pass replace;
+    * the plane localCheckpoints per step so job i stays shallow. */
+  private def bpeMergeLoop(words0: org.apache.spark.sql.DataFrame, numMerges: Int)
+      : (Seq[(Int, String, Long)], org.apache.spark.sql.DataFrame) = {
+    var words = words0
     val merges = Seq.newBuilder[(Int, String, Long)]
     for (step <- 1 to numMerges) {
       val best = words

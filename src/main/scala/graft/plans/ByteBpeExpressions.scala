@@ -126,7 +126,9 @@ object ByteBpeOps {
   * discipline); per-partition word memo for the repeated-word hot path. */
 case class ByteBpeEncode(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression with ImplicitCastInputTypes {
-  require(merges.nonEmpty, "byte_bpe_encode needs a non-empty merge table")
+  // an EMPTY merge table is meaningful here (unlike code-point bpe_encode):
+  // zero merges = the raw byte-symbol segmentation, the byte family's
+  // pre-merge state — the distributed trainer seeds its word plane with it
   override def prettyName: String = "byte_bpe_encode"
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
