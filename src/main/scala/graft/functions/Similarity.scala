@@ -676,9 +676,17 @@ object Similarity {
         }
       var it = 0
       while (it < iters) {
+        // The assignment MUST be separated from the posexplode by an
+        // exchange: as a Generate pass-through column inside one codegen
+        // stage, `cid` re-evaluates PER GENERATED ELEMENT — dim × the
+        // 90-centroid scan per row (measured: 8 s vs 0.7 s per Lloyd pass
+        // at k = 90, the round-12 per-element-recompute trap in Generate
+        // form). The repartition is a tiny shuffle of the bounded train
+        // subset and forces cid to materialize once per row.
         val means = train
-          .select(nearestCentroid(col("v"), cents).as("cid"),
-            posexplode(col("v")).as(Seq("pos", "x")))
+          .select(nearestCentroid(col("v"), cents).as("cid"), col("v"))
+          .repartition(col("cid"))
+          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
           .collect()
         val next = cents.map(_.clone())
