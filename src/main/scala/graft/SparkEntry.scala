@@ -4266,10 +4266,14 @@ object SparkEntry {
     // Corpus length histogram: token-count buckets of 32 — the shape stat
     // every corpus curation pass starts from
     "d_length_histogram" -> ((s, dir) => {
+      // stage the token count ONCE: inlined into both the group key and the
+      // aggregate it re-ran the regex split twice per row (and the staged
+      // alias survives CollapseProject because it has two consumers)
       t(s, dir, "documents")
-        .groupBy(floor(TextFunctions.tokenCount(col("text")) / 32).cast("bigint").as("bucket"))
+        .select(TextFunctions.tokenCount(col("text")).cast("bigint").as("n"))
+        .groupBy(floor(col("n") / 32).cast("bigint").as("bucket"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(TextFunctions.tokenCount(col("text"))).cast("bigint").as("sum_tokens"))
+          sum(col("n")).cast("bigint").as("sum_tokens"))
     }),
 
     // Per-source token-length quantiles (exact `percentile`, R-7 linear
