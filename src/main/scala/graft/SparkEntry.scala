@@ -634,9 +634,16 @@ object SparkEntry {
     * exchange is the groupBy(dst) partial-sum: at 100 TB the corpus is
     * touched once (edge extraction), never per iteration.
     *
-    * Returns (edges(src,dst,w), outw(src,ow), nodes(d), ranks(d,pr)). */
-  private def linkGraphRanks(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    * Split into two helpers because localCheckpoint(true) inside the rank
+    * loop is EAGER: a shared helper that always computes ranks makes every
+    * caller pay the 5-iteration loop (+5 checkpoint jobs) even when ranks
+    * are discarded — measured at sf0.1: d_harmonic_centrality 0.50→1.91 s,
+    * d_mutual_links 0.45→1.42 s. Edge-plane-only consumers call
+    * linkGraphEdges; only d_pagerank and d_authority_curate call pageRanks.
+    *
+    * Returns (edges(src,dst,w), outw(src,ow), nodes(d)). */
+  private def linkGraphEdges(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     graft.plans.SketchFunctions.register(s)
     import graft.plans.{SketchFunctions => F}
     val edges = t(s, dir, "documents")
@@ -654,6 +661,13 @@ object SparkEntry {
     val outw = edges.groupBy("src").agg(sum("w").as("ow"))
     val nodes = edges.select(col("src").as("d"))
       .union(edges.select(col("dst").as("d"))).distinct()
+    (edges, outw, nodes)
+  }
+
+  /** X81 rank loop over a linkGraphEdges plane — call ONLY when ranks are
+    * actually consumed (the eager per-round checkpoints run 5 jobs). */
+  private def pageRanks(edges: DataFrame, outw: DataFrame,
+      nodes: DataFrame): DataFrame = {
     val ej = edges.join(outw, "src")
     var ranks = nodes.select(col("d"), lit(1000000L).as("pr"))
     for (_ <- 1 to 5) {
@@ -670,7 +684,7 @@ object SparkEntry {
             expr("(85 * coalesce(c, bigint(0))) div 100")).as("pr"))
         .localCheckpoint(true)
     }
-    (edges, outw, nodes, ranks)
+    ranks
   }
 
   /** X86/X88 fixture: member-framed `.warc.gz` shards carrying every page's
@@ -704,9 +718,11 @@ object SparkEntry {
     * the raw `.warc.gz` link shards — per response, the X80 anchor harvest
     * + X85 RFC 3986 resolution produce the capture's resolved outlink set,
     * serialized as the WAT JSON payload (`{"url": …, "links": […]}`), one
-    * gzip member per metadata record, one `.wat.gz` per worker's slice of
-    * the capture space (hash of the capture URI — data-derived, not
-    * partition-id). This is the Common Crawl WARC→WAT production step:
+    * gzip member per metadata record, one `.wat.gz` per URI-hash bucket
+    * (pmod(crc32(uri), 4), carried in the rows so the shard NAME is the
+    * bucket value, not a partition id) with members in uri order — reruns
+    * produce byte-identical shards, the tar writer's determinism
+    * discipline. This is the Common Crawl WARC→WAT production step:
     * downstream graph consumers read the SMALL metadata plane and never
     * touch page bytes again. */
   private def watShards(s: SparkSession, dir: String): String =
@@ -728,17 +744,29 @@ object SparkEntry {
           transform(F.html_links(col("html")),
             l => F.url_resolve(col("uri"), l.getField("href"))).as("links")))
           .as("payload"))
-        .repartition(4, pmod(crc32(col("uri")), lit(4)))
+        .withColumn("bucket", pmod(crc32(col("uri")), lit(4)))
+        .repartition(4, col("bucket"))
+        .sortWithinPartitions("bucket", "uri")
         .foreachPartition { (it: Iterator[Row]) =>
-          val entries = it.map(r => (r.getString(0), r.getString(1))).toSeq
-          if (entries.nonEmpty) {
-            val pid = org.apache.spark.TaskContext.getPartitionId()
-            val path = new org.apache.hadoop.fs.Path(s"$wd/shard$pid.wat.gz")
+          // buckets are consecutive runs after the sort; a partition can
+          // hold >1 bucket (repartition re-hashes the bucket value), so
+          // flush one shard per run — named from the DATA-carried bucket
+          var bucket = -1L
+          val entries = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          def flush(): Unit = if (entries.nonEmpty) {
+            val path = new org.apache.hadoop.fs.Path(s"$wd/shard$bucket.wat.gz")
             val fs = path.getFileSystem(conf.value)
             val out = fs.create(path, true)
-            out.write(graft.codec.WarcCodec.writeWatGz(entries))
-            out.close()
+            try out.write(graft.codec.WarcCodec.writeWatGz(entries.toSeq))
+            finally out.close()
+            entries.clear()
           }
+          it.foreach { r =>
+            val b = r.getLong(2)
+            if (b != bucket) { flush(); bucket = b }
+            entries += ((r.getString(0), r.getString(1)))
+          }
+          flush()
         }
       wd
     }
@@ -4719,11 +4747,12 @@ object SparkEntry {
 
     // X81: integer-grid PageRank over the registered-domain link graph —
     // THE domain-authority signal production crawl curation ranks hosts by
-    // (the Common Crawl webgraph move). See linkGraphRanks for the plan
+    // (the Common Crawl webgraph move). See linkGraphEdges/pageRanks for the plan
     // shape; the oracle replays all five iterations as unrolled CTEs on the
     // same BIGINT grid, bit-exactly.
     "d_pagerank" -> ((s, dir) => {
-      val (edges, outw, _, ranks) = linkGraphRanks(s, dir)
+      val (edges, outw, nodes) = linkGraphEdges(s, dir)
+      val ranks = pageRanks(edges, outw, nodes)
       val inw = edges.groupBy("dst").agg(sum("w").as("in_w"))
       ranks.join(inw, ranks("d") === inw("dst"), "left")
         .join(outw, ranks("d") === outw("src"), "left")
@@ -4742,7 +4771,7 @@ object SparkEntry {
     // plant site{10k}.org (trusted ⇔ site number ≡ 0 mod 10), derived by
     // the same regexp on both engines.
     "d_trustrank" -> ((s, dir) => {
-      val (edges, outw, nodes, _) = linkGraphRanks(s, dir)
+      val (edges, outw, nodes) = linkGraphEdges(s, dir)
       val flags = nodes.select(col("d"),
         (regexp_extract(col("d"), "^site([0-9]+)\\.org$", 1).cast("long")
           % 10 === 0).as("trusted"))
@@ -4753,7 +4782,7 @@ object SparkEntry {
         val contribs = ej.join(broadcast(tr), ej("src") === tr("d"))
           .select(col("dst"), expr("(tr * w) div ow").as("c"))
           .groupBy("dst").agg(sum("c").as("c"))
-        // per-round materialization — the linkGraphRanks/d_hits rule: a
+        // per-round materialization — the pageRanks/d_hits rule: a
         // broadcast plane that is itself the next round's input must be
         // localCheckpoint'd or round i re-evaluates the full i−1 chain
         tr = flags.join(contribs, flags("d") === contribs("dst"), "left")
@@ -4776,7 +4805,7 @@ object SparkEntry {
     // Scale shape: per round the score plane BROADCASTS into the edge
     // join; the corpus is never touched after edge extraction.
     "d_hits" -> ((s, dir) => {
-      val (edges, _, nodes, _) = linkGraphRanks(s, dir)
+      val (edges, _, nodes) = linkGraphEdges(s, dir)
       // Each normalized plane is localCheckpoint'd: hub_i feeds BOTH auth_i
       // and (in the last round) the output join, and every broadcast
       // re-evaluates its input's full lineage — without materialization
@@ -4817,7 +4846,7 @@ object SparkEntry {
     // score on the integer grid floor(recip_w·1e6/out_w) — no corpus
     // touch after edge extraction, bit-exact replay.
     "d_mutual_links" -> ((s, dir) => {
-      val (edges, outw, nodes, _) = linkGraphRanks(s, dir)
+      val (edges, outw, nodes) = linkGraphEdges(s, dir)
       val rev = edges.select(col("dst").as("src"), col("src").as("dst"),
         col("w").as("rw"))
       val recip = edges.join(rev, Seq("src", "dst"))
@@ -4874,7 +4903,8 @@ object SparkEntry {
     "d_authority_curate" -> ((s, dir) => {
       graft.plans.SketchFunctions.register(s)
       import graft.plans.{SketchFunctions => F}
-      val (_, _, _, ranks) = linkGraphRanks(s, dir)
+      val (edges, outw, nodes) = linkGraphEdges(s, dir)
+      val ranks = pageRanks(edges, outw, nodes)
       val keep = ranks.where(col("pr") >= lit(1000000L))
       t(s, dir, "documents")
         .select(col("source"), col("n_chars"),
@@ -5080,7 +5110,7 @@ object SparkEntry {
     // iteration on the domain-bounded distance plane: d1 = edges, d_k =
     // min(d_{k-1}, d_{k-1} ⋈ edges + 1) — two joins, never the corpus.
     "d_harmonic_centrality" -> ((s, dir) => {
-      val (edges, _, nodes, _) = linkGraphRanks(s, dir)
+      val (edges, _, nodes) = linkGraphEdges(s, dir)
       val e1 = edges.select(col("src").as("u"), col("dst").as("v"))
         .withColumn("d", lit(1L))
       def step(dk: DataFrame): DataFrame = {

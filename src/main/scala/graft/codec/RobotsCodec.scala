@@ -105,11 +105,16 @@ object RobotsCodec {
     groupsFor(content, agent).flatMap(_.rules)
 
   /** The `Crawl-delay` (whole seconds) the given product token must obey:
-    * the FIRST valid value in its merged selected groups — a delay in a
+    * the MAXIMUM valid value across its merged selected groups — when
+    * grouping merges runs the way a delay-unaware RFC 9309 parser would
+    * (consecutive User-agent lines share one group), a token can see
+    * several recorded delays whose original adjacency is lost; taking the
+    * most conservative one can only over-delay, never under-delay a host
+    * that a delay-scoping parser (Bing/Yandex) would protect. A delay in a
     * group the token doesn't select is ignored. None = the file states no
     * delay (callers apply their politeness default). */
   def crawlDelayFor(content: String, agent: String): Option[Long] =
-    groupsFor(content, agent).flatMap(_.delays).headOption
+    groupsFor(content, agent).flatMap(_.delays).reduceOption(_ max _)
 
   /** All `Sitemap:` directive values in file order. The sitemap extension
     * (the sitemaps.org protocol's robots.txt hook) is GROUP-INDEPENDENT:

@@ -61,7 +61,7 @@ object NbModelRef {
   }
 
   def decode(enc: Seq[String]): NbModelRef = {
-    require(enc.nonEmpty && enc.head.startsWith("NB1"),
+    require(enc.nonEmpty && enc.head.startsWith("NB1\u0001"),
       "nb model encoding missing NB1 header")
     val nLabels = enc.head.split(SepC)(1).toInt
     val labels = new Array[String](nLabels)

@@ -36,6 +36,24 @@ object Sf1Smoke {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val replicas = args.lift(1).map(_.toInt).getOrElse(10)
     val dumpDir = args.lift(2)
+    // Loadavg precondition (r15 verdict #8): a contended first run produces
+    // absurd superlinear flags that cost a re-run to disprove. Wait for the
+    // 1-min load to settle; refuse after 30 min so a stuck box fails loudly.
+    val maxLoad = sys.env.getOrElse("GRAFT_MAX_LOAD", "1.0").toDouble
+    def load1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
+      catch { case _: Throwable => 0.0 }
+    var waited = 0
+    while (load1() >= maxLoad && waited < 1800) {
+      System.err.println(s"[sf1] waiting: loadavg ${load1()} >= $maxLoad (${waited}s)")
+      Thread.sleep(30000); waited += 30
+    }
+    val loadBefore = load1()
+    if (loadBefore >= maxLoad) {
+      System.err.println(s"[sf1] REFUSED: loadavg $loadBefore >= $maxLoad after 30 min")
+      sys.exit(2)
+    }
+    System.err.println(s"[sf1] loadavg_before: $loadBefore")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -140,6 +158,8 @@ object Sf1Smoke {
         results.map { case (k, (s, r)) => s"${jq(k)}: {\"sec\": ${f"$s%.3f"}, \"rows\": $r}" }
           .mkString("{", ",", "}"))
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$d/sf1_dir.txt"), out)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$d/loadavg_before.txt"), loadBefore.toString)
     }
 
     val qs = results.map { case (k, (s, r)) =>

@@ -39,26 +39,34 @@ object TrainingShards {
       .repartition(col("shard"), col("pack_id"))
       .sortWithinPartitions("shard", "pack_id", "doc_id")
       .foreachPartition { (it: Iterator[Row]) =>
-        // the sort guarantees each (shard, pack) is one consecutive run;
-        // flush a tar whenever the run key changes
+        // The sort guarantees each (shard, pack) is one consecutive run;
+        // open a tar when the run key changes and STREAM members into it —
+        // header, payload, padding per entry, EOF blocks on close. At the
+        // ~1 GiB production shard size a buffer-then-write would hold the
+        // whole shard (×copies) in task heap; streaming holds one member.
         var key: (String, Long) = null
-        val entries = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
-        def flush(): Unit = if (key != null && entries.nonEmpty) {
-          val path = new org.apache.hadoop.fs.Path(
-            s"$outDir/${key._1}-${key._2}.tar")
-          val fs = path.getFileSystem(conf.value)
-          val out = fs.create(path, true)
-          out.write(TarCodec.write(entries.toSeq))
-          out.close()
-          entries.clear()
+        var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        def close(): Unit = if (out != null) {
+          try out.write(new Array[Byte](2 * 512)) // tar EOF: two zero blocks
+          finally { out.close(); out = null }
         }
-        it.foreach { r =>
-          val k = (r.getString(0), r.getLong(1))
-          if (k != key) { flush(); key = k }
-          entries += ((s"${r.getLong(2)}.txt",
-            r.getString(3).getBytes("UTF-8")))
-        }
-        flush()
+        try {
+          it.foreach { r =>
+            val k = (r.getString(0), r.getLong(1))
+            if (k != key) {
+              close(); key = k
+              val path = new org.apache.hadoop.fs.Path(
+                s"$outDir/${k._1}-${k._2}.tar")
+              out = path.getFileSystem(conf.value).create(path, true)
+            }
+            val data = r.getString(3).getBytes("UTF-8")
+            out.write(TarCodec.header(s"${r.getLong(2)}.txt", data.length.toLong))
+            out.write(data)
+            val pad = (512 - (data.length % 512)) % 512
+            if (pad > 0) out.write(new Array[Byte](pad))
+          }
+          close()
+        } finally if (out != null) out.close()
       }
   }
 

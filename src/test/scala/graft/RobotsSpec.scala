@@ -180,8 +180,8 @@ class RobotsSpec extends SparkSpec {
         |User-agent: *
         |Crawl-delay: 7
         |""".stripMargin
-    // first VALID value in the selected (specific) group; * group ignored
-    assert(RobotsCodec.crawlDelayFor(txt, "GraftBot") == Some(3L))
+    // max VALID value in the selected (specific) group; * group ignored
+    assert(RobotsCodec.crawlDelayFor(txt, "GraftBot") == Some(5L))
     // no specific group → the * group's delay
     assert(RobotsCodec.crawlDelayFor(txt, "somebot") == Some(7L))
     // no delay stated anywhere for the selected groups
@@ -190,10 +190,13 @@ class RobotsSpec extends SparkSpec {
     // a crawl-delay line between consecutive User-agent lines does NOT end
     // the accumulation (it is an unknown field per RFC 9309 — recorded, but
     // grouping behaves as if the line were ignored): a and b share ONE
-    // merged group carrying both delays, and each token gets the FIRST one
+    // merged group carrying both delays, and each token gets the MAX —
+    // most conservative, since the merge lost which delay sat next to
+    // which agent line (a delay-scoping parser would give b 4 here; max
+    // can over-delay but never under-delay)
     val split = "User-agent: a\nCrawl-delay: 2\nUser-agent: b\nCrawl-delay: 4\n"
-    assert(RobotsCodec.crawlDelayFor(split, "b") == Some(2L))
-    assert(RobotsCodec.crawlDelayFor(split, "a") == Some(2L))
+    assert(RobotsCodec.crawlDelayFor(split, "b") == Some(4L))
+    assert(RobotsCodec.crawlDelayFor(split, "a") == Some(4L))
     // ...and b therefore INHERITS a rule stated after its User-agent line
     // under the shared group (the real-world shape the old splitting parser
     // silently broke)

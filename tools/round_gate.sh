@@ -11,6 +11,21 @@ cd "$(dirname "$0")/.."
 # it used to waste the whole bench and exit without persisting the artifact.
 round="${GRAFT_ROUND:?set GRAFT_ROUND=<k> so the gate bench is persisted as BENCH_GATE_r<k>.json}"
 
+# Loadavg precondition (r15 verdict #2: the r15 gate started at loadavg
+# 9.18 and published ~1.35× uniformly-inflated rows that the judge's quiet
+# probe contradicted). Wait until the 1-min load settles below the
+# threshold; refuse after 30 min so a stuck box fails loudly instead of
+# silently recording poisoned numbers. Override bar via GRAFT_MAX_LOAD.
+max_load="${GRAFT_MAX_LOAD:-1.0}"
+for i in $(seq 1 60); do
+  load=$(cut -d' ' -f1 /proc/loadavg)
+  ok=$(python3 -c "print(1 if $load < $max_load else 0)")
+  [ "$ok" = 1 ] && break
+  [ "$i" = 60 ] && { echo "GATE REFUSED: loadavg $load >= $max_load after 30 min"; exit 2; }
+  echo "gate waiting: loadavg $load >= $max_load (attempt $i/60)"; sleep 30
+done
+echo "gate loadavg_before: $(cut -d' ' -f1-3 /proc/loadavg)"
+
 sbt -batch compile
 sbt -batch test | tee /tmp/graft_gate_test.log
 grep -q "All tests passed." /tmp/graft_gate_test.log

@@ -108,6 +108,25 @@ def compare_one(sf_dir, dump_dir, name):
 
 
 def main(dump_dir):
+    # Loadavg guard (r15 verdict #8): the oracle subprocesses are CPU-bound
+    # with wall timeouts — a contended box turns real oracles into spurious
+    # timeout_quadratic_truth rows. Same precondition as round_gate.sh.
+    import time
+    max_load = float(os.environ.get("GRAFT_MAX_LOAD", "1.0"))
+    for i in range(60):
+        load = float(open("/proc/loadavg").read().split()[0])
+        if load < max_load:
+            break
+        print(f"sf1 gate waiting: loadavg {load} >= {max_load} ({i + 1}/60)")
+        time.sleep(30)
+    else:
+        print(f"SF1 GATE REFUSED: loadavg {load} >= {max_load} after 30 min")
+        return 2
+    print(f"sf1 gate loadavg_before: {load}")
+    smoke_load = None
+    if os.path.exists(f"{dump_dir}/loadavg_before.txt"):
+        smoke_load = float(open(f"{dump_dir}/loadavg_before.txt").read().strip())
+        print(f"sf1 smoke loadavg_before: {smoke_load}")
     sf_dir = open(f"{dump_dir}/sf1_dir.txt").read().strip()
     times = json.load(open(f"{dump_dir}/sf1_times.json"))
     oracle = json.load(open(f"{dump_dir}/oracle_sql.json"))
@@ -203,6 +222,7 @@ def main(dump_dir):
 
     superlinear = sorted(n for n, e in rows.items() if is_superlinear(e))
     art = {"sf1_verify": 1, "sf1_dir": sf_dir, "n": len(rows),
+           "loadavg_before": load, "smoke_loadavg_before": smoke_load,
            "n_pass": n_pass, "n_fail": n_fail,
            "n_certificate_pass": n_cert,
            "n_timeout_quadratic_truth": n_timeout,
