@@ -1751,13 +1751,28 @@ object SparkEntry {
       "p -> p IS NOT NULL AND p > 0))"
   }
 
-  /** The dwords/bsyms/enc/done recursive-CTE chain: every distinct word of
-    * `textExpr` becomes its UTF-8 byte symbols — hex(encode(word)) sliced
+  /** The GPT-2 pre-token list of `textExpr` as a DuckDB expression —
+    * replaying [[graft.plans.ByteBpeOps.preTokenize]] exactly. RE2 has no
+    * lookahead for the `\s+(?!\S)` alternative, so the text is first CHUNKED
+    * by inserting chr(30) before the last whitespace char of every
+    * whitespace run that precedes a non-space (one regexp_replace with
+    * backrefs); within a chunk, whitespace occurs only as a single leading
+    * char or a terminal run, so the lookahead-free alternation is exact.
+    * Equivalence Java↔RE2 (incl. ordered leftmost-first alternation and the
+    * explicit [\t\n\f\r ] class) is pinned by ByteBpeSpec. */
+  private def bytePretokSql(textExpr: String): String =
+    s"""flatten(list_transform(
+             string_split(regexp_replace($textExpr, '([\\t\\n\\f\\r ])([^\\t\\n\\f\\r ])', chr(30) || '\\1\\2', 'g'), chr(30)),
+             ch -> regexp_extract_all(ch, '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\p{L}\\p{N}\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+')))"""
+
+  /** The dwords/bsyms/enc/done recursive-CTE chain: every distinct GPT-2
+    * pre-token of `textExpr` (case kept, leading space kept — the Ġ
+    * convention) becomes its UTF-8 byte symbols — hex(encode(word)) sliced
     * into hex pairs, each looked up in the generated 256-entry table — and
     * the identical lowest-rank merge-all loop runs over the byte plane. */
   private def byteBpeCtesSql(fromSql: String, textExpr: String): String =
     s"""dwords AS (
-             SELECT DISTINCT unnest(regexp_split_to_array(trim(lower($textExpr)), '\\s+')) AS word
+             SELECT DISTINCT unnest(${bytePretokSql(textExpr)}) AS word
              FROM $fromSql),
            bsyms AS (
              SELECT word, hex(encode(word)) AS hx FROM dwords WHERE word <> ''),
@@ -3869,16 +3884,19 @@ object SparkEntry {
           array_join(col("arr"), " ").as("toks"))),
 
     // X99: BYTE-LEVEL BPE encode — the production tokenizer family
-    // (GPT-2/tiktoken lineage): words become UTF-8 bytes mapped through
-    // the public 256-entry byte→unicode table, merges run over byte
-    // symbols, so there is NO [unk] by construction (multilingual text,
-    // emoji, URLs all encode losslessly — exactly where the code-point
-    // families mis-count the packing/carving budgets). Same plan shape as
-    // d_bpe_encode: one codegen'd projection, zero shuffle, the merge
-    // table a plan reference object. The oracle replays the byte mapping
-    // (hex(encode(word)) → generated table literals) and the identical
-    // lowest-rank merge loop; ByteBpeSpec pins the trained table, the
-    // encode∘decode identity, and the non-ASCII/emoji/URL behavior.
+    // (GPT-2/tiktoken lineage): the GPT-2 regex pre-tokenizer (case
+    // preserved, leading spaces carried into tokens — the Ġ convention,
+    // contractions/letter-runs/digit-runs/punct-runs/whitespace classes),
+    // then each pre-token's UTF-8 bytes map through the public 256-entry
+    // byte→unicode table and merges run over byte symbols — NO [unk] by
+    // construction and decode reconstructs the WHOLE document including
+    // case and spacing. Same plan shape as d_bpe_encode: one codegen'd
+    // projection, zero shuffle, the merge table a plan reference object.
+    // The oracle replays the pre-tokenizer (chunked lookahead-free RE2,
+    // see bytePretokSql), the byte mapping (hex(encode(word)) → generated
+    // table literals) and the identical lowest-rank merge loop; ByteBpeSpec
+    // pins the pre-tokenizer, the trained table, the whole-document
+    // identity, and the non-ASCII/emoji/URL behavior.
     "d_bytebpe_encode" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -5594,8 +5612,10 @@ object SparkEntry {
     // (X67gz) → HTML main-content extraction (X63) after normalize_text
     // repairs the planted mojibake (X62) → token gate → Gopher repetition
     // gate (X66, drops the planted self-concat docs) → MinHash+LSH near-dup
-    // dedup with exact verify (X2, drops the planted +10M clones) → BPE
-    // budget gate (X44) → per-source sequence packing (X15). Plan shape:
+    // dedup with exact verify (X2, drops the planted +10M clones) → BYTE-
+    // LEVEL BPE budget gate (X99 — the production count a trainer bills,
+    // GPT-2 pre-tokenizer + byte merges; r16 swapped this in for the X44
+    // code-point count) → per-source sequence packing (X15). Plan shape:
     // the ingest+extract+gates are per-row projections inside the scan; the
     // only exchanges are the dedup's banded equi-join, the semi/anti joins
     // on doc_id, and the pack window — the 100 TB composition.
@@ -5656,7 +5676,7 @@ object SparkEntry {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       gated.join(doomed, Seq("doc_id"), "left_anti")
         .withColumn("n_tokens",
-          TextFunctions.bpeTokenCount(col("main"), TextFunctions.BpeSeedMerges)
+          TextFunctions.byteBpeTokenCount(col("main"), TextFunctions.ByteBpeSeedMerges)
             .cast("bigint"))
         .where(col("n_tokens") >= 40)
         .join(metaAll, Seq("doc_id"))
@@ -5705,7 +5725,7 @@ object SparkEntry {
           carryCols = Seq("main"))
         .where(col("keep"))
         .withColumn("n_tokens",
-          TextFunctions.bpeTokenCount(col("main"), TextFunctions.BpeSeedMerges)
+          TextFunctions.byteBpeTokenCount(col("main"), TextFunctions.ByteBpeSeedMerges)
             .cast("bigint"))
         .where(col("n_tokens") >= 40)
         .select(col("doc_id"), col("n_tokens"))
@@ -5780,7 +5800,7 @@ object SparkEntry {
             Dedup.appendNearDupIndex(kept, idx, k = 64, bands = 32)
             kept.write.mode("append").parquet(textDir)
             kept.withColumn("n_tokens",
-                TextFunctions.bpeTokenCount(col("text"), TextFunctions.BpeSeedMerges)
+                TextFunctions.byteBpeTokenCount(col("text"), TextFunctions.ByteBpeSeedMerges)
                   .cast("bigint"))
               .where(col("n_tokens") >= 40)
               .select(lit(batchId).cast("int").as("batch_id"),
@@ -7916,7 +7936,7 @@ object SparkEntry {
       s"""WITH RECURSIVE
            ${byteBpeCtesSql("documents", "text")},
            docw AS (
-             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+             SELECT doc_id, ${bytePretokSql("text")} AS ws
              FROM documents),
            pos AS (
              SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS i FROM docw)
@@ -7931,7 +7951,7 @@ object SparkEntry {
       s"""WITH RECURSIVE
            ${byteBpeCtesSql("documents", "text")},
            docw AS (
-             SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+             SELECT doc_id, source, ${bytePretokSql("text")} AS ws
              FROM documents),
            pos AS (
              SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS i FROM docw),
@@ -9215,9 +9235,9 @@ object SparkEntry {
            surv AS (
              SELECT g.doc_id, g.source, g.main FROM dcap g
              WHERE g.doc_id NOT IN (SELECT doc_id FROM doomed)),
-           ${bpeCtesSql("surv", "main")},
+           ${byteBpeCtesSql("surv", "main")},
            docw AS (SELECT doc_id, source,
-               regexp_split_to_array(trim(lower(main)), '\\s+') AS ws FROM surv),
+               ${bytePretokSql("main")} AS ws FROM surv),
            pos AS (SELECT doc_id, unnest(ws) AS word FROM docw),
            bpecnt AS (SELECT p.doc_id, CAST(sum(len(d.toks)) AS BIGINT) AS n_tokens
                       FROM pos p JOIN done d USING (word) GROUP BY p.doc_id),
@@ -9235,9 +9255,9 @@ object SparkEntry {
     "d_stream_web_pipeline" -> (
       s"""WITH RECURSIVE
            $webPipeCoreSql,
-           ${bpeCtesSql("gated", "main")},
+           ${byteBpeCtesSql("gated", "main")},
            docw AS (SELECT doc_id,
-               regexp_split_to_array(trim(lower(main)), '\\s+') AS ws FROM gated),
+               ${bytePretokSql("main")} AS ws FROM gated),
            pos AS (SELECT doc_id, unnest(ws) AS word FROM docw),
            bpecnt AS (SELECT p.doc_id, CAST(sum(len(d.toks)) AS BIGINT) AS n_tokens
                       FROM pos p JOIN done d USING (word) GROUP BY p.doc_id)
@@ -9275,9 +9295,9 @@ object SparkEntry {
                  AND b.doc_id IN (SELECT doc_id FROM b0)
                  AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
                    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.8)),
-           ${bpeCtesSql("gated", "main")},
+           ${byteBpeCtesSql("gated", "main")},
            docw AS (SELECT doc_id,
-               regexp_split_to_array(trim(lower(main)), '\\s+') AS ws FROM gated),
+               ${bytePretokSql("main")} AS ws FROM gated),
            pos AS (SELECT doc_id, unnest(ws) AS word FROM docw),
            bpecnt AS (SELECT p.doc_id, CAST(sum(len(d.toks)) AS BIGINT) AS n_tokens
                       FROM pos p JOIN done d USING (word) GROUP BY p.doc_id)

@@ -32,6 +32,34 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object ByteBpeOps {
 
+  /** The GPT-2 pre-tokenizer (the public gpt2/tiktoken pattern):
+    * contractions, optional-space + letter runs, optional-space + digit
+    * runs, optional-space + punctuation runs, then whitespace — with the
+    * `\s+(?!\S)` subtlety that a whitespace run BEFORE a word donates its
+    * last space to that word (the Ġ space-prefix convention). Case is
+    * PRESERVED and every character of the input lands in exactly one
+    * pre-token, so concat(preTokenize(s)) == s and encode∘decode is the
+    * identity on whole documents, spacing included.
+    *
+    * Whitespace is the explicit ASCII class [\t\n\f\r ] on BOTH engines:
+    * Java's \s and RE2's \s differ at the margins (\x0B), and the DuckDB
+    * oracle must replay this split exactly. The oracle replays the
+    * lookahead via a chunk transform (see SparkEntry.bytePretokSql): RE2
+    * has no lookahead, but splitting the text before the LAST whitespace
+    * char of every run that precedes a non-space makes the lookahead-free
+    * alternation exact chunk-by-chunk. */
+  val PreTokPattern: java.util.regex.Pattern = java.util.regex.Pattern.compile(
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\p{L}\\p{N}\\t\\n\\f\\r ]+" +
+      "|[\\t\\n\\f\\r ]+(?![^\\t\\n\\f\\r ])|[\\t\\n\\f\\r ]+")
+
+  /** GPT-2 pre-tokens of `text`, in order, concatenating to `text`. */
+  def preTokenize(text: String): IndexedSeq[String] = {
+    val m = PreTokPattern.matcher(text)
+    val out = IndexedSeq.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result()
+  }
+
   /** byte value → mapped unicode symbol (one char), GPT-2 construction. */
   val ByteTable: IndexedSeq[String] = {
     val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
@@ -120,10 +148,14 @@ object ByteBpeOps {
   }
 }
 
-/** byte_bpe_encode(text) → array<string>: normalize (trim, lower, split
-  * \s+), byte-level BPE-encode each word, concatenate the streams in
-  * order. Merge table as a codegen reference object (the BpeEncode
-  * discipline); per-partition word memo for the repeated-word hot path. */
+/** byte_bpe_encode(text) → array<string>: GPT-2 pre-tokenize (case
+  * preserved, leading spaces carried into tokens — the Ġ convention,
+  * whitespace runs kept as tokens), byte-level BPE-encode each pre-token,
+  * concatenate the streams in order — so decode reconstructs the WHOLE
+  * document, spacing and case included, and token counts match what a
+  * production byte-level trainer bills. Merge table as a codegen reference
+  * object (the BpeEncode discipline); per-partition pre-token memo for the
+  * repeated-word hot path. */
 case class ByteBpeEncode(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression with ImplicitCastInputTypes {
   // an EMPTY merge table is meaningful here (unlike code-point bpe_encode):
@@ -139,20 +171,18 @@ case class ByteBpeEncode(child: Expression, merges: Seq[(String, String)])
 
   /** Row kernel (called from both interpreted eval and generated code). */
   def encodeRow(text: UTF8String): ArrayData = {
-    val words = text.toString.trim.toLowerCase.split("\\s+")
+    val words = ByteBpeOps.preTokenize(text.toString)
     val out = mutable.ArrayBuffer.empty[UTF8String]
     var wi = 0
     while (wi < words.length) {
       val w = words(wi)
-      if (w.nonEmpty) {
-        var toks = memo.get(w)
-        if (toks == null) {
-          toks = ByteBpeOps.encodeWord(w, mergeArr, ranks)
-            .map(UTF8String.fromString).toArray
-          if (memo.size < (1 << 20)) memo.put(w, toks)
-        }
-        out ++= toks
+      var toks = memo.get(w)
+      if (toks == null) {
+        toks = ByteBpeOps.encodeWord(w, mergeArr, ranks)
+          .map(UTF8String.fromString).toArray
+        if (memo.size < (1 << 20)) memo.put(w, toks)
       }
+      out ++= toks
       wi += 1
     }
     new GenericArrayData(out.toArray[Any])

@@ -80,25 +80,54 @@ class ByteBpeSpec extends SparkSpec {
     assert(topToks == IndexedSeq("table"), s"got $topToks")
   }
 
+  test("GPT-2 pre-tokenizer: contractions, space-carry, multi-space donation, case kept") {
+    import ByteBpeOps.preTokenize
+    // single spaces attach to the following word (the Ġ convention)
+    assert(preTokenize("Hello world") == Seq("Hello", " world"))
+    // contractions split case-sensitively; uppercase 'S is NOT a contraction
+    assert(preTokenize("don't STOP") == Seq("don", "'t", " STOP"))
+    assert(preTokenize("IT'S") == Seq("IT", "'", "S"))
+    // a multi-space run donates its LAST space to the next word (the
+    // \s+(?!\S) backtrack) and keeps the rest as a whitespace token
+    assert(preTokenize("a   b") == Seq("a", "  ", " b"))
+    assert(preTokenize("multi  space") == Seq("multi", " ", " space"))
+    // trailing whitespace stays whole; leading run donates one space
+    assert(preTokenize("ab  ") == Seq("ab", "  "))
+    assert(preTokenize("  hi") == Seq(" ", " hi"))
+    // non-space whitespace never attaches (the ` ?` is a literal space)
+    assert(preTokenize("a\nb") == Seq("a", "\n", "b"))
+    // digits and punctuation are their own classes
+    assert(preTokenize("price: $4.99!") ==
+      Seq("price", ":", " $", "4", ".", "99", "!"))
+    // total coverage: concatenation reconstructs ANY input exactly
+    Seq("Hello  World", " 'bout", "x\n\n\ny", "café 日本語 🙂🙂", "",
+      "a\tb \t c", "Mixed CASE  don't   stop ").foreach { s =>
+      assert(preTokenize(s).mkString == s, s"coverage of ${s.replace("\n", "\\n")}")
+    }
+  }
+
   test("the engine expression matches the driver-side kernel, emoji and URLs included") {
     graft.plans.SketchFunctions.register(spark)
-    val docs = Seq(
+    val texts = Seq(
       (1L, "Table stream CAFÉ über"),
       (2L, "visit https://example.com/a now 🙂🙂"),
-      (3L, "日本語 text with naïve words")).toDF("doc_id", "text")
+      (3L, "日本語 text with naïve words"),
+      // mixed case + multi-space + contraction + tabs/newlines: the
+      // production pre-tokenizer must carry ALL of it losslessly
+      (4L, "Don't  SHOUT   at\tthe\n\nparser, it's  fine "))
+    val docs = texts.toDF("doc_id", "text")
     val got = docs.select(col("doc_id"),
         TextFunctions.byteBpeEncode(col("text"), TextFunctions.ByteBpeSeedMerges).as("arr"))
       .as[(Long, Seq[String])].collect().toMap
     val ranks = BpeOps.rankMap(TextFunctions.ByteBpeSeedMerges)
     val mergeArr = TextFunctions.ByteBpeSeedMerges.toIndexedSeq
-    Seq((1L, "Table stream CAFÉ über"), (2L, "visit https://example.com/a now 🙂🙂"),
-      (3L, "日本語 text with naïve words")).foreach { case (id, text) =>
-      val want = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    texts.foreach { case (id, text) =>
+      val want = ByteBpeOps.preTokenize(text)
         .flatMap(w => ByteBpeOps.encodeWord(w, mergeArr, ranks)).toSeq
       assert(got(id) == want, s"doc $id")
-      // per-word decode identity survives the full pipeline
-      assert(ByteBpeOps.fromSymbols(got(id)) ==
-        text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString)
+      // WHOLE-document decode identity — case, spacing, tabs, newlines:
+      // the pre-tokens cover the text and byte symbols are lossless
+      assert(ByteBpeOps.fromSymbols(got(id)) == text, s"identity on doc $id")
     }
   }
 
