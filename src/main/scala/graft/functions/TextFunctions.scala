@@ -507,6 +507,44 @@ object TextFunctions {
     graft.plans.NbModelRef.encode(labels, rows)
   }
 
+  /** Fused train-and-collect for the kernel path: TWO Spark jobs total —
+    * the (label, token, cnt) aggregate (the one corpus-scale pass) and the
+    * per-label doc counts — then the closed-form smoothing runs DRIVER-SIDE
+    * over the vocab-bounded counts. Numerically IDENTICAL to
+    * [[naiveBayesTrain]] + [[collectNbModel]]: the same IEEE double
+    * expressions ((cnt+α)/(total+α·v) etc., Math.log both here and in
+    * Spark's log), just not spread across five chained tiny jobs — the r15
+    * d_lang_id_ngram drift was ~0.9 s of model/stats/checkpoint job
+    * scheduling after the counts pass (LangIdProbe measured the phases).
+    * NbKernelSpec pins equality against the DataFrame formulation. */
+  def collectNbModelFused(docs: org.apache.spark.sql.DataFrame, labelCol: String,
+      alpha: Double = 1.0, textCol: String = "text",
+      tokenizer: Column => Column = tokens): Seq[String] = {
+    val counts = docs.select(col(labelCol).as("label"),
+        explode(tokenizer(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("label"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val labelDocs = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_label"))
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    val totals = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val v = counts.map(_._2).distinct.size
+    val n = labelDocs.map(_._2).sum
+    // StrictMath.log, not math.log: Spark's Log expression evaluates via
+    // StrictMath (JVM-reproducible), and the wire encoding carries raw
+    // double bits — Math.log's intrinsic differs in the last ulp
+    val labels = labelDocs.map { case (l, nl) =>
+      (l, StrictMath.log(nl.toDouble / n),
+        StrictMath.log(alpha / (totals(l) + alpha * v)))
+    }
+    val rows = counts.map { case (l, tok, cnt) =>
+      (tok, l, StrictMath.log((cnt + alpha) / (totals(l) + alpha * v)))
+    }
+    graft.plans.NbModelRef.encode(labels, rows)
+  }
+
   /** nb_argmax(lc) → struct<label, score>: winning label over the collected
     * model, scores rounded to 4dp before the argmax, ties → smallest label.
     * Input must be the caller-staged normalized text (lower(trim(text))) —

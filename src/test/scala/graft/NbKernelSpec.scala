@@ -45,6 +45,20 @@ class NbKernelSpec extends SparkSpec {
     (docs, model, stats, tok)
   }
 
+  test("collectNbModelFused encodes BIT-identically to naiveBayesTrain + collectNbModel") {
+    val (docs, model, stats, tok) = frames()
+    val slow = TextFunctions.collectNbModel(model, stats)
+    val fused = TextFunctions.collectNbModelFused(
+      docs.where(col("doc_id") % 3 === 0), "lang", textCol = "lc", tokenizer = tok)
+    // the wire encoding carries doubles via Double.toString, so sequence
+    // equality (order-insensitively for the vocab body) proves the driver-
+    // side smoothing reproduced Spark's expressions exactly, bit for bit
+    assert(fused.head == slow.head, "header row (label count)")
+    assert(fused.toSet == slow.toSet,
+      s"model rows differ: onlyFused=${(fused.toSet -- slow.toSet).take(3)}, " +
+        s"onlySlow=${(slow.toSet -- fused.toSet).take(3)}")
+  }
+
   test("nb_argmax equals the DataFrame classify + 4dp-round + argmax window") {
     val (docs, model, stats, tok) = frames()
     val want = {

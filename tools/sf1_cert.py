@@ -718,6 +718,80 @@ def cert_d_lang_routed_dedup(con, dump):
     return out
 
 
+def cert_d_leakage_split(con, dump):
+    """X103 leakage-safe split: quadratic truth is train x eval all-pairs
+    Jaccard; the certificate is linear + bounded:
+      - label structure (full, linear): every corpus doc labeled exactly
+        once, eval label == the md5 '19' rule, no eval doc excised;
+      - planted recall (full, linear): each +70M twin pair's jaccard is
+        ONE id-arithmetic join; whenever the pair straddles the split with
+        J >= 0.8 the train-side member must be excised;
+      - sample-restricted truth (bounded): md5-ordered sample of train
+        docs, exact leak status via one sample x eval pass — excised iff a
+        >= 0.8 eval partner exists (precision AND natural recall)."""
+    corpus = (f"{BASE300} UNION ALL "
+              "SELECT doc_id + 70000000 AS doc_id, text || ' graftleakdup' "
+              "AS text FROM documents WHERE n_chars < 300 AND doc_id % 5 = 4")
+    rep = f"'{dump}/d_leakage_split/*.parquet'"
+    out = {}
+    # label structure: one row per corpus doc, eval == md5 rule, valid labels
+    bad_labels = con.execute(f"""
+      WITH c AS ({corpus}),
+      j AS (SELECT c.doc_id,
+              substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 2) < '19' AS is_eval,
+              r.split
+            FROM c LEFT JOIN {rep} r USING (doc_id))
+      SELECT count(*) FROM j
+      WHERE split IS NULL
+         OR split NOT IN ('eval', 'train', 'excised')
+         OR (split = 'eval') <> is_eval
+         OR (is_eval AND split = 'excised')""").fetchone()[0]
+    n_corpus, n_rep = con.execute(f"""
+      SELECT (SELECT count(*) FROM ({corpus})), (SELECT count(*) FROM {rep})
+      """).fetchone()
+    out["labels"] = {"violations": bad_labels, "n_corpus": n_corpus,
+                     "n_reported": n_rep}
+    ok = bad_labels == 0 and n_corpus == n_rep
+    # planted recall: twin pairs that straddle the split at J >= 0.8
+    grams_table(con, corpus)
+    n_straddle, missed = con.execute(f"""
+      WITH pairs AS (
+        SELECT a.doc_id AS twin, b.doc_id AS orig, {JACC} AS j,
+          substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 2) < '19' AS te,
+          substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 2) < '19' AS oe
+        FROM g a JOIN g b ON a.doc_id = b.doc_id + 70000000
+        WHERE b.doc_id % 5 = 4),
+      straddle AS (
+        SELECT CASE WHEN oe THEN twin ELSE orig END AS train_doc
+        FROM pairs WHERE j >= 0.8 AND te <> oe)
+      SELECT (SELECT count(*) FROM straddle),
+        (SELECT count(*) FROM straddle s JOIN {rep} r
+           ON r.doc_id = s.train_doc AND r.split <> 'excised')
+      """).fetchone()
+    out["planted"] = {"n_straddling": n_straddle, "not_excised": missed}
+    ok = ok and n_straddle > 0 and missed == 0
+    # sample-restricted exact truth over the train side
+    con.execute(f"""CREATE TEMP TABLE evg AS
+      SELECT g.* FROM g
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '19'""")
+    con.execute(f"""CREATE TEMP TABLE trg AS
+      SELECT g.* FROM g
+      WHERE NOT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '19'""")
+    sample_table(con, from_table="trg")
+    bad_sample = con.execute(f"""
+      WITH sg AS (SELECT * FROM trg SEMI JOIN samp USING (doc_id)),
+      st AS (
+        SELECT a.doc_id, count(b.doc_id) AS nleak
+        FROM sg a LEFT JOIN evg b ON {JACC} >= 0.8
+        GROUP BY a.doc_id)
+      SELECT count(*) FROM st JOIN {rep} r USING (doc_id)
+      WHERE (nleak > 0) <> (r.split = 'excised')""").fetchone()[0]
+    out["sample"] = {"status_violations": bad_sample, "sampled_docs": SAMPLE}
+    ok = ok and bad_sample == 0
+    out["cert"] = "pass" if ok else "fail"
+    return out
+
+
 CERTS = {
     "d_ngram_jaccard": cert_d_ngram_jaccard,
     "d_minhash_pairs": cert_d_minhash_pairs,
@@ -731,6 +805,7 @@ CERTS = {
     "d_web_pipeline": cert_d_web_pipeline,
     "d_stream_web_pipeline_dedup": cert_d_stream_web_pipeline_dedup,
     "d_lang_routed_dedup": cert_d_lang_routed_dedup,
+    "d_leakage_split": cert_d_leakage_split,
 }
 
 

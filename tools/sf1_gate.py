@@ -50,6 +50,10 @@ CERTIFIED = {
     # X94 routed pairs: the same all-pairs truth class with the language
     # predicate; certificate adds the cross-language no-leak structural check
     "d_lang_routed_dedup",
+    # X103 leakage-safe split: the train x eval all-pairs Jaccard truth is
+    # quadratic at sf1; the certificate verifies labels + planted straddling
+    # twins fully and the leak status exactly on an md5 sample
+    "d_leakage_split",
 }
 
 
