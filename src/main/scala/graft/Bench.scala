@@ -117,6 +117,40 @@ object Bench {
     }.getOrElse(("", Map.empty))
   }
 
+  /** UNTIMED inter-query hygiene (round-16 measurement fix, guide §1): the
+    * 244-query suite shares one JVM, and row N's cost used to depend on the
+    * garbage rows 1..N−1 left behind — measured at sf0.1: m_meta_extract
+    * 2.26 s mid-suite vs 0.23 s isolated, d_harmonic_centrality 2.14 vs
+    * 0.63, d_cc_sizes 3.16 vs 1.55 (10 rows flagged ref_inflated on a QUIET
+    * box, loadavg_before 0.7). Two mechanisms: (a) dead localCheckpoint /
+    * broadcast blocks pile up in the unified memory pool because the
+    * ContextCleaner only reclaims them after a driver GC, and a 32 GiB-max
+    * heap almost never runs one — eviction churn + GC pressure then bill to
+    * whoever runs next; (b) every drained streaming query leaves its state
+    * store providers loaded (maintenance unload lags by up to the 60 s
+    * maintenance interval), so post-streaming rows run against a background
+    * thread pool — loadavg decayed from 5.6 only ~40 queries after
+    * s7_stream_joined_full. Unloading providers and forcing one GC BETWEEN
+    * queries (never inside a timed region) makes row N measure row N again.
+    * This drops no fixture state: pinned fixture planes stay strongly
+    * referenced by the session memo, and StateStore restarts lazily.
+    *
+    * The GC is PRESSURE-GATED, not unconditional: a first cut ran
+    * System.gc() after all 244 queries and the ~20–30 parallel GC threads
+    * it bursts inflated the 1-min loadavg the late-suite single-repeat rows
+    * run under (s7_activity_tws 4.3→11.1 s). Collecting only when the block
+    * manager actually holds >1 GiB keeps the reclaim where it pays and the
+    * load flat elsewhere. */
+  private def interQueryCleanup(spark: SparkSession): Unit = {
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
+    val storageUsed = try {
+      spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (max, remaining) => max - remaining }.sum
+    } catch { case _: Throwable => 0L }
+    if (storageUsed > (1L << 30)) System.gc()
+  }
+
   /** Cool-down before suspect re-runs (round-11 verdict: re-running
     * immediately re-measures the same co-tenant burst). Polls 1-min loadavg
     * every 5 s until it drops under `frac`×cores or `maxSec` elapses; the
@@ -312,6 +346,7 @@ object Bench {
             System.err.println(s"""{"bench_query":"$name","min":${times.min},"max":${times.max},"n":${times.length},"load":${loadAvg1()},"elapsed":${f"$elapsed%.1f"}}""")
         }
         System.err.flush()
+        interQueryCleanup(spark)
       }
       }
 
@@ -349,6 +384,7 @@ object Bench {
         System.err.println(s"""{"bench_cooldown":$cooldownSec,"n_suspects":${suspects.length},"loadavg":${loadAvg1()}}""")
       }
       suspects.foreach { name =>
+        interQueryCleanup(spark)
         // The re-run executes right after the main pass on the same box: if
         // the co-tenant burst is still active these repeats can't settle
         // either. Sampling loadavg here and recording it in the rerun line

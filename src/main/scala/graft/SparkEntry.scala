@@ -53,6 +53,25 @@ object SparkEntry {
     * parallelism benefit. Sizing the unit of parallelism to the work is the
     * reference's own move (SQS batch size 1, template.yaml:275). At 100 TB the
     * knob turns the other way: size partitions to the key volume. */
+  /** Throwaway-dir factory (r16, guide §6): stream checkpoints, drain
+    * outputs and fixture side-dirs here are per-invocation scratch that
+    * nobody re-reads after the query returns, but they were landing on the
+    * disk-backed /tmp — every state-store delta file, sink commit and
+    * manifest paid a real block-device round-trip. Prefer the tmpfs at
+    * /dev/shm when present (RAM-speed create/rename/fsync; this box backs
+    * it with 126 GiB), fall back to the default temp dir otherwise. A
+    * DURABLE production checkpoint must of course live on real storage —
+    * this helper is only ever used for scratch the same process consumes,
+    * the same distinction withStatefulShuffle draws for checkpoint
+    * checksums. */
+  private def tmpDir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (!sys.env.get("GRAFT_TMPFS").contains("0") &&
+      java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)
+  }
+
   private def withStatefulShuffle[A](s: SparkSession, n: Int)(body: => A): A = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     // Spark 4.1 wraps every checkpoint file in ChecksumCheckpointFileManager
@@ -189,13 +208,13 @@ object SparkEntry {
 
   private def s1SnapshotDir(s: SparkSession, dir: String): String =
     sessionMemo("s1", s, dir) {
-      val snapDir = java.nio.file.Files.createTempDirectory("graft-s1").toString
+      val snapDir = tmpDir("graft-s1").toString
       graft.sources.CatalogSnapshot.writeParquet(tpchCatalog(s, dir), snapDir)
       snapDir
     }
 
   private def sideDir(key: String): String =
-    memo(s"side:$key")(java.nio.file.Files.createTempDirectory("graft-side").toString)
+    memo(s"side:$key")(tmpDir("graft-side").toString)
 
   /** Events split into three TIME-RANGED chunk files with ascending mtimes:
     * with maxFilesPerTrigger=1 the file source drains them oldest-first (it
@@ -211,11 +230,11 @@ object SparkEntry {
       val ev = graft.functions.EventOps.withTsUs(raw)
       val us = col("ts_us")
       val (mn, mx) = ev.agg(min(us), max(us)).as[(Long, Long)].head() // two longs
-      val streamDir = java.nio.file.Files.createTempDirectory(s"graft-$key")
+      val streamDir = tmpDir(s"graft-$key")
       (0 until 3).foreach { i =>
         val lo = mn + (mx - mn + 1) * i / 3
         val hi = mn + (mx - mn + 1) * (i + 1) / 3
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft-$key-c$i")
+        val tmp = tmpDir(s"graft-$key-c$i")
         // chunks keep the RAW schema (ts_us dropped): the streaming readers
         // re-normalize on read, same as they would against the original file
         ev.where(us >= lo && us < hi).select(raw.columns.map(col).toSeq: _*).coalesce(1)
@@ -280,7 +299,7 @@ object SparkEntry {
   private def bucketedTables(s: SparkSession, dir: String): (String, String) =
     sessionMemo("buckets", s, dir) {
       val tag = java.lang.Integer.toHexString(dir.hashCode)
-      val base = java.nio.file.Files.createTempDirectory("graft-buckets")
+      val base = tmpDir("graft-buckets")
       val oT = s"orders_bkt_$tag"
       val lT = s"lineitem_bkt_$tag"
       // repartition on the bucket key first: ONE file per bucket is what
@@ -304,7 +323,7 @@ object SparkEntry {
     * 100 TB an inferSchema pass is a full extra scan of the corpus). */
   private def altFormatDir(s: SparkSession, dir: String): String =
     sessionMemo("altfmt", s, dir) {
-      val base = java.nio.file.Files.createTempDirectory("graft-altfmt").toString
+      val base = tmpDir("graft-altfmt").toString
       t(s, dir, "supplier").write.option("header", "true").csv(s"$base/supplier_csv")
       t(s, dir, "orders").write.json(s"$base/orders_json")
       t(s, dir, "lineitem").write.orc(s"$base/lineitem_orc")
@@ -333,7 +352,7 @@ object SparkEntry {
         if (tsType == org.apache.spark.sql.types.LongType)
           lit((maxUs + off) * 1000L) // int64-nanos fixture generations
         else timestamp_micros(lit(maxUs + off)).cast(tsType)
-      val sentDir = java.nio.file.Files.createTempDirectory("graft-sent")
+      val sentDir = tmpDir("graft-sent")
       t(s, dir, "events").limit(1)
         .withColumn("event_id", lit(-1L).cast(schema("event_id").dataType))
         .withColumn("user_id", lit(-1L).cast(schema("user_id").dataType))
@@ -346,6 +365,34 @@ object SparkEntry {
     }
   }
 
+  /** Immutable s7 stream-input dir (events.parquet only), built ONCE per
+    * (session, sf dir) — r16: every s7 query used to copy events.parquet
+    * into a fresh temp dir INSIDE its timed body, billing fixture synthesis
+    * to every repeat (the prepare() rule: measured bodies charge query
+    * execution only). The dir is read-only to all consumers; each
+    * invocation still gets its own checkpoint, so drains stay independent. */
+  private def s7EventsDir(s: SparkSession, dir: String): String =
+    sessionMemo("s7events", s, dir) {
+      val sd = tmpDir("graft-s7ev")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        sd.resolve("events.parquet"))
+      sd.toString
+    }
+
+  /** [[s7EventsDir]] twin with the two far-future watermark sentinels
+    * appended (same file order: events, then sentinel0, then sentinel1 —
+    * the maxFilesPerTrigger batch composition is unchanged). Shared by the
+    * three sentinel-closed s7 drains; the max(ts_us) job and the two
+    * sentinel writes run once per session instead of once per repeat. */
+  private def s7SentinelDir(s: SparkSession, dir: String): String =
+    sessionMemo("s7eventsent", s, dir) {
+      val sd = tmpDir("graft-s7evs")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        sd.resolve("events.parquet"))
+      writeWatermarkSentinels(s, dir, sd)
+      sd.toString
+    }
+
   /** Evolving-schema parquet dir, written ONCE per (session, sf dir): batch
     * 1 holds even-key suppliers WITHOUT the later `s_tier` column, batch 2
     * holds odd-key suppliers WITH it — the upstream-writer-added-a-column
@@ -353,7 +400,7 @@ object SparkEntry {
     * schema-on-read discipline, §1.2, applied to our lake files). */
   private def evolvedSupplierDir(s: SparkSession, dir: String): String =
     sessionMemo("evolved", s, dir) {
-      val base = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+      val base = tmpDir("graft-evolve").toString
       val sup = t(s, dir, "supplier")
       sup.where(col("s_suppkey") % 2 === 0)
         .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
@@ -374,7 +421,7 @@ object SparkEntry {
     sessionMemo("jdbc", s, dir) {
       System.setProperty("derby.stream.error.file",
         java.nio.file.Files.createTempFile("graft-derby", ".log").toString)
-      val db = java.nio.file.Files.createTempDirectory("graft-derby").resolve("db")
+      val db = tmpDir("graft-derby").resolve("db")
       val url = s"jdbc:derby:$db;create=true"
       t(s, dir, "supplier").write.mode("overwrite")
         .format("jdbc").option("url", url).option("dbtable", "supplier")
@@ -391,7 +438,7 @@ object SparkEntry {
     * measures the pruning against a time-sorted layout). */
   private def zorderEventsDir(s: SparkSession, dir: String): String =
     sessionMemo("zorder", s, dir) {
-      val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+      val base = tmpDir("graft-zorder").toString
       // dims normalized to comparable bit widths (≈11 bits each): user ids
       // are ~0..1.5k; a month of seconds (2.59M, 22 bits) scales down by
       // 1267 — a Morton code over mismatched widths degenerates to a
@@ -447,7 +494,7 @@ object SparkEntry {
         asDbs(o.select(lit("db0").as("name")).distinct()),
         asTables(o.select(col("o_orderkey").as("name"), lit("db0").as("databaseName"))),
         s.emptyDataset[GPartition])
-      val msgDir = java.nio.file.Files.createTempDirectory("graft-s8-msgs").toString
+      val msgDir = tmpDir("graft-s8-msgs").toString
       ReplicationJob.export(s, src, ReplicationConfig(runId = 500L))
         .repartition(4).write.mode("overwrite").json(msgDir)
       msgDir
@@ -466,10 +513,10 @@ object SparkEntry {
       // every table inlines (testdata orders carry up to 12 lineitems)
       val msgs = ReplicationJob.export(s, src,
         ReplicationConfig(runId = 600L, largeTableThreshold = 100))
-      val stage = java.nio.file.Files.createTempDirectory("graft-s8d-stage").toString
+      val stage = tmpDir("graft-s8d-stage").toString
       msgs.write.mode("overwrite").json(stage)
       val once = s.read.schema(Codecs.messageEncoder.schema).json(stage)
-      val msgDir = java.nio.file.Files.createTempDirectory("graft-s8d-msgs").toString
+      val msgDir = tmpDir("graft-s8d-msgs").toString
       once.write.mode("overwrite").json(msgDir)
       once.write.mode("append").json(msgDir) // redelivery: same plane again
       msgDir
@@ -492,6 +539,8 @@ object SparkEntry {
     altFormatDir(s, dir)
     zorderEventsDir(s, dir)
     bucketedTables(s, dir)
+    s7EventsDir(s, dir)
+    s7SentinelDir(s, dir)
     ()
   }
 
@@ -693,7 +742,7 @@ object SparkEntry {
   private def warcLinkShards(s: SparkSession, dir: String): String =
     sessionMemo("warclinkdir", s, dir) {
       import org.apache.spark.sql.Row
-      val wd = java.nio.file.Files.createTempDirectory("graft-warclink").toString
+      val wd = tmpDir("graft-warclink").toString
       val conf = new org.apache.spark.util.SerializableConfiguration(
         s.sparkContext.hadoopConfiguration)
       t(s, dir, "documents")
@@ -731,7 +780,7 @@ object SparkEntry {
       import graft.plans.{SketchFunctions => F}
       graft.plans.SketchFunctions.register(s)
       import s.implicits._
-      val wd = java.nio.file.Files.createTempDirectory("graft-wat").toString
+      val wd = tmpDir("graft-wat").toString
       val conf = new org.apache.spark.util.SerializableConfiguration(
         s.sparkContext.hadoopConfiguration)
       s.read.format("binaryFile")
@@ -1170,7 +1219,7 @@ object SparkEntry {
     * whole web index is still broadcast-sized). */
   private def robotsDir(s: SparkSession, dir: String): String =
     sessionMemo("robotsdir", s, dir) {
-      val wd = java.nio.file.Files.createTempDirectory("graft-robots").toString
+      val wd = tmpDir("graft-robots").toString
       robotsSeed.foreach { case (domain, text) =>
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$wd/$domain.robots.txt"), text)
@@ -1184,7 +1233,7 @@ object SparkEntry {
     * operator under test; both d_shard rows then re-read the artifacts. */
   private def shardDir(s: SparkSession, dir: String): String =
     sessionMemo("sharddir", s, dir) {
-      val wd = java.nio.file.Files.createTempDirectory("graft-shards").toString
+      val wd = tmpDir("graft-shards").toString
       val packed = TextFunctions.packSequences(t(s, dir, "documents"),
         budgetTokens = 2048L, shardCol = "source")
         .join(t(s, dir, "documents").select(col("doc_id"), col("text")), Seq("doc_id"))
@@ -1201,7 +1250,7 @@ object SparkEntry {
   private def domainSitemapDir(s: SparkSession, dir: String): String =
     sessionMemo("domsitemapdir", s, dir) {
       import org.apache.spark.sql.Row
-      val wd = java.nio.file.Files.createTempDirectory("graft-domsm").toString
+      val wd = tmpDir("graft-domsm").toString
       val conf = new org.apache.spark.util.SerializableConfiguration(
         s.sparkContext.hadoopConfiguration)
       t(s, dir, "documents")
@@ -1460,7 +1509,7 @@ object SparkEntry {
   private def webPipeShards(s: SparkSession, dir: String): String =
     sessionMemo("webpipedir", s, dir) {
       import org.apache.spark.sql.Row
-      val wd = java.nio.file.Files.createTempDirectory("graft-webpipe").toString
+      val wd = tmpDir("graft-webpipe").toString
       val input = webPipeDocs(s, dir)
       // crawl hosts vary by doc_id (the d_warc_url_curate closed form, with
       // mixed case so the X73 domain cap exercises url_normalize's host
@@ -1503,7 +1552,7 @@ object SparkEntry {
   private def webPipeStreamShards(s: SparkSession, dir: String): String =
     sessionMemo("webpipestreamdir", s, dir) {
       import org.apache.spark.sql.Row
-      val wd = java.nio.file.Files.createTempDirectory("graft-webstream").toString
+      val wd = tmpDir("graft-webstream").toString
       val conf = new org.apache.spark.util.SerializableConfiguration(
         s.sparkContext.hadoopConfiguration)
       val docs = webPipeDocs(s, dir).withColumn("shard",
@@ -1543,7 +1592,7 @@ object SparkEntry {
   private def cdxShards(s: SparkSession, dir: String): String =
     sessionMemo("cdxdir", s, dir) {
       import org.apache.spark.sql.Row
-      val wd = java.nio.file.Files.createTempDirectory("graft-cdx").toString
+      val wd = tmpDir("graft-cdx").toString
       val conf = new org.apache.spark.util.SerializableConfiguration(
         s.sparkContext.hadoopConfiguration)
       val host = when(pmod(col("doc_id"), lit(4)) === 0, lit("WWW.Example.COM"))
@@ -1601,7 +1650,7 @@ object SparkEntry {
   private def recrawlDir(s: SparkSession, dir: String): String =
     sessionMemo("recrawldir", s, dir) {
       import org.apache.spark.sql.Row
-      val wd = java.nio.file.Files.createTempDirectory("graft-recrawl").toString
+      val wd = tmpDir("graft-recrawl").toString
       val conf = new org.apache.spark.util.SerializableConfiguration(
         s.sparkContext.hadoopConfiguration)
       webPipeDocs(s, dir)
@@ -1664,7 +1713,7 @@ object SparkEntry {
     * dir is just a stable sink). */
   private def wetOutDir(s: SparkSession, dir: String): String =
     sessionMemo("wetdir", s, dir) {
-      java.nio.file.Files.createTempDirectory("graft-wet").toString
+      tmpDir("graft-wet").toString
     }
 
   /** X75: the fixed WordPiece vocab as a DuckDB list literal + its max
@@ -1864,7 +1913,7 @@ object SparkEntry {
     sessionMemo(if (gz) "warcgzdir" else "warcdir", s, dir) {
       import org.apache.spark.sql.Row
       val ext = if (gz) "warc.gz" else "warc"
-      val wd = java.nio.file.Files.createTempDirectory("graft-warc").toString
+      val wd = tmpDir("graft-warc").toString
       val html = plantedHtml(col("text"), pmod(col("doc_id"), lit(3)))
       val conf = new org.apache.spark.util.SerializableConfiguration(
         s.sparkContext.hadoopConfiguration)
@@ -1898,7 +1947,7 @@ object SparkEntry {
     import graft.sources.CatalogSnapshot
     val src = tpchCatalog(spark, "/root/testdata/sf0.001", limitOrders = Some(500))
     val tgt = CatalogSnapshot.empty(spark, "tgt")
-    val side = java.nio.file.Files.createTempDirectory("graft-side").toString
+    val side = tmpDir("graft-side").toString
     val res = ReplicationJob.replicate(spark, src, tgt,
       ReplicationConfig(runId = 42L, largeTableThreshold = 10, sideChannelDir = Some(side)))
     res.actions
@@ -3184,13 +3233,11 @@ object SparkEntry {
     // full r11 suite — the apparent regression was recording-box load, not
     // the round-10 state-store additions.)
     "s7_stream_tumbling" -> ((s, dir) => {
-      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-      val streamDir = java.nio.file.Files.createTempDirectory("graft-s7")
-      java.nio.file.Files.copy(src, streamDir.resolve("events.parquet"))
+      val streamDir = s7EventsDir(s, dir)
       val schema = t(s, dir, "events").schema
       withStatefulShuffle(s, 8) {
         val q = graft.functions.EventOps.withTsUs(
-            s.readStream.schema(schema).parquet(streamDir.toString))
+            s.readStream.schema(schema).parquet(streamDir))
           .withColumn("tts", timestamp_micros(col("ts_us")))
           .groupBy(window(col("tts"), "5 minutes"), col("event_type"))
           .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
@@ -3217,13 +3264,11 @@ object SparkEntry {
     // it), so the emitted set is exactly the windows whose end ≤ that bound
     // — which the oracle states in SQL over the same events.
     "s7_stream_append" -> ((s, dir) => {
-      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-      val streamDir = java.nio.file.Files.createTempDirectory("graft-s7a")
-      java.nio.file.Files.copy(src, streamDir.resolve("events.parquet"))
+      val streamDir = s7EventsDir(s, dir)
       val schema = t(s, dir, "events").schema
       withStatefulShuffle(s, 8) {
         val q = graft.functions.EventOps.withTsUs(
-            s.readStream.schema(schema).parquet(streamDir.toString))
+            s.readStream.schema(schema).parquet(streamDir))
           .withColumn("tts", timestamp_micros(col("ts_us")))
           .withWatermark("tts", "10 minutes")
           .groupBy(window(col("tts"), "5 minutes"), col("event_type"))
@@ -3252,13 +3297,10 @@ object SparkEntry {
     // minute's unmatched rows would sit in state forever: that asymmetry
     // IS the outer-join watermark contract, pinned here.
     "s7_stream_joined_outer" -> ((s, dir) => {
-      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-      val streamDir = java.nio.file.Files.createTempDirectory("graft-s7jo")
-      java.nio.file.Files.copy(src, streamDir.resolve("events.parquet"))
       // sentinels: rows far past the corpus max on BOTH stream sides (they
       // read the same dir); filtered out of the result by user_id
+      val streamDir = s7SentinelDir(s, dir)
       val schema = t(s, dir, "events").schema
-      writeWatermarkSentinels(s, dir, streamDir)
       // 2 files/batch → exactly two micro-batches: (events + sentinel#1),
       // then (sentinel#2). The watermark committed after batch 1 already
       // clears the corpus (sentinel#1 − delay), so batch 2 performs the
@@ -3266,7 +3308,7 @@ object SparkEntry {
       // one-file batches, same completeness.
       def side(tag: String) = graft.functions.EventOps.withTsUs(
           s.readStream.schema(schema).option("maxFilesPerTrigger", 2)
-            .parquet(streamDir.toString))
+            .parquet(streamDir))
         .select(col("user_id").as(s"u_$tag"), col("event_id").as(s"id_$tag"),
           timestamp_micros(col("ts_us")).as(s"tts_$tag"))
         .withWatermark(s"tts_$tag", "1 minute")
@@ -3301,14 +3343,11 @@ object SparkEntry {
     // user_id comes back as coalesce(u_a, u_b): a right-unmatched row has
     // a null left side.
     "s7_stream_joined_full" -> ((s, dir) => {
-      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-      val streamDir = java.nio.file.Files.createTempDirectory("graft-s7jf")
-      java.nio.file.Files.copy(src, streamDir.resolve("events.parquet"))
+      val streamDir = s7SentinelDir(s, dir)
       val schema = t(s, dir, "events").schema
-      writeWatermarkSentinels(s, dir, streamDir)
       def side(tag: String) = graft.functions.EventOps.withTsUs(
           s.readStream.schema(schema).option("maxFilesPerTrigger", 2)
-            .parquet(streamDir.toString))
+            .parquet(streamDir))
         .select(col("user_id").as(s"u_$tag"), col("event_id").as(s"id_$tag"),
           timestamp_micros(col("ts_us")).as(s"tts_$tag"))
         .withWatermark(s"tts_$tag", "1 minute")
@@ -3340,17 +3379,14 @@ object SparkEntry {
     // sentinels close the corpus; the batch read-back then equals the full
     // tumbling aggregation — the same oracle as s7_stream_tumbling.
     "s7_stream_filesink" -> ((s, dir) => {
-      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-      val streamDir = java.nio.file.Files.createTempDirectory("graft-s7f")
-      java.nio.file.Files.copy(src, streamDir.resolve("events.parquet"))
+      val streamDir = s7SentinelDir(s, dir)
       val schema = t(s, dir, "events").schema
-      writeWatermarkSentinels(s, dir, streamDir)
-      val outDir = java.nio.file.Files.createTempDirectory("graft-s7f-out").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-s7f-ckpt").toString
+      val outDir = tmpDir("graft-s7f-out").toString
+      val ckpt = tmpDir("graft-s7f-ckpt").toString
       withStatefulShuffle(s, 8) {
         val q = graft.functions.EventOps.withTsUs(
             s.readStream.schema(schema).option("maxFilesPerTrigger", 2)
-              .parquet(streamDir.toString))
+              .parquet(streamDir))
           .withColumn("tts", timestamp_micros(col("ts_us")))
           .withWatermark("tts", "1 minute")
           .groupBy(window(col("tts"), "5 minutes"), col("event_type"))
@@ -3376,13 +3412,11 @@ object SparkEntry {
     // small side by construction — broadcast keeps the stream side
     // shuffle-free into the aggregation.
     "s7_stream_enrich" -> ((s, dir) => {
-      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-      val streamDir = java.nio.file.Files.createTempDirectory("graft-s7e")
-      java.nio.file.Files.copy(src, streamDir.resolve("events.parquet"))
+      val streamDir = s7EventsDir(s, dir)
       val schema = t(s, dir, "events").schema
       val dim = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
       withStatefulShuffle(s, 8) {
-        val q = s.readStream.schema(schema).parquet(streamDir.toString)
+        val q = s.readStream.schema(schema).parquet(streamDir)
           .join(broadcast(dim), col("user_id") === col("c_custkey"))
           .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
           .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
@@ -3403,12 +3437,10 @@ object SparkEntry {
     // rate × window, not stream lifetime). Semantics equal the batch
     // banded self-join, which is what the shared oracle states.
     "s7_stream_joined" -> ((s, dir) => {
-      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-      val streamDir = java.nio.file.Files.createTempDirectory("graft-s7j")
-      java.nio.file.Files.copy(src, streamDir.resolve("events.parquet"))
+      val streamDir = s7EventsDir(s, dir)
       val schema = t(s, dir, "events").schema
       def side(tag: String) = graft.functions.EventOps.withTsUs(
-          s.readStream.schema(schema).parquet(streamDir.toString))
+          s.readStream.schema(schema).parquet(streamDir))
         .select(col("user_id").as(s"u_$tag"), col("event_id").as(s"id_$tag"),
           timestamp_micros(col("ts_us")).as(s"tts_$tag"))
         .withWatermark(s"tts_$tag", "1 minute")
@@ -3434,12 +3466,10 @@ object SparkEntry {
     // the drained per-session rows re-aggregate to per-user counts so the
     // batch oracle applies verbatim.
     "s7_stream_sessions" -> ((s, dir) => {
-      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-      val streamDir = java.nio.file.Files.createTempDirectory("graft-s7s")
-      java.nio.file.Files.copy(src, streamDir.resolve("events.parquet"))
+      val streamDir = s7EventsDir(s, dir)
       val schema = t(s, dir, "events").schema
       val q = graft.functions.EventOps.withTsUs(
-          s.readStream.schema(schema).parquet(streamDir.toString))
+          s.readStream.schema(schema).parquet(streamDir))
         .withColumn("tts", timestamp_micros(col("ts_us")))
         .groupBy(col("user_id"), session_window(col("tts"), "30 minutes"))
         .agg(count(lit(1)).as("n_events"))
@@ -3625,8 +3655,8 @@ object SparkEntry {
       // overhead and 32-file state planes cost 4× the commit I/O).
       val tgt = withStatefulShuffle(s, 8) {
         MessageStream.runImport(s, msgDir,
-          java.nio.file.Files.createTempDirectory("graft-s8-state").toString,
-          java.nio.file.Files.createTempDirectory("graft-s8-ckpt").toString,
+          tmpDir("graft-s8-state").toString,
+          tmpDir("graft-s8-ckpt").toString,
           CatalogSnapshot.empty(s, "tgt"), cfg)
       }
       tgt.tables.select(col("name").cast("bigint").as("o_orderkey"))
@@ -3663,8 +3693,8 @@ object SparkEntry {
       }
       val tgt = withStatefulShuffle(s, 8) {
         MessageStream.runImport(s, msgDir,
-          java.nio.file.Files.createTempDirectory("graft-s8v2-state").toString,
-          java.nio.file.Files.createTempDirectory("graft-s8v2-ckpt").toString,
+          tmpDir("graft-s8v2-state").toString,
+          tmpDir("graft-s8v2-ckpt").toString,
           CatalogSnapshot.empty(s, "tgt"), cfg,
           queueMaxMessagesPerTrigger = Some(cap.longValue()))
       }
@@ -3678,13 +3708,13 @@ object SparkEntry {
     "s8_stream_dedup" -> ((s, dir) => {
       import graft.streaming.MessageStream
       val msgDir = s8DedupMsgDir(s, dir)
-      val outDir = java.nio.file.Files.createTempDirectory("graft-s8d-out").toString
+      val outDir = tmpDir("graft-s8d-out").toString
       withStatefulShuffle(s, 8) {
         val q = MessageStream.dedupMessages(MessageStream.readMessages(s, msgDir))
           .writeStream
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation",
-            java.nio.file.Files.createTempDirectory("graft-s8d-ckpt").toString)
+            tmpDir("graft-s8d-ckpt").toString)
           .format("parquet")
           .option("path", outDir)
           .start()
@@ -3708,7 +3738,7 @@ object SparkEntry {
     "s8_stream_dedup_ttl" -> ((s, dir) => {
       import graft.streaming.MessageStream
       val msgDir = s8DedupMsgDir(s, dir)
-      val outDir = java.nio.file.Files.createTempDirectory("graft-s8t-out").toString
+      val outDir = tmpDir("graft-s8t-out").toString
       withStatefulShuffle(s, 8) {
         val src = MessageStream.readMessages(s, msgDir, maxFilesPerTrigger = Some(16))
         val q = MessageStream.dedupMessagesWithinWatermark(src, delay = "10 minutes",
@@ -3717,7 +3747,7 @@ object SparkEntry {
           .writeStream
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation",
-            java.nio.file.Files.createTempDirectory("graft-s8t-ckpt").toString)
+            tmpDir("graft-s8t-ckpt").toString)
           .format("parquet")
           .option("path", outDir)
           .start()
@@ -3830,9 +3860,9 @@ object SparkEntry {
     "d_stream_shard_write" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       val chunkDir = sessionMemo("x100chunks", s, dir) {
-        val cd = java.nio.file.Files.createTempDirectory("graft-x100-stream")
+        val cd = tmpDir("graft-x100-stream")
         (0 until 3).foreach { i =>
-          val tmp = java.nio.file.Files.createTempDirectory(s"graft-x100-c$i")
+          val tmp = tmpDir(s"graft-x100-c$i")
           t(s, dir, "documents")
             .where(pmod(col("doc_id"), lit(3)) === i)
             .select(col("doc_id"), col("source"), col("text"))
@@ -3845,7 +3875,7 @@ object SparkEntry {
         }
         cd.toString
       }
-      val outDir = java.nio.file.Files.createTempDirectory("graft-x100-out").toString
+      val outDir = tmpDir("graft-x100-out").toString
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("source", StringType),
         StructField("text", StringType)))
@@ -4673,9 +4703,9 @@ object SparkEntry {
       // of re-paying two parquet writes and accumulating temp dirs; the
       // directory stream is closed so repeats don't leak fds.
       val streamDir = sessionMemo("webstream", s, dir) {
-        val sd = java.nio.file.Files.createTempDirectory("graft-webstream")
+        val sd = tmpDir("graft-webstream")
         Seq(0, 1).foreach { par =>
-          val half = java.nio.file.Files.createTempDirectory("graft-webhalf")
+          val half = tmpDir("graft-webhalf")
           docs.where(pmod(col("doc_id"), lit(2)) === par).coalesce(1)
             .write.mode("overwrite").parquet(half.toString)
           val ls = java.nio.file.Files.list(half)
@@ -5013,7 +5043,7 @@ object SparkEntry {
       import graft.plans.{SketchFunctions => F}
       val smDir = sessionMemo("sitemapdir", s, dir) {
         import org.apache.spark.sql.Row
-        val wd = java.nio.file.Files.createTempDirectory("graft-sitemap").toString
+        val wd = tmpDir("graft-sitemap").toString
         val conf = new org.apache.spark.util.SerializableConfiguration(
           s.sparkContext.hadoopConfiguration)
         t(s, dir, "documents")
@@ -5172,14 +5202,14 @@ object SparkEntry {
       val warcDir = warcLinkShards(s, dir)
       val schema = s.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc.gz").load(warcDir).schema
-      val outDir = java.nio.file.Files.createTempDirectory("graft-slg").toString
+      val outDir = tmpDir("graft-slg").toString
       val q = warcLinkEdges(s, warcDir, stream = Some(schema))
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
         .writeStream
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-slg-ckpt").toString)
+          tmpDir("graft-slg-ckpt").toString)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           batch.write.mode("overwrite").parquet(outDir)
           ()
@@ -5229,7 +5259,7 @@ object SparkEntry {
       import graft.plans.{SketchFunctions => F}
       val warcDir = sessionMemo("warcurldir", s, dir) {
         import org.apache.spark.sql.Row
-        val wd = java.nio.file.Files.createTempDirectory("graft-warcurl").toString
+        val wd = tmpDir("graft-warcurl").toString
         val conf = new org.apache.spark.util.SerializableConfiguration(
           s.sparkContext.hadoopConfiguration)
         t(s, dir, "documents")
@@ -5322,7 +5352,7 @@ object SparkEntry {
       import graft.plans.{SketchFunctions => F}
       val warcDir = cdxShards(s, dir)
       val idxDir = sessionMemo("cdxparquet", s, dir) {
-        val out = java.nio.file.Files.createTempDirectory("graft-cdxpq").toString
+        val out = tmpDir("graft-cdxpq").toString
         s.read.textFile(s"$warcDir/*.cdx").toDF("line")
           .select(split(col("line"), " ", 3).as("f"))
           .select(col("f").getItem(0).as("surt_key"),
@@ -5442,7 +5472,7 @@ object SparkEntry {
       import s.implicits._
       val sd = sessionMemo("crawlstreamdir", s, dir) {
         import org.apache.spark.sql.Row
-        val wd = java.nio.file.Files.createTempDirectory("graft-crawlstream").toString
+        val wd = tmpDir("graft-crawlstream").toString
         val conf = new org.apache.spark.util.SerializableConfiguration(
           s.sparkContext.hadoopConfiguration)
         val ids = t(s, dir, "documents").select(col("doc_id"))
@@ -5526,7 +5556,7 @@ object SparkEntry {
       val warcDir = cdxShards(s, dir)
       val rules = robotsRules(s, dir)
       val streamDir = sessionMemo("cdxstream", s, dir) {
-        val sd = java.nio.file.Files.createTempDirectory("graft-cdxstream")
+        val sd = tmpDir("graft-cdxstream")
         val ls = java.nio.file.Files.list(java.nio.file.Paths.get(warcDir))
         try {
           val it = ls.filter(_.toString.endsWith(".cdx")).iterator()
@@ -5537,12 +5567,12 @@ object SparkEntry {
         } finally ls.close()
         sd.toString
       }
-      val outDir = java.nio.file.Files.createTempDirectory("graft-frontier").toString
+      val outDir = tmpDir("graft-frontier").toString
       val q = s.readStream.option("maxFilesPerTrigger", 2).text(streamDir)
         .writeStream
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-frontier-ckpt").toString)
+          tmpDir("graft-frontier-ckpt").toString)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           frontierCurate(batch, warcDir, rules)
             .write.mode("append").parquet(outDir)
@@ -5827,9 +5857,9 @@ object SparkEntry {
         StructField("modificationTime", TimestampType),
         StructField("length", LongType),
         StructField("content", BinaryType)))
-      val idx = java.nio.file.Files.createTempDirectory("graft-wsd-idx").toString
-      val textDir = java.nio.file.Files.createTempDirectory("graft-wsd-text").toString
-      val outDir = java.nio.file.Files.createTempDirectory("graft-wsd-out").toString
+      val idx = tmpDir("graft-wsd-idx").toString
+      val textDir = tmpDir("graft-wsd-text").toString
+      val outDir = tmpDir("graft-wsd-out").toString
       val emptyDocs = s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
@@ -5848,7 +5878,7 @@ object SparkEntry {
           .writeStream
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation",
-            java.nio.file.Files.createTempDirectory("graft-wsd-ckpt").toString)
+            tmpDir("graft-wsd-ckpt").toString)
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             val extracted = batch.select(col("doc_id"),
                 graft.plans.SketchFunctions.html_main_text(
@@ -5937,7 +5967,7 @@ object SparkEntry {
       val isEval = TextFunctions.hashSample(col("doc_id"), 10)
       val evalDocs = corpus.where(isEval)
       val idxPath = sessionMemo("x103idx", s, dir) {
-        val p = java.nio.file.Files.createTempDirectory("graft-x103-idx").toString
+        val p = tmpDir("graft-x103-idx").toString
         Dedup.writeNearDupIndex(evalDocs, p, k = 64, bands = 32)
         p
       }
@@ -6129,7 +6159,7 @@ object SparkEntry {
       val base = t(s, dir, "documents").where(col("n_chars") < 300)
         .select(col("doc_id"), col("text"))
       val idxPath = sessionMemo("x46idx", s, dir) {
-        val p = java.nio.file.Files.createTempDirectory("graft-x46-idx").toString
+        val p = tmpDir("graft-x46-idx").toString
         Dedup.writeNearDupIndex(base, p, k = 64, bands = 32)
         p
       }
@@ -6168,7 +6198,7 @@ object SparkEntry {
         .select((col("doc_id") + 45000000L).as("doc_id"),
           zrText(col("doc_id") + 45000000L).as("text"))
       val idxPath = sessionMemo("x46idx2", s, dir) {
-        val p = java.nio.file.Files.createTempDirectory("graft-x46-idx2").toString
+        val p = tmpDir("graft-x46-idx2").toString
         Dedup.writeNearDupIndex(base, p, k = 64, bands = 32)
         Dedup.appendNearDupIndex(gen1, p, k = 64, bands = 32)
         p
@@ -6208,14 +6238,14 @@ object SparkEntry {
       val base = t(s, dir, "documents").where(col("n_chars") < 300)
         .select(col("doc_id"), col("text"))
       val baseIdx = sessionMemo("x46idx", s, dir) {
-        val p = java.nio.file.Files.createTempDirectory("graft-x46-idx").toString
+        val p = tmpDir("graft-x46-idx").toString
         Dedup.writeNearDupIndex(base, p, k = 64, bands = 32)
         p
       }
       def tok8(prefix: String, idc: org.apache.spark.sql.Column) = concat_ws(" ",
         ('a' to 'h').map(c => concat(lit(s"$prefix$c"), idc.cast("string"))): _*)
       val chunkDir = sessionMemo("x46chunks", s, dir) {
-        val cd = java.nio.file.Files.createTempDirectory("graft-x46-stream")
+        val cd = tmpDir("graft-x46-stream")
         val zs = base.where(col("doc_id") % 9 === 4)
           .select((col("doc_id") + 75000000L).as("doc_id"),
             tok8("zs", col("doc_id") + 75000000L).as("text"))
@@ -6236,7 +6266,7 @@ object SparkEntry {
               .select((col("doc_id") + 95000000L).as("doc_id"),
                 concat(col("text"), lit(" graftstreamdup2")).as("text"))))
         chunks.zipWithIndex.foreach { case (df, i) =>
-          val tmp = java.nio.file.Files.createTempDirectory(s"graft-x46-c$i")
+          val tmp = tmpDir(s"graft-x46-c$i")
           df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
           val part = tmp.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
           val dest = cd.resolve(f"chunk$i%02d.parquet")
@@ -6247,16 +6277,16 @@ object SparkEntry {
         cd.toString
       }
       // fresh mutable copies per invocation: the drain APPENDS
-      val idx = java.nio.file.Files.createTempDirectory("graft-x46-live").toString
+      val idx = tmpDir("graft-x46-live").toString
       Seq("bands", "sigs", "members").foreach { plane =>
         val src = java.nio.file.Paths.get(baseIdx, plane)
         val dst = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(idx, plane))
         java.nio.file.Files.list(src).forEach(f =>
           java.nio.file.Files.copy(f, dst.resolve(f.getFileName.toString)))
       }
-      val textDir = java.nio.file.Files.createTempDirectory("graft-x46-text").toString
+      val textDir = tmpDir("graft-x46-text").toString
       base.write.mode("overwrite").parquet(textDir)
-      val outDir = java.nio.file.Files.createTempDirectory("graft-x46-out").toString
+      val outDir = tmpDir("graft-x46-out").toString
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType)))
       withStatefulShuffle(s, 8) {
@@ -6265,7 +6295,7 @@ object SparkEntry {
           .writeStream
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation",
-            java.nio.file.Files.createTempDirectory("graft-x46-ckpt").toString)
+            tmpDir("graft-x46-ckpt").toString)
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             val corpusText = s.read.parquet(textDir)
             val matched = Dedup.probeNearDupIndex(batch, idx, corpusText,
@@ -6586,17 +6616,17 @@ object SparkEntry {
     // which is what lets the brute-force SQL be the oracle.
     "e_stream_index" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val streamDir = java.nio.file.Files.createTempDirectory("graft-vstream")
+      val streamDir = tmpDir("graft-vstream")
       // two arrival files → two incremental index batches
       Seq(0, 1).foreach { par =>
-        val half = java.nio.file.Files.createTempDirectory("graft-vhalf")
+        val half = tmpDir("graft-vhalf")
         e.where(col("vec_id") % 2 === par).coalesce(1)
           .write.mode("overwrite").parquet(half.toString)
         val part = java.nio.file.Files.list(half)
           .filter(_.toString.endsWith(".parquet")).findFirst().get()
         java.nio.file.Files.copy(part, streamDir.resolve(s"arrivals$par.parquet"))
       }
-      val idxDir = java.nio.file.Files.createTempDirectory("graft-vidx").toString
+      val idxDir = tmpDir("graft-vidx").toString
       // 4 planes → 16 bucket directories (8 planes would mean 256 dirs ×
       // tasks × batches of tiny files — measured 3× slower on pure
       // filesystem churn at this corpus size; at billions of vectors the
@@ -6611,7 +6641,7 @@ object SparkEntry {
           batch.coalesce(1).write.mode("append").partitionBy("bucket").parquet(idxDir)
         }
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-vidx-ckpt").toString)
+          tmpDir("graft-vidx-ckpt").toString)
         .start()
       q.awaitTermination()
       // the probe path: enumerate the probed buckets, let the directory

@@ -462,6 +462,40 @@ object Multimodal {
     Dedup.fingerprintPairs(hashed, maxHamming, maxBucketSize)
   }
 
+  /** One-decode fusion of [[phashAny]] + [[contentDigest]] (r16): the two
+    * were computed as separate calls in [[phashVerifiedPairs]]' hash plane,
+    * decoding every payload TWICE (PNG inflate / JPEG DCT / WAV chunk walk
+    * are the dominant per-row cost). Same decoders, same success conditions,
+    * same digest preimage — output is bit-identical to the unfused pair;
+    * digest is null exactly where [[contentDigest]] returned None. */
+  def phashAndDigest(payload: Array[Byte]): (Long, String) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+    sniffMimeBytes(payload) match {
+      case "image/png" => PixelCodec.decodePng(payload) match {
+        case Some(img) =>
+          md.update(s"png:${img.width}x${img.height}:".getBytes("US-ASCII"))
+          md.update(img.pixels)
+          (PixelCodec.dHash64(img), hex(md.digest()))
+        case None => (phashBytes(payload), null)
+      }
+      case "image/jpeg" => JpegCodec.decode(payload) match {
+        case Some(img) =>
+          md.update(s"jpeg:${img.width}x${img.height}:".getBytes("US-ASCII"))
+          md.update(img.pixels)
+          (PixelCodec.dHash64(img), hex(md.digest()))
+        case None => (phashBytes(payload), null)
+      }
+      case "audio/wav" => PixelCodec.decodeWavPcm(payload) match {
+        case Some(pcm) =>
+          md.update("wav:".getBytes("US-ASCII")); md.update(pcm)
+          (PixelCodec.audioHash64(pcm), hex(md.digest()))
+        case None => (phashBytes(payload), null)
+      }
+      case _ => (phashBytes(payload), null)
+    }
+  }
+
   /**
    * Perceptual candidates verified to EXACT decoded-content identity: the
    * pigeonhole phash join supplies recall (identical content → identical
@@ -476,11 +510,12 @@ object Multimodal {
       binCol: String = "payload", maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val narrowed = docs.select(col(idCol).cast("long"), col(binCol))
     import narrowed.sparkSession.implicits._
-    // One executor-side pass computes hash + digest; both consumers (the
-    // blocking join and the verify) read this cached plane — payload bytes
-    // are never shuffled, only (id, 64-bit hash, 32-char digest).
+    // One executor-side pass computes hash + digest — payloads DECODE ONCE
+    // ([[phashAndDigest]]); both consumers (the blocking join and the
+    // verify) read this cached plane — payload bytes are never shuffled,
+    // only (id, 64-bit hash, 32-char digest).
     val plane = narrowed.as[(Long, Array[Byte])]
-      .map { case (id, p) => (id, phashAny(p), contentDigest(p).orNull) }
+      .map { case (id, p) => val (h, d) = phashAndDigest(p); (id, h, d) }
       .toDF("id", "sh", "digest")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val result = Dedup.fingerprintPairs(plane.select("id", "sh"), maxHamming, maxBucketSize)

@@ -250,6 +250,23 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(a ^ PixelCodec.audioHash64(perturbed)) <= 4)
   }
 
+  test("phashAndDigest fuses phashAny + contentDigest bit-identically across modalities") {
+    // one payload per regime: PNG (id 0 mod 4), JPEG (id 2 mod 4), WAV (odd),
+    // both encoding variants, plus a header-only (no-decode) fallback payload
+    val decodable = for {
+      (id, text) <- Seq((4L, "png body text"), (2L, "jpeg body text"), (1L, "wav body text"))
+      v <- Seq(0, 1)
+    } yield Multimodal.withRealPayload(Seq((id, text)).toDF("doc_id", "text"), variant = v)
+      .select("payload").as[Array[Byte]].head()
+    val headerOnly = Multimodal.withBinaryPayload(Seq((0L, "hdr")).toDF("doc_id", "text"))
+      .select("payload").as[Array[Byte]].head()
+    (decodable :+ headerOnly).foreach { p =>
+      val (h, d) = Multimodal.phashAndDigest(p)
+      assert(h == Multimodal.phashAny(p))
+      assert(Option(d) == Multimodal.contentDigest(p))
+    }
+  }
+
   test("PNG round-trip property: 60 seeded random images, dims 1..40, random per-row filters") {
     val rnd = new scala.util.Random(20260813L)
     (0 until 60).foreach { trial =>
