@@ -714,7 +714,13 @@ object SparkEntry {
   }
 
   /** X81 rank loop over a linkGraphEdges plane — call ONLY when ranks are
-    * actually consumed (the eager per-round checkpoints run 5 jobs). */
+    * actually consumed (the eager per-round checkpoints run 5 jobs).
+    *
+    * r16 note: a fully LAZY unrolled chain (no per-round checkpoint) was
+    * tried and MEASURED SLOWER (d_pagerank 1.75→2.04 s at sf0.1) — each
+    * round's plane is consumed once so the chain is linear, but the
+    * five-round nested-broadcast plan pays more in analysis/planning per
+    * repeat than the five checkpoint round-trips cost. Keep the eager form. */
   private def pageRanks(edges: DataFrame, outw: DataFrame,
       nodes: DataFrame): DataFrame = {
     val ej = edges.join(outw, "src")
@@ -4901,6 +4907,7 @@ object SparkEntry {
         // per-round materialization — the pageRanks/d_hits rule: a
         // broadcast plane that is itself the next round's input must be
         // localCheckpoint'd or round i re-evaluates the full i−1 chain
+        // (a lazy chain was also measured SLOWER here — see pageRanks)
         tr = flags.join(contribs, flags("d") === contribs("dst"), "left")
           .select(flags("d"), col("trusted"),
             (when(col("trusted"), lit(150000L)).otherwise(lit(0L)) +

@@ -1263,17 +1263,24 @@ object Dedup {
       .select(col("id_new"), col("id_base"))
       .dropDuplicates("id_new", "id_base")
 
-    def grams(df: DataFrame, out: String) = df
-      .select(col(idCol).as(out),
-        array_distinct(wordNgrams(col(textCol), shingleN)).as(s"g_$out"))
-      .where(size(col(s"g_$out")) > 0)
-      .withColumn(s"n_$out", size(col(s"g_$out")))
+    // Verify attaches TEXT through the id equi-joins first and tokenizes
+    // only the surviving candidate rows (r16, guide §2.3): the previous
+    // shape computed `array_distinct(wordNgrams(text))` as a projection
+    // BELOW the join, so every probe call re-tokenized the ENTIRE baseDocs
+    // corpus — O(corpus) per nightly batch / per micro-batch, exactly the
+    // work this index exists to avoid (d_stream_neardup paid it once per
+    // drained batch). Joining on id first makes gram computation
+    // O(candidates); the zero-gram guard moves after the join, which keeps
+    // the emitted pair set identical to the pre-filtered inner join's.
     val result = cands
-      .join(grams(newDocs, "id_new"), Seq("id_new"))
-      .join(grams(baseDocs, "id_base"), Seq("id_base"))
-      .withColumn("inter", size(array_intersect(col("g_id_new"), col("g_id_base"))))
+      .join(newDocs.select(col(idCol).as("id_new"), col(textCol).as("t_new")), Seq("id_new"))
+      .join(baseDocs.select(col(idCol).as("id_base"), col(textCol).as("t_base")), Seq("id_base"))
+      .withColumn("g_new", array_distinct(wordNgrams(col("t_new"), shingleN)))
+      .withColumn("g_base", array_distinct(wordNgrams(col("t_base"), shingleN)))
+      .where(size(col("g_new")) > 0 && size(col("g_base")) > 0)
+      .withColumn("inter", size(array_intersect(col("g_new"), col("g_base"))))
       .withColumn("jaccard",
-        col("inter") / (col("n_id_new") + col("n_id_base") - col("inter")))
+        col("inter") / (size(col("g_new")) + size(col("g_base")) - col("inter")))
       .where(col("jaccard") >= verifyThreshold)
       .select(col("id_new"), col("id_base"), round(col("jaccard"), 6).as("jaccard"))
       .localCheckpoint(true)

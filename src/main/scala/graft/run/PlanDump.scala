@@ -10,9 +10,14 @@ import java.nio.file.{Files, Paths}
   *
   *   sbt "runMain graft.run.PlanDump <sfDir> <outDir> <tag> q1,q2,..."
   *
-  * Pass `all` as the query list to dump every declared query. Explain only
-  * PLANS the query (no execution), so this is cheap; queries whose builder
-  * functions synthesize fixture side-dirs still pay that synthesis once.
+  * Pass `all` as the query list to dump every declared query.
+  *
+  * Many query builders execute eagerly (localCheckpoint'd planes, drained
+  * streams), so the FINAL frame's plan is often just `Scan ExistingRDD` —
+  * the interesting plans ran inside the builder. A QueryExecutionListener
+  * therefore captures EVERY plan executed while the query builds and runs
+  * (numbered, in execution order), followed by the final frame's plan; the
+  * file carries them all.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
@@ -26,6 +31,17 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
+    val captured = new scala.collection.mutable.ArrayBuffer[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        captured.synchronized {
+          captured += qe.explainString(org.apache.spark.sql.execution.FormattedMode)
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
     val names: Seq[String] =
       if (qlist == "all") graft.SparkEntry.queries.keys.toSeq.sorted
       else qlist.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -34,11 +50,23 @@ object PlanDump {
         case None => System.err.println(s"[plandump] unknown query: $name")
         case Some(fn) =>
           try {
+            captured.synchronized(captured.clear())
             val df = fn(spark, sfDir)
-            val plan = df.queryExecution.explainString(
+            val finalPlan = df.queryExecution.explainString(
               org.apache.spark.sql.execution.FormattedMode)
-            Files.writeString(Paths.get(outDir, s"${name}_$tag.txt"), plan)
-            System.err.println(s"[plandump] wrote ${name}_$tag.txt (${plan.length} chars)")
+            df.write.format("noop").mode("overwrite").save()
+            Thread.sleep(2000) // listener bus drains asynchronously
+            val inner = captured.synchronized(captured.toList)
+            val body = new StringBuilder
+            inner.zipWithIndex.foreach { case (p, i) =>
+              body ++= s"===== executed plan ${i + 1} of ${inner.length} (builder-internal + final action, execution order) =====\n"
+              body ++= p
+              body ++= "\n"
+            }
+            body ++= "===== final frame plan (as returned by the query fn) =====\n"
+            body ++= finalPlan
+            Files.writeString(Paths.get(outDir, s"${name}_$tag.txt"), body.toString)
+            System.err.println(s"[plandump] wrote ${name}_$tag.txt (${inner.length + 1} plans, ${body.length} chars)")
           } catch { case e: Throwable =>
             System.err.println(s"[plandump] $name failed: $e")
           }
