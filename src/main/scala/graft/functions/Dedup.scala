@@ -1263,25 +1263,48 @@ object Dedup {
       .select(col("id_new"), col("id_base"))
       .dropDuplicates("id_new", "id_base")
 
-    // Verify attaches TEXT through the id equi-joins first and tokenizes
-    // only the surviving candidate rows (r16, guide §2.3): the previous
-    // shape computed `array_distinct(wordNgrams(text))` as a projection
-    // BELOW the join, so every probe call re-tokenized the ENTIRE baseDocs
-    // corpus — O(corpus) per nightly batch / per micro-batch, exactly the
-    // work this index exists to avoid (d_stream_neardup paid it once per
-    // drained batch). Joining on id first makes gram computation
-    // O(candidates); the zero-gram guard moves after the join, which keeps
-    // the emitted pair set identical to the pre-filtered inner join's.
-    val result = cands
-      .join(newDocs.select(col(idCol).as("id_new"), col(textCol).as("t_new")), Seq("id_new"))
-      .join(baseDocs.select(col(idCol).as("id_base"), col(textCol).as("t_base")), Seq("id_base"))
-      .withColumn("g_new", array_distinct(wordNgrams(col("t_new"), shingleN)))
-      .withColumn("g_base", array_distinct(wordNgrams(col("t_base"), shingleN)))
-      .where(size(col("g_new")) > 0 && size(col("g_base")) > 0)
-      .withColumn("inter", size(array_intersect(col("g_new"), col("g_base"))))
+    // Verify tokenizes each CANDIDATE DOC exactly once (r16): the r15
+    // shape computed `array_distinct(wordNgrams(text))` below the pair
+    // join, re-tokenizing the ENTIRE baseDocs corpus per probe — O(corpus)
+    // per nightly batch / per micro-batch, the work this index exists to
+    // avoid. (A first r16 cut attached raw text through the pair join and
+    // tokenized per candidate PAIR row instead — which inverts when
+    // candidate neighborhoods are dense: the sf1 replica corpus has ~130k
+    // candidate pairs over ~40k docs, and d_stream_web_pipeline_dedup went
+    // 13.5→42 s at sf1.) Each side now SEMI-JOINS to its candidate id set
+    // before tokenizing, so gram computation is O(candidate docs), one
+    // tokenize per doc — never O(corpus), never O(pairs) — and the pair
+    // join consumes the bounded gram planes exactly as before. cands is
+    // checkpointed because three consumers read it (two id sets + the pair
+    // join); the emitted pair set is unchanged (restricting the gram plane
+    // to candidate ids drops only rows the inner join dropped anyway).
+    // No explicit zero-gram guard: a `where(size(grams) > 0)` here gets
+    // PUSHED below the semi join as a filter predicate, re-tokenizing the
+    // whole corpus (plan-checked) — and it is redundant anyway, because a
+    // zero-gram side yields jaccard 0 (or NULL on 0/0), which the
+    // `jaccard >= verifyThreshold` filter drops for any positive bar.
+    require(verifyThreshold > 0,
+      s"verifyThreshold must be > 0 (zero-gram pairs are dropped by the jaccard bar), got $verifyThreshold")
+    val candsM = cands.localCheckpoint(true)
+    def gramsFor(df: DataFrame, out: String): DataFrame = df
+      .join(candsM.select(col(out).as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol).as(out),
+        array_distinct(wordNgrams(col(textCol), shingleN)).as(s"g_$out"))
+      .withColumn(s"n_$out", size(col(s"g_$out")))
+    // The jaccard bar is NULL-SAFE (coalesce) on purpose: a bare
+    // `jaccard >= t` filter lets InferFiltersFromConstraints derive
+    // isnotnull(jaccard) → isnotnull(size(grams)) and push THAT below the
+    // semi join, where it re-tokenizes every corpus row just to test a
+    // predicate (plan-checked; same mechanism as guide §4.4's duplicated
+    // UDF). coalesce(NULL→0) < t drops the 0/0 zero-gram pairs, which is
+    // the same set the old explicit size>0 guard removed.
+    val result = candsM
+      .join(gramsFor(newDocs, "id_new"), Seq("id_new"))
+      .join(gramsFor(baseDocs, "id_base"), Seq("id_base"))
+      .withColumn("inter", size(array_intersect(col("g_id_new"), col("g_id_base"))))
       .withColumn("jaccard",
-        col("inter") / (size(col("g_new")) + size(col("g_base")) - col("inter")))
-      .where(col("jaccard") >= verifyThreshold)
+        col("inter") / (col("n_id_new") + col("n_id_base") - col("inter")))
+      .where(coalesce(col("jaccard"), lit(0.0)) >= verifyThreshold)
       .select(col("id_new"), col("id_base"), round(col("jaccard"), 6).as("jaccard"))
       .localCheckpoint(true)
     newSigned.unpersist()
