@@ -117,39 +117,10 @@ object Bench {
     }.getOrElse(("", Map.empty))
   }
 
-  /** UNTIMED inter-query hygiene (round-16 measurement fix, guide §1): the
-    * 244-query suite shares one JVM, and row N's cost used to depend on the
-    * garbage rows 1..N−1 left behind — measured at sf0.1: m_meta_extract
-    * 2.26 s mid-suite vs 0.23 s isolated, d_harmonic_centrality 2.14 vs
-    * 0.63, d_cc_sizes 3.16 vs 1.55 (10 rows flagged ref_inflated on a QUIET
-    * box, loadavg_before 0.7). Two mechanisms: (a) dead localCheckpoint /
-    * broadcast blocks pile up in the unified memory pool because the
-    * ContextCleaner only reclaims them after a driver GC, and a 32 GiB-max
-    * heap almost never runs one — eviction churn + GC pressure then bill to
-    * whoever runs next; (b) every drained streaming query leaves its state
-    * store providers loaded (maintenance unload lags by up to the 60 s
-    * maintenance interval), so post-streaming rows run against a background
-    * thread pool — loadavg decayed from 5.6 only ~40 queries after
-    * s7_stream_joined_full. Unloading providers and forcing one GC BETWEEN
-    * queries (never inside a timed region) makes row N measure row N again.
-    * This drops no fixture state: pinned fixture planes stay strongly
-    * referenced by the session memo, and StateStore restarts lazily.
-    *
-    * The GC is PRESSURE-GATED, not unconditional: a first cut ran
-    * System.gc() after all 244 queries and the ~20–30 parallel GC threads
-    * it bursts inflated the 1-min loadavg the late-suite single-repeat rows
-    * run under (s7_activity_tws 4.3→11.1 s). Collecting only when the block
-    * manager actually holds >1 GiB keeps the reclaim where it pays and the
-    * load flat elsewhere. */
-  private def interQueryCleanup(spark: SparkSession): Unit = {
-    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-    catch { case _: Throwable => () }
-    val storageUsed = try {
-      spark.sparkContext.getExecutorMemoryStatus.values
-        .map { case (max, remaining) => max - remaining }.sum
-    } catch { case _: Throwable => 0L }
-    if (storageUsed > (1L << 30)) System.gc()
-  }
+  /** UNTIMED inter-query hygiene — see [[graft.run.BenchHygiene]] (shared
+    * with Sf1Smoke since r17 so the two copies cannot drift). */
+  private def interQueryCleanup(spark: SparkSession): Unit =
+    graft.run.BenchHygiene.interQueryCleanup(spark)
 
   /** Cool-down before suspect re-runs (round-11 verdict: re-running
     * immediately re-measures the same co-tenant burst). Polls 1-min loadavg
@@ -242,7 +213,10 @@ object Bench {
         val entries = results.toList.map { case (k, (mn, _)) => s"\"" + k + s"""\":${f"$mn%.3f"}""" }
         val nParts = math.max(1, (entries.length + 11) / 12)
         entries.grouped(12).zipWithIndex.foreach { case (chunk, i) =>
-          println(s"""{"bench_queries":1,"part":${i + 1},"of":$nParts,"q":${chunk.mkString("{", ",", "}")}}""")
+          // terminal "done" marker (r16 verdict #3): a reassembler can tell a
+          // complete chunk set from one the capture window truncated.
+          val done = if (i + 1 == nParts) ""","done":true""" else ""
+          println(s"""{"bench_queries":1,"part":${i + 1},"of":$nParts,"q":${chunk.mkString("{", ",", "}")}$done}""")
         }
       }
       // Compact SECOND line (<500 bytes): the full line above is ~6 KB and
@@ -259,6 +233,29 @@ object Bench {
       val failedList = failedNames.take(12).map("\"" + _ + "\"").mkString("[", ",", "]")
       val nRefInflated = results.synchronized(refInflated.size)
       println(s"""{"bench_summary":1,"total":${f"$total%.2f"},"n":${results.size},"n_failed":${failedNames.length},"failed":$failedList,"repeats":$repeats,"wall":${f"$wall%.1f"},"contended":$contended,"truncated":$truncated,"n_skipped":$nSkipped,"n_suspect":$nSuspect,"n_ref_inflated":$nRefInflated,"top5":$top5,"sf":"$sfDir"}""")
+      // FINAL stdout line, sized to the driver's 2,000-char output tail
+      // (r16 verdict #3): the full `{"metric":…}` line above is ~6 KB and
+      // beheads itself inside that window — every driver BENCH artifact
+      // since r10 recorded `parsed: null`. This line repeats the contract
+      // keys (metric/value/unit/queries/sf) but carries only as many of the
+      // SLOWEST per-query entries as fit in ~1,850 chars (the window minus
+      // the runner's trailing "[success] …" line); `queries_omitted` counts
+      // the fast rows that didn't fit and `queries_file` names the artifact
+      // holding the complete map (also in the chunked lines above). The
+      // totals are over ALL rows, not just the listed ones.
+      val compactEntries = results.synchronized {
+        results.toList.sortBy(-_._2._1)
+          .map { case (k, (mn, _)) => s"\"" + k + s"""\":${f"$mn%.3f"}""" }
+      }
+      val qBudget = 1500
+      val qSb = new StringBuilder
+      var omitted = 0
+      compactEntries.foreach { e =>
+        if (qSb.length + e.length + 1 <= qBudget) {
+          if (qSb.nonEmpty) qSb.append(','); qSb.append(e)
+        } else omitted += 1
+      }
+      println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":{$qSb},"queries_omitted":$omitted,"queries_file":"$artifactPath","n":${results.size},"n_failed":${failedNames.length},"repeats":$repeats,"wall":${f"$wall%.1f"},"contended":$contended,"truncated":$truncated,"sf":"$sfDir"}""")
       System.out.flush()
     }
     val hook = new Thread(() => flush(truncated = true))

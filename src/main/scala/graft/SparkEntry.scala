@@ -64,15 +64,48 @@ object SparkEntry {
     * this helper is only ever used for scratch the same process consumes,
     * the same distinction withStatefulShuffle draws for checkpoint
     * checksums. */
-  private def tmpDir(prefix: String): java.nio.file.Path = {
+  /** All tmpfs scratch lives under ONE per-process root that a JVM shutdown
+    * hook deletes recursively (r16 ADVICE: per-dir scratch on /dev/shm was
+    * never reclaimed — each Bench/Verify/Smoke run permanently consumed RAM
+    * until reboot; at sf1 the altfmt CSV/JSON/ORC copies alone are
+    * multi-GB). Created lazily on first use; `None` when tmpfs is absent,
+    * disabled (GRAFT_TMPFS=0), or already low on space at first use. */
+  private lazy val shmScratchRoot: Option[java.nio.file.Path] = {
     val shm = java.nio.file.Paths.get("/dev/shm")
+    val usable = scala.util.Try(shm.toFile.getUsableSpace).getOrElse(0L)
     if (!sys.env.get("GRAFT_TMPFS").contains("0") &&
-      java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
-      java.nio.file.Files.createTempDirectory(shm, prefix)
-    else java.nio.file.Files.createTempDirectory(prefix)
+      java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm) &&
+      usable > (8L << 30)) {
+      val root = java.nio.file.Files.createTempDirectory(shm, "graft-scratch-")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        scala.util.Try {
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+        ()
+      }))
+      Some(root)
+    } else None
+  }
+
+  private def tmpDir(prefix: String): java.nio.file.Path = shmScratchRoot match {
+    // per-call guard: fall back to the default temp dir once tmpfs free
+    // space drops under 2 GiB, so a long sf1 surface degrades to disk
+    // instead of failing writes (or starving the OS of RAM)
+    case Some(root) if scala.util.Try(root.toFile.getUsableSpace).getOrElse(0L) > (2L << 30) =>
+      java.nio.file.Files.createTempDirectory(root, prefix)
+    case _ => java.nio.file.Files.createTempDirectory(prefix)
   }
 
   private def withStatefulShuffle[A](s: SparkSession, n: Int)(body: => A): A = {
+    // GRAFT_STREAM_SHUFFLE overrides the call site's state-partition count —
+    // the A/B knob for sizing the per-micro-batch provider floor (state
+    // partition count is a deployment-scale decision: a production drain
+    // sizes it to keyed state volume, these bounded fixture drains to the
+    // provider-init floor; results are partitioning-independent).
+    val parts = sys.env.get("GRAFT_STREAM_SHUFFLE")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).filter(_ >= 1).getOrElse(n)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     // Spark 4.1 wraps every checkpoint file in ChecksumCheckpointFileManager
     // (fileChecksum.enabled defaults true) — a per-file integrity round-trip
@@ -81,7 +114,7 @@ object SparkEntry {
     // the checksum buys nothing; a durable production checkpoint should keep
     // the default.
     val prevCk = s.conf.get("spark.sql.streaming.checkpoint.fileChecksum.enabled", "true")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
     s.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     try body finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
@@ -5903,7 +5936,10 @@ object SparkEntry {
             val kept = gated.join(doomedB, Seq("doc_id"), "left_anti")
               .localCheckpoint(true) // three writes must see ONE survivor set
             Dedup.appendNearDupIndex(kept, idx, k = 64, bands = 32)
-            kept.write.mode("append").parquet(textDir)
+            // one file per batch append (guide §6): the NEXT batch's probe
+            // re-reads this dir; 8 near-empty files per batch made listing
+            // + per-file opens the noise floor of the per-batch cost
+            kept.coalesce(1).write.mode("append").parquet(textDir)
             kept.withColumn("n_tokens",
                 TextFunctions.byteBpeTokenCount(col("text"), TextFunctions.ByteBpeSeedMerges)
                   .cast("bigint"))
@@ -6313,7 +6349,9 @@ object SparkEntry {
             kept.select(lit(batchId).cast("int").as("batch_id"), col("doc_id"))
               .write.mode("append").parquet(outDir)
             Dedup.appendNearDupIndex(kept, idx, k = 64, bands = 32)
-            kept.write.mode("append").parquet(textDir)
+            // one file per batch append (guide §6) — the next batch's probe
+            // re-reads this dir; see d_stream_web_pipeline_dedup
+            kept.coalesce(1).write.mode("append").parquet(textDir)
             ()
           }
           .start()

@@ -186,7 +186,7 @@ object Dedup {
   /** (id[, route...], sig) plane — one fused native pass per row. Caller
     * persists. `routeCols` (X94) carry the partition-routing keys every
     * downstream exchange must include. */
-  private def signatures(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def signatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int, shingleN: Int, routeCols: Seq[String] = Nil): DataFrame =
     docs.select(col(idCol).as("id") +: routeCols.map(col) :+
       minhashSignature(col(textCol), k, shingleN).as("sig"): _*)
@@ -197,7 +197,7 @@ object Dedup {
     * identical docs contributes ONE banding row, never a quadratic bucket.
     * With `routeCols` the group key is (route..., sig): byte-identical
     * docs in different routes stay separate groups by construction. */
-  private def sigGroups(signed: DataFrame,
+  private[graft] def sigGroups(signed: DataFrame,
       routeCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
     val withRep = signed.withColumn("rep", min(col("id"))
       .over(Window.partitionBy(routeCols.map(col) :+ col("sig"): _*)))
@@ -1215,7 +1215,13 @@ object Dedup {
     * the index `bands` plane streams through ONE equi-join on
     * (band, bucket) — a non-colliding bucket contributes zero rows and no
     * downstream work — and the gram verify touches only candidate ids.
-    * Nothing aggregates or re-shuffles the corpus-sized planes. */
+    * Nothing aggregates or re-shuffles the corpus-sized planes.
+    *
+    * PRECONDITION (r16): `verifyThreshold` must be > 0. The verify relies
+    * on the jaccard bar to drop zero-gram pairs (an explicit size>0 guard
+    * would get pushed below the candidate semi-join and re-tokenize the
+    * whole corpus); at threshold 0 that bar stops filtering and the method
+    * throws rather than silently emit 0/0 pairs the old shape dropped. */
   def probeNearDupIndex(
       newDocs: DataFrame,
       indexPath: String,
@@ -1271,13 +1277,14 @@ object Dedup {
     // tokenized per candidate PAIR row instead — which inverts when
     // candidate neighborhoods are dense: the sf1 replica corpus has ~130k
     // candidate pairs over ~40k docs, and d_stream_web_pipeline_dedup went
-    // 13.5→42 s at sf1.) Each side now SEMI-JOINS to its candidate id set
-    // before tokenizing, so gram computation is O(candidate docs), one
-    // tokenize per doc — never O(corpus), never O(pairs) — and the pair
-    // join consumes the bounded gram planes exactly as before. cands is
-    // checkpointed because three consumers read it (two id sets + the pair
-    // join); the emitted pair set is unchanged (restricting the gram plane
-    // to candidate ids drops only rows the inner join dropped anyway).
+    // 13.5→42 s at sf1.) The BASE side SEMI-JOINS to its candidate id set
+    // before tokenizing, so corpus-side gram computation is O(candidate
+    // docs), one tokenize per doc — never O(corpus), never O(pairs); the
+    // NEW side tokenizes the whole batch (O(batch), already the probe's
+    // contract on that side — see gramsAll below). cands is checkpointed
+    // because two consumers read it (the base id set + the pair join); the
+    // emitted pair set is unchanged (restricting gram planes to candidate
+    // ids drops only rows the inner join dropped anyway).
     // No explicit zero-gram guard: a `where(size(grams) > 0)` here gets
     // PUSHED below the semi join as a filter predicate, re-tokenizing the
     // whole corpus (plan-checked) — and it is redundant anyway, because a
@@ -1286,8 +1293,23 @@ object Dedup {
     require(verifyThreshold > 0,
       s"verifyThreshold must be > 0 (zero-gram pairs are dropped by the jaccard bar), got $verifyThreshold")
     val candsM = cands.localCheckpoint(true)
+    // r17: the NEW side tokenizes the WHOLE batch, no semi-join — the probe
+    // contract already pays O(batch) on that side (signatures computes the
+    // same shingles per row), so restricting it to candidates saved no
+    // asymptotic work while costing a distinct aggregate + broadcast build
+    // + semi-join PER PROBE (once per micro-batch in the streaming
+    // consumers; the r16 shape's job floor). Non-candidate batch rows are
+    // dropped by the inner pair join exactly as the semi-join dropped them.
+    // The BASE side keeps its candidate semi-join — that side is
+    // corpus-sized and O(candidate docs) there is the whole point — but
+    // drops the `.distinct()` build-side aggregate: left_semi dedups
+    // inherently, duplicate build ids change nothing.
+    def gramsAll(df: DataFrame, out: String): DataFrame = df
+      .select(col(idCol).as(out),
+        array_distinct(wordNgrams(col(textCol), shingleN)).as(s"g_$out"))
+      .withColumn(s"n_$out", size(col(s"g_$out")))
     def gramsFor(df: DataFrame, out: String): DataFrame = df
-      .join(candsM.select(col(out).as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .join(candsM.select(col(out).as(idCol)), Seq(idCol), "left_semi")
       .select(col(idCol).as(out),
         array_distinct(wordNgrams(col(textCol), shingleN)).as(s"g_$out"))
       .withColumn(s"n_$out", size(col(s"g_$out")))
@@ -1299,7 +1321,7 @@ object Dedup {
     // UDF). coalesce(NULL→0) < t drops the 0/0 zero-gram pairs, which is
     // the same set the old explicit size>0 guard removed.
     val result = candsM
-      .join(gramsFor(newDocs, "id_new"), Seq("id_new"))
+      .join(gramsAll(newDocs, "id_new"), Seq("id_new"))
       .join(gramsFor(baseDocs, "id_base"), Seq("id_base"))
       .withColumn("inter", size(array_intersect(col("g_id_new"), col("g_id_base"))))
       .withColumn("jaccard",
@@ -1330,17 +1352,30 @@ object Dedup {
       textCol: String = "text",
       k: Int = 64,
       bands: Int = 32,
-      shingleN: Int = 3): Unit = {
+      shingleN: Int = 3,
+      /** Files per plane per append (r17, guide §6). An appended batch is
+        * small relative to the corpus by this index's contract, but the
+        * planes were appended at the session's shuffle-partition width —
+        * up to 8–32 near-empty files PER BATCH, so a stream that probes
+        * after every append paid an ever-growing listing + per-file open
+        * tax (the r16 verdict's noisiest rows). One file per batch-sized
+        * append keeps probe cost file-count-stable; a caller appending a
+        * genuinely large batch sizes this to `ceil(batch_bytes / target
+        * file size)` instead. */
+      appendFilesPerPlane: Int = 1): Unit = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
+    require(appendFilesPerPlane >= 1,
+      s"appendFilesPerPlane must be >= 1, got $appendFilesPerPlane")
     SketchFunctions.register(docs.sparkSession)
     val signed = signatures(docs, idCol, textCol, k, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val (members, reps) = sigGroups(signed)
     reps.select(col("id"),
       posexplode(SketchFunctions.minhash_bands(col("sig"), bands)).as(Seq("band", "bucket")))
+      .coalesce(appendFilesPerPlane)
       .write.mode("append").parquet(s"$indexPath/bands")
-    reps.write.mode("append").parquet(s"$indexPath/sigs")
-    members.write.mode("append").parquet(s"$indexPath/members")
+    reps.coalesce(appendFilesPerPlane).write.mode("append").parquet(s"$indexPath/sigs")
+    members.coalesce(appendFilesPerPlane).write.mode("append").parquet(s"$indexPath/members")
     signed.unpersist()
   }
 

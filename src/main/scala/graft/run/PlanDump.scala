@@ -21,6 +21,11 @@ import java.nio.file.{Files, Paths}
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println(
+        "usage: PlanDump <sfDir> <outDir> <tag> <q1,q2,...|all>")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir, tag, qlist) = args.take(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -55,7 +60,20 @@ object PlanDump {
             val finalPlan = df.queryExecution.explainString(
               org.apache.spark.sql.execution.FormattedMode)
             df.write.format("noop").mode("overwrite").save()
-            Thread.sleep(2000) // listener bus drains asynchronously
+            // Drain the listener bus BEFORE snapshotting (r16 ADVICE: a bare
+            // sleep is racy — a slow plan delivered after it would be counted
+            // under the NEXT query's capture, mislabeling plan evidence).
+            // LiveListenerBus.waitUntilEmpty is private[spark], so reflect;
+            // keep a short sleep as backstop if the call shape ever changes.
+            try {
+              val sc = spark.sparkContext
+              val busM = sc.getClass.getMethod("listenerBus")
+              busM.setAccessible(true)
+              val bus = busM.invoke(sc)
+              val wait = bus.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)
+              wait.setAccessible(true)
+              wait.invoke(bus, java.lang.Long.valueOf(30000L))
+            } catch { case scala.util.control.NonFatal(_) => Thread.sleep(2000) }
             val inner = captured.synchronized(captured.toList)
             val body = new StringBuilder
             inner.zipWithIndex.foreach { case (p, i) =>

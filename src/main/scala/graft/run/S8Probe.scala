@@ -65,9 +65,34 @@ object S8Probe {
             .start()
           q.awaitTermination()
         }
+        timed(s"run $i trivial QUEUE-source drain (count sink)") {
+          // same trivial body as above, but through the DSv2 graft-queue
+          // connector — isolates the v2 source tax (driver-side discovery
+          // line count + per-line parse) from the import fold
+          val ckpt3 = java.nio.file.Files.createTempDirectory("s8p-ckpt3").toString
+          val cap = graft.streaming.MessageQueueSource.backlogCount(spark, msgDir)
+          val q = MessageStream.readMessagesQueue(spark, msgDir, Some(math.max(1L, cap)))
+            .writeStream
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt3)
+            .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.model.CatalogMessage], id: Long) =>
+              b.write.format("noop").mode("overwrite").save(); ()
+            }
+            .start()
+          q.awaitTermination()
+        }
         timed(s"run $i streaming drain e2e") {
           val tgt = MessageStream.runImport(spark, msgDir, stateDir, ckptDir,
             CatalogSnapshot.empty(spark, "tgt"), cfg)
+          tgt.tables.write.format("noop").mode("overwrite").save()
+        }
+        timed(s"run $i streaming drain e2e QUEUE (v2 shape)") {
+          val stateDir2 = java.nio.file.Files.createTempDirectory("s8p-state2").toString
+          val ckptDir2 = java.nio.file.Files.createTempDirectory("s8p-ckpt4").toString
+          val cap = graft.streaming.MessageQueueSource.backlogCount(spark, msgDir)
+          val tgt = MessageStream.runImport(spark, msgDir, stateDir2, ckptDir2,
+            CatalogSnapshot.empty(spark, "tgt"), cfg,
+            queueMaxMessagesPerTrigger = Some(math.max(1L, cap)))
           tgt.tables.write.format("noop").mode("overwrite").save()
         }
       }

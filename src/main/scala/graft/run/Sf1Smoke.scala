@@ -139,19 +139,12 @@ object Sf1Smoke {
         System.err.println(s"[sf1] $name FAILED: ${e.getMessage}")
       }
       System.err.flush()
-      // UNTIMED inter-query hygiene — same fix as Bench.interQueryCleanup
-      // (r16): dead localCheckpoint/broadcast blocks and loaded streaming
-      // state providers otherwise bill rows 1..N−1's garbage to row N
-      // (measured at sf1: unchanged d_ngram_jaccard 37.8 s late in the
-      // full surface vs 19.7 s isolated). Pressure-gated GC; providers
-      // reload lazily.
-      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-      catch { case _: Throwable => () }
-      val storageUsed = try {
-        spark.sparkContext.getExecutorMemoryStatus.values
-          .map { case (mx, rem) => mx - rem }.sum
-      } catch { case _: Throwable => 0L }
-      if (storageUsed > (1L << 30)) System.gc()
+      // UNTIMED inter-query hygiene — shared with Bench (r16 fix: dead
+      // localCheckpoint/broadcast blocks and loaded streaming state
+      // providers otherwise bill rows 1..N−1's garbage to row N; measured
+      // at sf1: unchanged d_ngram_jaccard 37.8 s late in the full surface
+      // vs 19.7 s isolated). Pressure-gated GC; providers reload lazily.
+      BenchHygiene.interQueryCleanup(spark)
     }
 
     dumpDir.foreach { d =>

@@ -16,15 +16,23 @@ round="${GRAFT_ROUND:?set GRAFT_ROUND=<k> so the gate bench is persisted as BENC
 # probe contradicted). Wait until the 1-min load settles below the
 # threshold; refuse after 30 min so a stuck box fails loudly instead of
 # silently recording poisoned numbers. Override bar via GRAFT_MAX_LOAD.
+# r16 verdict #5: the check runs TWICE — here, and again immediately before
+# the bench step, because the 13-minute test suite between them leaves its
+# own load behind (the r16 gate bench started at loadavg 3.38 despite a
+# quiet gate start).
 max_load="${GRAFT_MAX_LOAD:-1.0}"
-for i in $(seq 1 60); do
-  load=$(cut -d' ' -f1 /proc/loadavg)
-  ok=$(python3 -c "print(1 if $load < $max_load else 0)")
-  [ "$ok" = 1 ] && break
-  [ "$i" = 60 ] && { echo "GATE REFUSED: loadavg $load >= $max_load after 30 min"; exit 2; }
-  echo "gate waiting: loadavg $load >= $max_load (attempt $i/60)"; sleep 30
-done
-echo "gate loadavg_before: $(cut -d' ' -f1-3 /proc/loadavg)"
+wait_quiet() {
+  local stage="$1"
+  for i in $(seq 1 60); do
+    load=$(cut -d' ' -f1 /proc/loadavg)
+    ok=$(python3 -c "print(1 if $load < $max_load else 0)")
+    [ "$ok" = 1 ] && break
+    [ "$i" = 60 ] && { echo "GATE REFUSED ($stage): loadavg $load >= $max_load after 30 min"; exit 2; }
+    echo "gate waiting ($stage): loadavg $load >= $max_load (attempt $i/60)"; sleep 30
+  done
+  echo "gate loadavg ($stage): $(cut -d' ' -f1-3 /proc/loadavg)"
+}
+wait_quiet start
 
 sbt -batch compile
 sbt -batch test | tee /tmp/graft_gate_test.log
@@ -48,6 +56,7 @@ sed -i -E "s/one entry per operator; [0-9]+ queries/one entry per operator; ${qu
 sed -i -E "s/SQL for ALL [0-9]+/SQL for ALL ${queries}/" README.md
 echo "README counts synced: ${specs} specs, ${queries} queries"
 
+wait_quiet pre-bench
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench" | tee /tmp/graft_gate_bench.log
 grep -o '{"metric".*' /tmp/graft_gate_bench.log | head -1 > /tmp/graft_gate_bench.json
