@@ -4962,16 +4962,23 @@ object SparkEntry {
     // join; the corpus is never touched after edge extraction.
     "d_hits" -> ((s, dir) => {
       val (edges, _, nodes) = linkGraphEdges(s, dir)
-      // Each normalized plane is localCheckpoint'd: hub_i feeds BOTH auth_i
+      // Each half-step plane is localCheckpoint'd: hub_i feeds BOTH auth_i
       // and (in the last round) the output join, and every broadcast
       // re-evaluates its input's full lineage — without materialization
       // the early rounds re-run once per downstream consumer (measured:
       // 8.3 s at sf0.1; checkpointed planes are domain-bounded and bring
-      // it in line with the PageRank rows).
-      def norm(df: DataFrame): DataFrame =
-        df.crossJoin(broadcast(df.agg(max("x").as("mx"))))
+      // it in line with the PageRank rows). r17: the checkpoint moves
+      // BELOW the max-agg — the old shape checkpointed the normalized
+      // output, so the agg's broadcast build evaluated df's full edge-join
+      // lineage a second time per half-step (measured: 3.38 → 2.52 s
+      // isolated). The normalization itself is a projection over the
+      // checkpointed plane plus a 1-row broadcast — cheap for each of its
+      // ≤2 consumers.
+      def norm(df: DataFrame): DataFrame = {
+        val m = df.localCheckpoint(true)
+        m.crossJoin(broadcast(m.agg(max("x").as("mx"))))
           .select(col("d"), expr("(x * bigint(1000000)) div mx").as("x"))
-          .localCheckpoint(true)
+      }
       var auth = nodes.select(col("d"), lit(1000000L).as("x"))
       var hub: DataFrame = null
       for (_ <- 1 to 3) {

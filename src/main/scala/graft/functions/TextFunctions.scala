@@ -1168,8 +1168,15 @@ object TextFunctions {
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val spark = raw.sparkSession
+    // ≤`buckets` rows, pinned (r17): the frame has two consumers — the
+    // domain join and the n_t scalar — and the plan-dump showed the n_t
+    // branch re-scanning + re-exploding the whole TARGET corpus because an
+    // inferred isnotnull(bucket) filter made the two aggregate subtrees
+    // non-identical, defeating exchange reuse (the raw side's pdb reuses
+    // fine). One eager checkpoint of a 64-row frame ends that.
     val tb = hashedNgramBuckets(target, buckets, idCol, textCol)
       .groupBy("bucket").agg(count(lit(1)).as("ct"))
+      .localCheckpoint(true)
     // ONE tokenize+explode pass over the raw corpus: both the raw model
     // counts and the scoring pass hang off the same (doc, bucket)
     // pre-aggregation, so its exchange is planned once and REUSED
@@ -1177,12 +1184,21 @@ object TextFunctions {
     val pdb = hashedNgramBuckets(raw, buckets, idCol, textCol)
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
     val rb = pdb.groupBy("bucket").agg(sum(col("c")).as("cr"))
-    // full bucket domain: α-smoothing must cover buckets one side never hit
+    // full bucket domain: α-smoothing must cover buckets one side never hit.
+    // The model totals n_t/n_r ride a single-partition WINDOW over the
+    // ≤`buckets`-row joined frame (r17) instead of two crossJoin(broadcast(
+    // agg)) scalar branches: each scalar branch re-aggregated its model
+    // from the corpus in a subtree the optimizer's inferred-filter
+    // differences kept from reusing the main exchange — the plan-dump
+    // showed the RAW corpus scanned (and exploded) a second time just to
+    // total 64 numbers. sum() over the window skips nulls, so the totals
+    // (including null-on-empty) are exactly the old aggregates.
     val dom = spark.range(buckets).select(col("id").as("bucket"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     val llr = dom
       .join(tb, Seq("bucket"), "left").join(rb, Seq("bucket"), "left")
-      .crossJoin(broadcast(tb.agg(sum(col("ct")).cast("double").as("n_t"))))
-      .crossJoin(broadcast(rb.agg(sum(col("cr")).cast("double").as("n_r"))))
+      .withColumn("n_t", sum(col("ct")).over(wAll).cast("double"))
+      .withColumn("n_r", sum(col("cr")).over(wAll).cast("double"))
       .select(col("bucket"),
         round((log((coalesce(col("ct"), lit(0L)).cast("double") + lit(alpha)) /
             (col("n_t") + lit(alpha * buckets))) -

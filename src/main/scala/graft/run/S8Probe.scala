@@ -21,6 +21,15 @@ object S8Probe {
     import graft.streaming.MessageStream
     // fixture (untimed in bench)
     val msgDir = timed("fixture export")(graft.SparkEntry.probeS8MsgDir(spark, sfDir))
+    // driver-side discovery scan cost (the v2 source counts every file's
+    // non-empty lines on the driver at query start)
+    val dirSize = new java.io.File(msgDir).listFiles().filter(_.isFile).map(_.length).sum
+    System.err.println(f"[s8probe] msgDir bytes: ${dirSize / 1e6}%.1f MB")
+    (1 to 2).foreach { i =>
+      timed(s"backlogCount driver line-count pass $i") {
+        graft.streaming.MessageQueueSource.backlogCount(spark, msgDir)
+      }
+    }
     (1 to 3).foreach { i =>
       timed(s"run $i TOTAL") {
         val stateDir = java.nio.file.Files.createTempDirectory("s8p-state").toString

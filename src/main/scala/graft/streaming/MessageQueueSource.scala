@@ -192,9 +192,9 @@ private[streaming] class MessageQueueStream(
       var done = false
       while (!done) {
         val start = lr.bytePos
-        val line = lr.nextLine()
+        val line = lr.nextLineUtf8()
         if (line == null) done = true
-        else if (line.nonEmpty) {
+        else if (line.numBytes > 0) {
           if (n > 0 && n % QueueLines.SyncEvery == 0) syncs += start
           n += 1
         }
@@ -337,23 +337,63 @@ private[streaming] object QueueLines {
 }
 
 private[streaming] final class QueueLines(in: java.io.InputStream, startPos: Long) {
-  private val buf = new java.io.BufferedInputStream(in, 1 << 16)
+  // Own buffer + newline scan (r17): the previous shape pulled one byte per
+  // BufferedInputStream.read() call — a SYNCHRONIZED method, ~30M monitor
+  // acquisitions per discovery/read pass over this fixture — and decoded
+  // every line to java.lang.String only for the read path to re-encode it
+  // to UTF-8 for the row. Lines now stay raw bytes end to end; byte
+  // offsets are unchanged (same '\n' split, same '\r' strip).
+  private val buf = new Array[Byte](1 << 16)
+  private var bufLen = 0
+  private var bufPos = 0
+  private var eof = false
   private var pos = startPos
-  private val bytes = new java.io.ByteArrayOutputStream(256)
+  private val line = new java.io.ByteArrayOutputStream(256)
 
   /** Byte offset of the next unread line's first byte. */
   def bytePos: Long = pos
 
-  /** Next line (terminators stripped), or null at end of stream. */
-  def nextLine(): String = {
-    bytes.reset()
-    var b = buf.read()
-    if (b < 0) return null
-    while (b >= 0 && b != '\n') { bytes.write(b); b = buf.read() }
-    pos += bytes.size() + (if (b == '\n') 1L else 0L)
-    val arr = bytes.toByteArray
+  private def fill(): Unit = {
+    if (!eof) {
+      bufPos = 0
+      bufLen = in.read(buf)
+      if (bufLen < 0) { eof = true; bufLen = 0 }
+    }
+  }
+
+  /** Next line's bytes (terminators stripped) as UTF8String, or null at end
+    * of stream. The returned value owns a fresh array — safe to retain. */
+  def nextLineUtf8(): org.apache.spark.unsafe.types.UTF8String = {
+    if (bufPos >= bufLen) {
+      fill()
+      if (eof && bufLen == 0) return null
+    }
+    line.reset()
+    var sawNl = false
+    var done = false
+    while (!done) {
+      if (bufPos >= bufLen) {
+        fill()
+        if (bufLen == 0) done = true // EOF: emit what accumulated
+      }
+      if (!done) {
+        var i = bufPos
+        while (i < bufLen && buf(i) != '\n') i += 1
+        line.write(buf, bufPos, i - bufPos)
+        if (i < bufLen) { sawNl = true; done = true; bufPos = i + 1 }
+        else bufPos = i
+      }
+    }
+    pos += line.size() + (if (sawNl) 1L else 0L)
+    val arr = line.toByteArray
     val len = if (arr.nonEmpty && arr(arr.length - 1) == '\r') arr.length - 1 else arr.length
-    new String(arr, 0, len, java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(arr, 0, len)
+  }
+
+  /** Next line as String — discovery-log convenience over [[nextLineUtf8]]. */
+  def nextLine(): String = {
+    val u = nextLineUtf8()
+    if (u == null) null else u.toString
   }
 }
 
@@ -373,19 +413,19 @@ private[streaming] class MessageQueueReaderFactory(schema: StructType,
       }
       private val lines = new QueueLines(in, p.seekPos)
       private var rowIdx: Long = p.seekRow // non-empty lines consumed so far
-      private val parse = GraftSqlBridge.jsonLineParser(schema)
+      private val parse = GraftSqlBridge.jsonLineParserUtf8(schema)
       private var row: InternalRow = _
 
       override def next(): Boolean = {
         // bounded skip from the sync point to the slice start
         while (rowIdx < p.startRow) {
-          val l = lines.nextLine()
+          val l = lines.nextLineUtf8()
           if (l == null) return false
-          if (l.nonEmpty) rowIdx += 1
+          if (l.numBytes > 0) rowIdx += 1
         }
         if (rowIdx >= p.endRow) return false
-        var line = lines.nextLine()
-        while (line != null && line.isEmpty) line = lines.nextLine()
+        var line = lines.nextLineUtf8()
+        while (line != null && line.numBytes == 0) line = lines.nextLineUtf8()
         if (line == null) return false
         rowIdx += 1
         row = parse(line)
@@ -393,7 +433,7 @@ private[streaming] class MessageQueueReaderFactory(schema: StructType,
           // corrupt line → null-typed row carrying the raw bytes; the
           // dispatch stage (P6) routes it to the DLQ
           val r = new GenericInternalRow(schema.length)
-          r.update(payloadIdx, UTF8String.fromString(line))
+          r.update(payloadIdx, line)
           row = r
         }
         true

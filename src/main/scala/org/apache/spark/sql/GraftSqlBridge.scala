@@ -37,4 +37,18 @@ object GraftSqlBridge {
         .headOption.map(_.copy()).orNull
       catch { case scala.util.control.NonFatal(_) => null }
   }
+
+  /** [[jsonLineParser]] over raw UTF-8 bytes (r17): a reader that already
+    * holds the line as bytes must not decode to java.lang.String just for
+    * Jackson to re-read it — `CreateJacksonParser.utf8String` parses the
+    * bytes directly (the from_json code path). Same corrupt-line contract. */
+  def jsonLineParserUtf8(schema: StructType): UTF8String => InternalRow = {
+    val parser = new JacksonParser(schema,
+      new JSONOptions(Map.empty[String, String], "UTC"), false, Nil)
+    val create = CreateJacksonParser.utf8String _
+    (line: UTF8String) =>
+      try parser.parse(line, create, (u: UTF8String) => u)
+        .headOption.map(_.copy()).orNull
+      catch { case scala.util.control.NonFatal(_) => null }
+  }
 }
